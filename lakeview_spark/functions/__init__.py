@@ -1,0 +1,2 @@
+from lakeview_spark.functions.instants import parse_instants, whitelist_filter  # noqa: F401
+from lakeview_spark.functions.ids import uuid3_from_uri, uuid3_udf  # noqa: F401
