@@ -1,0 +1,286 @@
+"""End-to-end extractor pipeline (SURVEY §3).
+
+run_once(config): discover -> read properties -> initialize new tables ->
+per table: archived timeline first, then active (TableMetadataUploaderService.java:393-442)
+-> filter -> sort -> batch -> mirror -> checkpoint upsert.
+
+The reference iterates tables in batches of 20 on a thread pool; here the
+per-table work is data-parallel: listings fan out as Spark jobs, the
+batcher runs per-table inside applyInPandas, and the mirror sink is a
+foreachPartition writer. Per-table sequential ordering (batches strictly
+ordered, archived before active) is preserved inside each table's group.
+
+CONTINUOUS mode (§3.2) wraps run_once in a driver loop — same dataflow,
+trigger semantics of a 30 min discovery / 5 min upload cadence.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeview_spark.config import EngineConfig
+from lakeview_spark.constants import (
+    ARCHIVED_FOLDER_NAME,
+    HISTORY_FOLDER_NAME,
+    HOODIE_FOLDER_NAME,
+    HOODIE_PROPERTIES_FILE,
+    TIMELINE_FOLDER_NAME,
+    TIMELINE_LAYOUT_VERSION_V2,
+)
+from lakeview_spark.operators.batcher import batch_instants
+from lakeview_spark.operators.checkpoints import CheckpointStore
+from lakeview_spark.operators.uploader import (
+    ACTIVE,
+    ARCHIVED,
+    files_to_upload,
+    last_uploaded_file_from_batch,
+)
+from lakeview_spark.sources.listing import Lister, discover_tables, list_dir_local
+from lakeview_spark.sources.properties import read_hoodie_properties
+
+CHECKPOINT_UPDATE_SCHEMA = (
+    "table_id string, batch_id int, checkpoint_ts timestamp, last_uploaded_file string, "
+    "first_incomplete_commit_file string, archived_commits_processed boolean, "
+    "last_archived_manifest_version int"
+)
+
+
+def timeline_dir(table_uri: str, layout_version: int, timeline_type: str) -> str:
+    """Timeline folder per layout (TimelineCommitInstantsUploader.java:922-936)."""
+    base = f"{table_uri.rstrip('/')}/{HOODIE_FOLDER_NAME}"
+    if layout_version == TIMELINE_LAYOUT_VERSION_V2:
+        base = f"{base}/{TIMELINE_FOLDER_NAME}"
+        return f"{base}/{HISTORY_FOLDER_NAME}" if timeline_type == ARCHIVED else base
+    return f"{base}/{ARCHIVED_FOLDER_NAME}" if timeline_type == ARCHIVED else base
+
+
+def list_timeline_files(
+    spark: SparkSession, tables: list[dict], timeline_type: str, lister: Lister = list_dir_local
+) -> DataFrame:
+    """Distributed listing of every table's timeline dir -> files DF."""
+    sc = spark.sparkContext
+
+    def probe(t, _lister=lister, _tt=timeline_type):
+        d = timeline_dir(t["table_uri"], t["timeline_layout_version"], _tt)
+        return [
+            (t["table_id"], _tt, name, lm, is_dir, size)
+            for name, lm, is_dir, size in _lister(d)
+        ]
+
+    if not tables:
+        return spark.createDataFrame(
+            [], "table_id string, timeline string, filename string, "
+            "last_modified timestamp, is_directory boolean, size long"
+        )
+    rdd = sc.parallelize(tables, max(1, min(len(tables), 256))).flatMap(probe)
+    return spark.createDataFrame(
+        rdd,
+        "table_id string, timeline string, filename string, "
+        "last_modified timestamp, is_directory boolean, size long",
+    )
+
+
+def compute_checkpoint_updates(
+    batches_df: DataFrame,
+    files_df: DataFrame,
+    checkpoints_df: DataFrame,
+    timeline_type: str,
+) -> DataFrame:
+    """Per-table new checkpoint after its batches (W2 lookback + watermark).
+
+    checkpoint_ts advances to the last uploaded file's last_modified
+    (Checkpoint.java:15); batch_id advances by the number of batches;
+    CONTINUE mode's first_incomplete is carried from the batcher.
+    """
+    joined = batches_df.join(
+        files_df.select("table_id", "filename", "last_modified"),
+        ["table_id", "filename"],
+        "left",
+    ).join(
+        F.broadcast(
+            checkpoints_df.select(
+                "table_id",
+                F.col("archived_commits_processed").alias("_arch_done"),
+                F.col("last_archived_manifest_version").alias("_manifest_v"),
+            )
+        ),
+        "table_id",
+        "left",
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["batch_id", "seq_in_batch"])
+        table_id = pdf["table_id"].iloc[0]
+        last_batch = pdf[pdf["batch_id"] == pdf["batch_id"].max()]
+        batch = list(last_batch["filename"])
+        last_file = last_uploaded_file_from_batch(batch, timeline_type)
+        lm = last_batch.loc[last_batch["filename"] == last_file, "last_modified"]
+        ckpt_ts = lm.iloc[0] if len(lm) else pdf["last_modified"].max()
+        first_inc = pdf["first_incomplete"].iloc[0] or ""
+        arch_done = bool(pdf["_arch_done"].iloc[0]) if not pd.isna(pdf["_arch_done"].iloc[0]) else False
+        manifest_v = int(pdf["_manifest_v"].iloc[0]) if not pd.isna(pdf["_manifest_v"].iloc[0]) else 0
+        return pd.DataFrame(
+            [
+                (
+                    table_id,
+                    int(pdf["batch_id"].max()),
+                    ckpt_ts,
+                    last_file,
+                    first_inc,
+                    arch_done or timeline_type == ARCHIVED,
+                    manifest_v,
+                )
+            ],
+            columns=[
+                "table_id",
+                "batch_id",
+                "checkpoint_ts",
+                "last_uploaded_file",
+                "first_incomplete_commit_file",
+                "archived_commits_processed",
+                "last_archived_manifest_version",
+            ],
+        )
+
+    return joined.groupBy("table_id").applyInPandas(summarize, CHECKPOINT_UPDATE_SCHEMA)
+
+
+def run_once(
+    spark: SparkSession,
+    config: EngineConfig,
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lister: Lister = list_dir_local,
+) -> dict:
+    """One extractor round. Returns a metrics dict (SURVEY §2.4 A5)."""
+    metrics: dict = {}
+    t0 = time.time()
+
+    tables_df = discover_tables(
+        spark, config.parser_config, config.path_exclusion_patterns, lister
+    )
+    tables = [r.asDict() for r in tables_df.collect()]
+    metrics["tables_discovered"] = len(tables)
+
+    # properties: one distributed read over every table's hoodie.properties
+    prop_paths = [
+        f"{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
+        for t in tables
+        if os.path.exists(
+            f"{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
+        )
+    ]
+    props = {r.path: r.asDict() for r in read_hoodie_properties(spark, prop_paths).collect()}
+    for t in tables:
+        p = props.get(
+            f"file:{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
+        ) or props.get(
+            f"file://{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
+        )
+        t["table_name"] = (p or {}).get("table_name")
+        t["table_type"] = (p or {}).get("table_type")
+        t["table_version"] = (p or {}).get("table_version", 6)
+        t["timeline_layout_version"] = (p or {}).get("timeline_layout_version", 1)
+
+    store = CheckpointStore(spark, os.path.join(state_dir, "checkpoints"))
+    metrics["tables_initialized"] = store.initialize_tables(tables_df)
+
+    for timeline_type in (ARCHIVED, ACTIVE):  # archived strictly first (§2.9)
+        scope = tables
+        if timeline_type == ARCHIVED:
+            # archived timeline is processed once ever (README.md:423-427):
+            # skip tables whose checkpoint says archived_commits_processed
+            done = {
+                r.table_id
+                for r in store.load().filter("archived_commits_processed").collect()
+            }
+            scope = [t for t in tables if t["table_id"] not in done]
+        files_df = list_timeline_files(spark, scope, timeline_type, lister)
+        if files_df.isEmpty():
+            metrics[f"{timeline_type}_files"] = 0
+            continue
+        ckpts = store.load()
+        candidates = files_to_upload(
+            files_df, ckpts, timeline_type, config.upload_strategy
+        )
+        metrics[f"{timeline_type}_files"] = candidates.count()
+        if timeline_type == ACTIVE:
+            batches = batch_instants(
+                candidates, config.active_batch_size, config.upload_strategy, ckpts
+            )
+        else:
+            # archived files are single-file groups: uniform packing
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("table_id").orderBy("sort_key")
+            batches = (
+                candidates.withColumn(
+                    "batch_id",
+                    F.floor((F.row_number().over(w) - 1) / config.archived_batch_size).cast("int") + 1,
+                )
+                .withColumn(
+                    "seq_in_batch",
+                    ((F.row_number().over(w) - 1) % config.archived_batch_size).cast("int"),
+                )
+                .withColumn("first_incomplete", F.lit(""))
+                .select("table_id", "batch_id", "seq_in_batch", "filename", "first_incomplete")
+            )
+        batches = batches.cache()
+        n = batches.count()
+        metrics[f"{timeline_type}_batched_files"] = n
+        if n == 0:
+            batches.unpersist()
+            continue
+
+        if mirror_dir:
+            uri_by_id = {t["table_id"]: t for t in tables}
+            layout = {
+                t["table_id"]: t["timeline_layout_version"] for t in tables
+            }
+
+            def mirror(rows, _tt=timeline_type):
+                import shutil as _sh
+
+                for row in rows:
+                    t = uri_by_id[row.table_id]
+                    src_dir = timeline_dir(t["table_uri"], layout[row.table_id], _tt)
+                    if row.filename == HOODIE_PROPERTIES_FILE:
+                        src = f"{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
+                    else:
+                        src = os.path.join(src_dir, row.filename)
+                    dest = os.path.join(mirror_dir, row.table_id, _tt, row.filename)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    _sh.copyfile(src, dest)
+
+            batches.foreachPartition(mirror)
+
+        updates = compute_checkpoint_updates(batches, files_df, store.load(), timeline_type)
+        store.upsert(updates)
+        batches.unpersist()
+
+    metrics["elapsed_s"] = round(time.time() - t0, 3)
+    return metrics
+
+
+def run_continuous(
+    spark: SparkSession,
+    config: EngineConfig,
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lister: Lister = list_dir_local,
+    interval_s: float = 300.0,
+    max_rounds: int | None = None,
+) -> list[dict]:
+    """Driver-loop CONTINUOUS mode (§3.2)."""
+    rounds = []
+    while max_rounds is None or len(rounds) < max_rounds:
+        rounds.append(run_once(spark, config, state_dir, mirror_dir, lister))
+        if max_rounds is not None and len(rounds) >= max_rounds:
+            break
+        time.sleep(interval_s)
+    return rounds

@@ -1,0 +1,359 @@
+"""Layer-A dataflow tests: discovery (S1/P4/P6), properties (S4),
+manifest (S5/J4), checkpoint store (S8/S9), uploader rules (P5/W2),
+and an end-to-end run_once over a local fixture lake."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+
+from lakeview_spark.config import load_config
+from lakeview_spark.functions.ids import uuid3_from_uri
+from lakeview_spark.operators.checkpoints import CheckpointStore
+from lakeview_spark.operators.uploader import (
+    ACTIVE,
+    ARCHIVED,
+    files_to_upload,
+    last_uploaded_file_from_batch,
+    start_after,
+)
+from lakeview_spark.runner import run_once
+from lakeview_spark.sources.listing import discover_tables
+from lakeview_spark.sources.manifest import manifest_diff, read_manifest, read_manifest_version
+from lakeview_spark.sources.properties import read_hoodie_properties
+
+
+def make_table(root, name, files=(), props=True, archived=()):
+    """Create a local Hudi-ish table dir with a .hoodie timeline."""
+    tdir = os.path.join(root, name)
+    hoodie = os.path.join(tdir, ".hoodie")
+    os.makedirs(hoodie, exist_ok=True)
+    if props:
+        with open(os.path.join(hoodie, "hoodie.properties"), "w") as f:
+            f.write(
+                "#comment\nhoodie.table.name=%s\nhoodie.table.type=MERGE_ON_READ\n"
+                "hoodie.table.version=6\nhoodie.timeline.layout.version=1\n" % name
+            )
+    for fn in files:
+        with open(os.path.join(hoodie, fn), "w") as f:
+            f.write("x")
+    if archived:
+        adir = os.path.join(hoodie, "archived")
+        os.makedirs(adir, exist_ok=True)
+        for fn in archived:
+            with open(os.path.join(adir, fn), "w") as f:
+                f.write("x")
+    return tdir
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    make_table(
+        root,
+        "tbl1",
+        files=[
+            "100.deltacommit.requested",
+            "100.deltacommit.inflight",
+            "100.deltacommit",
+            "200.commit.requested",
+            "200.inflight",
+            "200.commit",
+        ],
+        archived=[".commits_.archive.1_1-0-1", ".commits_.archive.2_1-0-1"],
+    )
+    make_table(root, "nested/tbl2", files=["300.commit.requested", "300.inflight", "300.commit"])
+    make_table(root, "excluded_tbl", files=["400.commit"])
+    os.makedirs(os.path.join(root, "plain_dir/empty"), exist_ok=True)
+    return root
+
+
+PARSER_CFG = lambda root: [  # noqa: E731
+    {"lake": "lake1", "databases": [{"name": "db1", "basePaths": [root]}]}
+]
+
+
+def test_discovery_finds_tables_and_prunes(spark, lake):
+    df = discover_tables(
+        spark, PARSER_CFG(lake), exclusion_patterns=[r".*excluded.*"]
+    )
+    rows = {r.table_uri: r for r in df.collect()}
+    assert set(rows) == {f"{lake}/tbl1", f"{lake}/nested/tbl2"}
+    r = rows[f"{lake}/tbl1"]
+    assert r.table_id == uuid3_from_uri(f"{lake}/tbl1")
+    assert r.lake == "lake1" and r.database == "db1"
+
+
+def test_discovery_table_id_override(spark, lake):
+    cfg = [
+        {
+            "lake": "lake1",
+            "databases": [{"name": "db1", "basePaths": [f"{lake}/tbl1#my-pinned-id"]}],
+        }
+    ]
+    df = discover_tables(spark, cfg)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].table_id == "my-pinned-id"
+
+
+def test_discovery_override_requires_exactly_one(spark, lake):
+    cfg = [
+        {
+            "lake": "lake1",
+            "databases": [{"name": "db1", "basePaths": [f"{lake}#pinned"]}],
+        }
+    ]
+    # base path discovers 3 tables -> override skipped entirely (O3)
+    assert discover_tables(spark, cfg).count() == 0
+
+
+def test_properties_reader_defaults(spark, tmp_path):
+    p1 = tmp_path / "a.properties"
+    p1.write_text("#c\nhoodie.table.name=t1\nhoodie.table.type=COPY_ON_WRITE\n")
+    p2 = tmp_path / "b.properties"
+    p2.write_text(
+        "hoodie.table.name=t2\nhoodie.table.type=MERGE_ON_READ\n"
+        "hoodie.table.version=8\nhoodie.timeline.layout.version=2\n"
+    )
+    df = read_hoodie_properties(spark, [str(p1), str(p2)])
+    rows = {r.table_name: r for r in df.collect()}
+    assert rows["t1"].table_version == 6  # default (MetadataExtractorConstants.java:27)
+    assert rows["t1"].timeline_layout_version == 1
+    assert rows["t2"].table_version == 8
+    assert rows["t2"].timeline_layout_version == 2
+
+
+def test_manifest_reader_and_diff(spark, tmp_path):
+    v = tmp_path / "_version_"
+    v.write_text("3\n")
+    m = tmp_path / "manifest_3"
+    m.write_text(
+        '{"files": [{"fileName": "20260101_20260115_0.parquet", "fileLen": 123},'
+        ' {"fileName": "20260116_20260131_0.parquet", "fileLen": 456}]}'
+    )
+    assert read_manifest_version(spark, str(v)) == 3
+    cur = read_manifest(spark, str(m))
+    assert cur.count() == 2
+    prev = spark.createDataFrame(
+        [("20260101_20260115_0.parquet",)], ["fileName"]
+    )
+    diff = manifest_diff(cur, prev).collect()
+    assert [r.fileName for r in diff] == ["20260116_20260131_0.parquet"]
+
+
+def test_checkpoint_store_roundtrip(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ckpts"))
+    assert store.load().count() == 0
+    tables = spark.createDataFrame([("t1",), ("t2",)], ["table_id"])
+    assert store.initialize_tables(tables) == 2
+    assert store.initialize_tables(tables) == 0  # idempotent (J2 anti join)
+    df = store.load()
+    assert df.count() == 2
+    row = df.filter("table_id = 't1'").collect()[0]
+    assert row.batch_id == 0 and row.last_uploaded_file == ""
+
+    upd = spark.createDataFrame(
+        [("t1", 3, datetime(2026, 1, 2), "200.commit", "", False, 0)],
+        store.load().schema,
+    )
+    store.upsert(upd)
+    got = {r.table_id: r for r in store.load().collect()}
+    assert got["t1"].batch_id == 3 and got["t1"].last_uploaded_file == "200.commit"
+    assert got["t2"].batch_id == 0  # untouched
+
+
+def test_files_to_upload_filters(spark):
+    t = datetime(2026, 1, 10)
+    old = datetime(2025, 1, 1)
+    files = spark.createDataFrame(
+        [
+            ("t1", "active", "100.commit", t, False, 1),
+            ("t1", "active", "150.commit", old, False, 1),  # older than ckpt_ts
+            ("t1", "active", "200.commit", t, False, 1),
+            ("t1", "active", "somedir", t, True, 0),  # directory
+            ("t1", "active", "hoodie.properties", t, False, 1),  # excluded (re-added when batch 0)
+            ("t1", "active", "not-an-instant.txt", t, False, 1),
+            ("t1", "active", "", t, False, 1),  # blank
+        ],
+        "table_id string, timeline string, filename string, last_modified timestamp, "
+        "is_directory boolean, size long",
+    )
+    ckpts = spark.createDataFrame(
+        [("t1", 2, datetime(2026, 1, 1), "150.commit", "", False, 0)],
+        "table_id string, batch_id int, checkpoint_ts timestamp, last_uploaded_file string, "
+        "first_incomplete_commit_file string, archived_commits_processed boolean, "
+        "last_archived_manifest_version int",
+    )
+    got = {
+        r.filename
+        for r in files_to_upload(
+            files, ckpts, ACTIVE, "BLOCK_ON_INCOMPLETE_COMMIT", apply_last_modified_filter=True
+        ).collect()
+    }
+    # 100 <= 150 (already uploaded), 150 older than watermark, dir/properties/garbage/blank dropped
+    assert got == {"200.commit"}
+
+    # batch_id = 0 -> properties row is kept (prepended downstream)
+    ckpts0 = spark.createDataFrame(
+        [("t1", 0, datetime(1970, 1, 1), "", "", False, 0)], ckpts.schema
+    )
+    got0 = {r.filename for r in files_to_upload(files, ckpts0, ACTIVE, "BLOCK_ON_INCOMPLETE_COMMIT").collect()}
+    assert "hoodie.properties" in got0 and "200.commit" in got0 and "100.commit" in got0
+
+
+def test_files_to_upload_continue_never_skips_by_commit_id(spark):
+    t = datetime(2026, 1, 10)
+    files = spark.createDataFrame(
+        [("t1", "active", "100.commit", t, False, 1)],
+        "table_id string, timeline string, filename string, last_modified timestamp, "
+        "is_directory boolean, size long",
+    )
+    ckpts = spark.createDataFrame(
+        [("t1", 2, datetime(2026, 1, 1), "150.commit", "", False, 0)],
+        "table_id string, batch_id int, checkpoint_ts timestamp, last_uploaded_file string, "
+        "first_incomplete_commit_file string, archived_commits_processed boolean, "
+        "last_archived_manifest_version int",
+    )
+    got = {
+        r.filename
+        for r in files_to_upload(files, ckpts, ACTIVE, "CONTINUE_ON_INCOMPLETE_COMMIT").collect()
+    }
+    assert got == {"100.commit"}  # :856-861
+
+
+def test_archived_numeric_ordering_and_skip(spark):
+    t = datetime(2026, 1, 10)
+    files = spark.createDataFrame(
+        [
+            ("t1", "archived", ".commits_.archive.10_1-0-1", t, False, 1),
+            ("t1", "archived", ".commits_.archive.2_1-0-1", t, False, 1),
+            ("t1", "archived", ".commits_.archive.3_1-0-1", t, False, 1),
+        ],
+        "table_id string, timeline string, filename string, last_modified timestamp, "
+        "is_directory boolean, size long",
+    )
+    ckpts = spark.createDataFrame(
+        [("t1", 1, datetime(2026, 1, 1), ".commits_.archive.2_1-0-1", "", False, 0)],
+        "table_id string, batch_id int, checkpoint_ts timestamp, last_uploaded_file string, "
+        "first_incomplete_commit_file string, archived_commits_processed boolean, "
+        "last_archived_manifest_version int",
+    )
+    rows = (
+        files_to_upload(files, ckpts, ARCHIVED, "BLOCK_ON_INCOMPLETE_COMMIT")
+        .orderBy("sort_key")
+        .collect()
+    )
+    # numeric sort: 3 < 10 (lexicographic would say '10' < '3'); 2 skipped
+    assert [r.filename for r in rows] == [
+        ".commits_.archive.3_1-0-1",
+        ".commits_.archive.10_1-0-1",
+    ]
+
+
+def test_last_uploaded_lookback_rules():
+    # archived -> last
+    assert last_uploaded_file_from_batch([".commits_.archive.1_1-0-1"], ARCHIVED) == ".commits_.archive.1_1-0-1"
+    # properties-only batch
+    assert last_uploaded_file_from_batch(["hoodie.properties"], ACTIVE) == "hoodie.properties"
+    # plain commit tail -> 3rd to last
+    batch = ["100.commit", "100.commit.requested", "100.inflight"]
+    assert last_uploaded_file_from_batch(batch, ACTIVE) == "100.commit"
+    # savepoint tail -> 2nd to last
+    batch = ["100.commit", "100.commit.requested", "100.inflight", "444.savepoint", "444.savepoint.inflight"]
+    assert last_uploaded_file_from_batch(batch, ACTIVE) == "444.savepoint"
+    # rollback full triple tail -> 3rd to last
+    batch = ["555.rollback", "555.rollback.inflight", "555.rollback.requested"]
+    assert last_uploaded_file_from_batch(batch, ACTIVE) == "555.rollback"
+    # rollback 2-file tail
+    batch = ["100.commit", "100.commit.requested", "100.inflight", "666.rollback", "666.rollback.inflight"]
+    # last element is 666.rollback.inflight (inflight state) -> not related triple;
+    # related 2-file (rollback, {inflight,completed}) -> 2nd-to-last... order check:
+    assert last_uploaded_file_from_batch(batch, ACTIVE) == "666.rollback"
+    # lone completed rollback tail
+    batch = ["100.commit", "100.commit.requested", "100.inflight", "666.rollback"]
+    assert last_uploaded_file_from_batch(batch, ACTIVE) == "666.rollback"
+
+
+def test_start_after_rules():
+    ck = {"last_uploaded_file": "", "first_incomplete_commit_file": ""}
+    assert start_after(ck, "BLOCK_ON_INCOMPLETE_COMMIT") is None
+    ck = {"last_uploaded_file": "hoodie.properties", "first_incomplete_commit_file": ""}
+    assert start_after(ck, "BLOCK_ON_INCOMPLETE_COMMIT") is None
+    ck = {"last_uploaded_file": "200.commit", "first_incomplete_commit_file": ""}
+    assert start_after(ck, "BLOCK_ON_INCOMPLETE_COMMIT") == "200.commit"
+    ck = {"last_uploaded_file": "200.commit", "first_incomplete_commit_file": "110"}
+    assert start_after(ck, "CONTINUE_ON_INCOMPLETE_COMMIT") == "110"
+    assert start_after(ck, "CONTINUE_ON_INCOMPLETE_COMMIT", is_first_fetch=False) == "200.commit"
+
+
+def test_config_validation():
+    ok = {
+        "version": "V1",
+        "metadataExtractorConfig": {
+            "jobRunMode": "ONCE",
+            "uploadStrategy": "BLOCK_ON_INCOMPLETE_COMMIT",
+            "parserConfig": [
+                {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+            ],
+        },
+    }
+    cfg = load_config(ok)
+    assert cfg.job_run_mode == "ONCE"
+    with pytest.raises(ValueError):
+        load_config({"metadataExtractorConfig": {"parserConfig": [{"lake": "l"}]}})
+    bad = dict(ok)
+    bad["metadataExtractorConfig"] = {
+        **ok["metadataExtractorConfig"],
+        "parserConfig": [{"lake": "l", "databases": [{"name": "d"}]}],
+    }
+    with pytest.raises(ValueError):
+        load_config(bad)
+
+
+def test_run_once_end_to_end(spark, lake, tmp_path):
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "ONCE",
+                "uploadStrategy": "BLOCK_ON_INCOMPLETE_COMMIT",
+                "pathExclusionPatterns": [".*excluded.*"],
+                "parserConfig": PARSER_CFG(lake),
+            },
+        }
+    )
+    state = str(tmp_path / "state")
+    mirror = str(tmp_path / "mirror")
+    metrics = run_once(spark, cfg, state, mirror)
+    assert metrics["tables_discovered"] == 2
+    assert metrics["tables_initialized"] == 2
+
+    store = CheckpointStore(spark, os.path.join(state, "checkpoints"))
+    ckpts = {r.table_id: r for r in store.load().collect()}
+    t1 = uuid3_from_uri(f"{lake}/tbl1")
+    assert ckpts[t1].archived_commits_processed
+    assert ckpts[t1].batch_id >= 1
+    assert ckpts[t1].last_uploaded_file != ""
+
+    # properties ships with the FIRST uploaded batch: t1 has an archived
+    # timeline (processed first, batch 0) so properties lands there;
+    # tbl2 has no archived dir so properties lands in its active mirror
+    t1_archived = os.listdir(os.path.join(mirror, t1, "archived"))
+    assert set(t1_archived) == {
+        "hoodie.properties",
+        ".commits_.archive.1_1-0-1",
+        ".commits_.archive.2_1-0-1",
+    }
+    t1_active = os.listdir(os.path.join(mirror, t1, "active"))
+    assert "100.deltacommit" in t1_active and "200.commit" in t1_active
+    t2 = uuid3_from_uri(f"{lake}/nested/tbl2")
+    t2_active = os.listdir(os.path.join(mirror, t2, "active"))
+    assert "hoodie.properties" in t2_active and "300.commit" in t2_active
+
+    # idempotent second run: nothing new to upload
+    m2 = run_once(spark, cfg, state, mirror)
+    assert m2["tables_initialized"] == 0
+    assert m2["active_batched_files"] in (0, None) or m2.get("active_batched_files", 0) == 0
