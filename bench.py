@@ -1,0 +1,71 @@
+"""Engine benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "region_segment_profile",
+    "table_stats_daily",
+    "partition_size_distribution",
+    "file_size_percentiles",
+    "compaction_backlog",
+    "timeline_trends",
+    "timeline_parse",
+    "timeline_completeness",
+    "table_counts_rollup",
+]
+
+
+def main() -> None:
+    from lakeview_spark import get_spark
+    from lakeview_spark.plans import QUERIES
+
+    spark = get_spark("lakeview-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once (not timed)
+    QUERIES["pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "lakeview_spark bench: headline query wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

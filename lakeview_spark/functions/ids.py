@@ -31,3 +31,26 @@ def uuid3_from_uri(table_uri: str) -> str:
 @F.pandas_udf(StringType())
 def uuid3_udf(uris: pd.Series) -> pd.Series:
     return uris.map(uuid3_from_uri)
+
+
+def uuid3_expr(uri):
+    """uuid3 as a pure columnar expression (JVM md5 + string surgery) —
+    preferred in query paths: stays inside whole-stage codegen.
+
+    UUID layout over the md5 hex: chars 1-8|9-12|13-16|17-20|21-32 with
+    char 13 forced to '3' (version) and char 17 mapped via d -> (d&3)|8
+    (IETF variant), which `translate` expresses as a 16-char table.
+    """
+    m = F.md5(uri)
+    return F.concat(
+        F.substring(m, 1, 8),
+        F.lit("-"),
+        F.substring(m, 9, 4),
+        F.lit("-3"),
+        F.substring(m, 14, 3),
+        F.lit("-"),
+        F.translate(F.substring(m, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"),
+        F.substring(m, 18, 3),
+        F.lit("-"),
+        F.substring(m, 21, 12),
+    )

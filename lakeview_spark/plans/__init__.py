@@ -1,0 +1,2 @@
+from lakeview_spark.plans.registry import QUERIES, ORACLES, register  # noqa: F401
+from lakeview_spark.plans import analytics  # noqa: F401  (registers on import)
