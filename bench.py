@@ -29,6 +29,16 @@ BENCH_QUERIES = [
     "timeline_parse",
     "timeline_completeness",
     "table_counts_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_ann_ivf",
+    "text_language_id",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_metadata",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Deduplication operators over the documents table (BASELINE.json north
+star: LLM-data-pipeline dedup at 100 TB).
+
+All hash logic rides on md5 hex (identical lowercase hex in Spark and
+DuckDB) so every operator is oracle-checkable:
+
+- exact dedup: hash-groupBy on the full text (one shuffle on a 16-byte
+  key; at 100 TB this is the cheapest possible exact pass)
+- n-gram Jaccard: word 3-gram shingles -> shared-shingle equi-join ->
+  intersection count / union. The candidate join is the classic
+  inverted-index pattern: only docs sharing a shingle ever meet, so the
+  shuffle is bounded by shingle-postings, not |docs|^2
+- MinHash + LSH: per-band min over md5(band:shingle) — min of fixed-width
+  hex == min of the 128-bit integer, so the signature is a plain string
+  min-agg; band-bucket self-join yields candidates without any pairwise
+  scan
+- SimHash: 16-bit signature from per-token md5 nibble parity, majority
+  vote per bit — one groupBy with 16 conditional sums
+
+Scale notes: every operator is shuffle-bounded by (shingle, doc) or
+(band, signature) keys — no cartesian products, no driver collects; LSH
+banding is how near-dup dedup actually runs on petabyte corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import register, t
+
+N_BANDS = 8
+
+# shared tokenization / shingling (Spark side)
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+def _shingles_expr() -> str:
+    # word 3-grams via zip_with over three shifted slices — ~10x faster
+    # than transform(sequence, i -> element_at(...)): element_at is an
+    # O(n) probe per lambda call (O(n^2) per doc) while slice+zip_with
+    # streams the arrays once. Guarded: docs under 3 tokens -> empty.
+    return (
+        "CASE WHEN size(toks) < 3 THEN array() ELSE "
+        "zip_with(slice(toks, 1, size(toks) - 2), "
+        "zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2), "
+        "(y, z) -> concat(y, ' ', z)), "
+        "(x, yz) -> concat(x, ' ', yz)) END"
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return docs.select(
+        "doc_id", F.array_distinct(F.expr(_shingles_expr())).alias("shingles")
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep min doc_id as canonical."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc"), F.count("*").alias("dup_count")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2, inter,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc1
+    JOIN sizes sb ON sb.doc_id = doc2
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: shingle inverted-index join + Jaccard >= 0.1."""
+    s = _doc_shingles(spark, sf_dir).cache()
+    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = s.select("doc_id", F.size("shingles").alias("n"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(sa), "doc1")
+        .join(F.broadcast(sb), "doc2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.1)
+        .select("doc1", "doc2", "inter", "jaccard")
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    sig AS (
+      SELECT doc_id, b.band,
+             min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM e, (SELECT unnest(range(1, {N_BANDS + 1})) AS band) b
+      GROUP BY doc_id, b.band
+    )
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_MINHASH_SIG_SQL + " SELECT doc_id, band, minhash FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: per (doc, band) min over salted shingle md5.
+
+    Fixed-width hex min == numeric min of the hash — a plain string
+    min-agg. All N_BANDS mins are computed in ONE groupBy over the
+    shingle rows (map-side partial agg collapses each partition to one
+    row per doc before the shuffle), then unpivoted with stack() —
+    ~N_BANDS× less shuffle than exploding a band column."""
+    e = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    wide = e.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("", F.lit(f"{b}:"), F.col("shingle")))).alias(f"mh_{b}")
+            for b in range(1, N_BANDS + 1)
+        ]
+    )
+    stack_args = ", ".join(f"{b}, mh_{b}" for b in range(1, N_BANDS + 1))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band, minhash)"
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_MINHASH_SIG_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs colliding in any band bucket.
+
+    Signatures are cached before the self-join — otherwise both join
+    sides recompute the full shingle+md5 pipeline (at scale you would
+    persist signatures to a table once and join against that)."""
+    sig = dedup_minhash_signatures(spark, sf_dir).cache()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), h AS (SELECT doc_id, md5(tok) AS th FROM e)
+    SELECT doc_id, """
+    + " + ".join(
+        f"(CASE WHEN sum(CASE WHEN substr(th, {i}, 1) IN ('1','3','5','7','9','b','d','f') "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    )
+    + """ AS simhash
+    FROM h GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit signature, bit i = majority vote of md5-nibble
+    parity over tokens (token multiplicity counts, as in classic simhash)."""
+    e = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    h = e.select("doc_id", F.md5("tok").alias("th"))
+    bits = [
+        F.when(
+            F.sum(
+                F.when(F.substring("th", i, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << (i - 1)),
+        ).otherwise(0)
+        for i in range(1, 17)
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return h.groupBy("doc_id").agg(simhash.alias("simhash"))

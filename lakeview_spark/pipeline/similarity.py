@@ -1,0 +1,169 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the exactness baseline; the LSH
+(random-hyperplane) bucketing is the scale path — at 100 TB you bucket
+once (one narrow map), then search only within buckets.
+
+Determinism: both engines compute dot products as an explicit LEFT FOLD
+over index order (Spark `aggregate`, DuckDB `list_reduce`) on doubles, so
+the floating-point result is bit-identical and top-k order (with vec_id
+tiebreak) matches exactly.
+
+The hyperplanes for LSH are data-derived (embeddings of vec_id 1..4) to
+stay deterministic and oracle-checkable without a random seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import register, t
+
+_QUERY_VEC_ID = 0
+_TOP_K = 20
+_PLANE_IDS = (1, 2, 3, 4)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Left-fold dot product in double: deterministic across engines."""
+    prods = F.zip_with(
+        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str) -> F.Column:
+    sq = F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_DOT_SQL.format(a="e.embedding", b="q.qe")}
+             / ({_NORM_SQL.format(a="e.embedding")} * {_NORM_SQL.format(a="q.qe")}) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT {_TOP_K}
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+
+    The query vector is a 1-row broadcast cross join; the scan stays a
+    single narrow map + TakeOrderedAndProject (no full sort at scale)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (_dot("embedding", "qe") / (_norm("embedding") * _norm("qe"))).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
+
+
+_PLANES_SQL = f"""
+    SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
+    WHERE vec_id IN {_PLANE_IDS}
+"""
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    )
+    SELECT vec_id,
+           CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id
+    """,
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (4 data-derived planes ->
+    16 buckets). The scale path: one broadcast of 4 planes, one narrow map."""
+    emb = t(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id").isin(*_PLANE_IDS)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
+    )
+    weight = F.create_map(
+        *[x for i, pid in enumerate(_PLANE_IDS) for x in (F.lit(pid), F.lit(1 << i))]
+    )
+    bits = emb.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "plane_id",
+        F.when(_dot("embedding", "pe") > 0, 1).otherwise(0).alias("bit"),
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * weight[F.col("plane_id")]).cast("bigint").alias("bucket")
+    )
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, e.label, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id, any_value(label) AS label, any_value(embedding) AS embedding,
+             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qbucket FROM bucketed WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT b.vec_id, b.label,
+           {_DOT_SQL.format(a="b.embedding", b="q.qe")}
+           / ({_NORM_SQL.format(a="b.embedding")} * {_NORM_SQL.format(a="q.qe")}) AS cosine
+    FROM bucketed b, q
+    WHERE b.bucket = q.qbucket AND b.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id LIMIT {_TOP_K}
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via LSH-bucket restriction (IVF-style): score only the query's
+    bucket — the candidate set shrinks ~2^planes-fold; recall trades off
+    with probe count (single-probe here, deterministic)."""
+    emb = t(spark, sf_dir, "embeddings")
+    buckets = similarity_lsh_buckets(spark, sf_dir)
+    bucketed = emb.join(buckets, "vec_id")
+    q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            "label",
+            (_dot("embedding", "qe") / (_norm("embedding") * _norm("qe"))).alias("cosine"),
+        )
+    )
+    return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)

@@ -1,0 +1,117 @@
+"""Pipeline operator tests beyond the oracle harness: multimodal
+mapInPandas plumbing, stub gating, frame sampling, and semantic sanity
+of dedup/similarity results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.multimodal import (
+    decode_image,
+    extract_features,
+    fake_decoder,
+    media_table,
+    sample_frames,
+)
+from lakeview_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_extract_features_with_fake_decoder(spark):
+    media = media_table(spark, SF_DIR)
+    feats = extract_features(media, decoder=fake_decoder)
+    rows = feats.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r.width >= 1 and r.height >= 1
+        assert len(r.features) <= 8
+    # deterministic: same payload -> same features
+    again = {r.doc_id: r.features for r in extract_features(media, decoder=fake_decoder).limit(5).collect()}
+    for r in rows:
+        assert again[r.doc_id] == r.features
+
+
+def test_extract_features_stub_surfaces_error(spark):
+    media = media_table(spark, SF_DIR).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+        extract_features(media).collect()
+
+
+def test_sample_frames_shape(spark):
+    media = media_table(spark, SF_DIR)
+    out = sample_frames(media, every_n_bytes=50).limit(5).collect()
+    for r in out:
+        assert len(r.frames) >= 1
+
+
+def test_media_table_binary_roundtrip(spark):
+    media = media_table(spark, SF_DIR)
+    row = media.filter(F.col("doc_id") == 0).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.n_bytes == len(row.payload)
+
+
+def test_minhash_lsh_subset_of_candidates(spark):
+    """Every LSH pair must share at least one shingle (be a jaccard
+    candidate) — banding never invents pairs from nowhere."""
+    lsh = {
+        (r.doc1, r.doc2)
+        for r in QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR).collect()
+    }
+    jac = {
+        (r.doc1, r.doc2)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        .drop("jaccard")  # unfiltered candidates needed: recompute below
+        .collect()
+    }
+    # jaccard query filters >= 0.1; LSH pairs colliding on a min shingle
+    # have inter >= 1 — check subset against the unfiltered shingle pairs
+    from lakeview_spark.pipeline.dedup import _doc_shingles
+
+    s = _doc_shingles(spark, SF_DIR)
+    e = s.select("doc_id", F.explode("shingles").alias("sh"))
+    cand = {
+        (r.doc1, r.doc2)
+        for r in e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+        .collect()
+    }
+    assert lsh <= cand
+
+
+def test_ann_results_subset_of_brute_force_universe(spark):
+    topk = QUERIES["similarity_topk_cosine"](spark, SF_DIR).collect()
+    assert len(topk) == 20
+    # descending cosine, all in [-1, 1]
+    cs = [r.cosine for r in topk]
+    assert cs == sorted(cs, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cs)
+    ann = QUERIES["similarity_ann_ivf"](spark, SF_DIR).collect()
+    assert 0 < len(ann) <= 20
+    buckets = QUERIES["similarity_lsh_buckets"](spark, SF_DIR).collect()
+    assert all(0 <= r.bucket <= 15 for r in buckets)
+
+
+def test_simhash_is_16bit(spark):
+    rows = QUERIES["dedup_simhash"](spark, SF_DIR).collect()
+    assert all(0 <= r.simhash < (1 << 16) for r in rows)
+
+
+def test_language_id_accuracy(spark):
+    rows = QUERIES["text_language_id"](spark, SF_DIR).collect()
+    # heuristic should beat random (1/5) on the synthetic corpus;
+    # exactness vs oracle is covered by the parity test
+    acc = sum(r.predicted_lang == r.true_lang for r in rows) / len(rows)
+    assert acc >= 0.2
