@@ -1,0 +1,4 @@
+from lakeview_spark.streaming.timeline_stream import (  # noqa: F401
+    stream_timeline_batches,
+    stream_windowed_table_stats,
+)
