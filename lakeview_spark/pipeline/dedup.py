@@ -102,8 +102,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates: shingle inverted-index join + Jaccard >= 0.1."""
-    s = _doc_shingles(spark, sf_dir).cache()
+    """Near-dup candidates: shingle inverted-index join + Jaccard >= 0.1.
+
+    No cache: shingle recompute is a ~1 s narrow map (zip_with), cheaper
+    than holding a cached copy per invocation."""
+    s = _doc_shingles(spark, sf_dir)
     e = s.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = s.select("doc_id", F.size("shingles").alias("n"))
     a = e.alias("a")
@@ -176,10 +179,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs colliding in any band bucket.
 
-    Signatures are cached before the self-join — otherwise both join
-    sides recompute the full shingle+md5 pipeline (at scale you would
-    persist signatures to a table once and join against that)."""
-    sig = dedup_minhash_signatures(spark, sf_dir).cache()
+    Both join sides recompute the signature pipeline (a ~2 s narrow
+    map + one partial agg); at scale you would persist signatures to a
+    table once and join against that. An in-query cache() is worse: it
+    leaks a cached copy per invocation and the broadcast build races
+    the probe side filling it."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
     a = sig.alias("a")
     b = sig.alias("b")
     return (

@@ -150,6 +150,104 @@ def compute_checkpoint_updates(
     return joined.groupBy("table_id").applyInPandas(summarize, CHECKPOINT_UPDATE_SCHEMA)
 
 
+def process_archived_v2(
+    spark: SparkSession,
+    tables: list[dict],
+    store: CheckpointStore,
+    mirror_dir: str | None = None,
+) -> dict:
+    """V2 (LSM) archived timeline: manifest-version-driven incremental
+    mirror (TimelineCommitInstantsUploader.java:267-318).
+
+    Per table: read `_version_`; if it advanced past the checkpoint's
+    last_archived_manifest_version, upload the manifest-listed parquet
+    files that the previously-processed manifest did not list (anti
+    join on fileName), then record the new version. Manifest files are
+    tiny (KBs) so the per-table reads are a distributed parallelize
+    probe, not a driver loop over storage calls.
+    """
+    from lakeview_spark.sources.manifest import read_manifest
+
+    v2_tables = [t for t in tables if t.get("timeline_layout_version") == 2]
+    if not v2_tables:
+        return {"v2_tables": 0}
+    ckpts = {r.table_id: r for r in store.load().collect()}
+
+    def probe(t):
+        import json as _json
+        import os as _os
+
+        # per-table failures (corrupt _version_/manifest) are skipped, not
+        # fatal — reference logs and continues (TableDiscoveryService
+        # exceptionally -> emptySet pattern)
+        try:
+            d = timeline_dir(t["table_uri"], 2, ARCHIVED)
+            out = []
+            vf = _os.path.join(d, "_version_")
+            if _os.path.exists(vf):
+                with open(vf) as f:
+                    version = int(f.read().strip())
+                mf = _os.path.join(d, f"manifest_{version}")
+                files = []
+                if _os.path.exists(mf):
+                    with open(mf) as f:
+                        files = [x["fileName"] for x in _json.load(f).get("files", [])]
+                out.append((t["table_id"], version, files))
+            return out
+        except (ValueError, OSError, KeyError):
+            return []
+
+    sc = spark.sparkContext
+    results = sc.parallelize(v2_tables, max(1, min(len(v2_tables), 256))).flatMap(probe).collect()
+
+    uploaded = 0
+    updates = []
+    for table_id, version, files in results:
+        ck = ckpts.get(table_id)
+        prev_version = ck.last_archived_manifest_version if ck else 0
+        if version <= prev_version and (ck and ck.archived_commits_processed):
+            continue
+        prev_files: set = set()
+        if prev_version and ck and ck.archived_commits_processed:
+            t = next(x for x in v2_tables if x["table_id"] == table_id)
+            d = timeline_dir(t["table_uri"], 2, ARCHIVED)
+            prev_manifest = os.path.join(d, f"manifest_{prev_version}")
+            if os.path.exists(prev_manifest):
+                prev_files = {
+                    r.fileName for r in read_manifest(spark, prev_manifest).collect()
+                }
+        new_files = [f for f in files if f not in prev_files]  # J4 anti join
+        if mirror_dir and new_files:
+            t = next(x for x in v2_tables if x["table_id"] == table_id)
+            d = timeline_dir(t["table_uri"], 2, ARCHIVED)
+            import shutil as _sh
+
+            for fn in new_files:
+                src = os.path.join(d, fn)
+                dest = os.path.join(mirror_dir, table_id, "archived", fn)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                _sh.copyfile(src, dest)
+        uploaded += len(new_files)
+        base = ck.asDict() if ck else dict(
+            table_id=table_id, batch_id=0, checkpoint_ts=None, last_uploaded_file="",
+            first_incomplete_commit_file="", archived_commits_processed=False,
+            last_archived_manifest_version=0,
+        )
+        base.update(
+            archived_commits_processed=True, last_archived_manifest_version=version
+        )
+        updates.append(tuple(base[k] for k in (
+            "table_id", "batch_id", "checkpoint_ts", "last_uploaded_file",
+            "first_incomplete_commit_file", "archived_commits_processed",
+            "last_archived_manifest_version",
+        )))
+    if updates:
+        from lakeview_spark.schemas import CHECKPOINTS_SCHEMA
+
+        store.upsert(spark.createDataFrame(updates, CHECKPOINTS_SCHEMA))
+    return {"v2_tables": len(v2_tables), "v2_files_uploaded": uploaded}
+
+
 def run_once(
     spark: SparkSession,
     config: EngineConfig,
@@ -190,6 +288,9 @@ def run_once(
     store = CheckpointStore(spark, os.path.join(state_dir, "checkpoints"))
     metrics["tables_initialized"] = store.initialize_tables(tables_df)
 
+    # V2 (LSM) archived timelines go through the manifest-diff path
+    metrics.update(process_archived_v2(spark, tables, store, mirror_dir))
+
     for timeline_type in (ARCHIVED, ACTIVE):  # archived strictly first (§2.9)
         scope = tables
         if timeline_type == ARCHIVED:
@@ -208,7 +309,6 @@ def run_once(
         candidates = files_to_upload(
             files_df, ckpts, timeline_type, config.upload_strategy
         )
-        metrics[f"{timeline_type}_files"] = candidates.count()
         if timeline_type == ACTIVE:
             batches = batch_instants(
                 candidates, config.active_batch_size, config.upload_strategy, ckpts
@@ -259,7 +359,8 @@ def run_once(
 
             batches.foreachPartition(mirror)
 
-        updates = compute_checkpoint_updates(batches, files_df, store.load(), timeline_type)
+        # ckpts loaded above is still current (no upsert since)
+        updates = compute_checkpoint_updates(batches, files_df, ckpts, timeline_type)
         store.upsert(updates)
         batches.unpersist()
 
