@@ -1,0 +1,65 @@
+"""Scale utilities: skew-aware joins and bucketed co-located joins.
+
+These are the two knobs that matter most at 100 TB beyond what AQE does
+automatically:
+
+- `salted_join`: explicit key salting for joins where one side has
+  pathological hot keys (AQE's skew-join split handles sort-merge
+  stages, but salting is the portable fix when the skewed side must
+  aggregate first or the hot key set is known).
+- `write_bucketed` / `bucketed_join_ready`: persist both join sides
+  bucketed by the join key so repeated joins are shuffle-free (Spark
+  bucketing + sortWithinPartitions); the classic fact-to-fact pattern
+  (lineitem ⋈ orders at TPC-H scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side exploded
+    across salt replicas — distributes a hot key over `salt_buckets`
+    tasks instead of one straggler.
+
+    Correctness: join condition (key, salt) with the small side
+    replicated for every salt value — row multiplicity identical to the
+    plain join.
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    replicas = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(replicas, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed managed table: co-located, optionally
+    sorted, so downstream equi-joins on `key` skip the shuffle."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables — Catalyst detects matching
+    bucketing and plans a shuffle-free sort-merge join."""
+    return spark.table(left_table).join(spark.table(right_table), key)

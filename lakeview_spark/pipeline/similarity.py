@@ -151,9 +151,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via LSH-bucket restriction (IVF-style): score only the query's
     bucket — the candidate set shrinks ~2^planes-fold; recall trades off
     with probe count (single-probe here, deterministic)."""
-    emb = t(spark, sf_dir, "embeddings")
-    buckets = similarity_lsh_buckets(spark, sf_dir)
-    bucketed = emb.join(buckets, "vec_id")
+    bucketed = _lsh_bucketed(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
     )
@@ -167,3 +165,57 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
+
+
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.join(similarity_lsh_buckets(spark, sf_dir), "vec_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    )
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+           / ({_NORM_SQL.format(a="a.embedding")} * {_NORM_SQL.format(a="b.embedding")}) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+          / ({_NORM_SQL.format(a="a.embedding")} * {_NORM_SQL.format(a="b.embedding")}) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidate generation
+    (same-bucket self-join — never all-pairs) then exact cosine >= 0.5.
+    The petabyte-scale shape: bucket once, join within buckets only."""
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = (
+        _dot("a.embedding", "b.embedding")
+        / (_norm("a.embedding") * _norm("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )

@@ -1,0 +1,50 @@
+"""Scale-utility tests: salting preserves join semantics and spreads hot
+keys; bucketed joins eliminate the shuffle (asserted on the plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeview_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: one hot key with 10k rows
+    big = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(1, "hot"), (9500, "cold")], ["k", "name"])
+
+    plain = big.join(small, "k").groupBy("name").count().collect()
+    salted = salted_join(big, small, "k").groupBy("name").count().collect()
+    assert {(r.name, r["count"]) for r in plain} == {(r.name, r["count"]) for r in salted}
+
+
+def test_salted_join_left_rows_preserved(spark):
+    big = spark.range(1000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(7, "x")], ["k", "name"])
+    out = salted_join(big, small, "k")
+    assert out.count() == 1000
+    assert out.select("v").distinct().count() == 1000
+
+
+@pytest.mark.slow
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # warehouse.dir is a static conf — bucketed tables land in the
+    # session default (cwd/spark-warehouse), dropped + cleaned below
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    try:
+        write_bucketed(left, "bktl", "k", n_buckets=8, sort_by="k")
+        write_bucketed(right, "bktr", "k", n_buckets=8, sort_by="k")
+
+        joined = bucketed_join(spark, "bktl", "bktr", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # matching bucketing on both sides: no shuffle exchange in the join
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktl")
+        spark.sql("DROP TABLE IF EXISTS bktr")
