@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "text_token_count",
     "text_fingerprint",
     "multimodal_metadata",
+    "forecast_revenue",
+    "returned_items",
+    "brand_revenue_share",
+    "events_sessionization",
+    "dedup_embedding_cosine",
 ]
 
 

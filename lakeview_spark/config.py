@@ -44,6 +44,66 @@ def load_config(source) -> EngineConfig:
     return _validate(raw)
 
 
+def deep_merge(base: dict, override: dict) -> dict:
+    """Recursive dict merge, override wins (ConfigRefresher.java:39-77:
+    the override file is re-fetched periodically and deep-merged onto
+    the base config; lists replace, dicts merge)."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config_with_override(base, override=None) -> EngineConfig:
+    """Load base config and apply an optional override (dict or YAML
+    path/string) — the ONCE-mode equivalent of the 2-minute refresher."""
+    if isinstance(base, dict):
+        raw = dict(base)
+    else:
+        load_config(base)  # validation side effects on the raw parse below
+        import yaml  # type: ignore
+
+        text = base
+        if "\n" not in base and base.endswith((".yaml", ".yml")):
+            with open(base) as f:
+                text = f.read()
+        raw = yaml.safe_load(text)
+    if override is not None:
+        if not isinstance(override, dict):
+            import yaml  # type: ignore
+
+            text = override
+            if "\n" not in override and override.endswith((".yaml", ".yml")):
+                with open(override) as f:
+                    text = f.read()
+            override = yaml.safe_load(text)
+        raw = deep_merge(raw, override)
+    return _validate(raw)
+
+
+def should_run_once_with_retry(
+    run_count: int,
+    last_run_succeeded: bool,
+    minutes_until_next_cron: float,
+    max_runs: int = 5,
+    min_interval_minutes: float = 10.0,
+) -> bool:
+    """ONCE_WITH_RETRY policy (MetadataExtractorConfig.java:28-30,
+    TableDiscoveryAndUploadJob.java:94-123): retry failed runs up to
+    `max_runs` times, but skip when the next scheduled cron run is less
+    than `min_interval_minutes` away (it will cover the work)."""
+    if last_run_succeeded:
+        return False
+    if run_count >= max_runs:
+        return False
+    if minutes_until_next_cron < min_interval_minutes:
+        return False
+    return True
+
+
 def _validate(raw: dict) -> EngineConfig:
     version = raw.get("version")
     if not version:

@@ -368,6 +368,41 @@ def run_once(
     return metrics
 
 
+def sync_table(
+    spark: SparkSession,
+    table_base_path: str,
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lake: str = "lake",
+    database: str = "database",
+    upload_strategy: str = "BLOCK_ON_INCOMPLETE_COMMIT",
+    lister: Lister = list_dir_local,
+) -> dict:
+    """Single-table post-commit sync (SyncTool/Glue equivalent, §3.3):
+    the reference's LakeviewSyncTool narrows parserConfig to the one
+    `hoodie.base.path` and runs the ONCE pipeline
+    (lakeview-sync-tool/.../LakeviewSyncTool.java:112-165). Both the
+    Hudi SyncTool and the Glue UDF wrapper collapse into this call."""
+    from lakeview_spark.config import load_config
+
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "ONCE",
+                "uploadStrategy": upload_strategy,
+                "parserConfig": [
+                    {
+                        "lake": lake,
+                        "databases": [{"name": database, "basePaths": [table_base_path]}],
+                    }
+                ],
+            },
+        }
+    )
+    return run_once(spark, cfg, state_dir, mirror_dir, lister)
+
+
 def run_continuous(
     spark: SparkSession,
     config: EngineConfig,
