@@ -77,7 +77,7 @@ def list_timeline_files(
             [], "table_id string, timeline string, filename string, "
             "last_modified timestamp, is_directory boolean, size long"
         )
-    rdd = sc.parallelize(tables, max(1, min(len(tables), 256))).flatMap(probe)
+    rdd = sc.parallelize(tables, max(1, min(256, (len(tables) + 7) // 8))).flatMap(probe)
     return spark.createDataFrame(
         rdd,
         "table_id string, timeline string, filename string, "

@@ -110,7 +110,11 @@ def discover_tables(
             child_dirs = [] if is_table else [name for name, _, is_dir, _ in entries if is_dir]
             return [(path, lake, db, bp, is_table, child_dirs)]
 
-        results = sc.parallelize(frontier, max(1, min(len(frontier), 256))).flatMap(probe).collect()
+        # ~8 dirs per task: enough fan-out to hide listing latency without
+        # drowning in per-task overhead (256 one-dir tasks cost more
+        # scheduler time than the listings themselves on a local FS)
+        n_parts = max(1, min(256, (len(frontier) + 7) // 8))
+        results = sc.parallelize(frontier, n_parts).flatMap(probe).collect()
 
         next_frontier = []
         for path, lake, db, bp, is_table, child_dirs in results:
