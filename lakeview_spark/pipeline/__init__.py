@@ -1,1 +1,1 @@
-from lakeview_spark.pipeline import dedup, similarity, text, multimodal  # noqa: F401
+from lakeview_spark.pipeline import dedup, similarity, text, multimodal, clustering  # noqa: F401

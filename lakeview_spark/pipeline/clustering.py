@@ -1,0 +1,131 @@
+"""Near-duplicate clustering: connected components over the MinHash-LSH
+candidate graph, plus deterministic stratified sampling.
+
+`dedup_clusters` turns pairwise near-dup candidates into dedup groups
+(cluster id = min doc_id in the component) via iterative min-label
+propagation — the standard large-scale formulation (alternating
+star-contraction converges in O(log n) rounds; plain propagation is fine
+for the bounded diameters near-dup graphs have). Each round is one
+join + groupBy; lineage is cut with localCheckpoint so 20 rounds don't
+stack a 20-deep plan.
+
+The DuckDB oracle computes the same fixpoint with a recursive CTE
+(transitive closure -> min reachable label), so even this iterative
+operator is hash-checkable.
+
+`sample_stratified` is hash-based deterministic sampling (md5 prefix
+threshold per stratum) — reproducible train/eval splits with no RNG
+state, identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.dedup import dedup_minhash_lsh_pairs
+from lakeview_spark.plans.registry import register, t
+
+_MAX_ITER = 25
+
+
+def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2") -> DataFrame:
+    """(src, dst) edge list -> (doc_id, cluster_id=min doc_id in component).
+
+    Iterative min-label propagation to fixpoint; only vertices that
+    appear in an edge are returned."""
+    bidir = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        bidir.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+
+    for _ in range(_MAX_ITER):
+        msgs = bidir.join(
+            labels.withColumnRenamed("doc_id", "a"), "a"
+        ).select(F.col("b").alias("doc_id"), "label")
+        prop = labels.unionByName(msgs).groupBy("doc_id").agg(
+            F.min("label").alias("label")
+        )
+        # pointer doubling: also adopt the label OF my label — turns
+        # one-hop-per-round propagation into O(log diameter) rounds
+        # (a 1M-node chain converges in ~20 rounds instead of 1M)
+        hop = prop.alias("x").join(
+            prop.alias("y"), F.col("x.label") == F.col("y.doc_id")
+        ).select(F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("label"))
+        new_labels = (
+            prop.unionByName(hop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      -- inline: the dedup_minhash_lsh_pairs oracle
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      ),
+      e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+      sig AS (
+        SELECT doc_id, b.band,
+               min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM e, (SELECT unnest(range(1, 9)) AS band) b
+        GROUP BY doc_id, b.band
+      )
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup groups: connected components of the LSH candidate
+    graph, cluster id = min doc_id in the component."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs)
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < (CASE WHEN lang = 'en' THEN '20' ELSE '80' END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5(doc_id) hex prefix under a
+    per-stratum threshold (~12.5% of 'en', ~50% of other languages) —
+    reproducible splits with no RNG, stable under repartitioning."""
+    docs = t(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.filter(key < threshold).select("doc_id", "lang", "source")
