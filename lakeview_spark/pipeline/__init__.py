@@ -1,1 +1,8 @@
-from lakeview_spark.pipeline import dedup, similarity, text, multimodal, clustering  # noqa: F401
+from lakeview_spark.pipeline import (  # noqa: F401
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    clustering,
+    corpus,
+)

@@ -1,0 +1,152 @@
+"""Corpus statistics: vocabulary, n-gram counts, multi-dimension cube
+rollups, and LSH similarity estimation — the reporting layer a
+training-data pipeline runs after dedup/filtering.
+
+All integer-count / md5 logic -> oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakeview_spark.pipeline.dedup import N_BANDS, dedup_minhash_signatures
+from lakeview_spark.plans.registry import register, t
+
+
+@register(
+    "corpus_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, count(*) AS occurrences FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, occurrences, rnk FROM (
+      SELECT lang, token, occurrences,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY occurrences DESC, token) AS rnk
+      FROM counts
+    ) WHERE rnk <= 10
+    """,
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language: explode -> count -> ranked window with
+    token tiebreak (partial-aggregable count, bounded per-lang window)."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("occurrences"))
+    w = Window.partitionBy("lang").orderBy(F.desc("occurrences"), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "token", "occurrences", "rnk")
+    )
+
+
+@register(
+    "corpus_bigram_counts",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tk
+    )
+    SELECT bigram, count(*) AS occurrences
+    FROM bg GROUP BY bigram HAVING count(*) >= 5
+    """,
+)
+def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency table (>= 5 occurrences) — the n-gram LM count
+    primitive; zip_with over shifted slices, no per-element lambdas."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    bigrams = tk.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() ELSE "
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+                "(x, y) -> concat(x, ' ', y)) END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("occurrences"))
+        .filter(F.col("occurrences") >= 5)
+    )
+
+
+@register(
+    "corpus_cube_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def corpus_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/chars by (lang x source) CUBE — grouping-sets coverage beyond
+    rollup; Catalyst expands to one shuffle with grouping-id."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "minhash_similarity_estimate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    sig AS (
+      SELECT doc_id, b.band,
+             min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM e, (SELECT unnest(range(1, {N_BANDS + 1})) AS band) b
+      GROUP BY doc_id, b.band
+    ),
+    agree AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS matching_bands
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2, matching_bands,
+           CAST(matching_bands AS DOUBLE) / {N_BANDS} AS est_jaccard
+    FROM agree WHERE matching_bands >= 2
+    """,
+)
+def minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity estimation: matching-band fraction estimates
+    Jaccard (E[match] = J per independent hash) — the cheap scorer that
+    ranks LSH candidates before any exact verification."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("matching_bands"))
+    )
+    return agree.filter(F.col("matching_bands") >= 2).select(
+        "doc1",
+        "doc2",
+        "matching_bands",
+        (F.col("matching_bands").cast("double") / N_BANDS).alias("est_jaccard"),
+    )
