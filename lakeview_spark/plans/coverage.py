@@ -138,9 +138,16 @@ def active_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 (active): exact greedy commit-group packing per table via the
     batch engine (applyInPandas). No SQL oracle exists — the packing is
     inherently sequential — so the driver records the rows-only check;
-    semantic parity is covered by the table-driven batcher tests."""
+    semantic parity is covered by the table-driven batcher tests.
+
+    CONTINUE strategy: the synthesized timeline has incomplete commits
+    (status-'O' orders) scattered from the earliest ids, so BLOCK would
+    stop at the first one and emit ~nothing — CONTINUE skips them and
+    packs every complete group (and exercises the skip arithmetic)."""
+    from lakeview_spark.operators.batcher import CONTINUE
+
     files = _synthesized_multi_table_timeline(spark, sf_dir)
-    return batch_instants(files, max_batch_size=20, strategy=BLOCK)
+    return batch_instants(files, max_batch_size=20, strategy=CONTINUE)
 
 
 @register("checkpoint_lookback")  # rows-only: case-ladder over batch tails
@@ -150,8 +157,10 @@ def checkpoint_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeview_spark.runner import compute_checkpoint_updates
     from lakeview_spark.schemas import CHECKPOINTS_SCHEMA
 
+    from lakeview_spark.operators.batcher import CONTINUE
+
     files = _synthesized_multi_table_timeline(spark, sf_dir)
-    batches = batch_instants(files, max_batch_size=20, strategy=BLOCK)
+    batches = batch_instants(files, max_batch_size=20, strategy=CONTINUE)
     empty_ckpts = spark.createDataFrame([], CHECKPOINTS_SCHEMA)
     return compute_checkpoint_updates(batches, files, empty_ckpts, "active").select(
         "table_id", "batch_id", "last_uploaded_file", "first_incomplete_commit_file"
