@@ -30,19 +30,24 @@ from lakeview_spark.plans.registry import register, t
 def timeline_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Searchable ordered timeline (README.md:309-319): filter by
     action/state/commit-id range, newest first, first page of 50.
-    Filters are columnar predicates ahead of the ranking window, so the
-    scan prunes before any sort."""
+    Filters are columnar predicates ahead of the ranking, and the page
+    itself is fetched with orderBy().limit(50) — Spark plans that as
+    TakeOrderedAndProject (per-partition top-50 + driver merge), never a
+    global single-task sort. Ranking runs afterwards over just the 50
+    returned rows, so the window cost is constant regardless of scale."""
     inst = parse_instants(_timeline_files(spark, sf_dir))
-    filtered = inst.filter(
-        (F.col("state") == "completed")
-        & F.col("action").isin("commit", "deltacommit")
-        & F.col("ts_str").cast("bigint").between(5000, 20000)
+    page = (
+        inst.filter(
+            (F.col("state") == "completed")
+            & F.col("action").isin("commit", "deltacommit")
+            & F.col("ts_str").cast("bigint").between(5000, 20000)
+        )
+        .orderBy(F.col("ts_str").cast("bigint").desc(), "filename")
+        .limit(50)
     )
     w = Window.orderBy(F.col("ts_str").cast("bigint").desc(), "filename")
-    return (
-        filtered.withColumn("page_rank", F.row_number().over(w))
-        .filter(F.col("page_rank") <= 50)
-        .select("filename", "ts_str", "action", "state", "page_rank")
+    return page.withColumn("page_rank", F.row_number().over(w)).select(
+        "filename", "ts_str", "action", "state", "page_rank"
     )
 
 

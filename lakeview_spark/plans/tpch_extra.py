@@ -147,8 +147,8 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), sessions AS (
       SELECT user_id, ts_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

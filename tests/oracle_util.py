@@ -54,6 +54,15 @@ def compare(spark_df, con, oracle_sql: str) -> list[str]:
     if len(sp) == len(du):
         for col in sp.columns:
             a, b = sp[col], du[col]
+            kinds = {a.dtype.kind, b.dtype.kind}
+            if kinds == {"i", "f"} or kinds == {"u", "f"}:
+                # The driver's value hash is dtype-sensitive (3 != 3.0):
+                # DuckDB HUGEINT lands as float64 in pandas and silently
+                # hash-mismatches Spark's int64. Flag it locally.
+                issues.append(
+                    f"col {col}: dtype kind mismatch spark={a.dtype} duck={b.dtype}"
+                    " (driver hash would fail; CAST the oracle column)"
+                )
             try:
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     af = a.astype("float64")
