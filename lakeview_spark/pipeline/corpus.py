@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lakeview_spark.pipeline.dedup import N_BANDS, dedup_minhash_signatures
+from lakeview_spark.pipeline.dedup import N_BANDS, minhash_signatures_materialized
 from lakeview_spark.plans.registry import register, t
 
 
@@ -131,7 +131,7 @@ def minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash similarity estimation: matching-band fraction estimates
     Jaccard (E[match] = J per independent hash) — the cheap scorer that
     ranks LSH candidates before any exact verification."""
-    sig = dedup_minhash_signatures(spark, sf_dir)
+    sig = minhash_signatures_materialized(spark, sf_dir)
     a = sig.alias("a")
     b = sig.alias("b")
     agree = (

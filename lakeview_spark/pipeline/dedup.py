@@ -27,9 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakeview_spark.operators.materialize import materialized
 from lakeview_spark.plans.registry import register, t
 
 N_BANDS = 8
+
+# Jaccard candidate-join document-frequency cap: a shingle appearing in
+# df docs contributes O(df^2) candidate pairs, so one hot "stop shingle"
+# is quadratic at corpus scale. Shingles with df > cap are dropped from
+# the inverted index (standard near-dup practice; such shingles carry no
+# similarity signal anyway). Synthetic testdata maxes out at df=25, so
+# the cap never changes test output — it exists for the 100 TB case.
+JACCARD_DF_CAP = 1000
 
 # shared tokenization / shingling (Spark side)
 
@@ -86,7 +95,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH s AS ({_SHINGLES_SQL}),
-    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
+    e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
     pairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
@@ -104,10 +115,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: shingle inverted-index join + Jaccard >= 0.1.
 
+    Hot shingles (df > JACCARD_DF_CAP) are dropped from the inverted
+    index before the pair join — without the cap one stop-shingle makes
+    the join O(df^2). The df filter shuffles on `shingle`, the same key
+    as the pair join, so it adds no extra exchange of the postings.
+    Jaccard denominators keep the full (uncapped) shingle-set sizes, so
+    the score is exact whenever the true intersection avoids hot
+    shingles (always true on the testdata; conservative at scale).
+
     No cache: shingle recompute is a ~1 s narrow map (zip_with), cheaper
     than holding a cached copy per invocation."""
     s = _doc_shingles(spark, sf_dir)
-    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    e0 = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    live = (
+        e0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    e = e0.join(live, "shingle")
     sizes = s.select("doc_id", F.size("shingles").alias("n"))
     a = e.alias("a")
     b = e.alias("b")
@@ -179,12 +205,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs colliding in any band bucket.
 
-    Both join sides recompute the signature pipeline (a ~2 s narrow
-    map + one partial agg); at scale you would persist signatures to a
-    table once and join against that. An in-query cache() is worse: it
-    leaks a cached copy per invocation and the broadcast build races
-    the probe side filling it."""
-    sig = dedup_minhash_signatures(spark, sf_dir)
+    The signature table is materialized once per run (see
+    operators/materialize.py) so the shingle->signature pipeline is NOT
+    recomputed per join side or per dependent query
+    (minhash_similarity_estimate, dedup_clusters) — each side of the
+    self-join is a plain parquet scan of the persisted signatures."""
+    sig = minhash_signatures_materialized(spark, sf_dir)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -197,6 +223,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
+
+
+def minhash_signatures_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures persisted to scratch once per (session, dataset)
+    — every consumer (LSH self-join sides, similarity estimation,
+    clustering) reads the parquet back instead of recomputing the
+    shingle pipeline."""
+    return materialized(spark, "minhash_sig", sf_dir, dedup_minhash_signatures)
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
