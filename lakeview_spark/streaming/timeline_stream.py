@@ -62,10 +62,13 @@ def stream_timeline_batches(
 
     foreachBatch runs the batch engine per micro-batch: each trigger's
     new listing rows are grouped into commit batches per table and
-    appended to `output_dir` partitioned by table_id. The streaming
-    commit log (checkpoint_dir) makes replays idempotent — the same
-    micro-batch id overwrites the same output (reference parity:
-    checkpoint upsert after each successful batch, §2.9).
+    written to `output_dir` partitioned by (stream_batch_id, table_id).
+    Exactly-once comes from making the sink IDEMPOTENT, not just from
+    the commit log: foreachBatch is at-least-once on failure replay, so
+    the write uses dynamic partition overwrite keyed on the micro-batch
+    id — a replayed batch N rewrites exactly the stream_batch_id=N
+    partitions and leaves every other batch untouched (reference
+    parity: checkpoint upsert after each successful batch, §2.9).
     """
     stream = timeline_file_stream(spark, listing_dir)
 
@@ -77,7 +80,12 @@ def stream_timeline_batches(
             max_batch_size,
             strategy,
         ).withColumn("stream_batch_id", F.lit(batch_id))
-        batches.write.mode("append").partitionBy("table_id").parquet(output_dir)
+        (
+            batches.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stream_batch_id", "table_id")
+            .parquet(output_dir)
+        )
         if extra_sink is not None:
             extra_sink(batches, batch_id)
 

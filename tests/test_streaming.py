@@ -89,3 +89,30 @@ def test_stream_windowed_stats_with_watermark(spark, tmp_path):
     }
     assert got[("t1", "2026-03-01 00:00:00")] == (3, 3)
     assert got[("t2", "2026-03-02 00:00:00")] == (3, 3)
+
+
+def test_stream_sink_is_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once on failure: replaying the same
+    micro-batch id must overwrite its own output partition, not append
+    duplicates (dynamic partition overwrite on stream_batch_id)."""
+    listing = str(tmp_path / "rl")
+    out = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+    _write_listing(f"{listing}/l1.json", _listing_rows("t1", TRIPLE_100))
+
+    q = stream_timeline_batches(spark, listing, out, ckpt)
+    q.awaitTermination(120)
+    first = sorted(
+        (r.stream_batch_id, r.filename) for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 3
+
+    # Simulate the engine replaying micro-batch 0 after a crash between
+    # the sink write and the commit-log write: fresh checkpoint, same
+    # input, same batch id -> same output partition rewritten in place.
+    q2 = stream_timeline_batches(spark, listing, out, str(tmp_path / "rckpt2"))
+    q2.awaitTermination(120)
+    replayed = sorted(
+        (r.stream_batch_id, r.filename) for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first  # no duplicate rows after replay
