@@ -1,0 +1,268 @@
+"""Object-store lister tests, modeled on the reference's mocked-paginator
+strategy (S3AsyncStorageClientTest.java: page resume via continuation
+token, commonPrefixes -> directories, typed error translation)."""
+
+from __future__ import annotations
+
+import pickle
+from datetime import datetime
+
+import pytest
+
+from lakeview_spark.sources.listing import discover_tables
+from lakeview_spark.sources.object_store import (
+    EPOCH,
+    AccessDeniedError,
+    Boto3PageClient,
+    NoSuchKeyError,
+    ObjectStoreError,
+    ObjectStoreLister,
+    RateLimitError,
+    parse_object_uri,
+)
+
+MT = datetime(2026, 3, 1, 12, 0, 0)
+
+
+class FakePageClient:
+    """In-memory ListObjectsV2: delimiter grouping, lexicographic order,
+    MaxKeys paging, StartAfter, opaque continuation tokens."""
+
+    def __init__(self, objects: dict[str, dict[str, int]], page_size: int = 2):
+        self.objects = objects  # bucket -> {key: size}
+        self.page_size = page_size
+        self.calls: list[tuple] = []
+        self.fail_with: list[Exception] = []  # popped per call, for retry tests
+
+    def fetch_page(self, bucket, prefix, continuation_token, start_after):
+        self.calls.append((bucket, prefix, continuation_token, start_after))
+        if self.fail_with:
+            raise self.fail_with.pop(0)
+        keys = sorted(k for k in self.objects.get(bucket, {}) if k.startswith(prefix))
+        if start_after:
+            keys = [k for k in keys if k > start_after]
+        if continuation_token:
+            keys = [k for k in keys if k > continuation_token]
+        files, dirs, last_key = [], {}, None
+        for k in keys:
+            if len(files) + len(dirs) >= self.page_size:
+                break
+            last_key = k
+            rest = k[len(prefix):]
+            if "/" in rest:
+                dirs[rest.split("/", 1)[0]] = True
+            else:
+                files.append((rest, MT, False, self.objects[bucket][k]))
+        entries = files + [(d, EPOCH, True, 0) for d in dirs]
+        remaining = [k for k in keys if last_key is not None and k > last_key]
+        return (last_key if remaining else None), entries
+
+
+def test_parse_object_uri_all_schemes():
+    assert parse_object_uri("s3://b/p/x.txt") == ("b", "p/x.txt")
+    assert parse_object_uri("gs://b/p") == ("b", "p")
+    assert parse_object_uri("s3://b") == ("b", "")
+    assert parse_object_uri("abfss://cont@acct.dfs.core.windows.net/p/f") == ("cont", "p/f")
+    assert parse_object_uri("https://a.blob.core.windows.net/cont/p") == ("cont", "p")
+    assert parse_object_uri("https://a.dfs.core.windows.net/cont/p") == ("cont", "p")
+    with pytest.raises(ValueError):
+        parse_object_uri("/local/path")
+
+
+def test_paged_listing_resumes_via_continuation_token():
+    fake = FakePageClient(
+        {"b": {f"d/f{i:02d}": i for i in range(5)}}, page_size=2
+    )
+    lister = ObjectStoreLister(lambda: fake)
+    got = lister.list_dir("s3://b/d")
+    assert [e[0] for e in got] == [f"f{i:02d}" for i in range(5)]
+    # 3 pages: tokens None -> f01 -> f03
+    assert [c[2] for c in fake.calls] == [None, "d/f01", "d/f03"]
+
+
+def test_common_prefixes_become_directories_with_epoch_mtime():
+    fake = FakePageClient(
+        {"b": {"d/file1": 7, "d/sub/inner": 1, "d/sub/inner2": 1}}, page_size=10
+    )
+    got = ObjectStoreLister(lambda: fake).list_dir("s3://b/d/")
+    by_name = {e[0]: e for e in got}
+    assert by_name["file1"] == ("file1", MT, False, 7)
+    assert by_name["sub"] == ("sub", EPOCH, True, 0)
+
+
+def test_start_after_skips_and_applies_only_to_first_page():
+    fake = FakePageClient(
+        {"b": {f"d/f{i:02d}": i for i in range(6)}}, page_size=2
+    )
+    lister = ObjectStoreLister(lambda: fake)
+    got = lister.list_dir("s3://b/d", start_after="d/f02")
+    assert [e[0] for e in got] == ["f03", "f04", "f05"]
+    # first call carries start_after, resumed pages rely on the token only
+    assert [(c[2], c[3]) for c in fake.calls] == [
+        (None, "d/f02"),
+        ("d/f04", None),
+    ]
+
+
+def test_throttle_retries_bounded_then_succeeds():
+    fake = FakePageClient({"b": {"d/f": 1}}, page_size=10)
+    fake.fail_with = [RateLimitError("slow down"), RateLimitError("slow down")]
+    sleeps = []
+    lister = ObjectStoreLister(lambda: fake, max_retries=4, sleep=sleeps.append)
+    got = lister.list_dir("s3://b/d")
+    assert [e[0] for e in got] == ["f"]
+    assert sleeps == [0.5, 1.0]  # exponential backoff
+
+
+def test_throttle_exhausts_retries():
+    fake = FakePageClient({"b": {"d/f": 1}}, page_size=10)
+    fake.fail_with = [RateLimitError("slow down")] * 3
+    lister = ObjectStoreLister(lambda: fake, max_retries=2, sleep=lambda s: None)
+    with pytest.raises(RateLimitError):
+        lister.list_dir("s3://b/d")
+
+
+def test_access_denied_is_not_retried():
+    fake = FakePageClient({"b": {"d/f": 1}}, page_size=10)
+    fake.fail_with = [AccessDeniedError("denied")]
+    lister = ObjectStoreLister(lambda: fake, sleep=lambda s: None)
+    with pytest.raises(AccessDeniedError):
+        lister.list_dir("s3://b/d")
+    assert len(fake.calls) == 1
+
+
+def _empty_factory():
+    return FakePageClient({"b": {}})
+
+
+def test_lister_pickles_without_live_client():
+    lister = ObjectStoreLister(_empty_factory)
+    _ = lister.client  # instantiate the lazy client
+    state = lister.__getstate__()
+    assert state["_client"] is None  # connection pool never ships in closures
+    clone = pickle.loads(pickle.dumps(ObjectStoreLister(_empty_factory)))
+    assert clone.list_dir("s3://b/") == []
+
+
+def test_discovery_runs_through_object_store_lister(spark):
+    # the fake client lives in this test module — ship it to executors
+    spark.sparkContext.addPyFile(__file__)
+    # two tables under one lake prefix; .hoodie marker stops descent
+    objects = {
+        "lake": {
+            "warehouse/db1/t1/.hoodie/hoodie.properties": 10,
+            "warehouse/db1/t1/part1/file.parquet": 100,
+            "warehouse/db1/t2/.hoodie/hoodie.properties": 10,
+            "warehouse/db1/nontable/depth/.gitkeep": 1,
+        }
+    }
+    fake = FakePageClient(objects, page_size=2)
+    store = ObjectStoreLister(lambda: fake)
+    tables = discover_tables(
+        spark,
+        [{"lake": "l1", "databases": [{"name": "db1", "basePaths": ["s3://lake/warehouse/db1"]}]}],
+        lister=store.as_lister(),
+    ).collect()
+    uris = sorted(r.table_uri for r in tables)
+    assert uris == ["s3://lake/warehouse/db1/t1", "s3://lake/warehouse/db1/t2"]
+
+
+class FakeBoto3:
+    """Dict-shaped boto3 S3 client double for Boto3PageClient translation."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.kwargs_seen = []
+
+    def list_objects_v2(self, **kwargs):
+        self.kwargs_seen.append(kwargs)
+        r = self.responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+class _Boto3Error(Exception):
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+def test_boto3_page_client_translation():
+    from datetime import timezone
+
+    aware = datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    client = Boto3PageClient(
+        FakeBoto3(
+            [
+                {
+                    "Contents": [{"Key": "d/f1", "LastModified": aware, "Size": 3}],
+                    "CommonPrefixes": [{"Prefix": "d/sub/"}],
+                    "IsTruncated": True,
+                    "NextContinuationToken": "tok1",
+                }
+            ]
+        )
+    )
+    token, entries = client.fetch_page("b", "d/", None, "d/a")
+    assert token == "tok1"
+    assert ("f1", datetime(2026, 3, 1, 12, 0, 0), False, 3) in entries
+    assert ("sub", EPOCH, True, 0) in entries
+
+
+@pytest.mark.parametrize(
+    "code,exc",
+    [
+        ("SlowDown", RateLimitError),
+        ("Throttling", RateLimitError),
+        ("AccessDenied", AccessDeniedError),
+        ("ExpiredToken", AccessDeniedError),
+        ("NoSuchKey", NoSuchKeyError),
+        ("SomethingElse", ObjectStoreError),
+    ],
+)
+def test_boto3_error_codes(code, exc):
+    client = Boto3PageClient(FakeBoto3([_Boto3Error(code)]))
+    with pytest.raises(exc):
+        client.fetch_page("b", "d/", None, None)
+
+
+def test_boto3_request_fields():
+    fake = FakeBoto3([{"Contents": [], "IsTruncated": False}])
+    client = Boto3PageClient(fake, page_size=7)
+    client.fetch_page("b", "d/", "tok", "d/x")
+    assert fake.kwargs_seen == [
+        {
+            "Bucket": "b",
+            "Prefix": "d/",
+            "Delimiter": "/",
+            "MaxKeys": 7,
+            "StartAfter": "d/x",
+            "ContinuationToken": "tok",
+        }
+    ]
+
+
+def test_list_timeline_incremental_pushes_start_after_down():
+    from lakeview_spark.sources.object_store import list_timeline_incremental
+
+    names = ["100.commit", "100.commit.requested", "100.inflight",
+             "200.commit", "200.commit.requested", "200.inflight"]
+    objects = {"b": {f"t1/.hoodie/{n}": 1 for n in names}}
+    fake = FakePageClient(objects, page_size=10)
+    lister = ObjectStoreLister(lambda: fake)
+
+    ckpt = {"last_uploaded_file": "100.inflight", "first_incomplete_commit_file": ""}
+    got = list_timeline_incremental(
+        lister, "s3://b/t1", ckpt, strategy="BLOCK_ON_INCOMPLETE_COMMIT"
+    )
+    # the store skipped everything <= 100.inflight — only the 200 triple came back
+    assert [e[0] for e in got] == ["200.commit", "200.commit.requested", "200.inflight"]
+    assert fake.calls[0][3] == "t1/.hoodie/100.inflight"
+
+    # batch 0 (no uploaded file yet) -> full listing, no startAfter
+    fake.calls.clear()
+    got_all = list_timeline_incremental(
+        lister, "s3://b/t1", {"last_uploaded_file": ""}, strategy="BLOCK_ON_INCOMPLETE_COMMIT"
+    )
+    assert len(got_all) == 6 and fake.calls[0][3] is None
