@@ -319,3 +319,95 @@ def test_spark_operator_matches_python(spark):
         ]
         assert flat == exp
         assert all(r.first_incomplete == expected_first for r in got)
+
+
+# The reference's full non-blocking parameterized corpus
+# (ActiveTimelineInstantBatcherTest.java:618-698): multiple incompletes,
+# unknown actions, stale skipped incompletes, and the firstIncompleteCommit
+# arithmetic (min incomplete ts - 1) across them.
+
+_CKPT_TS = datetime(2024, 7, 22)  # getCheckpoint(): 22-07-2024 UTC midnight
+_OLD = datetime(2024, 7, 21)  # "21-07-2024" entries: before the checkpoint
+_NEW = datetime(2024, 7, 23)  # generateFileObj default mtime
+
+
+def test_nonblocking_trailing_incomplete_only_properties():
+    # case 1 (:635-642): a single trailing incomplete commit is dropped
+    # without setting first_incomplete (iteration just stops there)
+    names = [
+        "111.deltacommit.requested",
+        "111.deltacommit.inflight",
+        "hoodie.properties",
+    ]
+    lm = {n: _NEW for n in names}
+    first_inc, batches = run(
+        names, max_batch=4, strategy=CONTINUE, ckpt_ts=_CKPT_TS, lm=lm
+    )
+    assert batches == [["hoodie.properties"]]
+    assert first_inc == ""
+
+
+def test_nonblocking_mid_incomplete_sets_checkpoint_and_continues():
+    # case 2 (:643-666): 111 incomplete mid-timeline, 222 unknown action,
+    # 444 trailing incomplete — iteration is NOT blocked, and the next
+    # run resumes from (first missed incomplete) - 1 = 110
+    names = [
+        "111.deltacommit.requested",
+        "111.deltacommit.inflight",
+        "333.clean",
+        "444.rollback.requested",
+        "333.clean.requested",
+        "222.unknown.inflight",
+        "333.clean.inflight",
+        "222.unknown.requested",
+        "444.rollback.inflight",
+        "222.unknown",
+        "hoodie.properties",
+    ]
+    lm = {n: _NEW for n in names}
+    first_inc, batches = run(
+        names, max_batch=4, strategy=CONTINUE, ckpt_ts=_CKPT_TS, lm=lm
+    )
+    assert batches == [
+        ["hoodie.properties", "333.clean", "333.clean.inflight", "333.clean.requested"]
+    ]
+    assert first_inc == "110"
+
+
+def test_nonblocking_multiple_incompletes_min_minus_one():
+    # case 3 (:667-697): three live incompletes (444, 666 trailing) plus a
+    # stale skipped incomplete (222, older than the checkpoint ts — not
+    # re-emitted); batches flow past the incompletes and the checkpoint
+    # lands at min(incomplete) - 1 = 443
+    names_lm = [
+        ("111.deltacommit.requested", _NEW),
+        ("111.deltacommit.inflight", _NEW),
+        ("111.deltacommit", _NEW),
+        ("333.clean", _NEW),
+        ("444.rollback.requested", _NEW),
+        ("333.clean.requested", _NEW),
+        ("222.clean.inflight", _OLD),
+        ("333.clean.inflight", _NEW),
+        ("222.clean.requested", _OLD),
+        ("444.rollback.inflight", _NEW),
+        ("666.rollback.requested", _NEW),
+        ("777.rollback.requested", _NEW),
+        ("777.rollback.inflight", _NEW),
+        ("777.rollback", _NEW),
+    ]
+    names = [n for n, _ in names_lm]
+    lm = dict(names_lm)
+    first_inc, batches = run(
+        names,
+        max_batch=4,
+        strategy=CONTINUE,
+        ckpt_ts=_CKPT_TS,
+        lm=lm,
+        first_inc="500",
+    )
+    assert batches == [
+        ["111.deltacommit", "111.deltacommit.inflight", "111.deltacommit.requested"],
+        ["333.clean", "333.clean.inflight", "333.clean.requested"],
+        ["777.rollback", "777.rollback.inflight", "777.rollback.requested"],
+    ]
+    assert first_inc == "443"
