@@ -25,6 +25,10 @@ class EngineConfig:
     archived_batch_size: int = 2
     table_batch_size: int = 20
     version: str = "V1"
+    # pull-model retry policy (MetadataExtractorConfig.java:28-30 defaults)
+    cron_schedule_for_pull_model: str = "0 */1 * * *"
+    max_run_count_for_pull_model: int = 5
+    min_interval_minutes: float = 10.0
 
 
 def load_config(source) -> EngineConfig:
@@ -84,6 +88,84 @@ def load_config_with_override(base, override=None) -> EngineConfig:
     return _validate(raw)
 
 
+def _parse_cron_field(field_str: str, lo: int, hi: int) -> set[int]:
+    """One UNIX cron field -> allowed value set. Supports '*', '*/n',
+    'a', 'a-b', 'a-b/n', and comma lists of those."""
+    allowed: set[int] = set()
+    for part in field_str.split(","):
+        step = 1
+        if "/" in part:
+            part, step_str = part.split("/", 1)
+            step = int(step_str)
+            if step < 1:
+                raise ValueError(f"cron: invalid step in {field_str!r}")
+        if part == "*":
+            start, end = lo, hi
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            start, end = int(a), int(b)
+        else:
+            start = end = int(part)
+        if not (lo <= start <= hi and lo <= end <= hi and start <= end):
+            raise ValueError(f"cron: field {field_str!r} out of range [{lo},{hi}]")
+        allowed.update(range(start, end + 1, step))
+    return allowed
+
+
+def next_cron_execution(cron_expr: str, after):
+    """Next fire time of a 5-field UNIX cron expression strictly after
+    ``after`` (naive UTC datetime).
+
+    Semantics follow cron(5): fields are minute, hour, day-of-month,
+    month, day-of-week (0 or 7 = Sunday); when BOTH dom and dow are
+    restricted, a date matches if EITHER does. The reference estimates
+    its pull-model next run the same way
+    (TableDiscoveryAndUploadJob.java:126-139, UNIX cron type).
+    """
+    from datetime import datetime, timedelta
+
+    parts = cron_expr.split()
+    if len(parts) != 5:
+        raise ValueError(f"cron: expected 5 fields, got {cron_expr!r}")
+    minutes = _parse_cron_field(parts[0], 0, 59)
+    hours = _parse_cron_field(parts[1], 0, 23)
+    doms = _parse_cron_field(parts[2], 1, 31)
+    months = _parse_cron_field(parts[3], 1, 12)
+    dows = {d % 7 for d in _parse_cron_field(parts[4], 0, 7)}
+    dom_star = parts[2] == "*"
+    dow_star = parts[4] == "*"
+
+    t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+    end = after + timedelta(days=366 * 4 + 1)  # > any gap a real cron has
+    while t < end:
+        if t.month not in months:
+            # jump to the 1st of the next month
+            t = (t.replace(day=1, hour=0, minute=0) + timedelta(days=32)).replace(day=1)
+            continue
+        # cron(5): dom OR dow when both are restricted, AND via * otherwise
+        py_dow = (t.weekday() + 1) % 7  # Monday=0 -> Sunday=0 convention
+        dom_ok, dow_ok = t.day in doms, py_dow in dows
+        day_ok = (dom_ok or dow_ok) if (not dom_star and not dow_star) else (
+            dom_ok and dow_ok
+        )
+        if not day_ok:
+            t = t.replace(hour=0, minute=0) + timedelta(days=1)
+            continue
+        if t.hour not in hours:
+            t = t.replace(minute=0) + timedelta(hours=1)
+            continue
+        if t.minute not in minutes:
+            t += timedelta(minutes=1)
+            continue
+        return t
+    raise ValueError(f"cron: no execution of {cron_expr!r} within 4 years")
+
+
+def minutes_until_next_cron(cron_expr: str, now) -> float:
+    """Minutes from ``now`` to the next cron fire (pull-model estimate)."""
+    return (next_cron_execution(cron_expr, now) - now).total_seconds() / 60.0
+
+
 def should_run_once_with_retry(
     run_count: int,
     last_run_succeeded: bool,
@@ -131,10 +213,19 @@ def _validate(raw: dict) -> EngineConfig:
     strategy = mec.get("uploadStrategy", "BLOCK_ON_INCOMPLETE_COMMIT")
     if strategy not in ("BLOCK_ON_INCOMPLETE_COMMIT", "CONTINUE_ON_INCOMPLETE_COMMIT"):
         raise ValueError(f"config: invalid uploadStrategy {strategy}")
+    cron = mec.get("cronScheduleForPullModel", "0 */1 * * *")
+    if mode == "ONCE_WITH_RETRY":
+        # fail fast on an unparseable schedule instead of at retry time
+        from datetime import datetime
+
+        next_cron_execution(cron, datetime(2026, 1, 1))
     return EngineConfig(
         parser_config=parser_config,
         path_exclusion_patterns=mec.get("pathExclusionPatterns") or [],
         job_run_mode=mode,
         upload_strategy=strategy,
         version=str(version),
+        cron_schedule_for_pull_model=cron,
+        max_run_count_for_pull_model=int(mec.get("maxRunCountForPullModel", 5)),
+        min_interval_minutes=float(mec.get("minIntervalMinutes", 10)),
     )

@@ -403,6 +403,47 @@ def sync_table(
     return run_once(spark, cfg, state_dir, mirror_dir, lister)
 
 
+def run_once_with_retry(
+    spark: SparkSession,
+    config: EngineConfig,
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lister: Lister = list_dir_local,
+    start_time=None,
+    run_fn=None,
+) -> list[dict]:
+    """ONCE_WITH_RETRY mode (TableDiscoveryAndUploadJob.java:94-139):
+    run once; on failure retry up to maxRunCountForPullModel total runs,
+    but stop early when the next scheduled cron fire (estimated from
+    cronScheduleForPullModel against the job start time) is under
+    minIntervalMinutes away — the next scheduled run covers the work.
+
+    Returns one metrics dict per attempt; each carries ``succeeded``.
+    """
+    from datetime import datetime
+
+    from lakeview_spark.config import minutes_until_next_cron
+
+    start_time = start_time or datetime.utcnow()
+    run_fn = run_fn or run_once
+    attempts: list[dict] = []
+    for counter in range(1, config.max_run_count_for_pull_model + 1):
+        try:
+            metrics = run_fn(spark, config, state_dir, mirror_dir, lister)
+            metrics["succeeded"] = True
+        except Exception as ex:  # noqa: BLE001 — retryable by policy
+            metrics = {"succeeded": False, "error": repr(ex)}
+        attempts.append(metrics)
+        if metrics["succeeded"]:
+            break
+        if (
+            minutes_until_next_cron(config.cron_schedule_for_pull_model, start_time)
+            < config.min_interval_minutes
+        ):
+            break  # :131-137 — next scheduled run is imminent
+    return attempts
+
+
 def run_continuous(
     spark: SparkSession,
     config: EngineConfig,
@@ -411,12 +452,29 @@ def run_continuous(
     lister: Lister = list_dir_local,
     interval_s: float = 300.0,
     max_rounds: int | None = None,
+    base_config_source=None,
+    override_source=None,
+    sleep_fn=time.sleep,
 ) -> list[dict]:
-    """Driver-loop CONTINUOUS mode (§3.2)."""
+    """Driver-loop CONTINUOUS mode (§3.2).
+
+    When ``base_config_source`` is given (dict or YAML path/string), the
+    config — including the optional ``override_source`` file — is
+    re-loaded before every round, matching ConfigRefresher.java:39-52's
+    periodic fetch-and-merge. A failed refresh keeps the previous config
+    (the refresher logs and carries on, :44-49).
+    """
+    from lakeview_spark.config import load_config_with_override
+
     rounds = []
     while max_rounds is None or len(rounds) < max_rounds:
+        if base_config_source is not None:
+            try:
+                config = load_config_with_override(base_config_source, override_source)
+            except Exception:  # noqa: BLE001 — keep last good config
+                pass
         rounds.append(run_once(spark, config, state_dir, mirror_dir, lister))
         if max_rounds is not None and len(rounds) >= max_rounds:
             break
-        time.sleep(interval_s)
+        sleep_fn(interval_s)
     return rounds

@@ -50,3 +50,189 @@ def test_once_with_retry_policy():
     # next cron run too close (<10 min) -> skip, let the cron run cover it
     assert not should_run_once_with_retry(1, False, 9.0)
     assert should_run_once_with_retry(4, False, 10.0)
+
+
+# ---- cron parsing + ONCE_WITH_RETRY / CONTINUOUS refresh wiring ----
+
+from datetime import datetime
+
+from lakeview_spark.config import (
+    load_config,
+    minutes_until_next_cron,
+    next_cron_execution,
+)
+from lakeview_spark import runner as runner_mod
+from lakeview_spark.runner import run_continuous, run_once_with_retry
+
+
+def test_next_cron_execution_hourly_default():
+    # reference default "0 */1 * * *" (MetadataExtractorConfig.java:28)
+    assert next_cron_execution("0 */1 * * *", datetime(2026, 3, 1, 10, 30)) == datetime(
+        2026, 3, 1, 11, 0
+    )
+    # exactly on a fire time -> strictly after
+    assert next_cron_execution("0 */1 * * *", datetime(2026, 3, 1, 10, 0)) == datetime(
+        2026, 3, 1, 11, 0
+    )
+
+
+def test_next_cron_execution_field_kinds():
+    assert next_cron_execution("*/15 * * * *", datetime(2026, 3, 1, 10, 50)) == datetime(
+        2026, 3, 1, 11, 0
+    )
+    # 2026-03-01 is a Sunday; next Monday 02:30 is 03-02
+    assert next_cron_execution("30 2 * * 1", datetime(2026, 3, 1, 10, 0)) == datetime(
+        2026, 3, 2, 2, 30
+    )
+    # dom OR dow when both restricted: fires Fri 03-06 before the 15th
+    assert next_cron_execution("0 0 15 * 5", datetime(2026, 3, 1, 10, 0)) == datetime(
+        2026, 3, 6, 0, 0
+    )
+    # month rollover
+    assert next_cron_execution("0 0 1 4 *", datetime(2026, 3, 20, 10, 0)) == datetime(
+        2026, 4, 1, 0, 0
+    )
+    assert minutes_until_next_cron("0 */1 * * *", datetime(2026, 3, 1, 10, 30)) == 30.0
+
+
+def _retry_cfg(**mec_extra):
+    return load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "ONCE_WITH_RETRY",
+                "parserConfig": [
+                    {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+                ],
+                **mec_extra,
+            },
+        }
+    )
+
+
+def test_once_with_retry_retries_until_success():
+    calls = []
+
+    def flaky(spark, config, state_dir, mirror_dir, lister):
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("throttled")
+        return {"tables_discovered": 0}
+
+    attempts = run_once_with_retry(
+        None,
+        _retry_cfg(cronScheduleForPullModel="0 */6 * * *"),
+        "/tmp/unused",
+        start_time=datetime(2026, 3, 1, 1, 0),  # next cron 06:00 — far away
+        run_fn=flaky,
+    )
+    assert [a["succeeded"] for a in attempts] == [False, False, True]
+
+
+def test_once_with_retry_respects_max_run_count():
+    def always_fail(*a):
+        raise RuntimeError("nope")
+
+    attempts = run_once_with_retry(
+        None,
+        _retry_cfg(cronScheduleForPullModel="0 */6 * * *", maxRunCountForPullModel=2),
+        "/tmp/unused",
+        start_time=datetime(2026, 3, 1, 1, 0),
+        run_fn=always_fail,
+    )
+    assert len(attempts) == 2 and not any(a["succeeded"] for a in attempts)
+
+
+def test_once_with_retry_stops_when_next_cron_imminent():
+    def always_fail(*a):
+        raise RuntimeError("nope")
+
+    # hourly cron, start at 10:55 -> next fire 5 min away < 10 min floor
+    attempts = run_once_with_retry(
+        None,
+        _retry_cfg(),
+        "/tmp/unused",
+        start_time=datetime(2026, 3, 1, 10, 55),
+        run_fn=always_fail,
+    )
+    assert len(attempts) == 1  # no retry: scheduled run covers it
+
+
+def test_continuous_mode_refreshes_override_each_round(monkeypatch, tmp_path):
+    seen_strategies = []
+
+    def fake_run_once(spark, config, state_dir, mirror_dir, lister):
+        seen_strategies.append(config.upload_strategy)
+        return {"ok": True}
+
+    monkeypatch.setattr(runner_mod, "run_once", fake_run_once)
+
+    base = {
+        "version": "V1",
+        "metadataExtractorConfig": {
+            "jobRunMode": "CONTINUOUS",
+            "parserConfig": [
+                {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+            ],
+        },
+    }
+    override = tmp_path / "override.yaml"
+    override.write_text("metadataExtractorConfig:\n  uploadStrategy: BLOCK_ON_INCOMPLETE_COMMIT\n")
+
+    def flip_override(_interval):
+        # between rounds the operator edits the override file
+        override.write_text(
+            "metadataExtractorConfig:\n  uploadStrategy: CONTINUE_ON_INCOMPLETE_COMMIT\n"
+        )
+
+    rounds = run_continuous(
+        None,
+        None,
+        "/tmp/unused",
+        max_rounds=2,
+        interval_s=0,
+        base_config_source=base,
+        override_source=str(override),
+        sleep_fn=flip_override,
+    )
+    assert len(rounds) == 2
+    assert seen_strategies == [
+        "BLOCK_ON_INCOMPLETE_COMMIT",
+        "CONTINUE_ON_INCOMPLETE_COMMIT",
+    ]
+
+
+def test_continuous_mode_keeps_last_good_config_on_bad_override(monkeypatch, tmp_path):
+    seen = []
+
+    def fake_run_once(spark, config, state_dir, mirror_dir, lister):
+        seen.append(config.upload_strategy)
+        return {}
+
+    monkeypatch.setattr(runner_mod, "run_once", fake_run_once)
+    base = {
+        "version": "V1",
+        "metadataExtractorConfig": {
+            "jobRunMode": "CONTINUOUS",
+            "parserConfig": [
+                {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+            ],
+        },
+    }
+    good = load_config(base)
+
+    def corrupt(_):
+        pass
+
+    rounds = run_continuous(
+        None,
+        good,
+        "/tmp/unused",
+        max_rounds=2,
+        interval_s=0,
+        base_config_source=base,
+        override_source="metadataExtractorConfig:\n  uploadStrategy: NOT_A_STRATEGY\n",
+        sleep_fn=corrupt,
+    )
+    # invalid override -> refresh fails -> previous config stays in force
+    assert len(rounds) == 2 and seen == ["BLOCK_ON_INCOMPLETE_COMMIT"] * 2
