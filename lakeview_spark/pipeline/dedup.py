@@ -69,11 +69,18 @@ _SHINGLES_SQL = """
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", _tokens(F.col("text")).alias("toks"))
     return docs.select(
         "doc_id", F.array_distinct(F.expr(_shingles_expr())).alias("shingles")
     )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) materialized once per run: the Jaccard query
+    alone scans it three times (df-cap counts + both self-join sides),
+    and the MinHash signature builder reads it again."""
+    return materialized(spark, "doc_shingles", sf_dir, _doc_shingles_build)
 
 
 @register(

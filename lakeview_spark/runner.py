@@ -202,6 +202,7 @@ def process_archived_v2(
 
     uploaded = 0
     updates = []
+    tables_by_id = {x["table_id"]: x for x in v2_tables}
     for table_id, version, files in results:
         ck = ckpts.get(table_id)
         prev_version = ck.last_archived_manifest_version if ck else 0
@@ -209,7 +210,7 @@ def process_archived_v2(
             continue
         prev_files: set = set()
         if prev_version and ck and ck.archived_commits_processed:
-            t = next(x for x in v2_tables if x["table_id"] == table_id)
+            t = tables_by_id[table_id]
             d = timeline_dir(t["table_uri"], 2, ARCHIVED)
             prev_manifest = os.path.join(d, f"manifest_{prev_version}")
             if os.path.exists(prev_manifest):
@@ -218,7 +219,7 @@ def process_archived_v2(
                 }
         new_files = [f for f in files if f not in prev_files]  # J4 anti join
         if mirror_dir and new_files:
-            t = next(x for x in v2_tables if x["table_id"] == table_id)
+            t = tables_by_id[table_id]
             d = timeline_dir(t["table_uri"], 2, ARCHIVED)
             import shutil as _sh
 

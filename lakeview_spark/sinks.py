@@ -46,6 +46,82 @@ def mirror_sink(dest_root: str, max_retries: int = 3, base_backoff_s: float = 0.
     return write_partition
 
 
+DEFAULT_UPLOAD_CHUNK_BYTES = 5 * 1024 * 1024  # reference stream batch size
+
+
+class FileUploadError(RuntimeError):
+    """Non-2xx response from the upload target (FileUploadException analog)."""
+
+
+def upload_file_to_presigned_url(
+    put: Callable,
+    presigned_url: str,
+    src_path: str,
+    chunk_bytes: int = DEFAULT_UPLOAD_CHUNK_BYTES,
+    max_retries: int = 3,
+    base_backoff_s: float = 0.1,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """One presigned-URL PUT (PresignedUrlFileUploader.java:48-119).
+
+    Reference semantics: files at or under the stream batch size upload
+    as a single buffered body; larger files stream the SAME single PUT
+    in `chunk_bytes` pieces (one request, chunked body — not multipart).
+    Retry wraps the whole request with exponential backoff
+    (AsyncHttpClientWithRetry semantics); a non-2xx status raises
+    FileUploadError.
+
+    ``put(url, body_iter, content_length) -> status_code`` is the
+    transport — an HTTP client in production, a fake in tests. Returns
+    bytes uploaded.
+    """
+    size = os.path.getsize(src_path)
+
+    def body() -> Iterable[bytes]:
+        with open(src_path, "rb") as f:
+            if size <= chunk_bytes:
+                yield f.read()
+                return
+            while True:
+                chunk = f.read(chunk_bytes)
+                if not chunk:
+                    return
+                yield chunk
+
+    attempt = 0
+    while True:
+        try:
+            status = put(presigned_url, body(), size)
+            if not (200 <= status < 300):
+                raise FileUploadError(
+                    f"File upload failed: response code: {status}"
+                )
+            return size
+        except FileUploadError:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            sleep(base_backoff_s * (2 ** (attempt - 1)))
+
+
+def presigned_upload_sink(
+    put: Callable,
+    url_for_row: Callable,
+    chunk_bytes: int = DEFAULT_UPLOAD_CHUNK_BYTES,
+) -> Callable:
+    """foreachPartition sink PUTting (table_id, src_path, ...) rows to
+    their presigned URLs — the production twin of mirror_sink; the
+    upload runs executor-side per partition, never through the driver."""
+
+    def write_partition(rows: Iterable) -> None:
+        for row in rows:
+            upload_file_to_presigned_url(
+                put, url_for_row(row), row.src_path, chunk_bytes=chunk_bytes
+            )
+
+    return write_partition
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:
