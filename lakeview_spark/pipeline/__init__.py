@@ -5,4 +5,5 @@ from lakeview_spark.pipeline import (  # noqa: F401
     multimodal,
     clustering,
     corpus,
+    sketch,
 )

@@ -113,6 +113,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_apply",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      ),
+      e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+      sig AS (
+        SELECT doc_id, b.band,
+               min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM e, (SELECT unnest(range(1, 9)) AS band) b
+        GROUP BY doc_id, b.band
+      )
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT: the corpus with near-duplicates
+    removed, keeping one canonical document (min doc_id) per cluster.
+
+    Left-anti join of documents against non-canonical cluster members —
+    at scale this is the step that actually shrinks the training set;
+    the anti join shuffles only (doc_id) pairs, never text."""
+    members = dedup_clusters(spark, sf_dir)
+    losers = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@register(
     "sample_stratified",
     oracle="""
     SELECT doc_id, lang, source

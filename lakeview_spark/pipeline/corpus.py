@@ -101,6 +101,127 @@ def corpus_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_bigram_cohesion",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tk
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM inst GROUP BY bigram),
+    c1 AS (
+      SELECT tok AS first_tok, count(*) AS n1
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      GROUP BY tok
+    )
+    SELECT i.doc_id,
+           count(*) AS n_bigrams,
+           CAST(SUM((1000000 * c2.n2) // c1.n1) AS BIGINT) AS cohesion_ppm_sum
+    FROM inst i
+    JOIN c2 ON i.bigram = c2.bigram
+    JOIN c1 ON string_split(i.bigram, ' ')[1] = c1.first_tok
+    GROUP BY i.doc_id
+    """,
+)
+def corpus_bigram_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cohesion: for every bigram instance, the ratio
+    of corpus bigram count to corpus count of its first token — the
+    integer-arithmetic cousin of bigram-LM log-probability scoring
+    (higher = the document's word pairs are corpus-typical; gibberish
+    scores low). ppm floor-division keeps every value an exact integer,
+    so sums are order-independent and engine-exact.
+
+    Shape: two count aggregations (partial map-side) + two equi-joins
+    keyed on bigram/token — the count tables are vocabulary-sized, far
+    smaller than the corpus, and broadcastable at any realistic SF."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    inst = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() ELSE "
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+                "(x, y) -> concat(x, ' ', y)) END"
+            )
+        ).alias("bigram"),
+    )
+    c2 = inst.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("first_tok"))
+        .groupBy("first_tok")
+        .agg(F.count("*").alias("n1"))
+    )
+    scored = (
+        inst.join(c2, "bigram")
+        .withColumn("first_tok", F.split("bigram", " ")[0])
+        .join(c1, "first_tok")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.expr("(1000000 * n2) div n1")).cast("bigint").alias("cohesion_ppm_sum"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             tf.tf * ((1000 * n.n_docs) // df.df) AS score
+      FROM tf JOIN df ON tf.token = df.token, n
+    )
+    SELECT doc_id, token, tf, score, rnk FROM (
+      SELECT doc_id, token, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by integer tf-idf
+    (idf = (1000*N) div df, exact in both engines — no floating log, so
+    the ranking is engine-identical with the token tiebreak).
+
+    Shape: tf and df are partial-aggregable counts sharing the token
+    key; the per-doc ranking window is bounded by document vocabulary,
+    so no global sort anywhere."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (F.col("tf") * F.expr("(1000 * n_docs) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "token", "tf", "score", "rnk")
+    )
+
+
+@register(
     "minhash_similarity_estimate",
     oracle=f"""
     WITH s AS (

@@ -115,3 +115,48 @@ def test_language_id_accuracy(spark):
     # exactness vs oracle is covered by the parity test
     acc = sum(r.predicted_lang == r.true_lang for r in rows) / len(rows)
     assert acc >= 0.2
+
+
+def test_corpus_distinct_kmv_estimate_quality(spark):
+    row = QUERIES["corpus_distinct_kmv"](spark, SF_DIR).collect()[0]
+    assert 0 < row.kth_hash < (1 << 60)
+    if row.k_actual < 256:
+        # sketch saw every distinct value -> k IS the exact count
+        assert row.k_actual == row.exact_distinct
+    else:
+        # KMV with k=256 has ~1/sqrt(254) ~= 6% relative error; allow 4 sigma
+        assert abs(row.est_distinct - row.exact_distinct) / row.exact_distinct < 0.25
+
+
+def test_dedup_apply_keeps_canonicals_only(spark):
+    survivors = {r.doc_id for r in QUERIES["dedup_apply"](spark, SF_DIR).collect()}
+    clusters = QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    canonical = {r.cluster_id for r in clusters}
+    members = {r.doc_id for r in clusters}
+    # every cluster keeps exactly its canonical; unclustered docs survive
+    assert canonical <= survivors
+    assert not (members - canonical) & survivors
+    n_docs = QUERIES["dedup_exact"](spark, SF_DIR).count()  # 1 row per distinct text here
+    assert len(survivors) == 500 - len(members - canonical)
+
+
+def test_bigram_cohesion_scores_positive(spark):
+    rows = QUERIES["corpus_bigram_cohesion"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        # every bigram contributes at least floor(1e6 * 1 / n1) >= 0 and
+        # a bigram can never outnumber its first token
+        assert 0 <= r.cohesion_ppm_sum <= r.n_bigrams * 1_000_000
+
+
+def test_tfidf_top_terms_ranked(spark):
+    rows = QUERIES["text_tfidf_top_terms"](spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 500
+    for doc_rows in list(by_doc.values())[:20]:
+        doc_rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        scores = [r.score for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
