@@ -183,6 +183,114 @@ class ObjectStoreLister:
         return self.list_dir
 
 
+class GcsPageClient:
+    """GCS list-blobs-backed PageClient (requires google-cloud-storage).
+
+    Mirrors GCSAsyncStorageClient.java:40-85: prefix + delimiter "/",
+    ``pageToken`` resume, ``startOffset`` as the startAfter pushdown,
+    directories from the delimiter with epoch-0 mtime, files stamped
+    with updateTime. Error translation by HTTP status: 429 -> throttle,
+    403 -> denied, 404 -> missing.
+    """
+
+    def __init__(self, gcs_client=None, page_size: int | None = None) -> None:
+        if gcs_client is None:
+            from google.cloud import storage  # deferred: optional dependency
+
+            gcs_client = storage.Client()
+        self._gcs = gcs_client
+        self._page_size = page_size
+
+    def fetch_page(self, bucket, prefix, continuation_token, start_after):
+        kwargs = {"prefix": prefix, "delimiter": "/"}
+        if self._page_size:
+            kwargs["max_results"] = self._page_size
+        if continuation_token:
+            kwargs["page_token"] = continuation_token
+        if start_after:
+            kwargs["start_offset"] = start_after
+        try:
+            it = self._gcs.list_blobs(bucket, **kwargs)
+            page = next(it.pages)
+            blobs = list(page)
+            dir_prefixes = sorted(page.prefixes)
+            token = it.next_page_token
+        except Exception as ex:
+            status = getattr(ex, "code", None) or getattr(ex, "status_code", None)
+            if status == 429:
+                raise RateLimitError(str(ex)) from ex
+            if status == 403:
+                raise AccessDeniedError(str(ex)) from ex
+            if status == 404:
+                raise NoSuchKeyError(str(ex)) from ex
+            raise ObjectStoreError(str(ex)) from ex
+        entries: list[FileEntry] = []
+        for b in blobs:
+            lm = b.updated
+            if lm is not None and lm.tzinfo is not None:
+                lm = lm.astimezone(timezone.utc).replace(tzinfo=None)
+            entries.append((b.name[len(prefix):], lm or EPOCH, False, b.size or 0))
+        for p in dir_prefixes:
+            entries.append((p[len(prefix):].rstrip("/"), EPOCH, True, 0))
+        return token or None, entries
+
+
+class AzurePageClient:
+    """ADLS Gen2 list-paths-backed PageClient (requires azure-storage-
+    file-datalake).
+
+    Mirrors AzureAsyncStorageClient.java:48-113: hierarchical listPaths
+    under ``path=prefix`` with continuation-token paging; PathItem
+    directories keep EPOCH mtime. Like the reference, ``startAfter`` is
+    NOT pushed down (the ADLS API has no offset parameter) — the caller's
+    filters handle resume. Throttle/denied translation by status code.
+    """
+
+    def __init__(self, filesystem_client_factory=None, page_size: int | None = None):
+        self._fs_factory = filesystem_client_factory
+        self._page_size = page_size
+
+    def _filesystem(self, container):
+        if self._fs_factory is not None:
+            return self._fs_factory(container)
+        raise ObjectStoreError(
+            "AzurePageClient needs a filesystem_client_factory "
+            "(DataLakeServiceClient(...).get_file_system_client)"
+        )
+
+    def fetch_page(self, bucket, prefix, continuation_token, start_after):
+        try:
+            fs = self._filesystem(bucket)
+            paths = fs.get_paths(path=prefix.rstrip("/") or None, recursive=False)
+            pages = paths.by_page(continuation_token=continuation_token or None)
+            page = next(pages)
+            items = list(page)
+            token = getattr(pages, "continuation_token", None)
+        except Exception as ex:
+            status = getattr(ex, "status_code", None)
+            if status == 429:
+                raise RateLimitError(str(ex)) from ex
+            if status in (401, 403):
+                raise AccessDeniedError(str(ex)) from ex
+            if status == 404:
+                raise NoSuchKeyError(str(ex)) from ex
+            raise ObjectStoreError(str(ex)) from ex
+        entries: list[FileEntry] = []
+        for item in items:
+            name = item.name[len(prefix):] if item.name.startswith(prefix) else item.name
+            name = name.lstrip("/")
+            if getattr(item, "is_directory", False):
+                entries.append((name, EPOCH, True, 0))
+            else:
+                lm = item.last_modified
+                if lm is not None and lm.tzinfo is not None:
+                    lm = lm.astimezone(timezone.utc).replace(tzinfo=None)
+                entries.append(
+                    (name, lm or EPOCH, False, getattr(item, "content_length", 0) or 0)
+                )
+        return token or None, entries
+
+
 HOODIE_DIR = ".hoodie"
 ARCHIVED_DIR = ".hoodie/archived"
 

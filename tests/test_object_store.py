@@ -266,3 +266,128 @@ def test_list_timeline_incremental_pushes_start_after_down():
         lister, "s3://b/t1", {"last_uploaded_file": ""}, strategy="BLOCK_ON_INCOMPLETE_COMMIT"
     )
     assert len(got_all) == 6 and fake.calls[0][3] is None
+
+
+# ---- GCS / Azure page-client translation (dict-shaped client doubles) ----
+
+
+class _FakeGcsPage:
+    def __init__(self, blobs, prefixes):
+        self._blobs = blobs
+        self.prefixes = set(prefixes)
+
+    def __iter__(self):
+        return iter(self._blobs)
+
+
+class _FakeGcsBlob:
+    def __init__(self, name, updated, size):
+        self.name, self.updated, self.size = name, updated, size
+
+
+class _FakeGcsIterator:
+    def __init__(self, page, token):
+        self.pages = iter([page])
+        self.next_page_token = token
+
+
+class FakeGcs:
+    def __init__(self, page, token=None, raise_with=None):
+        self.page, self.token, self.raise_with = page, token, raise_with
+        self.kwargs_seen = []
+
+    def list_blobs(self, bucket, **kwargs):
+        self.kwargs_seen.append((bucket, kwargs))
+        if self.raise_with:
+            raise self.raise_with
+        return _FakeGcsIterator(self.page, self.token)
+
+
+def test_gcs_page_client_translation():
+    from datetime import timezone
+
+    from lakeview_spark.sources.object_store import GcsPageClient
+
+    aware = datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    page = _FakeGcsPage([_FakeGcsBlob("d/f1", aware, 9)], ["d/sub/"])
+    fake = FakeGcs(page, token="tok2")
+    client = GcsPageClient(fake, page_size=5)
+    token, entries = client.fetch_page("b", "d/", "tokin", "d/after")
+    assert token == "tok2"
+    assert ("f1", datetime(2026, 3, 1, 12, 0, 0), False, 9) in entries
+    assert ("sub", EPOCH, True, 0) in entries
+    bucket, kwargs = fake.kwargs_seen[0]
+    assert bucket == "b"
+    assert kwargs == {
+        "prefix": "d/",
+        "delimiter": "/",
+        "max_results": 5,
+        "page_token": "tokin",
+        "start_offset": "d/after",
+    }
+
+
+def test_gcs_status_code_translation():
+    from lakeview_spark.sources.object_store import GcsPageClient
+
+    class _E(Exception):
+        def __init__(self, code):
+            self.code = code
+
+    for code, exc in [(429, RateLimitError), (403, AccessDeniedError), (404, NoSuchKeyError), (500, ObjectStoreError)]:
+        client = GcsPageClient(FakeGcs(None, raise_with=_E(code)))
+        with pytest.raises(exc):
+            client.fetch_page("b", "d/", None, None)
+
+
+class _FakeAzurePaths:
+    def __init__(self, items, token):
+        self._items, self._token = items, token
+        self.asked_token = "UNSET"
+
+    def by_page(self, continuation_token=None):
+        self.asked_token = continuation_token
+        pages = iter([self._items])
+
+        class _Pages:
+            continuation_token = self._token
+
+            def __next__(self_inner):
+                return next(pages)
+
+        return _Pages()
+
+
+class _FakePathItem:
+    def __init__(self, name, is_directory, last_modified=None, content_length=0):
+        self.name = name
+        self.is_directory = is_directory
+        self.last_modified = last_modified
+        self.content_length = content_length
+
+
+def test_azure_page_client_translation():
+    from datetime import timezone
+
+    from lakeview_spark.sources.object_store import AzurePageClient
+
+    aware = datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    paths = _FakeAzurePaths(
+        [
+            _FakePathItem("d/f1", False, aware, 11),
+            _FakePathItem("d/sub", True),
+        ],
+        token="next-tok",
+    )
+
+    class _FakeFs:
+        def get_paths(self, path=None, recursive=False):
+            assert path == "d" and recursive is False
+            return paths
+
+    client = AzurePageClient(lambda container: _FakeFs())
+    token, entries = client.fetch_page("cont", "d/", "tok0", None)
+    assert token == "next-tok"
+    assert paths.asked_token == "tok0"
+    assert ("f1", datetime(2026, 3, 1, 12, 0, 0), False, 11) in entries
+    assert ("sub", EPOCH, True, 0) in entries
