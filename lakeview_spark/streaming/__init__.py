@@ -3,3 +3,8 @@ from lakeview_spark.streaming.timeline_stream import (  # noqa: F401
     stream_windowed_table_stats,
 )
 from lakeview_spark.streaming.stateful import track_incomplete_commits  # noqa: F401
+from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
+    document_stream,
+    stream_document_dedup,
+    stream_token_stats,
+)

@@ -1,0 +1,79 @@
+"""Streaming ingestion operators for the training-data pipeline.
+
+A 100 TB corpus is not loaded in one batch — it arrives continuously.
+These operators are the streaming twins of the batch pipeline ops, built
+on Structured Streaming's bounded-state primitives:
+
+- `stream_document_dedup`: exact dedup at ingestion time.
+  dropDuplicatesWithinWatermark keys state on the text hash and EVICTS
+  entries once the watermark passes, so state is bounded by the dedup
+  horizon (duplicates farther apart than the watermark are caught later
+  by the batch `dedup_exact` pass — the standard two-tier design).
+- `stream_token_stats`: tumbling-window token-count telemetry with late
+  -data tolerance; partial aggregation happens map-side per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("ingest_ts", TimestampType()),
+    ]
+)
+
+
+def document_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int = 100) -> DataFrame:
+    """File-source stream of incoming documents (json lines)."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+
+
+def stream_document_dedup(stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Exact dedup at ingestion: first arrival of a text hash wins;
+    duplicates within the watermark horizon are dropped with state that
+    the engine evicts as the watermark advances (never unbounded)."""
+    return (
+        stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ingest_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def stream_token_stats(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Per (window, lang) doc/token telemetry — the live twin of the
+    corpus statistics reports; watermark finalizes windows so state
+    stays proportional to open windows, not stream length."""
+    return (
+        stream.withWatermark("ingest_ts", watermark_delay)
+        .groupBy(F.window("ingest_ts", window_duration).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.split("text", " "))).alias("tokens"),
+        )
+        .select(
+            "lang",
+            F.col("win.start").alias("window_start"),
+            "docs",
+            "tokens",
+        )
+    )

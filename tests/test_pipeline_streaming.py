@@ -1,0 +1,74 @@
+"""Streaming ingestion pipeline tests: exact dedup with bounded state
+and windowed token telemetry."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from lakeview_spark.streaming import (
+    document_stream,
+    stream_document_dedup,
+    stream_token_stats,
+)
+
+
+def _write_docs(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_document_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    indir = str(tmp_path / "docs")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            {"doc_id": 1, "text": "alpha beta", "lang": "en", "ingest_ts": "2026-03-01T10:00:00.000Z"},
+            {"doc_id": 2, "text": "alpha beta", "lang": "en", "ingest_ts": "2026-03-01T10:00:05.000Z"},
+            {"doc_id": 3, "text": "gamma delta", "lang": "de", "ingest_ts": "2026-03-01T10:00:10.000Z"},
+            {"doc_id": 4, "text": "gamma delta", "lang": "de", "ingest_ts": "2026-03-01T10:30:00.000Z"},
+        ],
+    )
+    deduped = stream_document_dedup(document_stream(spark, indir), "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    # one survivor per distinct text within the watermark horizon
+    assert sorted(r.text for r in rows) == ["alpha beta", "gamma delta"]
+
+
+def test_stream_token_stats_windows(spark, tmp_path):
+    indir = str(tmp_path / "docs2")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            {"doc_id": 1, "text": "a b c", "lang": "en", "ingest_ts": "2026-03-01T10:01:00.000Z"},
+            {"doc_id": 2, "text": "d e", "lang": "en", "ingest_ts": "2026-03-01T10:04:00.000Z"},
+            {"doc_id": 3, "text": "f", "lang": "de", "ingest_ts": "2026-03-01T10:02:00.000Z"},
+            {"doc_id": 4, "text": "g h", "lang": "en", "ingest_ts": "2026-03-01T10:15:00.000Z"},
+        ],
+    )
+    stats = stream_token_stats(document_stream(spark, indir), "10 minutes", "5 minutes")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("tok_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.lang, str(r.window_start)): (r.docs, r.tokens)
+        for r in spark.sql("SELECT * FROM tok_stats").collect()
+    }
+    assert got[("en", "2026-03-01 10:00:00")] == (2, 5)
+    assert got[("de", "2026-03-01 10:00:00")] == (1, 1)
+    assert got[("en", "2026-03-01 10:10:00")] == (1, 2)
