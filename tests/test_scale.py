@@ -48,3 +48,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bktl")
         spark.sql("DROP TABLE IF EXISTS bktr")
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_timeline_search_plans_take_ordered_not_global_sort(spark):
+    from lakeview_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["timeline_search"](spark, SF_DIR))
+    # the page fetch is a per-partition top-50 merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_lsh_pairs_reads_materialized_signatures(spark):
+    from lakeview_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR))
+    # both self-join sides are parquet scans of the persisted signature
+    # table — the shingle pipeline (explode + groupBy mins) is absent
+    assert plan.count("lakeview_mat_minhash_sig") >= 2
+    assert "stack(" not in plan
+
+
+def test_embedding_cosine_reads_materialized_buckets(spark):
+    from lakeview_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["dedup_embedding_cosine"](spark, SF_DIR))
+    assert plan.count("lakeview_mat_lsh_bucketed") >= 2
