@@ -329,21 +329,40 @@ def partition_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "partition_skew",
-    oracle=f"""
-    WITH p AS ({_PARTS_SQL})
-    SELECT partition_key, total_bytes,
-           (total_bytes - avg(total_bytes) OVER ()) / avg(total_bytes) OVER () AS skew_vs_avg
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag || '/' || l_linestatus AS partition_key,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_dec
+      FROM lineitem GROUP BY 1
+    )
+    SELECT partition_key,
+           CAST(total_dec AS DOUBLE) AS total_bytes,
+           CAST(total_dec * count(*) OVER () - sum(total_dec) OVER () AS DOUBLE)
+             / CAST(sum(total_dec) OVER () AS DOUBLE) AS skew_vs_avg
     FROM p
     """,
 )
 def partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: data skew vs average partition size (window avg over all)."""
-    p = partition_size_distribution(spark, sf_dir)
-    avg = F.avg("total_bytes").over(Window.partitionBy())
+    """A7: data skew vs average partition size.
+
+    skew = (x - avg) / avg is computed as (x*n - total) / total with x*n
+    and total kept in exact DECIMAL until the final cast: an `avg() OVER`
+    of doubles sums floats in partition order, which differs between
+    Spark and DuckDB in the last ulp and (worse) between Spark runs —
+    the round-1 pass of the double formulation was ordering luck."""
+    li = t(spark, sf_dir, "lineitem")
+    p = li.groupBy(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("partition_key")
+    ).agg(F.sum(_dec("l_extendedprice")).alias("total_dec"))
+    w = Window.partitionBy()
+    grand = F.sum("total_dec").over(w)
+    n = F.count("*").over(w)
     return p.select(
         "partition_key",
-        "total_bytes",
-        ((F.col("total_bytes") - avg) / avg).alias("skew_vs_avg"),
+        F.col("total_dec").cast("double").alias("total_bytes"),
+        (
+            (F.col("total_dec") * n - grand).cast("double") / grand.cast("double")
+        ).alias("skew_vs_avg"),
     )
 
 
