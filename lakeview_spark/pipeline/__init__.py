@@ -6,4 +6,5 @@ from lakeview_spark.pipeline import (  # noqa: F401
     clustering,
     corpus,
     sketch,
+    curation,
 )

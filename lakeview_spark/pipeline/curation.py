@@ -1,0 +1,344 @@
+"""Corpus-curation operators: contamination detection, repetition
+scoring, a quality-filter funnel, and simhash hamming-distance pairs.
+
+These are the curation passes a large-scale training-data pipeline runs
+after raw dedup (cf. the C4/Gopher-style filter stacks): check corpus
+documents for n-gram overlap against a benchmark probe set
+(decontamination), score intra-document repetition, measure how many
+documents each quality filter stage retains, and turn banded SimHash
+signatures into verified hamming-distance near-dup pairs.
+
+Scale notes mirror dedup.py: every join is inverted-index- or
+band-bucket-shaped (shuffle bounded by postings, never |docs|^2), the
+benchmark shingle set is broadcast (benchmarks are tiny next to the
+corpus), and all scoring is integer/string columnar math so every
+operator is oracle-exact with no UDFs in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.dedup import (
+    _SHINGLES_SQL,
+    _SIMHASH_SQL,
+    _MINHASH_SIG_SQL,
+    _doc_shingles,
+    _tokens,
+    minhash_signatures_materialized,
+    simhash_materialized,
+)
+from lakeview_spark.plans.registry import register, t
+
+# Benchmark probe set: every doc_id divisible by _PROBE_MOD plays the
+# role of a held-out eval document. Deterministic, present at every SF.
+_PROBE_MOD = 29
+
+# SimHash hamming threshold and band count. 16-bit signatures split
+# into 4 nibble bands: by pigeonhole any pair within hamming distance 3
+# shares at least one identical band, so band-blocking is lossless for
+# the <=3 threshold. At corpus scale the same shape runs 64-bit
+# signatures with 4 x 16-bit bands.
+_HAMMING_MAX = 3
+
+_LAST_CLICK_OVER = (
+    "OVER (PARTITION BY user_id ORDER BY ts_us, is_click, event_id "
+    "ROWS UNBOUNDED PRECEDING)"
+)
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    probe AS (SELECT DISTINCT unnest(shingles) AS shingle FROM s
+              WHERE doc_id % {_PROBE_MOD} = 0),
+    corpus AS (SELECT doc_id, shingles FROM s
+               WHERE doc_id % {_PROBE_MOD} <> 0 AND len(shingles) > 0),
+    m AS (
+      SELECT c.doc_id, count(*) AS matched
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+      JOIN probe USING (shingle)
+      GROUP BY c.doc_id
+    )
+    SELECT corpus.doc_id,
+           len(corpus.shingles) AS n_shingles,
+           COALESCE(m.matched, 0) AS matched_shingles,
+           CAST(COALESCE(m.matched, 0) AS DOUBLE) / len(corpus.shingles)
+             AS contamination_share
+    FROM corpus LEFT JOIN m ON corpus.doc_id = m.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: per corpus doc, the share of its word
+    3-gram shingles that also occur in the probe (benchmark) set.
+
+    The probe shingle set is broadcast — benchmarks are a few thousand
+    documents even when the corpus is 100 TB — so the check is one
+    narrow hash-semi-join per shingle row plus a groupBy(doc_id);
+    no shuffle of the corpus text itself."""
+    s = _doc_shingles(spark, sf_dir)
+    probe = (
+        s.filter(F.col("doc_id") % _PROBE_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = s.filter(
+        (F.col("doc_id") % _PROBE_MOD != 0) & (F.size("shingles") > 0)
+    )
+    matched = (
+        corpus.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("matched"))
+    )
+    return (
+        corpus.select("doc_id", F.size("shingles").alias("n_shingles"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("matched"), F.lit(0).cast("bigint")).alias(
+                "matched_shingles"
+            ),
+            (
+                F.coalesce(F.col("matched"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination_share"),
+        )
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS distinct_tokens
+      FROM tk
+    ),
+    top AS (
+      SELECT doc_id, max(c) AS top_token_count FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, len(shingles) AS distinct_shingles FROM ({_SHINGLES_SQL}))
+    SELECT base.doc_id, n_tokens, distinct_tokens,
+           CAST(n_tokens - distinct_tokens AS DOUBLE) / n_tokens AS dup_token_share,
+           top_token_count,
+           CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_share,
+           CASE WHEN n_tokens > 2
+                THEN CAST(n_tokens - 2 - distinct_shingles AS DOUBLE) / (n_tokens - 2)
+                ELSE 0.0 END AS dup_shingle_share
+    FROM base JOIN top ON base.doc_id = top.doc_id
+    JOIN sh ON base.doc_id = sh.doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style filters): duplicate-token
+    share, most-frequent-token share, duplicate-3-gram share.
+
+    Token/distinct counts are per-row array math; the top-token count is
+    the one grouped pass (explode -> count per (doc, tok) -> max per
+    doc), shuffling on doc_id only. All ratios are exact-integer
+    divisions cast to double, so the oracle matches bit-for-bit."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    base = tk.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("distinct_tokens"),
+    )
+    top = (
+        tk.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("distinct_shingles")
+    )
+    raw = F.col("n_tokens") - 2
+    return (
+        base.join(top, "doc_id")
+        .join(sh, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            (
+                (F.col("n_tokens") - F.col("distinct_tokens")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_share"),
+            "top_token_count",
+            (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias(
+                "top_token_share"
+            ),
+            F.when(
+                F.col("n_tokens") > 2,
+                (raw - F.col("distinct_shingles")).cast("double") / raw,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_shingle_share"),
+        )
+    )
+
+
+_EN_STOP = "'the','and','of','to','a','in','is','it','for','on'"
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    {_MINHASH_SIG_SQL},
+    dup2 AS (
+      SELECT DISTINCT b.doc_id
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    f AS (
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) BETWEEN 40 AND 400 AS f1,
+             len(list_filter(string_split(lower(d.text), ' '),
+                 x -> x IN ({_EN_STOP}))) >= 1 AS f2,
+             len(list_distinct(string_split(lower(d.text), ' '))) * 3
+               >= len(string_split(lower(d.text), ' ')) AS f3,
+             dup2.doc_id IS NULL AS f4
+      FROM documents d LEFT JOIN dup2 ON d.doc_id = dup2.doc_id
+    ),
+    agg AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS s2,
+             sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS s3,
+             sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS s4
+      FROM f
+    )
+    SELECT stage, CAST(docs_retained AS BIGINT) AS docs_retained,
+           CAST(docs_retained AS DOUBLE) / total AS retention
+    FROM (
+      SELECT '00_all' AS stage, total AS docs_retained, total FROM agg
+      UNION ALL SELECT '01_token_range', s1, total FROM agg
+      UNION ALL SELECT '02_en_stopword', s2, total FROM agg
+      UNION ALL SELECT '03_distinct_ratio', s3, total FROM agg
+      UNION ALL SELECT '04_near_dup', s4, total FROM agg
+    )
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: documents retained after each successive
+    curation stage — token-length range, english-stopword presence,
+    distinct-token ratio >= 1/3 (integer cross-multiply, no float
+    threshold), and near-dup removal (drop the doc2 side of every
+    MinHash LSH band collision, i.e. keep canonical min-doc_id docs).
+
+    One pass computes all stage flags columnar; the only joins are the
+    broadcast-able LSH doc2 set and the final 5-row unpivot. The
+    signature table is read from the per-run scratch parquet."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures_materialized(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    dup2 = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    toks = F.split(F.col("text"), " ")
+    ltoks = F.split(F.lower("text"), " ")
+    flagged = docs.join(dup2, "doc_id", "left").select(
+        (F.size(toks).between(40, 400)).alias("f1"),
+        (
+            F.size(F.expr(f"filter(split(lower(text), ' '), x -> x IN ({_EN_STOP}))"))
+            >= 1
+        ).alias("f2"),
+        (F.size(F.array_distinct(ltoks)) * 3 >= F.size(ltoks)).alias("f3"),
+        F.col("is_dup").isNull().alias("f4"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = flagged.agg(
+        F.count("*").alias("total"),
+        one(F.col("f1")).alias("s1"),
+        one(F.col("f1") & F.col("f2")).alias("s2"),
+        one(F.col("f1") & F.col("f2") & F.col("f3")).alias("s3"),
+        one(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")).alias("s4"),
+    )
+    stacked = agg.selectExpr(
+        "total",
+        "stack(5, '00_all', total, '01_token_range', s1, '02_en_stopword', s2, "
+        "'03_distinct_ratio', s3, '04_near_dup', s4) AS (stage, docs_retained)",
+    )
+    return stacked.select(
+        "stage",
+        F.col("docs_retained").cast("bigint").alias("docs_retained"),
+        (F.col("docs_retained").cast("double") / F.col("total")).alias("retention"),
+    )
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS nibble
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                      a.simhash AS s1, b.simhash AS s2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: nibble-band blocking then exact popcount.
+
+    4 bands x 4 bits over the 16-bit signature: any pair within hamming
+    distance {_HAMMING_MAX} collides in >=1 band (pigeonhole), so the
+    band self-join is a lossless candidate generator — the same
+    blocking that runs 64-bit simhash at corpus scale. Candidates are
+    verified with bit_count(xor), one integer op per pair."""
+    sig = simhash_materialized(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack(4, 0, shiftright(simhash, 0) & 15, 1, shiftright(simhash, 4) & 15, "
+        "2, shiftright(simhash, 8) & 15, 3, shiftright(simhash, 12) & 15) "
+        "AS (band, nibble)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc1", "doc2", "hamming")
+    )

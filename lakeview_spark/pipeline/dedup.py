@@ -242,13 +242,10 @@ def minhash_signatures_materialized(spark: SparkSession, sf_dir: str) -> DataFra
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
-
-@register(
-    "dedup_simhash",
-    oracle="""
-    WITH e AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
-    ), h AS (SELECT doc_id, md5(tok) AS th FROM e)
+# Shared with curation.py's hamming-pair query: a WITH-composable SELECT
+# producing (doc_id, simhash).
+_SIMHASH_SQL = (
+    """
     SELECT doc_id, """
     + " + ".join(
         f"(CASE WHEN sum(CASE WHEN substr(th, {i}, 1) IN ('1','3','5','7','9','b','d','f') "
@@ -256,9 +253,14 @@ _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
         for i in range(1, 17)
     )
     + """ AS simhash
-    FROM h GROUP BY doc_id
-    """,
+    FROM (SELECT doc_id, md5(tok) AS th FROM
+          (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents))
+    GROUP BY doc_id
+    """
 )
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 16-bit signature, bit i = majority vote of md5-nibble
     parity over tokens (token multiplicity counts, as in classic simhash)."""
@@ -280,3 +282,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bits[1:]:
         simhash = simhash + b
     return h.groupBy("doc_id").agg(simhash.alias("simhash"))
+
+
+def simhash_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) persisted to scratch once per run — the
+    hamming-pair self-join reads both sides from parquet instead of
+    re-running the token groupBy twice."""
+    return materialized(spark, "simhash_sig", sf_dir, dedup_simhash)

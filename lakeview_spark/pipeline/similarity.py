@@ -172,6 +172,133 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
 
 
+@register(
+    "similarity_ann_multiprobe",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, e.label, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id, any_value(label) AS label, any_value(embedding) AS embedding,
+             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qbucket FROM bucketed WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT b.vec_id, b.label,
+           {_DOT_SQL.format(a="b.embedding", b="q.qe")}
+           / ({_NORM_SQL.format(a="b.embedding")} * {_NORM_SQL.format(a="q.qe")}) AS cosine
+    FROM bucketed b, q
+    WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1 AND b.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id LIMIT {_TOP_K}
+    """,
+)
+def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: score the query's LSH bucket plus every bucket
+    at hamming distance 1 (one flipped hyperplane bit) — 5 probes over 4
+    planes. The standard recall knob for bucketed ANN: candidates grow
+    ~(1 + planes)/2^planes-fold while staying bucket-restricted, never
+    all-pairs. Probe selection is a popcount on the bucket id, so the
+    candidate filter stays a single columnar predicate."""
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter(
+            (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1)
+            & (F.col("vec_id") != _QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "label",
+            (_dot("embedding", "qe") / (_norm("embedding") * _norm("qe"))).alias("cosine"),
+        )
+    )
+    return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
+
+
+_CENTROID_SQL = f"""
+    SELECT vec_id AS cluster_id, embedding AS ce FROM embeddings
+    WHERE vec_id IN {_PLANE_IDS}
+"""
+
+_ASSIGN_SQL = f"""
+    WITH c AS ({_CENTROID_SQL}),
+    scored AS (
+      SELECT e.vec_id, e.label, c.cluster_id,
+             {_DOT_SQL.format(a="e.embedding", b="c.ce")}
+             / ({_NORM_SQL.format(a="e.embedding")} * {_NORM_SQL.format(a="c.ce")}) AS cosine
+      FROM embeddings e, c
+    ),
+    r AS (
+      SELECT vec_id, label, cluster_id, cosine,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cluster_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, label, cluster_id, cosine FROM r WHERE rn = 1
+"""
+
+
+@register("embedding_centroid_assign", oracle=_ASSIGN_SQL)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step: nearest of 4 data-derived centroids
+    (vec_id 1..4) by cosine, tie-broken on cluster_id.
+
+    The distributed k-means inner loop: centroids broadcast, one narrow
+    map to score, one window partitioned by vec_id (4 rows each) for the
+    argmax — no global shuffle beyond the per-vector partition. Cosines
+    are left-fold doubles, so the argmax (and its tiebreak) is
+    deterministic across engines."""
+    return materialized(spark, "centroid_assign", sf_dir, _centroid_assign_build)
+
+
+def _centroid_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(*_PLANE_IDS)).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cluster_id",
+        (_dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cluster_id", "cosine")
+    )
+
+
+@register(
+    "embedding_centroid_stats",
+    oracle=f"""
+    WITH assign AS ({_ASSIGN_SQL})
+    SELECT cluster_id, label, count(*) AS n_vectors,
+           min(cosine) AS min_cosine, max(cosine) AS max_cosine
+    FROM assign GROUP BY cluster_id, label
+    """,
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster quality stats per (cluster, label): sizes and cosine
+    spread. count/min/max only — order-independent aggregates, so no
+    float-summation nondeterminism — over the materialized assignment
+    (the k-means convergence check reads this same table each round)."""
+    assign = embedding_centroid_assign(spark, sf_dir)
+    return assign.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("cosine").alias("min_cosine"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
 def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, embedding, bucket) — bucket assignment materialized
     once per run so self-joins and repeat consumers scan parquet instead

@@ -280,3 +280,117 @@ def brand_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+_ASOF_ORDER = (
+    "PARTITION BY user_id ORDER BY ts_us, is_click, event_id "
+    "ROWS UNBOUNDED PRECEDING"
+)
+
+
+@register(
+    "events_asof_click_value",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, ts_us, event_type, value,
+             last_value(CASE WHEN is_click = 1 THEN value END IGNORE NULLS)
+               OVER ({_ASOF_ORDER}) AS last_click_value,
+             last_value(CASE WHEN is_click = 1 THEN ts_us END IGNORE NULLS)
+               OVER ({_ASOF_ORDER}) AS last_click_ts_us
+      FROM e
+    )
+    SELECT event_id, user_id, ts_us, value AS purchase_value,
+           last_click_value, last_click_ts_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, composed from Spark primitives: each purchase event
+    picks up the most recent strictly-prior click's value per user.
+
+    Spark has no ASOF JOIN operator; the scalable reformulation is the
+    union-and-carry trick — one partitioned window over the merged
+    event stream with last(..., ignorenulls) carrying click state
+    forward. Strictness at equal timestamps comes from the sort key
+    (ts_us, is_click, event_id): clicks sort AFTER purchases at the
+    same ts_us, so a purchase never sees a same-instant click; the
+    event_id tiebreak makes same-ts click ordering total. One shuffle
+    on user_id, state bounded per user — the 100 TB shape (a
+    range/broadcast join would be quadratic per hot user)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_val = F.when(F.col("is_click") == 1, F.col("value"))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts_us"))
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        "value",
+        F.last(click_val, ignorenulls=True).over(w).alias("last_click_value"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts_us"),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("value").alias("purchase_value"),
+        "last_click_value",
+        "last_click_ts_us",
+    )
+
+
+@register(
+    "events_props_json_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           min(k) AS min_k, max(k) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(k) AS DOUBLE) / sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS avg_k
+    FROM e GROUP BY event_type
+    """,
+)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured scalar path: pull a typed field out of the JSON
+    props column (get_json_object stays JVM-side, no UDF) and aggregate
+    per event type. Integer sums stay exact; the mean is one double
+    division at the edge. try_cast guards malformed payloads under ANSI
+    mode."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        (
+            F.sum("k").cast("double")
+            / F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        ).alias("avg_k"),
+    )

@@ -1,0 +1,118 @@
+"""Semantic tests for the curation operators (contamination, repetition,
+filter funnel, simhash hamming pairs, as-of join, centroid assignment)
+beyond the oracle-parity harness: invariants a wrong-but-plausible
+implementation would break."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.curation import (
+    _HAMMING_MAX,
+    _PROBE_MOD,
+)
+from lakeview_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_contamination_probe_docs_excluded_and_shares_bounded(spark):
+    out = QUERIES["contamination_ngram_overlap"](spark, SF_DIR).collect()
+    assert out, "contamination output must be non-empty"
+    assert all(r.doc_id % _PROBE_MOD != 0 for r in out)
+    assert all(0.0 <= r.contamination_share <= 1.0 for r in out)
+    assert all(r.matched_shingles <= r.n_shingles for r in out)
+    # non-vacuous both ways: some contaminated, some clean
+    assert any(r.matched_shingles > 0 for r in out)
+    assert any(r.matched_shingles == 0 for r in out)
+
+
+def test_repetition_score_invariants(spark):
+    out = QUERIES["text_repetition_score"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.distinct_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_token_share < 1.0
+        assert 1 <= r.top_token_count <= r.n_tokens
+        assert 0.0 <= r.dup_shingle_share <= 1.0
+    # synthetic docs repeat words from a small vocab: some repetition exists
+    assert any(r.dup_token_share > 0 for r in out)
+
+
+def test_quality_funnel_monotone(spark):
+    rows = {r.stage: r for r in QUERIES["quality_filter_funnel"](spark, SF_DIR).collect()}
+    order = ["00_all", "01_token_range", "02_en_stopword", "03_distinct_ratio", "04_near_dup"]
+    assert set(rows) == set(order)
+    counts = [rows[s].docs_retained for s in order]
+    assert counts == sorted(counts, reverse=True), "funnel must be monotone non-increasing"
+    assert rows["00_all"].retention == 1.0
+    assert counts[-1] > 0, "funnel must not filter everything"
+    assert counts[1] < counts[0], "stage 1 must actually drop documents"
+
+
+def test_simhash_hamming_pairs_verified_and_band_lossless(spark):
+    pairs = QUERIES["dedup_simhash_hamming_pairs"](spark, SF_DIR)
+    sig = {r.doc_id: r.simhash for r in QUERIES["dedup_simhash"](spark, SF_DIR).collect()}
+    sample = pairs.limit(50).collect()
+    assert sample
+    for r in sample:
+        actual = bin(sig[r.doc1] ^ sig[r.doc2]).count("1")
+        assert actual == r.hamming <= _HAMMING_MAX
+    # band blocking is lossless for <= _HAMMING_MAX: brute-force a slice
+    # of doc pairs and confirm every qualifying pair was emitted
+    emitted = {(r.doc1, r.doc2) for r in pairs.collect()}
+    docs = sorted(sig)[:60]
+    for i, d1 in enumerate(docs):
+        for d2 in docs[i + 1 :]:
+            if bin(sig[d1] ^ sig[d2]).count("1") <= _HAMMING_MAX:
+                assert (d1, d2) in emitted, (d1, d2)
+
+
+def test_asof_join_hand_frame(spark):
+    # hand-built stream: clicks at t=10 (v=1.0) and t=30 (v=3.0);
+    # purchases at t=5 (no prior click), t=10 (same-instant click must
+    # NOT count), t=20 (sees t=10 click), t=40 (sees t=30 click)
+    rows = [
+        Row(event_id=1, user_id=7, ts=10_000, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, user_id=7, ts=30_000, event_type="click", value=3.0, props="{}"),
+        Row(event_id=3, user_id=7, ts=5_000, event_type="purchase", value=9.0, props="{}"),
+        Row(event_id=4, user_id=7, ts=10_000, event_type="purchase", value=9.0, props="{}"),
+        Row(event_id=5, user_id=7, ts=20_000, event_type="purchase", value=9.0, props="{}"),
+        Row(event_id=6, user_id=7, ts=40_000, event_type="purchase", value=9.0, props="{}"),
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        # events.parquet with ts as long nanos mirrors the nanosAsLong read
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.event_id: r
+            for r in QUERIES["events_asof_click_value"](spark, d).collect()
+        }
+    assert out[3].last_click_value is None
+    assert out[4].last_click_value is None, "same-instant click must not be visible"
+    assert out[5].last_click_value == 1.0 and out[5].last_click_ts_us == 10
+    assert out[6].last_click_value == 3.0 and out[6].last_click_ts_us == 30
+
+
+def test_centroid_assign_covers_all_vectors_once(spark):
+    assign = QUERIES["embedding_centroid_assign"](spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()
+    # seed vectors assign to themselves with cosine ~1
+    seeds = {r.vec_id: r for r in assign.filter(F.col("vec_id").isin(1, 2, 3, 4)).collect()}
+    for vid, r in seeds.items():
+        assert r.cluster_id == vid
+        assert abs(r.cosine - 1.0) < 1e-9
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    single = {r.vec_id for r in QUERIES["similarity_ann_ivf"](spark, SF_DIR).collect()}
+    multi = QUERIES["similarity_ann_multiprobe"](spark, SF_DIR).collect()
+    multi_ids = {r.vec_id for r in multi}
+    # same top-k budget, wider candidate pool: every multiprobe hit is at
+    # least as good as the single-probe tail, and the pools overlap
+    assert len(multi) == len(single)
+    assert multi_ids & single, "probe expansion should retain bucket hits"
