@@ -80,6 +80,17 @@ def parse_object_uri(uri: str) -> tuple[str, str]:
     return bucket, path
 
 
+def construct_file_uri(directory_uri: str, file_path: str) -> str:
+    """Join a directory URI and a file path with exactly one slash.
+
+    StorageUtils.java:37-45 semantics: strip the directory's trailing
+    slash and the file path's leading slash, then join with '/'. An
+    empty directory yields '/file', an empty file path yields 'dir/'."""
+    d = directory_uri[:-1] if directory_uri.endswith("/") else directory_uri
+    f = file_path[1:] if file_path.startswith("/") else file_path
+    return f"{d}/{f}"
+
+
 class PageClient(Protocol):
     """One page of a delimited listing.
 

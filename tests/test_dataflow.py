@@ -357,3 +357,45 @@ def test_run_once_end_to_end(spark, lake, tmp_path):
     m2 = run_once(spark, cfg, state, mirror)
     assert m2["tables_initialized"] == 0
     assert m2["active_batched_files"] in (0, None) or m2.get("active_batched_files", 0) == 0
+
+
+def test_run_once_mirror_failure_does_not_advance_checkpoint(spark, lake, tmp_path):
+    """Reference poison semantics (TimelineCommitInstantsUploader.java:
+    625-688): a failed upload must leave the checkpoint unadvanced so the
+    next run reprocesses. Force the mirror sink to fail by planting a
+    regular file where the table's mirror directory must go."""
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "ONCE",
+                "uploadStrategy": "BLOCK_ON_INCOMPLETE_COMMIT",
+                "pathExclusionPatterns": [".*excluded.*"],
+                "parserConfig": PARSER_CFG(lake),
+            },
+        }
+    )
+    state = str(tmp_path / "state")
+    mirror = str(tmp_path / "mirror")
+    os.makedirs(mirror)
+    t1 = uuid3_from_uri(f"{lake}/tbl1")
+    with open(os.path.join(mirror, t1), "w") as f:
+        f.write("not a directory")
+
+    with pytest.raises(Exception):
+        run_once(spark, cfg, state, mirror)
+
+    store = CheckpointStore(spark, os.path.join(state, "checkpoints"))
+    ckpts = {r.table_id: r for r in store.load().collect()}
+    # initialized (anti-join ran before upload) but never advanced
+    assert ckpts[t1].batch_id == 0
+    assert ckpts[t1].last_uploaded_file == ""
+    assert not ckpts[t1].archived_commits_processed
+
+    # unblock and re-run: the same files are reprocessed successfully
+    os.remove(os.path.join(mirror, t1))
+    metrics = run_once(spark, cfg, state, mirror)
+    assert metrics["archived_batched_files"] > 0
+    ckpts = {r.table_id: r for r in store.load().collect()}
+    assert ckpts[t1].archived_commits_processed
+    assert ckpts[t1].last_uploaded_file != ""
