@@ -20,14 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakeview_spark.operators.materialize import materialized
 from lakeview_spark.pipeline.dedup import (
     _SHINGLES_SQL,
-    _SIMHASH_SQL,
     _MINHASH_SIG_SQL,
+    _ODD_HEX,
     _doc_shingles,
     _tokens,
     minhash_signatures_materialized,
-    simhash_materialized,
 )
 from lakeview_spark.plans.registry import register, t
 
@@ -35,17 +35,19 @@ from lakeview_spark.plans.registry import register, t
 # role of a held-out eval document. Deterministic, present at every SF.
 _PROBE_MOD = 29
 
-# SimHash hamming threshold and band count. 16-bit signatures split
-# into 4 nibble bands: by pigeonhole any pair within hamming distance 3
-# shares at least one identical band, so band-blocking is lossless for
-# the <=3 threshold. At corpus scale the same shape runs 64-bit
-# signatures with 4 x 16-bit bands.
+# SimHash hamming threshold and band layout for the pair query. The
+# 32-bit signature (one bit per md5 hex digit, twice the width of the
+# 16-bit dedup_simhash demo signature) splits into 4 bytes: by
+# pigeonhole any pair within hamming distance 3 has at least one
+# identical byte, so band-blocking is lossless for the <=3 threshold —
+# and each band has 256 distinct values, so bucket sizes (and the
+# candidate-pair count) stay ~256x below the all-pairs quadratic. A
+# 16-bit signature here would cap bands at 16 values, making candidates
+# O(n^2/16) — the same hot-key quadratic the Jaccard df-cap guards
+# against. At corpus scale the identical shape runs 64-bit signatures
+# with 4 x 16-bit bands.
 _HAMMING_MAX = 3
-
-_LAST_CLICK_OVER = (
-    "OVER (PARTITION BY user_id ORDER BY ts_us, is_click, event_id "
-    "ROWS UNBOUNDED PRECEDING)"
-)
+_SIG_BITS = 32
 
 
 @register(
@@ -286,46 +288,93 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 32-bit signature: bit i = majority vote of the parity of md5 hex
+# digit i over tokens (i = 1..32) — dedup_simhash's construction at
+# double width, shared bit-for-bit between the engines.
+_SIMHASH32_SQL = (
+    """
+    SELECT doc_id, """
+    + " + ".join(
+        f"(CASE WHEN sum(CASE WHEN substr(th, {i}, 1) IN ('1','3','5','7','9','b','d','f') "
+        f"THEN 1 ELSE -1 END) > 0 THEN CAST({1 << (i - 1)} AS BIGINT) ELSE 0 END)"
+        for i in range(1, _SIG_BITS + 1)
+    )
+    + """ AS simhash
+    FROM (SELECT doc_id, md5(tok) AS th FROM
+          (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents))
+    GROUP BY doc_id
+    """
+)
+
+
+def _simhash32_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("th"))
+    bits = [
+        F.when(
+            F.sum(
+                F.when(F.substring("th", i, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << (i - 1)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(1, _SIG_BITS + 1)
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return h.groupBy("doc_id").agg(simhash.alias("simhash"))
+
+
+def simhash32_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash BIGINT) persisted to scratch once per run — both
+    sides of the hamming-pair self-join read parquet instead of
+    re-running the 32-way conditional-sum groupBy."""
+    return materialized(spark, "simhash32_sig", sf_dir, _simhash32_build)
+
+
 @register(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
-    WITH sig AS ({_SIMHASH_SQL}),
+    WITH sig AS ({_SIMHASH32_SQL}),
     bands AS (
-      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS nibble
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS byte
       FROM sig, (SELECT unnest(range(0, 4)) AS band) b
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
                       a.simhash AS s1, b.simhash AS s2
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
     )
     SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
     """,
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: nibble-band blocking then exact popcount.
+    """SimHash near-dup pairs: byte-band blocking then exact popcount.
 
-    4 bands x 4 bits over the 16-bit signature: any pair within hamming
-    distance {_HAMMING_MAX} collides in >=1 band (pigeonhole), so the
-    band self-join is a lossless candidate generator — the same
-    blocking that runs 64-bit simhash at corpus scale. Candidates are
-    verified with bit_count(xor), one integer op per pair."""
-    sig = simhash_materialized(spark, sf_dir)
+    4 bands x 8 bits over a 32-bit signature: any pair within hamming
+    distance 3 collides in >=1 byte (pigeonhole), so the band self-join
+    is a lossless candidate generator, and 256 values per band keep
+    bucket sizes ~n/256 — the same blocking that runs 64-bit simhash
+    with 16-bit bands at corpus scale. Candidates are verified with
+    bit_count(xor), one integer op per pair."""
+    sig = simhash32_materialized(spark, sf_dir)
     bands = sig.selectExpr(
         "doc_id",
         "simhash",
-        "stack(4, 0, shiftright(simhash, 0) & 15, 1, shiftright(simhash, 4) & 15, "
-        "2, shiftright(simhash, 8) & 15, 3, shiftright(simhash, 12) & 15) "
-        "AS (band, nibble)",
+        "stack(4, 0, shiftright(simhash, 0) & 255, 1, shiftright(simhash, 8) & 255, "
+        "2, shiftright(simhash, 16) & 255, 3, shiftright(simhash, 24) & 255) "
+        "AS (band, byte)",
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.byte") == F.col("b.byte"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

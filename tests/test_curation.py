@@ -52,8 +52,10 @@ def test_quality_funnel_monotone(spark):
 
 
 def test_simhash_hamming_pairs_verified_and_band_lossless(spark):
+    from lakeview_spark.pipeline.curation import simhash32_materialized
+
     pairs = QUERIES["dedup_simhash_hamming_pairs"](spark, SF_DIR)
-    sig = {r.doc_id: r.simhash for r in QUERIES["dedup_simhash"](spark, SF_DIR).collect()}
+    sig = {r.doc_id: r.simhash for r in simhash32_materialized(spark, SF_DIR).collect()}
     sample = pairs.limit(50).collect()
     assert sample
     for r in sample:
