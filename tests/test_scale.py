@@ -80,3 +80,41 @@ def test_embedding_cosine_reads_materialized_buckets(spark):
 
     plan = _plan(QUERIES["dedup_embedding_cosine"](spark, SF_DIR))
     assert plan.count("lakeview_mat_lsh_bucketed") >= 2
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# a 1-row (or 4-row centroid/plane) broadcast cross join used to attach
+# a query vector / probe bucket to every candidate — constant-size
+# build side, not a scale hazard.
+_TINY_BROADCAST_OK = {
+    "similarity_topk_cosine",
+    "similarity_ann_ivf",
+    "similarity_ann_multiprobe",
+    "similarity_lsh_buckets",
+    "dedup_embedding_cosine",
+    "embedding_centroid_assign",
+    "embedding_centroid_stats",
+    "forecast_revenue",
+    "minhash_similarity_estimate",
+    "corpus_distinct_kmv",
+    "quality_filter_funnel",
+    "table_health_summary",
+    "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
+}
+
+
+def test_no_query_plans_a_cartesian_or_unbounded_nested_loop(spark):
+    """Scale guard over the whole registry: no registered query may plan
+    a CartesianProduct, and BroadcastNestedLoopJoin is allowed only for
+    the whitelisted constant-size broadcast patterns."""
+    from lakeview_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _TINY_BROADCAST_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
