@@ -394,3 +394,47 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
         ).alias("avg_k"),
     )
+
+
+@register(
+    "events_sliding_window_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS events_last_hour,
+           max(value) OVER w AS max_value_last_hour,
+           ts_us - min(ts_us) OVER w AS span_us
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user activity via a RANGE window frame (the
+    one frame kind the reference never needs — W4 breadth): for each
+    event, how many events, the max value, and the time span within the
+    preceding hour.
+
+    Frame membership is by ts_us VALUE, so equal-timestamp rows share
+    identical frames in both engines — no ordering ambiguity. Only
+    order-independent aggregates (count, max, min) ride on the frame;
+    no float summation. Partitioned per user: bounded state, no global
+    sort, the 100x-safe shape."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).cast("bigint").alias("events_last_hour"),
+        F.max("value").over(w).alias("max_value_last_hour"),
+        (F.col("ts_us") - F.min("ts_us").over(w)).alias("span_us"),
+    )

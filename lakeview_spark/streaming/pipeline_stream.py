@@ -77,3 +77,33 @@ def stream_token_stats(
             "tokens",
         )
     )
+
+
+def stream_event_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Native session windows over a live event stream — the streaming
+    twin of the batch `events_sessionization` query (which derives
+    sessions with lag + running sum because batch SQL has no session
+    primitive; Structured Streaming does).
+
+    `session_window` merges events per user whose gaps are under the
+    threshold; the watermark closes sessions once no in-gap event can
+    still arrive, so state is bounded by open sessions, not stream
+    length. Output matches the batch query's shape: one row per closed
+    (user, session) with event count, start, and duration."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            (
+                F.unix_micros(F.col("win.end")) - F.unix_micros(F.col("win.start"))
+            ).alias("span_us"),
+            "events",
+        )
+    )

@@ -72,3 +72,49 @@ def test_stream_token_stats_windows(spark, tmp_path):
     assert got[("en", "2026-03-01 10:00:00")] == (2, 5)
     assert got[("de", "2026-03-01 10:00:00")] == (1, 1)
     assert got[("en", "2026-03-01 10:10:00")] == (1, 2)
+
+
+def test_stream_event_sessions_native_session_window(spark, tmp_path):
+    """session_window groups events per user by idle gap; sessions close
+    once the watermark passes and the output matches a hand-derived
+    session structure (two sessions for user 1 split by a >30 min gap,
+    one for user 2)."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from lakeview_spark.streaming import stream_event_sessions
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    indir = str(tmp_path / "events")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            {"user_id": 1, "ts": "2026-03-01T10:00:00.000Z"},
+            {"user_id": 1, "ts": "2026-03-01T10:10:00.000Z"},
+            # > 30 min gap -> new session for user 1
+            {"user_id": 1, "ts": "2026-03-01T11:00:00.000Z"},
+            {"user_id": 2, "ts": "2026-03-01T10:05:00.000Z"},
+            # watermark pusher: late enough that all sessions above close
+            {"user_id": 99, "ts": "2026-03-01T15:00:00.000Z"},
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(indir)
+    q = (
+        stream_event_sessions(stream, gap="30 minutes", watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("event_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM event_sessions ORDER BY user_id, session_start").collect()
+    closed = [(r.user_id, r.events, r.span_us) for r in rows]
+    # user 99's session is still open (nothing after it advances the
+    # watermark), so exactly the three closed sessions appear
+    assert closed == [
+        (1, 2, (10 * 60 + 30 * 60) * 1_000_000),  # 10:00-10:10 + 30min gap pad
+        (1, 1, 30 * 60 * 1_000_000),
+        (2, 1, 30 * 60 * 1_000_000),
+    ]
