@@ -236,3 +236,32 @@ def test_continuous_mode_keeps_last_good_config_on_bad_override(monkeypatch, tmp
     )
     # invalid override -> refresh fails -> previous config stays in force
     assert len(rounds) == 2 and seen == ["BLOCK_ON_INCOMPLETE_COMMIT"] * 2
+
+
+def test_load_config_from_yaml_string():
+    # ConfigLoaderTest.java:78-90 (yaml-string CLI path, reference -c flag)
+    from lakeview_spark.config import load_config
+
+    cfg = load_config(
+        "version: V1\n"
+        "metadataExtractorConfig:\n"
+        "  jobRunMode: ONCE\n"
+        "  uploadStrategy: CONTINUE_ON_INCOMPLETE_COMMIT\n"
+        "  parserConfig:\n"
+        "    - lake: l\n"
+        "      databases:\n"
+        "        - name: d\n"
+        "          basePaths: ['/x']\n"
+    )
+    assert cfg.job_run_mode == "ONCE"
+    assert cfg.upload_strategy == "CONTINUE_ON_INCOMPLETE_COMMIT"
+
+
+def test_load_config_invalid_yaml_raises():
+    # ConfigLoaderTest.java:146-153
+    import pytest as _pytest
+
+    from lakeview_spark.config import load_config
+
+    with _pytest.raises(Exception):
+        load_config("version: V1\nmetadataExtractorConfig: [unclosed\n  - ][")
