@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakeview_spark.operators.materialize import materialized
 from lakeview_spark.pipeline.dedup import dedup_minhash_lsh_pairs
 from lakeview_spark.plans.registry import register, t
 
@@ -107,7 +108,19 @@ def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2")
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup groups: connected components of the LSH candidate
-    graph, cluster id = min doc_id in the component."""
+    graph, cluster id = min doc_id in the component.
+
+    The label table is materialized once per run: the iterative
+    fixpoint (a multi-job computation) would otherwise re-run for every
+    consumer — dedup_apply alone was paying it twice."""
+    return clusters_materialized(spark, sf_dir)
+
+
+def clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return materialized(spark, "dedup_clusters", sf_dir, _clusters_build)
+
+
+def _clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     return connected_components(pairs)
 
