@@ -7,4 +7,5 @@ from lakeview_spark.pipeline import (  # noqa: F401
     corpus,
     sketch,
     curation,
+    evaluation,
 )

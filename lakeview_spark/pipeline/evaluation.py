@@ -1,0 +1,178 @@
+"""Pipeline-QA evaluation operators: measure the curation pipeline's own
+quality — language-ID confusion, LSH candidate precision/recall against
+exact Jaccard truth, and the dedup pass's corpus reduction.
+
+A 100 TB curation run is only trustworthy if its filters are measured on
+the same engine that runs them; these are the queries that close that
+loop. All metrics are exact-integer counts with double division only at
+the edge, so every one is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.clustering import clusters_materialized
+from lakeview_spark.pipeline.dedup import (
+    _MINHASH_SIG_SQL,
+    JACCARD_DF_CAP,
+    _SHINGLES_SQL,
+    dedup_ngram_jaccard,
+    dedup_minhash_lsh_pairs,
+)
+from lakeview_spark.pipeline.text import _LANG_ID_SQL, text_language_id
+from lakeview_spark.plans.registry import register, t
+
+
+@register(
+    "eval_language_id_confusion",
+    oracle=f"""
+    WITH lid AS ({_LANG_ID_SQL})
+    SELECT true_lang, predicted_lang, count(*) AS docs
+    FROM lid GROUP BY true_lang, predicted_lang
+    """,
+)
+def eval_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: (true, predicted) doc counts — the
+    standard QA readout for the classifier gating a multilingual
+    corpus. One groupBy over the language-ID output; 25 cells max."""
+    lid = text_language_id(spark, sf_dir)
+    return lid.groupBy("true_lang", "predicted_lang").agg(
+        F.count("*").alias("docs")
+    )
+
+
+# exact-Jaccard truth threshold shared with dedup_ngram_jaccard
+_JACCARD_TRUTH = 0.1
+
+_TRUE_PAIRS_SQL = f"""
+      WITH s AS ({_SHINGLES_SQL}),
+      e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+      live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
+      e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
+      sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
+      p AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT doc1, doc2 FROM p
+      JOIN sizes sa ON sa.doc_id = doc1
+      JOIN sizes sb ON sb.doc_id = doc2
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_JACCARD_TRUTH}
+"""
+
+
+@register(
+    "eval_lsh_precision_recall",
+    oracle=f"""
+    WITH truth AS ({_TRUE_PAIRS_SQL}),
+    pred AS (
+      {_MINHASH_SIG_SQL}
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    tp AS (SELECT count(*) AS n FROM truth JOIN pred USING (doc1, doc2))
+    SELECT (SELECT count(*) FROM truth) AS true_pairs,
+           (SELECT count(*) FROM pred) AS predicted_pairs,
+           tp.n AS true_positives,
+           CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM pred) AS precision,
+           CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM truth) AS recall
+    FROM tp
+    """,
+)
+def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate quality: precision/recall of the banded MinHash
+    pairs against exact-Jaccard >= 0.1 truth — the tuning readout for
+    band count vs threshold. Both pair sets are (doc1, doc2) joins on
+    already-shuffle-bounded candidates; counts are scalars."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    pred = dedup_minhash_lsh_pairs(spark, sf_dir)
+    tp = truth.join(pred, ["doc1", "doc2"]).agg(
+        F.count("*").alias("true_positives")
+    )
+    return (
+        tp.crossJoin(F.broadcast(truth.agg(F.count("*").alias("true_pairs"))))
+        .crossJoin(F.broadcast(pred.agg(F.count("*").alias("predicted_pairs"))))
+        .select(
+            "true_pairs",
+            "predicted_pairs",
+            "true_positives",
+            (
+                F.col("true_positives").cast("double") / F.col("predicted_pairs")
+            ).alias("precision"),
+            (F.col("true_positives").cast("double") / F.col("true_pairs")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@register(
+    "eval_dedup_reduction",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      ),
+      e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+      sig AS (
+        SELECT doc_id, b.band,
+               min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM e, (SELECT unnest(range(1, 9)) AS band) b
+        GROUP BY doc_id, b.band
+      )
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.lang, count(*) AS docs_before,
+           CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+           CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS removed_share
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+    GROUP BY d.lang
+    """,
+)
+def eval_dedup_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact per language: corpus size before/after near-dup
+    removal and the removed share — the capacity-planning readout for
+    the dedup pass. Reads the materialized cluster labels; one
+    broadcast-able losers join + groupBy(lang)."""
+    losers = (
+        clusters_materialized(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("is_loser", F.lit(True))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = docs.join(losers, "doc_id", "left")
+    return j.groupBy("lang").agg(
+        F.count("*").alias("docs_before"),
+        F.sum(F.when(F.col("is_loser").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_after"),
+        (
+            F.sum(F.when(F.col("is_loser").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("removed_share"),
+    )

@@ -36,9 +36,8 @@ def _hits_sql(lang: str) -> str:
 _LANGS = ("en", "de", "es", "fr", "zh")
 
 
-@register(
-    "text_language_id",
-    oracle=f"""
+# WITH-composable: also the base of eval_language_id_confusion
+_LANG_ID_SQL = f"""
     WITH tk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
     sc AS (
       SELECT doc_id, lang AS true_lang,
@@ -50,8 +49,10 @@ _LANGS = ("en", "de", "es", "fr", "zh")
                 WHEN hits_en THEN 'en' WHEN hits_de THEN 'de' WHEN hits_es THEN 'es'
                 WHEN hits_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
     FROM sc
-    """,
-)
+    """
+
+
+@register("text_language_id", oracle=_LANG_ID_SQL)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, argmax
     with a fixed tie order (en > de > es > fr > zh)."""

@@ -118,3 +118,28 @@ def test_multiprobe_superset_of_single_probe(spark):
     # least as good as the single-probe tail, and the pools overlap
     assert len(multi) == len(single)
     assert multi_ids & single, "probe expansion should retain bucket hits"
+
+
+def test_eval_lsh_candidates_superset_of_truth(spark):
+    """The banded-LSH candidate set must contain every exact-Jaccard
+    pair whose similarity clears the band threshold design point —
+    here empirically recall 1.0 on the synthetic corpus — and the
+    counts must be internally consistent."""
+    r = QUERIES["eval_lsh_precision_recall"](spark, SF_DIR).collect()[0]
+    assert r.true_positives <= min(r.true_pairs, r.predicted_pairs)
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    assert r.recall == 1.0, "8-band LSH must not miss any Jaccard>=0.1 pair here"
+
+
+def test_eval_dedup_reduction_consistent_with_apply(spark):
+    red = QUERIES["eval_dedup_reduction"](spark, SF_DIR).collect()
+    total_after = sum(r.docs_after for r in red)
+    assert total_after == QUERIES["dedup_apply"](spark, SF_DIR).count()
+    for r in red:
+        assert 0 <= r.docs_after <= r.docs_before
+
+
+def test_eval_confusion_counts_cover_corpus(spark):
+    conf = QUERIES["eval_language_id_confusion"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.docs for r in conf) == n_docs

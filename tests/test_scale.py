@@ -100,6 +100,7 @@ _TINY_BROADCAST_OK = {
     "quality_filter_funnel",
     "table_health_summary",
     "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
+    "eval_lsh_precision_recall",  # 1-row scalar-count broadcasts
 }
 
 
