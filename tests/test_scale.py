@@ -119,3 +119,25 @@ def test_no_query_plans_a_cartesian_or_unbounded_nested_loop(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _TINY_BROADCAST_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_star_join_scans_push_filters_and_prune_columns(spark):
+    """Scan hygiene: the heavy fact scans must push their predicates into
+    the parquet reader and read only referenced columns (SCALE.md §6)."""
+    from lakeview_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    plan = _plan(QUERIES["forecast_revenue"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l)
+    # predicate pushdown reached the scan
+    assert "l_shipdate" in scan.split("DataFilters")[1][:200]
+    # column pruning: the 4 referenced columns only, not the full table
+    cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+    plan = _plan(QUERIES["shipping_priority"](spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    cust = next(l for l in scans if "customer" in l)
+    assert "c_mktsegment" in cust.split("DataFilters")[1][:250]
