@@ -158,7 +158,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with probe count (single-probe here, deterministic)."""
     bucketed = _lsh_bucketed(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+        F.col("norm").alias("qnorm"),
     )
     cand = (
         bucketed.crossJoin(F.broadcast(q))
@@ -166,7 +168,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (_dot("embedding", "qe") / (_norm("embedding") * _norm("qe"))).alias("cosine"),
+            (_dot("embedding", "qe") / (F.col("norm") * F.col("qnorm"))).alias("cosine"),
         )
     )
     return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
@@ -204,7 +206,9 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate filter stays a single columnar predicate."""
     bucketed = _lsh_bucketed(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+        F.col("norm").alias("qnorm"),
     )
     cand = (
         bucketed.crossJoin(F.broadcast(q))
@@ -215,7 +219,7 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (_dot("embedding", "qe") / (_norm("embedding") * _norm("qe"))).alias("cosine"),
+            (_dot("embedding", "qe") / (F.col("norm") * F.col("qnorm"))).alias("cosine"),
         )
     )
     return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
@@ -300,14 +304,18 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, embedding, bucket) — bucket assignment materialized
-    once per run so self-joins and repeat consumers scan parquet instead
-    of recomputing the plane dot products per reference."""
+    """(vec_id, label, embedding, bucket, norm) — bucket assignment AND
+    the vector's L2 norm materialized once per run: self-joins and
+    repeat consumers scan parquet instead of recomputing the plane dot
+    products, and the candidate-pair cosine needs only the dot-product
+    fold (the two norm folds — 2/3 of the per-pair array work — become
+    a parquet column read; doubles round-trip parquet exactly, so the
+    cosine is bit-identical to computing the norm in place)."""
     return materialized(spark, "lsh_bucketed", sf_dir, _lsh_bucketed_build)
 
 
 def _lsh_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings").withColumn("norm", _norm("embedding"))
     return emb.join(similarity_lsh_buckets(spark, sf_dir), "vec_id")
 
 
@@ -341,10 +349,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = _lsh_bucketed(spark, sf_dir)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cos = (
-        _dot("a.embedding", "b.embedding")
-        / (_norm("a.embedding") * _norm("b.embedding"))
-    )
+    cos = _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,
