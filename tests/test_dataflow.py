@@ -399,3 +399,54 @@ def test_run_once_mirror_failure_does_not_advance_checkpoint(spark, lake, tmp_pa
     ckpts = {r.table_id: r for r in store.load().collect()}
     assert ckpts[t1].archived_commits_processed
     assert ckpts[t1].last_uploaded_file != ""
+
+
+def test_run_once_incremental_second_run_uploads_only_new_commits(spark, lake, tmp_path):
+    """Reference incremental semantics (TimelineCommitInstantsUploader:
+    batch ids continue from the checkpoint; previously uploaded instants
+    are excluded by the commit-id compare): a second run after new
+    commits land uploads exactly the new files and advances batch_id."""
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "ONCE",
+                "uploadStrategy": "BLOCK_ON_INCOMPLETE_COMMIT",
+                "pathExclusionPatterns": [".*excluded.*"],
+                "parserConfig": PARSER_CFG(lake),
+            },
+        }
+    )
+    state = str(tmp_path / "state")
+    mirror = str(tmp_path / "mirror")
+    run_once(spark, cfg, state, mirror)
+
+    store = CheckpointStore(spark, os.path.join(state, "checkpoints"))
+    t1 = uuid3_from_uri(f"{lake}/tbl1")
+    before = {r.table_id: r for r in store.load().collect()}[t1]
+
+    # a new complete commit lands in tbl1's active timeline
+    hoodie = os.path.join(lake, "tbl1", ".hoodie")
+    for fn in ("300.commit.requested", "300.inflight", "300.commit"):
+        with open(os.path.join(hoodie, fn), "w") as f:
+            f.write("x")
+    # poison-pill the OLD mirrored files' content to detect re-uploads
+    active_dir = os.path.join(mirror, t1, "active")
+    for fn in os.listdir(active_dir):
+        with open(os.path.join(active_dir, fn), "w") as f:
+            f.write("STALE")
+
+    m2 = run_once(spark, cfg, state, mirror)
+    after = {r.table_id: r for r in store.load().collect()}[t1]
+
+    assert m2["active_batched_files"] == 3
+    assert after.batch_id > before.batch_id
+    assert after.last_uploaded_file == "300.commit"
+    # new files mirrored; old files untouched (still the poison content)
+    assert {"300.commit", "300.commit.requested", "300.inflight"} <= set(
+        os.listdir(active_dir)
+    )
+    with open(os.path.join(active_dir, "200.commit")) as f:
+        assert f.read() == "STALE", "previously uploaded instant must not re-upload"
+    with open(os.path.join(active_dir, "300.commit")) as f:
+        assert f.read() == "x"
