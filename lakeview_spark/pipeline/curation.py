@@ -391,3 +391,44 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc1", "doc2", "hamming")
     )
+
+
+# Incremental-ingest split: doc_id % _DELTA_MOD == 0 plays the newly
+# arrived batch; the rest is the already-indexed corpus.
+_DELTA_MOD = 10
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    {_MINHASH_SIG_SQL}
+    SELECT DISTINCT d.doc_id AS delta_doc, c.doc_id AS corpus_doc
+    FROM sig d JOIN sig c
+      ON d.band = c.band AND d.minhash = c.minhash
+     AND d.doc_id % {_DELTA_MOD} = 0 AND c.doc_id % {_DELTA_MOD} <> 0
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: newly arrived documents (the delta)
+    against the already-indexed corpus via the persisted signature
+    table — the production shape for continuous ingestion: signature
+    cost is O(|delta|), and the band join touches only the buckets the
+    delta hashes into, never the corpus x corpus self-join. Pairs are
+    (delta, corpus), so a delta doc matching an indexed doc is flagged
+    for drop/canonicalization before it enters the training set."""
+    sig = minhash_signatures_materialized(spark, sf_dir)
+    delta = sig.filter(F.col("doc_id") % _DELTA_MOD == 0)
+    base = sig.filter(F.col("doc_id") % _DELTA_MOD != 0)
+    return (
+        delta.alias("d")
+        .join(
+            base.alias("c"),
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.minhash") == F.col("c.minhash")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
