@@ -20,6 +20,7 @@ from lakeview_spark.pipeline.dedup import (
     _SHINGLES_SQL,
     dedup_ngram_jaccard,
     dedup_minhash_lsh_pairs,
+    minhash_signatures_materialized,
 )
 from lakeview_spark.pipeline.text import _LANG_ID_SQL, text_language_id
 from lakeview_spark.plans.registry import register, t
@@ -175,4 +176,41 @@ def eval_dedup_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_loser").isNotNull(), 1).otherwise(0)).cast("double")
             / F.count("*")
         ).alias("removed_share"),
+    )
+
+
+@register(
+    "eval_lsh_bucket_health",
+    oracle=f"""
+    {_MINHASH_SIG_SQL},
+    buckets AS (
+      SELECT band, minhash, count(*) AS bucket_size
+      FROM sig GROUP BY band, minhash
+    )
+    SELECT band,
+           count(*) AS n_buckets,
+           max(bucket_size) AS max_bucket,
+           CAST(sum(bucket_size) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN bucket_size >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+           CAST(sum(bucket_size * (bucket_size - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def eval_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-health monitor: per band, bucket count, max bucket
+    size, hot-bucket count, and the implied candidate-pair load
+    (sum of C(size,2)) — the readout that catches a quadratic blowup
+    BEFORE the pair join runs it. At 100 TB this is the gate a
+    production dedup run checks between the signature and join stages
+    (cf. the Jaccard df-cap and simhash band-width notes in SCALE.md).
+    One groupBy over the persisted signatures; integer math only."""
+    sig = minhash_signatures_materialized(spark, sf_dir)
+    buckets = sig.groupBy("band", "minhash").agg(F.count("*").alias("bucket_size"))
+    sz = F.col("bucket_size")
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max(sz).alias("max_bucket"),
+        F.sum(sz).cast("bigint").alias("docs"),
+        F.sum(F.when(sz >= 10, 1).otherwise(0)).cast("bigint").alias("hot_buckets"),
+        F.sum(F.expr("bucket_size * (bucket_size - 1) div 2")).cast("bigint").alias("candidate_pairs"),
     )

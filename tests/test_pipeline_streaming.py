@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from lakeview_spark.streaming import (
     document_stream,
     stream_document_dedup,
@@ -118,3 +120,50 @@ def test_stream_event_sessions_native_session_window(spark, tmp_path):
         (1, 1, 30 * 60 * 1_000_000),
         (2, 1, 30 * 60 * 1_000_000),
     ]
+
+
+def test_stream_embedding_neardup_matches_planted_duplicate(spark, tmp_path):
+    """A streamed copy of an indexed vector must surface as a near-dup
+    (cosine 1.0 with itself) through the stream-static bucket join; a
+    vector orthogonal-ish to the index must not produce spurious 1.0s."""
+    import json as _json
+
+    from lakeview_spark.pipeline.similarity import _lsh_bucketed, _PLANE_IDS
+    from lakeview_spark.streaming.pipeline_stream import stream_embedding_neardup
+
+    sf = "/root/testdata/sf0.001"
+    indexed = _lsh_bucketed(spark, sf)
+    planes = [
+        (r.vec_id, list(r.embedding))
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(*_PLANE_IDS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    dup_src = indexed.filter(F.col("vec_id") == 10).collect()[0]
+
+    indir = str(tmp_path / "vecs")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [{"vec_id": 100010, "embedding": [float(x) for x in dup_src.embedding]}],
+    )
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    stream = spark.readStream.schema(schema).json(indir)
+    q = (
+        stream_embedding_neardup(stream, indexed, planes, threshold=0.99)
+        .writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM neardup_stream").collect()
+    hits = {(r.delta_vec, r.index_vec) for r in rows}
+    assert (100010, 10) in hits, "planted duplicate must collide in its bucket and score ~1"
+    for r in rows:
+        assert r.cosine >= 0.99
