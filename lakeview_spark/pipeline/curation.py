@@ -432,3 +432,54 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "quality_filter_apply",
+    oracle=f"""
+    {_MINHASH_SIG_SQL},
+    dup2 AS (
+      SELECT DISTINCT b.doc_id
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN dup2 ON d.doc_id = dup2.doc_id
+    WHERE len(string_split(d.text, ' ')) BETWEEN 40 AND 400
+      AND len(list_filter(string_split(lower(d.text), ' '),
+              x -> x IN ({_EN_STOP}))) >= 1
+      AND len(list_distinct(string_split(lower(d.text), ' '))) * 3
+            >= len(string_split(lower(d.text), ' '))
+      AND dup2.doc_id IS NULL
+    """,
+)
+def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's OUTPUT: documents passing every curation stage —
+    what actually ships to training. Same flags as
+    quality_filter_funnel, conjoined as one columnar filter plus the
+    broadcast-able near-dup anti condition; at scale this writes the
+    curated corpus partitioned however the trainer wants it."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    sig = minhash_signatures_materialized(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    dup2 = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    ltoks = F.split(F.lower("text"), " ")
+    kept = (
+        docs.join(dup2, "doc_id", "left_anti")
+        .filter(F.size(F.split(F.col("text"), " ")).between(40, 400))
+        .filter(
+            F.size(F.expr(f"filter(split(lower(text), ' '), x -> x IN ({_EN_STOP}))"))
+            >= 1
+        )
+        .filter(F.size(F.array_distinct(ltoks)) * 3 >= F.size(ltoks))
+    )
+    return kept.select("doc_id", "lang", "source")

@@ -143,3 +143,9 @@ def test_eval_confusion_counts_cover_corpus(spark):
     conf = QUERIES["eval_language_id_confusion"](spark, SF_DIR).collect()
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert sum(r.docs for r in conf) == n_docs
+
+
+def test_quality_filter_apply_matches_funnel_tail(spark):
+    kept = QUERIES["quality_filter_apply"](spark, SF_DIR)
+    funnel = {r.stage: r.docs_retained for r in QUERIES["quality_filter_funnel"](spark, SF_DIR).collect()}
+    assert kept.count() == funnel["04_near_dup"], "apply output must equal the funnel's last stage"
