@@ -363,3 +363,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
     )
+
+
+_KNN_K = 3
+
+
+@register(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+             / ({_NORM_SQL.format(a="a.embedding")} * {_NORM_SQL.format(a="b.embedding")}) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+      FROM pairs
+    )
+    SELECT src, dst, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_KNN_K}
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-restricted kNN graph: every vector's top-{_KNN_K}
+    neighbors within its LSH bucket — the input artifact for
+    graph-based dedup, IVF training, and diversity sampling.
+
+    The directed pair join is same-bucket only (never all-pairs) with
+    precomputed norms; the ranking window partitions per source vector,
+    so state is one bucket's candidates. Cosines are left-fold doubles:
+    the rank (and its dst tiebreak) is engine-deterministic."""
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        (
+            _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src", "dst", "cosine", "rank")
+    )

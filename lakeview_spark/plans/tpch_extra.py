@@ -438,3 +438,53 @@ def events_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("max_value_last_hour"),
         (F.col("ts_us") - F.min("ts_us").over(w)).alias("span_us"),
     )
+
+
+@register(
+    "events_user_retention",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             CAST((epoch_us(ts) // 604800000000) AS BIGINT) AS week
+      FROM events
+    )
+    SELECT a.week,
+           count(*) AS active_users,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_week,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS retention_rate
+    FROM w a LEFT JOIN w b ON a.user_id = b.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user retention: of the users active in week w,
+    how many are also active in week w+1. Distinct (user, week) grid
+    then a self left-join shifted one week — both shuffles key on
+    user_id, cohort sizes are exact integers, the rate is one edge
+    division. The classic product-analytics cohort query (W4 family)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        e.select(
+            "user_id",
+            F.expr("CAST((ts div 1000) div 604800000000 AS BIGINT)").alias("week"),
+        )
+        .distinct()
+    )
+    a, b = w.alias("a"), w.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.week") == F.col("a.week") + 1),
+        "left",
+    )
+    return j.groupBy(F.col("a.week").alias("week")).agg(
+        F.count("*").alias("active_users"),
+        F.sum(F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained_next_week"),
+        (
+            F.sum(F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("retention_rate"),
+    )

@@ -149,3 +149,25 @@ def test_quality_filter_apply_matches_funnel_tail(spark):
     kept = QUERIES["quality_filter_apply"](spark, SF_DIR)
     funnel = {r.stage: r.docs_retained for r in QUERIES["quality_filter_funnel"](spark, SF_DIR).collect()}
     assert kept.count() == funnel["04_near_dup"], "apply output must equal the funnel's last stage"
+
+
+def test_knn_graph_k_bound_and_self_free(spark):
+    g = QUERIES["similarity_knn_graph"](spark, SF_DIR).collect()
+    assert g
+    per_src = {}
+    for r in g:
+        assert r.src != r.dst
+        assert 1 <= r.rank <= 3
+        per_src.setdefault(r.src, []).append(r.rank)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_user_retention_bounds(spark):
+    rows = QUERIES["events_user_retention"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.retained_next_week <= r.active_users
+        assert 0.0 <= r.retention_rate <= 1.0
+    # the synthetic stream is dense: mid-stream weeks retain most users
+    assert max(r.retention_rate for r in rows) > 0.5
