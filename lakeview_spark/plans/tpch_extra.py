@@ -488,3 +488,61 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("retention_rate"),
     )
+
+
+@register(
+    "events_click_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+    ),
+    clicks AS (SELECT user_id, event_id AS click_id, ts_us AS click_ts FROM e WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts, value FROM e WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           p.purchase_ts - c.click_ts AS lag_us, p.value AS purchase_value
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts < p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - 3600000000
+    """,
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window interval join: every (click, purchase) pair
+    for the same user where the click lands strictly within the hour
+    before the purchase — the classic marketing-attribution shape, and
+    the bounded-interval join family (vs the as-of join's latest-only
+    semantics).
+
+    Executes as an equi join on user_id with the range predicate as a
+    post-join filter inside sort-merge — per-user state only, and the
+    1-hour bound caps pairs per user at (clicks-per-hour x purchases),
+    never the unbounded cross product. Pure integer time math."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts"),
+        "value",
+    )
+    j = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - 3_600_000_000),
+    )
+    return j.select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        (F.col("purchase_ts") - F.col("click_ts")).alias("lag_us"),
+        F.col("value").alias("purchase_value"),
+    )
