@@ -450,3 +450,69 @@ def test_run_once_incremental_second_run_uploads_only_new_commits(spark, lake, t
         assert f.read() == "STALE", "previously uploaded instant must not re-upload"
     with open(os.path.join(active_dir, "300.commit")) as f:
         assert f.read() == "x"
+
+
+def test_continue_strategy_checkpoint_sequence_reference_scenario(spark):
+    """Port of ContinueOnIncompleteCommitStrategyTest.java:102-256: the
+    mixed timeline (111 complete, 222 stale-incomplete, 333 clean, 444/
+    666 incomplete rollbacks, 777 complete rollback) at upload batch
+    size 4 from a batch-3 checkpoint must yield three batches (ids 4-6),
+    first_incomplete = 221 (min incomplete 222 minus one), and a final
+    checkpoint at last_uploaded_file 777.rollback."""
+    from pyspark.sql import Row
+
+    from lakeview_spark.operators.batcher import CONTINUE, batch_instants
+    from lakeview_spark.runner import compute_checkpoint_updates
+    from lakeview_spark.operators.uploader import ACTIVE
+
+    fresh = datetime(2024, 7, 23)
+    stale = datetime(2024, 7, 21)
+    names = [
+        ("111.deltacommit.requested", fresh),
+        ("111.deltacommit.inflight", fresh),
+        ("111.deltacommit", fresh),
+        ("333.clean", fresh),
+        ("444.rollback.requested", fresh),
+        ("333.clean.requested", fresh),
+        ("222.clean.inflight", stale),
+        ("333.clean.inflight", fresh),
+        ("222.clean.requested", stale),
+        ("444.rollback.inflight", fresh),
+        ("666.rollback.requested", fresh),
+        ("777.rollback.requested", fresh),
+        ("777.rollback.inflight", fresh),
+        ("777.rollback", fresh),
+    ]
+    files = spark.createDataFrame(
+        [("tbl", n, lm) for n, lm in names], ["table_id", "filename", "last_modified"]
+    )
+    ckpts = spark.createDataFrame(
+        [
+            Row(
+                table_id="tbl",
+                batch_id=3,
+                checkpoint_ts=datetime(1970, 1, 1),
+                last_uploaded_file="",
+                first_incomplete_commit_file="",
+                archived_commits_processed=True,
+                last_archived_manifest_version=0,
+            )
+        ]
+    )
+    batches = batch_instants(files, max_batch_size=4, strategy=CONTINUE, checkpoints_df=ckpts)
+    rows = sorted(batches.collect(), key=lambda r: (r.batch_id, r.seq_in_batch))
+    got = {}
+    for r in rows:
+        got.setdefault(r.batch_id, []).append(r.filename)
+        assert r.first_incomplete == "221"
+    assert got == {
+        4: ["111.deltacommit", "111.deltacommit.inflight", "111.deltacommit.requested"],
+        5: ["333.clean", "333.clean.inflight", "333.clean.requested"],
+        6: ["777.rollback", "777.rollback.inflight", "777.rollback.requested"],
+    }
+
+    update = compute_checkpoint_updates(batches, files, ckpts, ACTIVE).collect()[0]
+    assert update.batch_id == 6
+    assert update.last_uploaded_file == "777.rollback"
+    assert update.first_incomplete_commit_file == "221"
+    assert update.checkpoint_ts == fresh
