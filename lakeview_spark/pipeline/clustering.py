@@ -194,3 +194,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return docs.filter(key < threshold).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      ),
+      e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+      sig AS (
+        SELECT doc_id, b.band,
+               min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM e, (SELECT unnest(range(1, 9)) AS band) b
+        GROUP BY doc_id, b.band
+      )
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS docs_covered
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the
+    standard dedup report (how many pair-clusters vs giant components;
+    a heavy tail here means the LSH bands are merging unrelated docs).
+    Two groupBys over the materialized label table; integer math."""
+    labels = clusters_materialized(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("docs_covered"),
+    )

@@ -6,6 +6,7 @@ from lakeview_spark.streaming.stateful import track_incomplete_commits  # noqa: 
 from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
     document_stream,
     stream_document_dedup,
+    stream_quality_filter,
     stream_embedding_neardup,
     stream_event_sessions,
     stream_token_stats,

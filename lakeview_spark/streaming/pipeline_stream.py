@@ -163,3 +163,27 @@ def stream_embedding_neardup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def stream_quality_filter(
+    stream: DataFrame,
+    min_tokens: int = 40,
+    max_tokens: int = 400,
+) -> DataFrame:
+    """Stateless streaming curation: the quality funnel's columnar
+    stages (token-length range, english-stopword presence, >=1/3
+    distinct-token ratio) applied at ingestion time — no aggregation,
+    no state, so it composes freely before the stateful dedup stage.
+    Near-dup removal stays batch-side (it needs the corpus index; see
+    stream_embedding_neardup for the stream-static variant)."""
+    stop_list = "'the','and','of','to','a','in','is','it','for','on'"
+    toks = F.split(F.col("text"), " ")
+    ltoks = F.split(F.lower("text"), " ")
+    return (
+        stream.filter(F.size(toks).between(min_tokens, max_tokens))
+        .filter(
+            F.size(F.expr(f"filter(split(lower(text), ' '), x -> x IN ({stop_list}))"))
+            >= 1
+        )
+        .filter(F.size(F.array_distinct(ltoks)) * 3 >= F.size(ltoks))
+    )

@@ -167,3 +167,35 @@ def test_stream_embedding_neardup_matches_planted_duplicate(spark, tmp_path):
     assert (100010, 10) in hits, "planted duplicate must collide in its bucket and score ~1"
     for r in rows:
         assert r.cosine >= 0.99
+
+
+def test_stream_quality_filter_matches_batch_flags(spark, tmp_path):
+    """The streaming filter must keep exactly the documents the batch
+    funnel's first three stages keep (near-dup stage is batch-only)."""
+    from lakeview_spark.streaming.pipeline_stream import stream_quality_filter
+
+    indir = str(tmp_path / "docs")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            # passes all three stages: 49 distinct tokens incl. a stopword
+            {"doc_id": 1, "text": "the " + " ".join(f"w{i}" for i in range(48)), "lang": "en", "ingest_ts": "2026-03-01T10:00:00.000Z"},
+            # too short
+            {"doc_id": 2, "text": "the tiny one", "lang": "en", "ingest_ts": "2026-03-01T10:00:01.000Z"},
+            # long enough but no english stopword
+            {"doc_id": 3, "text": "alpha beta gamma delta " * 12, "lang": "de", "ingest_ts": "2026-03-01T10:00:02.000Z"},
+            # stopword present but only 2 distinct tokens in 60 (fails 1/3 ratio)
+            {"doc_id": 4, "text": "the " + "spam " * 59, "lang": "en", "ingest_ts": "2026-03-01T10:00:03.000Z"},
+        ],
+    )
+    q = (
+        stream_quality_filter(document_stream(spark, indir))
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.sql("SELECT * FROM quality_stream").collect()}
+    assert kept == {1}
