@@ -1,0 +1,90 @@
+"""Property test for the as-of join composition: against randomized
+event streams (duplicate timestamps, interleaved users, click-free
+users), the union-and-carry window must match a brute-force python
+reference implementing 'most recent strictly-prior click per user'."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+
+from lakeview_spark.plans import QUERIES
+
+
+def _events():
+    # (user, ts_us, kind) with deliberately colliding timestamps
+    return st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 20),
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+
+def _brute_force(rows):
+    """Most recent strictly-prior click value per purchase; among
+    same-ts clicks the highest event_id wins (the operator's total
+    order)."""
+    out = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        cands = [
+            c
+            for c in rows
+            if c["event_type"] == "click"
+            and c["user_id"] == r["user_id"]
+            and c["ts"] < r["ts"]
+        ]
+        best = max(cands, key=lambda c: (c["ts"], c["event_id"]), default=None)
+        out[r["event_id"]] = (
+            (best["value"], best["ts"] // 1000) if best else (None, None)
+        )
+    return out
+
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from lakeview_spark import get_spark
+
+        _spark = get_spark("asof-prop", master="local[4]", shuffle_partitions=4)
+    return _spark
+
+
+@given(_events())
+@settings(max_examples=25, deadline=None)
+def test_asof_matches_brute_force(events):
+    spark = _get_spark()
+    rows = [
+        {
+            "event_id": i,
+            "user_id": u,
+            # ts in long nanos (mirrors the nanosAsLong read); value
+            # unique per event so matches are attributable
+            "ts": t * 1000,
+            "event_type": kind,
+            "value": float(i),
+            "props": "{}",
+        }
+        for i, (u, t, kind) in enumerate(events)
+    ]
+    expected = _brute_force(rows)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([Row(**r) for r in rows]).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = {
+            r.event_id: (r.last_click_value, r.last_click_ts_us)
+            for r in QUERIES["events_asof_click_value"](spark, d).collect()
+        }
+    assert got == expected
