@@ -546,3 +546,36 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("purchase_ts") - F.col("click_ts")).alias("lag_us"),
         F.col("value").alias("purchase_value"),
     )
+
+
+@register(
+    "events_user_value_quartiles",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value FROM events
+    ),
+    q AS (
+      SELECT user_id, value,
+             ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+      FROM e
+    )
+    SELECT user_id, CAST(quartile AS BIGINT) AS quartile, count(*) AS n_events,
+           min(value) AS min_value, max(value) AS max_value
+    FROM q GROUP BY user_id, quartile
+    """,
+)
+def events_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value quartiles via ntile — the remaining ranking-family
+    window function (row_number/rank/dense_rank/lag/lead/last already
+    exercised elsewhere). The (value, event_id) total order makes the
+    bucket assignment engine-deterministic even with duplicate values;
+    partitioning by user keeps window state bounded per user (never a
+    global sort), and the aggregates are count/min/max only."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    q = e.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    return q.groupBy("user_id", "quartile").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
