@@ -1,0 +1,32 @@
+"""Registry hygiene: every registered query is documented and every
+oracle has a query — keeps COVERAGE.md and the driver contract honest
+as the registry grows."""
+
+from __future__ import annotations
+
+import os
+
+from lakeview_spark.plans import ORACLES, QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES), set(ORACLES) - set(QUERIES)
+
+
+def test_rows_only_queries_are_exactly_the_documented_two():
+    assert set(QUERIES) - set(ORACLES) == {"active_batch_packing", "checkpoint_lookback"}
+
+
+def test_every_registered_query_is_mentioned_in_coverage_md():
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    missing = [name for name in QUERIES if f"`{name}`" not in text]
+    assert not missing, f"undocumented queries: {missing}"
+
+
+def test_coverage_md_counts_match_registry():
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    assert f"({len(QUERIES)} registered; {len(ORACLES)} oracle-exact, 2" in text, (
+        f"COVERAGE.md header count stale: registry has {len(QUERIES)}/{len(ORACLES)}"
+    )
