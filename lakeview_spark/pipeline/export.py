@@ -1,0 +1,70 @@
+"""Sized dataset export: the write edge of the curation pipeline.
+
+At 100 TB the failure mode on the way OUT is file sizing — thousands of
+tiny files (driver/namenode pressure, slow downstream scans) or
+multi-GB files (no read parallelism, straggler tasks). `write_sized`
+targets a bytes-per-file budget with Spark's own knobs:
+
+- `maxRecordsPerFile` caps rows per file from a measured average row
+  size (no repartition needed for the cap itself — each task rolls to
+  a new file at the limit);
+- an optional `coalesce_small=True` repartitions down when the whole
+  dataset is smaller than one target file per partition, so a 100-row
+  result doesn't ship 32 shard files.
+
+Row size is measured from a bounded sample (never a full collect), so
+the estimate costs one small job regardless of dataset size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 500) -> int:
+    """Average serialized row size from a bounded sample — pandas'
+    in-memory size is a reasonable proxy for parquet-before-compression;
+    parquet compression then gives headroom inside the target."""
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return 1
+    total = int(pdf.memory_usage(index=False, deep=True).sum())
+    return max(1, total // len(pdf))
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    partition_by: tuple[str, ...] = (),
+    coalesce_small: bool = True,
+    fmt: str = "parquet",
+    sample_rows: int = 500,
+) -> dict:
+    """Write `df` targeting ~`target_mb` per file; returns the sizing
+    decisions (rows, est_row_bytes, max_records_per_file, n_partitions)
+    so callers/tests can audit them."""
+    row_bytes = estimate_row_bytes(df, sample_rows)
+    target_bytes = target_mb * 1024 * 1024
+    max_records = max(1, target_bytes // row_bytes)
+    n_rows = df.count()
+    out = df
+    n_partitions = None
+    if coalesce_small:
+        # if the whole dataset fits in fewer files than current
+        # parallelism would emit, repartition down to the file budget
+        n_partitions = max(1, math.ceil(n_rows * row_bytes / target_bytes))
+        if n_partitions < out.rdd.getNumPartitions():
+            out = out.repartition(n_partitions, *partition_by) if partition_by else out.repartition(n_partitions)
+    writer = out.write.mode("overwrite").option("maxRecordsPerFile", max_records)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)
+    return {
+        "rows": n_rows,
+        "est_row_bytes": row_bytes,
+        "max_records_per_file": int(max_records),
+        "n_partitions": n_partitions,
+    }
