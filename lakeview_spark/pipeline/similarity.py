@@ -15,6 +15,8 @@ stay deterministic and oracle-checkable without a random seed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,7 +25,34 @@ from lakeview_spark.plans.registry import register, t
 
 _QUERY_VEC_ID = 0
 _TOP_K = 20
-_PLANE_IDS = (1, 2, 3, 4)
+
+
+def _env_planes(default: int = 4) -> int:
+    """Hyperplane count for the random-hyperplane LSH family.
+
+    Bucket count is 2^planes, so the same-bucket candidate load is
+    ~n^2/2^planes: the plane count must GROW with the corpus
+    (planes ~= log2(n_vectors / target_bucket_size); 16-24 at corpus
+    scale, the same widening rule the minhash band layout documents in
+    curation.py). The default 4 keeps testdata/oracle parity (~30-vector
+    buckets at 500 vectors); set LAKEVIEW_LSH_PLANES to resize. Planes
+    stay data-derived (embeddings of vec_id 1..planes), so every setting
+    is deterministic and oracle-checkable — the oracle SQL below is
+    generated from the same constant at import time.
+    """
+    try:
+        n = int(os.environ.get("LAKEVIEW_LSH_PLANES", str(default)))
+    except ValueError:
+        return default
+    return max(2, min(n, 24))
+
+
+_N_PLANES = _env_planes()
+_PLANE_IDS = tuple(range(1, _N_PLANES + 1))
+_PLANE_IDS_SQL = "(" + ", ".join(str(p) for p in _PLANE_IDS) + ")"
+# k-means centroid seeds are a separate knob from the LSH planes: the
+# cluster count stays k=4 no matter how wide the LSH index is sized.
+_CENTROID_IDS = (1, 2, 3, 4)
 # Near-dup cosine threshold: 0.5 matches nothing on the synthetic
 # embeddings (same-bucket max ≈ 0.49), which made the oracle vacuous;
 # 0.35 keeps ~40 pairs at every SF so the check exercises real arithmetic.
@@ -91,7 +120,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANES_SQL = f"""
     SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
-    WHERE vec_id IN {_PLANE_IDS}
+    WHERE vec_id IN {_PLANE_IDS_SQL}
 """
 
 
@@ -225,9 +254,11 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
 
 
+_CENTROID_IDS_SQL = "(" + ", ".join(str(c) for c in _CENTROID_IDS) + ")"
+
 _CENTROID_SQL = f"""
     SELECT vec_id AS cluster_id, embedding AS ce FROM embeddings
-    WHERE vec_id IN {_PLANE_IDS}
+    WHERE vec_id IN {_CENTROID_IDS_SQL}
 """
 
 _ASSIGN_SQL = f"""
@@ -264,7 +295,7 @@ def _centroid_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(*_PLANE_IDS)).select(
+    cent = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce")
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
@@ -399,7 +430,7 @@ _KNN_K = 3
     """,
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-restricted kNN graph: every vector's top-{_KNN_K}
+    """Bucket-restricted kNN graph: every vector's top-3 (_KNN_K)
     neighbors within its LSH bucket — the input artifact for
     graph-based dedup, IVF training, and diversity sampling.
 
@@ -427,4 +458,86 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _KNN_K)
         .select("src", "dst", "cosine", "rank")
+    )
+
+
+# a bucket is "hot" when it holds >= _HOT_FACTOR x the expected uniform
+# share n/2^planes — checked with an integer cross-multiply so the
+# threshold is exact in both engines
+_HOT_FACTOR = 4
+
+
+@register(
+    "eval_embedding_bucket_health",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id,
+             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    buckets AS (SELECT bucket, count(*) AS bucket_size FROM bucketed GROUP BY bucket),
+    tot AS (SELECT CAST(sum(bucket_size) AS BIGINT) AS n_vectors FROM buckets)
+    SELECT {_N_PLANES} AS n_planes,
+           count(*) AS n_buckets_used,
+           tot.n_vectors AS n_vectors,
+           max(bucket_size) AS max_bucket,
+           CAST(sum(CASE WHEN bucket_size * {1 << _N_PLANES} >= {_HOT_FACTOR} * tot.n_vectors
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+           CAST(sum(bucket_size * (bucket_size - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(bucket_size * (bucket_size - 1) // 2) AS DOUBLE) / tot.n_vectors
+             AS pairs_per_vector
+    FROM buckets, tot GROUP BY tot.n_vectors
+    """,
+)
+def eval_embedding_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-LSH bucket-health monitor — the eval_lsh_bucket_health
+    twin for the hyperplane index: bucket count, max bucket size,
+    hot-bucket count (>= 4x the uniform share), and the implied
+    same-bucket candidate-pair load with its per-vector ratio.
+
+    This is the query that catches an under-planed index: when the
+    corpus grows but _N_PLANES doesn't, pairs_per_vector rises as
+    ~n/2^planes — a monitored number, not a reviewer's comment. One
+    groupBy over the persisted bucket table; integer math, double
+    division only at the edge."""
+    buckets = (
+        _lsh_bucketed(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    tot = buckets.agg(F.sum("bucket_size").cast("bigint").alias("n_vectors"))
+    sz = F.col("bucket_size")
+    pairs = F.expr("bucket_size * (bucket_size - 1) div 2")
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .groupBy("n_vectors")
+        .agg(
+            F.lit(_N_PLANES).alias("n_planes"),
+            F.count("*").alias("n_buckets_used"),
+            F.max(sz).alias("max_bucket"),
+            F.sum(
+                F.when(sz * (1 << _N_PLANES) >= _HOT_FACTOR * F.col("n_vectors"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hot_buckets"),
+            F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+            (F.sum(pairs).cast("double") / F.col("n_vectors").cast("double")).alias(
+                "pairs_per_vector"
+            ),
+        )
+        .select(
+            "n_planes",
+            "n_buckets_used",
+            "n_vectors",
+            "max_bucket",
+            "hot_buckets",
+            "candidate_pairs",
+            "pairs_per_vector",
+        )
     )

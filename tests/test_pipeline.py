@@ -160,3 +160,28 @@ def test_tfidf_top_terms_ranked(spark):
         assert [r.rnk for r in doc_rows] == list(range(1, len(doc_rows) + 1))
         scores = [r.score for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_plane_count_env_knob(monkeypatch):
+    from lakeview_spark.pipeline import similarity as sim
+
+    monkeypatch.delenv("LAKEVIEW_LSH_PLANES", raising=False)
+    assert sim._env_planes() == 4
+    monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "16")
+    assert sim._env_planes() == 16
+    monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "1")  # clamps: <2 planes is no index
+    assert sim._env_planes() == 2
+    monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "99")  # clamps: 2^99 buckets is a typo
+    assert sim._env_planes() == 24
+    monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "not-a-number")
+    assert sim._env_planes() == 4
+
+
+def test_embedding_bucket_health_flags_underplaning(spark):
+    row = QUERIES["eval_embedding_bucket_health"](spark, SF_DIR).collect()[0]
+    assert row.n_planes == 4
+    assert 1 <= row.n_buckets_used <= 16
+    assert row.n_vectors == 500
+    # candidate load must sit between "one giant bucket" and "all singletons"
+    assert 0 <= row.candidate_pairs <= row.n_vectors * (row.n_vectors - 1) // 2
+    assert row.pairs_per_vector == row.candidate_pairs / row.n_vectors
