@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakeview_spark.pipeline.clustering import clusters_materialized
+from lakeview_spark.pipeline.curation import (
+    _HAMMING_MAX,
+    _SIMHASH32_SQL,
+    simhash32_materialized,
+)
 from lakeview_spark.pipeline.dedup import (
     _MINHASH_SIG_SQL,
     JACCARD_DF_CAP,
@@ -213,4 +218,103 @@ def eval_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sz).cast("bigint").alias("docs"),
         F.sum(F.when(sz >= 10, 1).otherwise(0)).cast("bigint").alias("hot_buckets"),
         F.sum(F.expr("bucket_size * (bucket_size - 1) div 2")).cast("bigint").alias("candidate_pairs"),
+    )
+
+
+# Deterministic eval sample for the exact-truth side: doc_id % MOD == 0.
+# The all-pairs hamming truth is O((n/MOD)^2), so MOD grows with the
+# corpus to keep the sample (and its pair count) bounded — the standard
+# way to audit a blocking scheme without running the quadratic on the
+# full corpus. MOD=5 keeps ~n/5 docs and a non-vacuous truth set
+# (13 pairs at the 500-doc test SF).
+_SIMHASH_EVAL_MOD = 5
+
+
+@register(
+    "eval_simhash_band_quality",
+    oracle=f"""
+    WITH sig0 AS ({_SIMHASH32_SQL}),
+    sig AS (SELECT doc_id, simhash FROM sig0 WHERE doc_id % {_SIMHASH_EVAL_MOD} = 0),
+    truth AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ),
+    bands AS (
+      SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS byte
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    ),
+    tp AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc1, doc2))
+    SELECT (SELECT count(*) FROM sig) AS sample_docs,
+           (SELECT count(*) FROM truth) AS true_pairs,
+           (SELECT count(*) FROM cand) AS candidate_pairs,
+           tp.n AS true_positives,
+           CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM cand) AS precision,
+           CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM truth) AS recall
+    FROM tp
+    """,
+)
+def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash byte-band blocking audit: precision/recall of the band
+    candidates against exact all-pairs hamming<=3 truth on a
+    deterministic doc sample — the query-verified form of the
+    pigeonhole losslessness claim in dedup_simhash_hamming_pairs
+    (recall must be exactly 1.0; a lossy band layout shows up here,
+    not in a reviewer's margin).
+
+    The exact truth is all-pairs, so it runs on the doc_id % 5 sample
+    only (bounded by construction; the mod grows with the corpus). The
+    candidate side reuses the same banding as the production pair
+    query, restricted to the sample."""
+    sig = simhash32_materialized(spark, sf_dir).filter(
+        F.col("doc_id") % _SIMHASH_EVAL_MOD == 0
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= _HAMMING_MAX
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack(4, 0, shiftright(simhash, 0) & 255, 1, shiftright(simhash, 8) & 255, "
+        "2, shiftright(simhash, 16) & 255, 3, shiftright(simhash, 24) & 255) "
+        "AS (band, byte)",
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    tp = truth.join(cand, ["doc1", "doc2"]).agg(F.count("*").alias("true_positives"))
+    return (
+        tp.crossJoin(F.broadcast(sig.agg(F.count("*").alias("sample_docs"))))
+        .crossJoin(F.broadcast(truth.agg(F.count("*").alias("true_pairs"))))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("candidate_pairs"))))
+        .select(
+            "sample_docs",
+            "true_pairs",
+            "candidate_pairs",
+            "true_positives",
+            (F.col("true_positives").cast("double") / F.col("candidate_pairs")).alias(
+                "precision"
+            ),
+            (F.col("true_positives").cast("double") / F.col("true_pairs")).alias(
+                "recall"
+            ),
+        )
     )

@@ -171,3 +171,15 @@ def test_user_retention_bounds(spark):
         assert 0.0 <= r.retention_rate <= 1.0
     # the synthetic stream is dense: mid-stream weeks retain most users
     assert max(r.retention_rate for r in rows) > 0.5
+
+
+def test_simhash_band_blocking_is_lossless(spark):
+    from lakeview_spark.plans import QUERIES
+
+    row = QUERIES["eval_simhash_band_quality"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.sample_docs == 100
+    assert row.true_pairs > 0  # non-vacuous truth set
+    # pigeonhole: 4x8-bit bands over 32 bits catch every hamming<=3 pair
+    assert row.true_positives == row.true_pairs
+    assert row.recall == 1.0
+    assert 0.0 < row.precision <= 1.0

@@ -101,6 +101,8 @@ _TINY_BROADCAST_OK = {
     "table_health_summary",
     "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
     "eval_lsh_precision_recall",  # 1-row scalar-count broadcasts
+    "eval_embedding_bucket_health",  # 1-row total-count broadcast
+    "eval_simhash_band_quality",  # bounded-sample all-pairs truth + scalar counts
 }
 
 
