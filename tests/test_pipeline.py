@@ -185,3 +185,43 @@ def test_embedding_bucket_health_flags_underplaning(spark):
     # candidate load must sit between "one giant bucket" and "all singletons"
     assert 0 <= row.candidate_pairs <= row.n_vectors * (row.n_vectors - 1) // 2
     assert row.pairs_per_vector == row.candidate_pairs / row.n_vectors
+
+
+def test_bmp_decode_roundtrips_real_bytes():
+    from lakeview_spark.pipeline.multimodal import decode_bmp, decode_media, synthesize_bmp
+
+    payload = bytes(range(256)) * 3  # 768 bytes -> w=1, h=13
+    bmp = synthesize_bmp(payload)
+    assert bmp[:2] == b"BM"
+    w, h, feats = decode_bmp(bmp)
+    assert (w, h) == ((768 % 64) + 1, ((768 // 64) % 64) + 1)
+    assert feats[:3] == [0, 1, 2]  # first pixel bytes are the payload head
+    assert decode_media(bmp) == (w, h, feats)  # magic-byte dispatch
+
+
+def test_wav_decode_real_bytes():
+    import io
+    import wave
+
+    from lakeview_spark.pipeline.multimodal import decode_media
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(bytes([1, 2, 3, 4] * 10))
+    rate, channels, feats = decode_media(buf.getvalue())
+    assert (rate, channels) == (16000, 2)
+    assert feats == [1, 2, 3, 4, 1, 2, 3, 4]
+
+
+def test_extract_features_decodes_real_bmp_distributed(spark):
+    from lakeview_spark.pipeline.multimodal import extract_features, synthesize_bmp
+
+    rows = [(i, "image/bmp", synthesize_bmp(b"x" * (i * 70))) for i in range(1, 6)]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: (r.width, r.height) for r in extract_features(media).collect()}
+    assert out == {
+        i: ((i * 70 % 64) + 1, ((i * 70 // 64) % 64) + 1) for i in range(1, 6)
+    }
