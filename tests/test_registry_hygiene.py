@@ -30,3 +30,24 @@ def test_coverage_md_counts_match_registry():
     assert f"({len(QUERIES)} registered; {len(ORACLES)} oracle-exact, 2" in text, (
         f"COVERAGE.md header count stale: registry has {len(QUERIES)}/{len(ORACLES)}"
     )
+
+
+def test_driver_window_covers_every_query_without_a_green_row():
+    """The driver snapshots correctness for the first 50 queries in
+    registration order. Every query absent from CORRECTNESS_r02 (the
+    last full snapshot) must sit inside that window, or it can never
+    earn a driver row."""
+    import json
+
+    from lakeview_spark.plans import _DRIVER_WINDOW
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert set(_DRIVER_WINDOW) <= set(QUERIES), set(_DRIVER_WINDOW) - set(QUERIES)
+    # the window IS the registration prefix
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW
+
+    r02 = set(json.load(open(os.path.join(REPO, "CORRECTNESS_r02.json"))))
+    unchecked = set(QUERIES) - r02
+    outside = unchecked - set(_DRIVER_WINDOW)
+    assert not outside, f"queries with no driver row outside the first-50 window: {outside}"
