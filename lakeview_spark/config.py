@@ -40,8 +40,12 @@ def load_config(source) -> EngineConfig:
             import yaml  # type: ignore
         except ImportError as e:  # pragma: no cover
             raise RuntimeError("PyYAML not installed; pass a dict config") from e
+        import os
+
         text = source
-        if "\n" not in source and source.endswith((".yaml", ".yml")):
+        if "\n" not in source and (
+            source.endswith((".yaml", ".yml")) or os.path.isfile(source)
+        ):
             with open(source) as f:
                 text = f.read()
         raw = yaml.safe_load(text)
