@@ -464,17 +464,35 @@ def run_continuous(
     re-loaded before every round, matching ConfigRefresher.java:39-52's
     periodic fetch-and-merge. A failed refresh keeps the previous config
     (the refresher logs and carries on, :44-49).
+
+    Failures are surfaced, never swallowed: a failed round appends a
+    ``{"succeeded": False, "error": ...}`` entry and the loop carries on
+    (the reference increments a discovery-failure metric and keeps its
+    schedule, TableDiscoveryAndUploadJob.java:141-163); every round also
+    carries the running ``config_refresh_failures`` count.
     """
+    import logging
+
     from lakeview_spark.config import load_config_with_override
 
-    rounds = []
+    log = logging.getLogger(__name__)
+    rounds: list[dict] = []
+    refresh_failures = 0
     while max_rounds is None or len(rounds) < max_rounds:
         if base_config_source is not None:
             try:
                 config = load_config_with_override(base_config_source, override_source)
-            except Exception:  # noqa: BLE001 — keep last good config
-                pass
-        rounds.append(run_once(spark, config, state_dir, mirror_dir, lister))
+            except Exception as ex:  # noqa: BLE001 — keep last good config
+                refresh_failures += 1
+                log.warning("config refresh failed, keeping last good config: %r", ex)
+        try:
+            metrics = run_once(spark, config, state_dir, mirror_dir, lister)
+            metrics["succeeded"] = True
+        except Exception as ex:  # noqa: BLE001 — loop must survive a bad round
+            log.warning("discovery/upload round failed: %r", ex)
+            metrics = {"succeeded": False, "error": repr(ex)}
+        metrics["config_refresh_failures"] = refresh_failures
+        rounds.append(metrics)
         if max_rounds is not None and len(rounds) >= max_rounds:
             break
         sleep_fn(interval_s)

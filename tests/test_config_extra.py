@@ -265,3 +265,60 @@ def test_load_config_invalid_yaml_raises():
 
     with _pytest.raises(Exception):
         load_config("version: V1\nmetadataExtractorConfig: [unclosed\n  - ][")
+
+
+def test_continuous_mode_survives_failing_rounds_and_counts_them(monkeypatch):
+    calls = []
+
+    def flaky_run_once(spark, config, state_dir, mirror_dir, lister):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("sink exploded")
+        return {"tables_discovered": 2}
+
+    monkeypatch.setattr(runner_mod, "run_once", flaky_run_once)
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "CONTINUOUS",
+                "parserConfig": [
+                    {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+                ],
+            },
+        }
+    )
+    rounds = run_continuous(None, cfg, "/tmp/unused", max_rounds=2, interval_s=0)
+    # round 1 failed but was recorded; round 2 ran anyway
+    assert [r["succeeded"] for r in rounds] == [False, True]
+    assert "sink exploded" in rounds[0]["error"]
+    assert rounds[1]["tables_discovered"] == 2
+
+
+def test_continuous_mode_counts_config_refresh_failures(monkeypatch):
+    monkeypatch.setattr(
+        runner_mod, "run_once", lambda *a: {"tables_discovered": 0}
+    )
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "CONTINUOUS",
+                "parserConfig": [
+                    {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+                ],
+            },
+        }
+    )
+    rounds = run_continuous(
+        None,
+        cfg,
+        "/tmp/unused",
+        max_rounds=2,
+        interval_s=0,
+        base_config_source={"version": "V1"},  # invalid: no parserConfig
+    )
+    # every refresh fails, the last good config stays in force, and the
+    # failure count is visible in each round's metrics
+    assert [r["config_refresh_failures"] for r in rounds] == [1, 2]
+    assert all(r["succeeded"] for r in rounds)
