@@ -32,8 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from lakeview_spark.plans import QUERIES
+    """One entry per implemented operator from SURVEY.md §2, in the
+    explicit driver-window order (first 50 = the round's correctness
+    window; see plans/__init__.py)."""
+    from lakeview_spark.plans import QUERIES, ensure_driver_order
+
+    ensure_driver_order()
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each hash-checkable query; queries
     without an entry get the driver's weaker rows-only check."""
-    from lakeview_spark.plans import ORACLES
+    from lakeview_spark.plans import ORACLES, ensure_driver_order
 
+    ensure_driver_order()
     return dict(ORACLES)

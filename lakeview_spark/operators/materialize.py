@@ -18,21 +18,57 @@ via ``LAKEVIEW_SCRATCH_DIR``.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# (application id, logical name, dataset path) -> materialized path.
-# The driver runs queries sequentially in one session, so a plain dict
-# guard is sufficient; a second session (new app id) re-materializes.
-_MATERIALIZED: dict[tuple[str, str, str], str] = {}
+# (application id, logical name, dataset path, dataset fingerprint)
+# -> materialized path. The driver runs queries sequentially in one
+# session, so a plain dict guard is sufficient; a second session (new
+# app id) or a rewritten dataset (new fingerprint) re-materializes.
+_MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
+
+# scratch paths this process created, removed at interpreter exit so
+# repeated runs don't accumulate stale parquet under the scratch root
+_CREATED_PATHS: list[str] = []
 
 
 def scratch_dir() -> str:
     return os.environ.get("LAKEVIEW_SCRATCH_DIR", tempfile.gettempdir())
+
+
+def _dataset_fingerprint(sf_dir: str) -> str:
+    """Cheap invalidation key: newest mtime + total bytes over the
+    dataset directory. One local stat sweep over ~10 files here; on an
+    object store the equivalent is one LIST of the input root (already
+    paid by any run). Non-local / missing paths fall back to a constant
+    (the per-session application-id key still bounds staleness)."""
+    if not os.path.isdir(sf_dir):
+        return "remote"
+    newest = 0
+    total = 0
+    for root, _, files in os.walk(sf_dir):
+        for fn in files:
+            try:
+                st = os.stat(os.path.join(root, fn))
+            except OSError:
+                continue
+            newest = max(newest, st.st_mtime_ns)
+            total += st.st_size
+    return f"{newest}:{total}"
+
+
+def _cleanup_scratch() -> None:
+    for path in _CREATED_PATHS:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
 
 
 def materialized(
@@ -42,16 +78,24 @@ def materialized(
     builder: Callable[[SparkSession, str], DataFrame],
 ) -> DataFrame:
     """Return `builder(spark, sf_dir)` materialized as parquet, writing it
-    only on the first call per (session, name, dataset).
+    only on the first call per (session, name, dataset version) — the
+    dataset fingerprint in the key means a rewritten input directory
+    re-materializes instead of serving stale scratch.
 
     Parquet round-trips every type the intermediates use (string, long,
     int, array) exactly, so oracle hash-parity is unaffected.
     """
-    key = (spark.sparkContext.applicationId, name, os.path.realpath(sf_dir))
+    key = (
+        spark.sparkContext.applicationId,
+        name,
+        os.path.realpath(sf_dir),
+        _dataset_fingerprint(sf_dir),
+    )
     path = _MATERIALIZED.get(key)
     if path is None:
         digest = hashlib.md5(repr(key).encode()).hexdigest()[:12]
         path = os.path.join(scratch_dir(), f"lakeview_mat_{name}_{digest}")
         builder(spark, sf_dir).write.mode("overwrite").parquet(path)
         _MATERIALIZED[key] = path
+        _CREATED_PATHS.append(path)
     return spark.read.parquet(path)

@@ -13,7 +13,9 @@ targets a bytes-per-file budget with Spark's own knobs:
   result doesn't ship 32 shard files.
 
 Row size is measured from a bounded sample (never a full collect), so
-the estimate costs one small job regardless of dataset size.
+the estimate costs one small job regardless of dataset size; the exact
+row count (a second evaluation of the input) is paid only when
+`coalesce_small=True` asks for the small-result decision.
 """
 
 from __future__ import annotations
@@ -49,10 +51,14 @@ def write_sized(
     row_bytes = estimate_row_bytes(df, sample_rows)
     target_bytes = target_mb * 1024 * 1024
     max_records = max(1, target_bytes // row_bytes)
-    n_rows = df.count()
     out = df
+    n_rows = None
     n_partitions = None
     if coalesce_small:
+        # the exact count (a second evaluation of the input) is paid
+        # ONLY for the coalesce decision; with coalesce_small=False the
+        # sizing costs just the bounded row-size sample
+        n_rows = df.count()
         # if the whole dataset fits in fewer files than current
         # parallelism would emit, repartition down to the file budget
         n_partitions = max(1, math.ceil(n_rows * row_bytes / target_bytes))

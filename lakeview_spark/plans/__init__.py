@@ -83,7 +83,17 @@ _DRIVER_WINDOW = [
 ]
 
 
-def _apply_driver_window() -> None:
+def ensure_driver_order() -> None:
+    """Reorder QUERIES/ORACLES in place so _DRIVER_WINDOW is the
+    registration prefix. Idempotent, and a no-op while registration is
+    still incomplete: entering the library through a pipeline submodule
+    (e.g. ``import lakeview_spark.pipeline.export``) runs this package
+    __init__ mid-cycle before the pipeline queries register, so the
+    driver contract (``__spark_entry__``) and the hygiene tests call
+    this again once imports have settled. Both dicts are mutated in
+    place, so every existing reference sees the final order."""
+    if not all(name in QUERIES for name in _DRIVER_WINDOW):
+        return
     ordered = {name: QUERIES[name] for name in _DRIVER_WINDOW}
     for name, fn in QUERIES.items():
         ordered.setdefault(name, fn)
@@ -94,4 +104,4 @@ def _apply_driver_window() -> None:
     ORACLES.update(aligned)
 
 
-_apply_driver_window()
+ensure_driver_order()

@@ -61,6 +61,7 @@ def upload_file_to_presigned_url(
     max_retries: int = 3,
     base_backoff_s: float = 0.1,
     sleep: Callable[[float], None] = time.sleep,
+    retryable_exceptions: tuple = (FileUploadError, OSError),
 ) -> int:
     """One presigned-URL PUT (PresignedUrlFileUploader.java:48-119).
 
@@ -68,8 +69,11 @@ def upload_file_to_presigned_url(
     as a single buffered body; larger files stream the SAME single PUT
     in `chunk_bytes` pieces (one request, chunked body — not multipart).
     Retry wraps the whole request with exponential backoff
-    (AsyncHttpClientWithRetry semantics); a non-2xx status raises
-    FileUploadError.
+    (AsyncHttpClientWithRetry semantics, which covers network failures
+    too): a non-2xx status raises FileUploadError, and transport-level
+    errors (connection reset / timeout surface as OSError subclasses)
+    retry in the same loop via ``retryable_exceptions``; anything
+    outside that tuple propagates immediately.
 
     ``put(url, body_iter, content_length) -> status_code`` is the
     transport — an HTTP client in production, a fake in tests. Returns
@@ -97,7 +101,7 @@ def upload_file_to_presigned_url(
                     f"File upload failed: response code: {status}"
                 )
             return size
-        except FileUploadError:
+        except retryable_exceptions:
             attempt += 1
             if attempt > max_retries:
                 raise

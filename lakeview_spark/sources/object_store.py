@@ -237,6 +237,13 @@ class GcsPageClient:
             raise ObjectStoreError(str(ex)) from ex
         entries: list[FileEntry] = []
         for b in blobs:
+            # GCS start_offset is INCLUSIVE where S3 StartAfter is
+            # exclusive: drop the resume key itself client-side so
+            # incremental listing work stays proportional to new files
+            # on GCS too (otherwise the checkpoint key re-lists — and
+            # re-uploads — on every poll).
+            if start_after and b.name <= start_after:
+                continue
             lm = b.updated
             if lm is not None and lm.tzinfo is not None:
                 lm = lm.astimezone(timezone.utc).replace(tzinfo=None)

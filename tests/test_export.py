@@ -62,3 +62,12 @@ def test_row_size_estimate_bounded(spark):
     # must not scan the full table: bounded sample only
     est = estimate_row_bytes(df, sample_rows=100)
     assert 1 <= est <= 64
+
+
+def test_no_coalesce_skips_the_exact_count(spark, tmp_path):
+    df = spark.range(1000).select(F.col("id"))
+    out = str(tmp_path / "nocount")
+    info = write_sized(df, out, target_mb=64, coalesce_small=False)
+    # sizing used only the bounded sample: no full second evaluation
+    assert info["rows"] is None and info["n_partitions"] is None
+    assert spark.read.parquet(out).count() == 1000

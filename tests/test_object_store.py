@@ -327,6 +327,29 @@ def test_gcs_page_client_translation():
     }
 
 
+def test_gcs_inclusive_start_offset_drops_resume_key():
+    from lakeview_spark.sources.object_store import GcsPageClient
+
+    aware = datetime(2026, 3, 1, 12, 0, 0, tzinfo=None)
+    # GCS startOffset is inclusive: the resume key itself (and anything
+    # lexically at/below it) comes back in the page and must be dropped
+    # client-side so incremental polls don't re-upload the checkpoint key
+    page = _FakeGcsPage(
+        [
+            _FakeGcsBlob("d/100.commit", aware, 1),  # == resume key
+            _FakeGcsBlob("d/200.commit", aware, 2),  # new
+        ],
+        [],
+    )
+    client = GcsPageClient(FakeGcs(page), page_size=5)
+    _, entries = client.fetch_page("b", "d/", None, "d/100.commit")
+    assert [e[0] for e in entries] == ["200.commit"]
+    # without a resume point nothing is dropped
+    client2 = GcsPageClient(FakeGcs(_FakeGcsPage([_FakeGcsBlob("d/100.commit", aware, 1)], [])))
+    _, entries2 = client2.fetch_page("b", "d/", None, None)
+    assert [e[0] for e in entries2] == ["100.commit"]
+
+
 def test_gcs_status_code_translation():
     from lakeview_spark.sources.object_store import GcsPageClient
 

@@ -225,3 +225,44 @@ def test_extract_features_decodes_real_bmp_distributed(spark):
     assert out == {
         i: ((i * 70 % 64) + 1, ((i * 70 // 64) % 64) + 1) for i in range(1, 6)
     }
+
+
+def test_materialize_invalidates_on_dataset_rewrite(spark, tmp_path):
+    import os
+
+    from lakeview_spark.operators import materialize as mat
+
+    sf = tmp_path / "ds"
+    sf.mkdir()
+    data = sf / "t.parquet"
+    data.write_bytes(b"v1")
+    builds = []
+
+    def builder(s, d):
+        builds.append(1)
+        return s.range(3)
+
+    first = mat.materialized(spark, "invtest", str(sf), builder)
+    assert first.count() == 3 and len(builds) == 1
+    mat.materialized(spark, "invtest", str(sf), builder)
+    assert len(builds) == 1  # cached: same dataset version
+    # rewrite the dataset: mtime/size fingerprint changes -> rebuild
+    data.write_bytes(b"v2-longer")
+    os.utime(data, ns=(1, 10**18))
+    mat.materialized(spark, "invtest", str(sf), builder)
+    assert len(builds) == 2
+
+
+def test_materialize_scratch_cleanup_removes_created_paths(spark, tmp_path):
+    import os
+
+    from lakeview_spark.operators import materialize as mat
+
+    sf = tmp_path / "ds2"
+    sf.mkdir()
+    (sf / "t.parquet").write_bytes(b"x")
+    mat.materialized(spark, "cleantest", str(sf), lambda s, d: s.range(2))
+    created = [p for p in mat._CREATED_PATHS if "cleantest" in p]
+    assert created and all(os.path.exists(p) for p in created)
+    mat._cleanup_scratch()
+    assert all(not os.path.exists(p) for p in created)

@@ -66,3 +66,36 @@ def test_retries_exhausted_raises(tmp_path):
             put, "https://u", src, chunk_bytes=1024, max_retries=3, sleep=lambda s: None
         )
     assert len(put.requests) == 4
+
+
+def test_transport_errors_retry_in_same_backoff_loop(tmp_path):
+    src = tmp_path / "f.bin"
+    src.write_bytes(b"x" * 10)
+    calls = []
+
+    def flaky_put(url, body, length):
+        calls.append(1)
+        if len(calls) < 3:
+            raise ConnectionResetError("peer reset")  # OSError subclass
+        return 200
+
+    sent = upload_file_to_presigned_url(
+        flaky_put, "https://sink/presigned", str(src), sleep=lambda _s: None
+    )
+    assert sent == 10 and len(calls) == 3
+
+
+def test_non_transport_errors_propagate_immediately(tmp_path):
+    src = tmp_path / "f.bin"
+    src.write_bytes(b"x")
+    calls = []
+
+    def broken_put(url, body, length):
+        calls.append(1)
+        raise ValueError("caller bug, not transport")
+
+    with pytest.raises(ValueError):
+        upload_file_to_presigned_url(
+            broken_put, "https://sink/p", str(src), sleep=lambda _s: None
+        )
+    assert len(calls) == 1  # no retry outside the retryable tuple

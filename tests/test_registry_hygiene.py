@@ -39,8 +39,9 @@ def test_driver_window_covers_every_query_without_a_green_row():
     earn a driver row."""
     import json
 
-    from lakeview_spark.plans import _DRIVER_WINDOW
+    from lakeview_spark.plans import _DRIVER_WINDOW, ensure_driver_order
 
+    ensure_driver_order()
     assert len(_DRIVER_WINDOW) == 50
     assert len(set(_DRIVER_WINDOW)) == 50
     assert set(_DRIVER_WINDOW) <= set(QUERIES), set(_DRIVER_WINDOW) - set(QUERIES)
