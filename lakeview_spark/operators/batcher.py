@@ -109,6 +109,27 @@ def _commit_group_key(filename: str) -> str:
     return raw.split("_")[0] if "_" in raw else raw
 
 
+def recency_filter(kept: Sequence[tuple], checkpoint_ts) -> list[tuple]:
+    """CONTINUE-mode group recency filter
+    (ActiveTimelineInstantBatcher.java:199-218): group whitelisted files
+    by commit key, keep every group containing hoodie.properties or any
+    member strictly newer than the checkpoint; unknown mtimes (None)
+    count as new. Group survival is all-or-nothing — a stale sibling
+    rides along with its fresh group."""
+    groups: dict[str, list[tuple]] = {}
+    for fn, lm in kept:
+        groups.setdefault(_commit_group_key(fn), []).append((fn, lm))
+    return [
+        pair
+        for grp in groups.values()
+        if any(
+            fn == HOODIE_PROPERTIES_FILE or lm is None or lm > checkpoint_ts
+            for fn, lm in grp
+        )
+        for pair in grp
+    ]
+
+
 def create_batches(
     files: Sequence[tuple],
     max_batch_size: int,
@@ -128,18 +149,7 @@ def create_batches(
 
     kept = [(fn, lm) for fn, lm in files if _keep(fn)]
     if strategy == CONTINUE:
-        groups: dict[str, list[tuple]] = {}
-        for fn, lm in kept:
-            groups.setdefault(_commit_group_key(fn), []).append((fn, lm))
-        kept = [
-            pair
-            for grp in groups.values()
-            if any(
-                fn == HOODIE_PROPERTIES_FILE or lm is None or lm > checkpoint_ts
-                for fn, lm in grp
-            )
-            for pair in grp
-        ]
+        kept = recency_filter(kept, checkpoint_ts)
     sorted_names = sorted((fn for fn, _ in kept), key=_sort_key)
 
     batches: list[list[str]] = []

@@ -108,3 +108,83 @@ def test_groups_never_split(names, strategy):
             ts_to_batches.setdefault(ts, set()).add(bi)
     for ts, bs in ts_to_batches.items():
         assert len(bs) == 1, f"group {ts} split across batches {bs}"
+
+
+# ---- CONTINUE-mode recency filter vs brute-force reference ----
+#
+# Brute force written straight from ActiveTimelineInstantBatcher.java
+# :199-218: group by split("\\.",3)[0] (then "_" prefix), keep a group
+# when any member is hoodie.properties or strictly newer than the
+# checkpoint. Unknown mtimes count as new (the batch path only has
+# mtimes in CONTINUE mode).
+
+from datetime import datetime, timedelta
+
+from lakeview_spark.operators.batcher import recency_filter
+
+_CKPT = datetime(2026, 1, 15, 12, 0, 0)
+
+
+def _reference_recency(files, ckpt):
+    by_key = {}
+    for fn, lm in files:
+        raw = fn.split(".", 2)[0]
+        key = raw.split("_")[0] if "_" in raw else raw
+        by_key.setdefault(key, []).append((fn, lm))
+    out = []
+    for group in by_key.values():
+        keep = False
+        for fn, lm in group:
+            if fn == "hoodie.properties" or lm is None or lm > ckpt:
+                keep = True
+        if keep:
+            out.extend(group)
+    return out
+
+
+@st.composite
+def mtimed_corpora(draw):
+    """Random (filename, mtime) corpora: shared commit keys (some with
+    underscore variants, exercising the split("_") key rule), mtimes
+    straddling the checkpoint incl. the exact-equal boundary, None
+    mtimes, and hoodie.properties."""
+    n = draw(st.integers(1, 30))
+    files = []
+    for _ in range(n):
+        ts = draw(st.integers(100, 120))  # small range -> frequent key collisions
+        suffix = draw(st.sampled_from(["", "_001", "_20260101"]))
+        state = draw(st.sampled_from(["requested", "inflight", ""]))
+        action = draw(st.sampled_from(ACTIONS))
+        name = f"{ts}{suffix}.{action}" + (f".{state}" if state else "")
+        lm = draw(
+            st.one_of(
+                st.none(),
+                st.datetimes(
+                    min_value=_CKPT - timedelta(days=2),
+                    max_value=_CKPT + timedelta(days=2),
+                ),
+                st.just(_CKPT),  # boundary: equal-to-checkpoint is NOT newer
+            )
+        )
+        files.append((name, lm))
+    if draw(st.booleans()):
+        files.append(("hoodie.properties", draw(st.one_of(st.none(), st.just(_CKPT)))))
+    return files
+
+
+@given(mtimed_corpora())
+@settings(max_examples=300, deadline=None)
+def test_continue_recency_filter_matches_reference(files):
+    got = sorted(recency_filter(files, _CKPT), key=repr)
+    want = sorted(_reference_recency(files, _CKPT), key=repr)
+    assert got == want
+
+
+@given(mtimed_corpora())
+@settings(max_examples=100, deadline=None)
+def test_continue_batches_only_contain_recency_surviving_files(files):
+    surviving = {fn for fn, _ in _reference_recency(files, _CKPT)}
+    _, batches = create_batches(files, 20, strategy=CONTINUE, checkpoint_ts=_CKPT)
+    for batch in batches:
+        for fn in batch:
+            assert fn in surviving
