@@ -63,9 +63,18 @@ def _dataset_fingerprint(sf_dir: str) -> str:
     return f"{newest}:{total}"
 
 
-def _cleanup_scratch() -> None:
-    for path in _CREATED_PATHS:
+def _cleanup_scratch(paths: list[str] | None = None) -> None:
+    """Remove scratch paths AND their cache entries together — disk and
+    the `_MATERIALIZED` dict must never disagree, or a later cache hit
+    reads a deleted directory (round-3 regression). `paths=None` cleans
+    everything this process created (the atexit hook); passing a subset
+    cleans only those paths."""
+    targets = _CREATED_PATHS if paths is None else [p for p in paths if p in _CREATED_PATHS]
+    for path in list(targets):
         shutil.rmtree(path, ignore_errors=True)
+        _CREATED_PATHS.remove(path)
+        for key in [k for k, v in _MATERIALIZED.items() if v == path]:
+            del _MATERIALIZED[key]
 
 
 atexit.register(_cleanup_scratch)

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from lakeview_spark.functions.ids import uuid3_expr
 from lakeview_spark.functions.instants import parse_instants
-from lakeview_spark.plans.registry import register, t
+from lakeview_spark.plans.registry import events_ts_us, register, t
 
 
 def _dec(c) -> F.Column:
@@ -424,12 +424,13 @@ def compaction_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per file group, events since the last compaction (purchase ~
     compaction commit; clicks/views ~ log files).
 
-    events.ts: Spark reads bigint nanos (session.py) and truncates to
-    micros; DuckDB's TIMESTAMP is already micros (epoch_us) — exact
-    integer compares on both sides."""
-    e = t(spark, sf_dir, "events").select(
+    events.ts arrives as micros via events_ts_us (dtype-dispatched);
+    DuckDB's TIMESTAMP is already micros (epoch_us) — exact integer
+    compares on both sides."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
         (F.col("user_id") % 100).alias("file_group"),
-        F.expr("ts div 1000").alias("ts"),
+        events_ts_us(ev).alias("ts"),
         "event_type",
     )
     w = Window.partitionBy("file_group")
@@ -486,9 +487,10 @@ def table_counts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeline_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: ordered timeline history with day-over-day / week-over-week
-    deltas. Day bucket = integer div of the nanos timestamp."""
-    e = t(spark, sf_dir, "events")
-    d = e.groupBy(F.expr("(ts div 1000) div 86400000000").alias("day_num")).agg(
+    deltas. Day bucket = integer div of the micros timestamp."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.withColumn("ts_us", events_ts_us(ev))
+    d = e.groupBy(F.expr("ts_us div 86400000000").alias("day_num")).agg(
         F.count("*").alias("events"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
     )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lakeview_spark.plans.analytics import _dec
-from lakeview_spark.plans.registry import register, t
+from lakeview_spark.plans.registry import events_ts_us, register, t
 
 
 @register(
@@ -162,9 +162,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min idle gap): lag -> new-session
     flag -> running sum = session id. The classic event-stream window
     chain; partitioned per user so state is bounded."""
-    e = t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us")
-    )
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", events_ts_us(ev).alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us")
     prev = F.lag("ts_us").over(w)
     flagged = e.withColumn(
@@ -321,10 +320,11 @@ def events_asof_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id tiebreak makes same-ts click ordering total. One shuffle
     on user_id, state bounded per user — the 100 TB shape (a
     range/broadcast join would be quadratic per hot user)."""
-    e = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        events_ts_us(ev).alias("ts_us"),
         "event_type",
         "value",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
@@ -422,9 +422,8 @@ def events_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent aggregates (count, max, min) ride on the frame;
     no float summation. Partitioned per user: bounded state, no global
     sort, the 100x-safe shape."""
-    e = t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
-    )
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", events_ts_us(ev).alias("ts_us"), "value")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us")
@@ -465,9 +464,10 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. The classic product-analytics cohort query (W4 family)."""
     e = t(spark, sf_dir, "events")
     w = (
-        e.select(
+        e.select("user_id", events_ts_us(e).alias("ts_us"))
+        .select(
             "user_id",
-            F.expr("CAST((ts div 1000) div 604800000000 AS BIGINT)").alias("week"),
+            F.expr("CAST(ts_us div 604800000000 AS BIGINT)").alias("week"),
         )
         .distinct()
     )
@@ -517,10 +517,11 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join filter inside sort-merge — per-user state only, and the
     1-hour bound caps pairs per user at (clicks-per-hour x purchases),
     never the unbounded cross product. Pure integer time math."""
-    e = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        events_ts_us(ev).alias("ts_us"),
         "event_type",
         "value",
     )

@@ -38,8 +38,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.ts is TIMESTAMP(NANOS): read as bigint nanos
-        # (Spark has no nanos timestamp type); queries do exact nanos math
+        # events.ts may arrive as TIMESTAMP(NANOS) parquet: surface it as
+        # bigint nanos (Spark has no nanos type). Harmless for micros
+        # files; plans/registry.events_ts_us dispatches on the result.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

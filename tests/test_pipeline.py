@@ -264,5 +264,14 @@ def test_materialize_scratch_cleanup_removes_created_paths(spark, tmp_path):
     mat.materialized(spark, "cleantest", str(sf), lambda s, d: s.range(2))
     created = [p for p in mat._CREATED_PATHS if "cleantest" in p]
     assert created and all(os.path.exists(p) for p in created)
-    mat._cleanup_scratch()
+    # clean ONLY this test's paths: other tests' materialized scratch
+    # (and its cache entries) must survive
+    mat._cleanup_scratch(created)
     assert all(not os.path.exists(p) for p in created)
+    assert not any(p in mat._CREATED_PATHS for p in created)
+    assert not any(v in created for v in mat._MATERIALIZED.values())
+    # a re-materialize after cleanup rebuilds rather than serving the
+    # deleted path
+    again = mat.materialized(spark, "cleantest", str(sf), lambda s, d: s.range(2))
+    assert again.count() == 2
+    mat._cleanup_scratch([p for p in mat._CREATED_PATHS if "cleantest" in p])
