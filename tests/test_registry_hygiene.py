@@ -34,9 +34,10 @@ def test_coverage_md_counts_match_registry():
 
 def test_driver_window_covers_every_query_without_a_green_row():
     """The driver snapshots correctness for the first 50 queries in
-    registration order. Every query absent from CORRECTNESS_r02 (the
-    last full snapshot) must sit inside that window, or it can never
-    earn a driver row."""
+    registration order. Every query with no green row in ANY recorded
+    CORRECTNESS_r*.json (err != null does not count) must sit inside
+    that window, or it can never earn a driver row."""
+    import glob
     import json
 
     from lakeview_spark.plans import _DRIVER_WINDOW, ensure_driver_order
@@ -48,7 +49,10 @@ def test_driver_window_covers_every_query_without_a_green_row():
     # the window IS the registration prefix
     assert list(QUERIES)[:50] == _DRIVER_WINDOW
 
-    r02 = set(json.load(open(os.path.join(REPO, "CORRECTNESS_r02.json"))))
-    unchecked = set(QUERIES) - r02
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        green |= {name for name, row in rows.items() if row.get("err") is None}
+    unchecked = set(QUERIES) - green
     outside = unchecked - set(_DRIVER_WINDOW)
     assert not outside, f"queries with no driver row outside the first-50 window: {outside}"
