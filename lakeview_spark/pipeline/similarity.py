@@ -9,8 +9,9 @@ over index order (Spark `aggregate`, DuckDB `list_reduce`) on doubles, so
 the floating-point result is bit-identical and top-k order (with vec_id
 tiebreak) matches exactly.
 
-The hyperplanes for LSH are data-derived (embeddings of vec_id 1..4) to
-stay deterministic and oracle-checkable without a random seed.
+The hyperplanes for LSH are data-derived (embeddings of vec_id
+1..planes, with the plane count sized to the corpus) to stay
+deterministic and oracle-checkable without a random seed.
 """
 
 from __future__ import annotations
@@ -27,29 +28,56 @@ _QUERY_VEC_ID = 0
 _TOP_K = 20
 
 
-def _env_planes(default: int = 4) -> int:
-    """Hyperplane count for the random-hyperplane LSH family.
+# Bucket count is 2^planes, so the same-bucket candidate load is
+# ~n^2/2^planes: the plane count must GROW with the corpus. The sizing
+# rule keeps the expected bucket occupancy near _TARGET_BUCKET:
+#   planes = clamp(floor(log2(n_vectors / _TARGET_BUCKET)), 2, _MAX_PLANES)
+# derived at query time from the corpus row count, IDENTICALLY on both
+# engines: Python uses exact integer bit_length, the oracle SQL uses
+# floor(log2(count(*) // target)) — equal for every n because log2 of an
+# integer is exact at powers of two and bounded > 4e-8 away from an
+# integer otherwise. Planes stay data-derived (embeddings of vec_id
+# 1..planes), so every corpus size is deterministic and oracle-checkable.
+_TARGET_BUCKET = 30
+_MAX_PLANES = 24
 
-    Bucket count is 2^planes, so the same-bucket candidate load is
-    ~n^2/2^planes: the plane count must GROW with the corpus
-    (planes ~= log2(n_vectors / target_bucket_size); 16-24 at corpus
-    scale, the same widening rule the minhash band layout documents in
-    curation.py). The default 4 keeps testdata/oracle parity (~30-vector
-    buckets at 500 vectors); set LAKEVIEW_LSH_PLANES to resize. Planes
-    stay data-derived (embeddings of vec_id 1..planes), so every setting
-    is deterministic and oracle-checkable — the oracle SQL below is
-    generated from the same constant at import time.
-    """
+
+def _env_planes() -> int | None:
+    """Optional fixed override (LAKEVIEW_LSH_PLANES): clamped 2..24, or
+    None (the default) for the corpus-derived sizing rule above. Read at
+    import time so the generated oracle SQL agrees with the Spark side."""
+    raw = os.environ.get("LAKEVIEW_LSH_PLANES")
+    if raw is None:
+        return None
     try:
-        n = int(os.environ.get("LAKEVIEW_LSH_PLANES", str(default)))
+        n = int(raw)
     except ValueError:
-        return default
-    return max(2, min(n, 24))
+        return None
+    return max(2, min(n, _MAX_PLANES))
 
 
-_N_PLANES = _env_planes()
-_PLANE_IDS = tuple(range(1, _N_PLANES + 1))
-_PLANE_IDS_SQL = "(" + ", ".join(str(p) for p in _PLANE_IDS) + ")"
+_FORCED_PLANES = _env_planes()
+
+
+def _planes_for_n(n_vectors: int) -> int:
+    """Plane count for a corpus of ``n_vectors`` (exact integer form of
+    the floor(log2(n / target)) rule; bit_length(m) - 1 == floor(log2(m))
+    for every m >= 1)."""
+    if _FORCED_PLANES is not None:
+        return _FORCED_PLANES
+    m = max(n_vectors // _TARGET_BUCKET, 1)
+    return max(2, min(m.bit_length() - 1, _MAX_PLANES))
+
+
+# the same derivation as one scalar SQL subquery (DuckDB), generated
+# once at import: either the forced constant or the dynamic rule
+if _FORCED_PLANES is not None:
+    _NP_SQL = f"SELECT {_FORCED_PLANES} AS p"
+else:
+    _NP_SQL = f"""SELECT LEAST({_MAX_PLANES}, GREATEST(2,
+        CAST(floor(log2(GREATEST(count(*) // {_TARGET_BUCKET}, 1))) AS INT))) AS p
+      FROM embeddings"""
+
 # k-means centroid seeds are a separate knob from the LSH planes: the
 # cluster count stays k=4 no matter how wide the LSH index is sized.
 _CENTROID_IDS = (1, 2, 3, 4)
@@ -65,6 +93,64 @@ def _dot(a: str, b: str) -> F.Column:
         F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
     )
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# (application id, dataset path, dataset fingerprint) -> plane list.
+# Bounded (one small entry per dataset per session); keyed like the
+# materialize cache so a rewritten dataset re-derives.
+_PLANE_CACHE: dict[tuple[str, str, str], list[tuple[int, list[float]]]] = {}
+
+
+def _plane_vectors(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The LSH planes as driver-side (plane_id, vector) pairs for
+    vec_id 1..planes_for_n(corpus size). A bounded collect (<= 24 rows)
+    — the same metadata scale as a broadcast dim's build side; the
+    vectors become literal arrays so bucket assignment is a map-only
+    plan. float32 -> Python float -> double literal is exact, so bits
+    match an exploded-join formulation bit-for-bit."""
+    from lakeview_spark.operators.materialize import _dataset_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _dataset_fingerprint(sf_dir),
+    )
+    planes = _PLANE_CACHE.get(key)
+    if planes is None:
+        emb = t(spark, sf_dir, "embeddings")
+        p = _planes_for_n(emb.count())
+        rows = (
+            emb.filter(F.col("vec_id").between(1, p))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        by_id = {r["vec_id"]: list(r["embedding"]) for r in rows}
+        planes = [(pid, by_id[pid]) for pid in range(1, p + 1) if pid in by_id]
+        _PLANE_CACHE[key] = planes
+    return planes
+
+
+def _sql_double(v: float) -> str:
+    # repr round-trips doubles exactly and ANSI string->double cast is
+    # correctly rounded, so the literal equals the collected value
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _bucket_expr(planes: list[tuple[int, list[float]]], col: str = "embedding") -> F.Column:
+    """Bucket id for ``col`` against literal plane vectors: the bit for
+    plane_id is sign(dot(v, plane)), weighted 2^(plane_id-1) — identical
+    math to the exploded join + groupBy form, with zero shuffles. Built
+    as ONE sql expression (a single parse) instead of hundreds of
+    per-literal py4j Column calls, which dominated plan-build latency."""
+    terms = []
+    for pid, pv in planes:
+        arr = "array(" + ",".join(_sql_double(float(v)) for v in pv) + ")"
+        dot = (
+            f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << (pid - 1)} ELSE 0 END)")
+    return F.expr("CAST(" + (" + ".join(terms) or "0") + " AS BIGINT)")
 
 
 def _norm(a: str) -> F.Column:
@@ -119,8 +205,8 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PLANES_SQL = f"""
-    SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
-    WHERE vec_id IN {_PLANE_IDS_SQL}
+    SELECT vec_id AS plane_id, embedding AS pe FROM embeddings, ({_NP_SQL}) np
+    WHERE vec_id BETWEEN 1 AND np.p
 """
 
 
@@ -134,28 +220,20 @@ _PLANES_SQL = f"""
       FROM embeddings e, planes p
     )
     SELECT vec_id,
-           CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+           CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
     FROM bits GROUP BY vec_id
     """,
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector (4 data-derived planes ->
-    16 buckets). The scale path: one broadcast of 4 planes, one narrow map."""
+    """Random-hyperplane LSH bucket per vector; the plane count is
+    corpus-sized (floor(log2(n/30)), clamped 2..24) so bucket occupancy
+    stays ~constant as data grows. One narrow map over the scan: the
+    plane vectors are inlined as literals (a bounded plane-count
+    collect, same scale class as a broadcast dim), so NO crossJoin, NO
+    groupBy shuffle — at 100 TB the bucket assignment is a pure map
+    stage."""
     emb = t(spark, sf_dir, "embeddings")
-    planes = emb.filter(F.col("vec_id").isin(*_PLANE_IDS)).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
-    )
-    weight = F.create_map(
-        *[x for i, pid in enumerate(_PLANE_IDS) for x in (F.lit(pid), F.lit(1 << i))]
-    )
-    bits = emb.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "plane_id",
-        F.when(_dot("embedding", "pe") > 0, 1).otherwise(0).alias("bit"),
-    )
-    return bits.groupBy("vec_id").agg(
-        F.sum(F.col("bit") * weight[F.col("plane_id")]).cast("bigint").alias("bucket")
-    )
+    return emb.select("vec_id", _bucket_expr(_plane_vectors(spark, sf_dir)).alias("bucket"))
 
 
 @register(
@@ -169,7 +247,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bucketed AS (
       SELECT vec_id, any_value(label) AS label, any_value(embedding) AS embedding,
-             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
       FROM bits GROUP BY vec_id
     ),
     q AS (SELECT embedding AS qe, bucket AS qbucket FROM bucketed WHERE vec_id = {_QUERY_VEC_ID})
@@ -214,7 +292,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bucketed AS (
       SELECT vec_id, any_value(label) AS label, any_value(embedding) AS embedding,
-             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
       FROM bits GROUP BY vec_id
     ),
     q AS (SELECT embedding AS qe, bucket AS qbucket FROM bucketed WHERE vec_id = {_QUERY_VEC_ID})
@@ -228,8 +306,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe ANN: score the query's LSH bucket plus every bucket
-    at hamming distance 1 (one flipped hyperplane bit) — 5 probes over 4
-    planes. The standard recall knob for bucketed ANN: candidates grow
+    at hamming distance 1 (one flipped hyperplane bit) — planes+1
+    probes. The standard recall knob for bucketed ANN: candidates grow
     ~(1 + planes)/2^planes-fold while staying bucket-restricted, never
     all-pairs. Probe selection is a popcount on the bucket id, so the
     candidate filter stays a single columnar predicate."""
@@ -346,8 +424,18 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").withColumn("norm", _norm("embedding"))
-    return emb.join(similarity_lsh_buckets(spark, sf_dir), "vec_id")
+    # single narrow map: norm fold + literal-plane bucket bits in one
+    # pass over the scan — no join back onto the embeddings (the old
+    # crossJoin -> groupBy -> join form paid two shuffles for the same
+    # columns)
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _norm("embedding").alias("norm"),
+        _bucket_expr(_plane_vectors(spark, sf_dir)).alias("bucket"),
+    )
 
 
 @register(
@@ -361,7 +449,7 @@ def _lsh_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bucketed AS (
       SELECT vec_id, any_value(embedding) AS embedding,
-             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
       FROM bits GROUP BY vec_id
     )
     SELECT a.vec_id AS vec1, b.vec_id AS vec2,
@@ -410,7 +498,7 @@ _KNN_K = 3
     ),
     bucketed AS (
       SELECT vec_id, any_value(embedding) AS embedding,
-             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
       FROM bits GROUP BY vec_id
     ),
     pairs AS (
@@ -478,21 +566,21 @@ _HOT_FACTOR = 4
     ),
     bucketed AS (
       SELECT vec_id,
-             CAST(sum(bit * (CASE plane_id {" ".join(f"WHEN {pid} THEN {1 << i}" for i, pid in enumerate(_PLANE_IDS))} END)) AS BIGINT) AS bucket
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
       FROM bits GROUP BY vec_id
     ),
     buckets AS (SELECT bucket, count(*) AS bucket_size FROM bucketed GROUP BY bucket),
     tot AS (SELECT CAST(sum(bucket_size) AS BIGINT) AS n_vectors FROM buckets)
-    SELECT {_N_PLANES} AS n_planes,
+    SELECT np.p AS n_planes,
            count(*) AS n_buckets_used,
            tot.n_vectors AS n_vectors,
            max(bucket_size) AS max_bucket,
-           CAST(sum(CASE WHEN bucket_size * {1 << _N_PLANES} >= {_HOT_FACTOR} * tot.n_vectors
+           CAST(sum(CASE WHEN bucket_size * (1 << np.p) >= {_HOT_FACTOR} * tot.n_vectors
                     THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
            CAST(sum(bucket_size * (bucket_size - 1) // 2) AS BIGINT) AS candidate_pairs,
            CAST(sum(bucket_size * (bucket_size - 1) // 2) AS DOUBLE) / tot.n_vectors
              AS pairs_per_vector
-    FROM buckets, tot GROUP BY tot.n_vectors
+    FROM buckets, tot, ({_NP_SQL}) np GROUP BY tot.n_vectors, np.p
     """,
 )
 def eval_embedding_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,11 +589,12 @@ def eval_embedding_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-bucket count (>= 4x the uniform share), and the implied
     same-bucket candidate-pair load with its per-vector ratio.
 
-    This is the query that catches an under-planed index: when the
-    corpus grows but _N_PLANES doesn't, pairs_per_vector rises as
-    ~n/2^planes — a monitored number, not a reviewer's comment. One
-    groupBy over the persisted bucket table; integer math, double
-    division only at the edge."""
+    This is the query that catches an under-planed index: if the
+    corpus outgrows the sizing rule's clamp (or a forced plane count),
+    pairs_per_vector rises as ~n/2^planes — a monitored number, not a
+    reviewer's comment. One groupBy over the persisted bucket table;
+    integer math, double division only at the edge."""
+    n_planes = len(_plane_vectors(spark, sf_dir))
     buckets = (
         _lsh_bucketed(spark, sf_dir)
         .groupBy("bucket")
@@ -518,11 +607,11 @@ def eval_embedding_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.crossJoin(F.broadcast(tot))
         .groupBy("n_vectors")
         .agg(
-            F.lit(_N_PLANES).alias("n_planes"),
+            F.lit(n_planes).alias("n_planes"),
             F.count("*").alias("n_buckets_used"),
             F.max(sz).alias("max_bucket"),
             F.sum(
-                F.when(sz * (1 << _N_PLANES) >= _HOT_FACTOR * F.col("n_vectors"), 1).otherwise(0)
+                F.when(sz * (1 << n_planes) >= _HOT_FACTOR * F.col("n_vectors"), 1).otherwise(0)
             )
             .cast("bigint")
             .alias("hot_buckets"),

@@ -119,31 +119,24 @@ def stream_embedding_neardup(
     LSH-bucketed index (the `_lsh_bucketed` materialized table): the
     incremental-ingest twin of the batch `dedup_embedding_cosine`.
 
-    The plane vectors arrive as driver-side constants (they are 4 tiny
-    vectors), so the stream side computes its bucket in one narrow
-    columnar select — no aggregation, hence no watermark requirement —
-    and the stream-static equi-join on `bucket` touches only the
-    buckets the delta hashes into. Cosine uses the same left-fold dot
-    product as the batch path, against the index's precomputed norms."""
-    def _dot_lit(vec: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    The plane vectors arrive as driver-side constants (<= 24 tiny
+    vectors, the `_plane_vectors` pairs), so the stream side computes
+    its bucket in one narrow columnar select — no aggregation, hence no
+    watermark requirement — and the stream-static equi-join on `bucket`
+    touches only the buckets the delta hashes into. The bucket bits
+    come from the SAME `_bucket_expr` the batch index uses, so the two
+    sides can never disagree on bucket ids. Cosine uses the same
+    left-fold dot product as the batch path, against the index's
+    precomputed norms."""
+    from lakeview_spark.pipeline.similarity import _bucket_expr
 
-    bucket = None
-    for i, (_pid, vec) in enumerate(planes):
-        bit = F.when(_dot_lit(vec) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
     norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
     delta = stream.select(
         F.col("vec_id").alias("delta_vec"),
         F.col("embedding").alias("delta_embedding"),
         norm.alias("delta_norm"),
-        bucket.cast("bigint").alias("bucket"),
+        _bucket_expr(planes).alias("bucket"),
     )
     dot = F.aggregate(
         F.zip_with(

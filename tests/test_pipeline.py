@@ -166,7 +166,7 @@ def test_lsh_plane_count_env_knob(monkeypatch):
     from lakeview_spark.pipeline import similarity as sim
 
     monkeypatch.delenv("LAKEVIEW_LSH_PLANES", raising=False)
-    assert sim._env_planes() == 4
+    assert sim._env_planes() is None  # default: corpus-derived sizing
     monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "16")
     assert sim._env_planes() == 16
     monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "1")  # clamps: <2 planes is no index
@@ -174,7 +174,24 @@ def test_lsh_plane_count_env_knob(monkeypatch):
     monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "99")  # clamps: 2^99 buckets is a typo
     assert sim._env_planes() == 24
     monkeypatch.setenv("LAKEVIEW_LSH_PLANES", "not-a-number")
-    assert sim._env_planes() == 4
+    assert sim._env_planes() is None
+
+
+def test_lsh_plane_sizing_rule_tracks_corpus():
+    import math
+
+    from lakeview_spark.pipeline import similarity as sim
+
+    assert sim._FORCED_PLANES is None
+    assert sim._planes_for_n(0) == 2
+    assert sim._planes_for_n(500) == 4  # 500 // 30 = 16 -> 4 (sf0.001/sf0.01)
+    assert sim._planes_for_n(2000) == 6  # 2000 // 30 = 66 -> 6 (sf0.1)
+    assert sim._planes_for_n(10**9) == 24  # clamped
+    # the integer bit_length form must equal floor(log2(n // target)) —
+    # the derivation the generated oracle SQL uses
+    for n in range(1, 5000, 37):
+        m = max(n // sim._TARGET_BUCKET, 1)
+        assert sim._planes_for_n(n) == max(2, min(int(math.floor(math.log2(m))), 24))
 
 
 def test_embedding_bucket_health_flags_underplaning(spark):

@@ -128,18 +128,12 @@ def test_stream_embedding_neardup_matches_planted_duplicate(spark, tmp_path):
     vector orthogonal-ish to the index must not produce spurious 1.0s."""
     import json as _json
 
-    from lakeview_spark.pipeline.similarity import _lsh_bucketed, _PLANE_IDS
+    from lakeview_spark.pipeline.similarity import _lsh_bucketed, _plane_vectors
     from lakeview_spark.streaming.pipeline_stream import stream_embedding_neardup
 
     sf = "/root/testdata/sf0.001"
     indexed = _lsh_bucketed(spark, sf)
-    planes = [
-        (r.vec_id, list(r.embedding))
-        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
-        .filter(F.col("vec_id").isin(*_PLANE_IDS))
-        .orderBy("vec_id")
-        .collect()
-    ]
+    planes = _plane_vectors(spark, sf)
     dup_src = indexed.filter(F.col("vec_id") == 10).collect()[0]
 
     indir = str(tmp_path / "vecs")
