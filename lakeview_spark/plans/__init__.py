@@ -15,15 +15,16 @@ it. Rotate the window as rows turn green.
 from lakeview_spark.plans.registry import QUERIES, ORACLES, register  # noqa: F401
 from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noqa: F401  (registers on import)
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
+from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
 # Round-4 window: the 7 queries repaired this round (events.ts dtype
 # dispatch) lead so their fix is driver-proven, then the 30 queries
 # whose only green rows are r02 — measured on the OLD testdata, which
 # the driver regenerated at r3 start, so those rows are stale and must
-# be re-validated on the current parquet — then 13 cross-family
-# sentinels from the r03-green set (they re-verify shared layers:
-# materialize, instants, LSH, eval). See COVERAGE.md "driver
-# verification" column.
+# be re-validated on the current parquet — then the 5 streaming twins
+# (new, no rows yet) and 8 cross-family sentinels from the r03-green
+# set (they re-verify shared layers: materialize, instants, LSH, eval).
+# See COVERAGE.md "driver verification" column.
 _DRIVER_WINDOW = [
     # repaired in r4 (events_ts_us dtype dispatch)
     "events_sessionization",
@@ -64,16 +65,19 @@ _DRIVER_WINDOW = [
     "events_props_json_stats",
     "events_user_value_quartiles",
     "dedup_simhash",
+    # new this round: driver-checkable twins of the streaming ingestion
+    # operators (VERDICT r03 §next-8) — no green rows yet, so they MUST
+    # sit inside the window
+    "stream_event_sessions",
+    "stream_doc_dedup",
+    "stream_token_stats",
+    "stream_quality_filter",
+    "stream_embedding_neardup",
     # sentinels (green r03; one per shared layer / module family)
     "timeline_parse",
     "checkpoint_filter",
-    "uuid3_table_ids",
-    "partition_skew",
-    "archived_batching",
     "pricing_summary",
-    "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "similarity_topk_cosine",
     "text_language_id",
     "dedup_clusters",
     "eval_lsh_bucket_health",

@@ -1,0 +1,265 @@
+"""Driver-checkable twins of the streaming ingestion operators.
+
+The streaming layer (streaming/pipeline_stream.py) was the only operator
+family without driver CORRECTNESS rows — its tests are batch-equivalence
+pytest assertions only (VERDICT r03 §next-8). These registry entries run
+the REAL Structured Streaming operators (same functions, not batch
+re-implementations) to completion with Trigger.AvailableNow into a
+memory sink and return the result as a batch DataFrame, so the driver
+can hash-compare them against a DuckDB oracle like any other query.
+
+Determinism notes (why these are oracle-exact):
+- each testdata table is ONE parquet file, so AvailableNow processes it
+  as ONE micro-batch: no cross-batch watermark races, no late drops.
+- session_window emission under AvailableNow is deterministic: the
+  post-data no-data batch advances the watermark to max(ts) - delay and
+  flushes every session with end <= watermark (verified empirically,
+  including the end == watermark tie, which IS emitted).
+- dropDuplicatesWithinWatermark keeps an arbitrary FIRST row per key,
+  so its twin projects to the key column only — the surviving key SET
+  is deterministic even though the surviving row is not.
+- windowed counts/sums of integers are order-independent.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import events_ts_us, register, t
+from lakeview_spark.streaming.pipeline_stream import (
+    stream_document_dedup,
+    stream_event_sessions,
+    stream_embedding_neardup,
+    stream_quality_filter,
+    stream_token_stats,
+)
+
+_SINK_IDS = itertools.count()
+
+# ingest_ts synthesis for the documents table (which has no event-time
+# column): BASE + (doc_id % 120) minutes — a deterministic 2-hour spread
+# aligned to the 10-minute window grid. 2026-03-01T00:00:00Z in micros.
+_BASE_US = 1772323200000000
+_BASE_SQL = "epoch_us(TIMESTAMP '2026-03-01 00:00:00')"
+_SPREAD_MIN = 120
+
+
+def _run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the sink contents as a batch DataFrame. The
+    sink name is unique per call so repeated runs in one session (parity
+    test + driver + bench) never collide."""
+    name = f"stream_twin_sink_{next(_SINK_IDS)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return result.sparkSession.table(name)
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream with synthesized
+    event time (schema borrowed from the batch read; pathGlobFilter
+    because the file source wants a directory)."""
+    schema = t(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn(
+        "ingest_ts",
+        F.timestamp_micros(
+            F.lit(_BASE_US) + (F.col("doc_id") % _SPREAD_MIN) * F.lit(60_000_000)
+        ),
+    )
+
+
+@register(
+    "stream_event_sessions",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    mx AS (SELECT max(ts_us) AS max_us FROM e),
+    lagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    ),
+    agg AS (
+      SELECT user_id, sid, min(ts_us) AS session_start_us,
+             max(ts_us) + 1800000000 AS session_end_us,
+             count(*) AS events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us,
+           session_end_us - session_start_us AS span_us, events
+    FROM agg, mx WHERE session_end_us <= max_us - 3600000000
+    """,
+)
+def stream_event_sessions_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window over the events stream (gap 30 min,
+    watermark 1 h), run to completion with AvailableNow. Emitted
+    sessions are exactly those whose end (last event + gap) is <= the
+    final watermark (max ts - 1 h) — the oracle derives the same
+    sessions with lag + running sum, which is also how the batch twin
+    `events_sessionization` works (plans/tpch_extra.py)."""
+    batch = t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = stream.select(
+        "user_id", F.timestamp_micros(events_ts_us(stream)).alias("ts")
+    )
+    sess = stream_event_sessions(e, gap="30 minutes", watermark_delay="1 hour")
+    out = _run_available_now(sess, "append")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "span_us",
+        "events",
+    )
+
+
+@register(
+    "stream_doc_dedup",
+    oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
+)
+def stream_doc_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at ingestion (dropDuplicatesWithinWatermark on the
+    text hash) run to completion. WHICH duplicate survives depends on
+    arrival order, so the twin projects to the surviving key set —
+    deterministically the distinct text hashes."""
+    deduped = stream_document_dedup(_doc_stream(spark, sf_dir), "1 hour")
+    out = _run_available_now(deduped, "append")
+    return out.select("text_hash")
+
+
+@register(
+    "stream_token_stats",
+    oracle=f"""
+    SELECT lang,
+           {_BASE_SQL} + ((doc_id % {_SPREAD_MIN}) * 60000000 // 600000000)
+             * 600000000 AS window_start_us,
+           count(*) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY lang, window_start_us
+    """,
+)
+def stream_token_stats_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (10 min) per-lang doc/token telemetry with a
+    5-min watermark, update mode: one batch -> every open window emits
+    exactly once, and integer counts/sums are order-independent, so the
+    oracle is a plain GROUP BY on the synthesized window grid."""
+    stats = stream_token_stats(_doc_stream(spark, sf_dir), "10 minutes", "5 minutes")
+    out = _run_available_now(stats, "update")
+    return out.select(
+        "lang",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "docs",
+        "tokens",
+    )
+
+
+@register(
+    "stream_quality_filter",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE len(string_split(text, ' ')) BETWEEN 40 AND 400
+      AND len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','and','of','to','a','in','is','it','for','on'))) >= 1
+      AND len(list_distinct(string_split(lower(text), ' '))) * 3
+            >= len(string_split(lower(text), ' '))
+    """,
+)
+def stream_quality_filter_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming curation stages (token range, stopword
+    presence, distinct-token ratio) at ingestion — same predicates as
+    `quality_filter_funnel` stages 1-3, so the oracle reuses its
+    formulations."""
+    filtered = stream_quality_filter(_doc_stream(spark, sf_dir))
+    out = _run_available_now(filtered, "append")
+    return out.select("doc_id", "lang")
+
+
+# the streaming delta: every 20th vector "re-arrives" and is checked
+# against the full persisted index
+_DELTA_MOD = 20
+
+
+def _neardup_oracle() -> str:
+    from lakeview_spark.pipeline.similarity import (
+        _DOT_SQL,
+        _NEAR_DUP_COSINE,
+        _NORM_SQL,
+        _PLANES_SQL,
+    )
+
+    cos = (
+        _DOT_SQL.format(a="a.embedding", b="b.embedding")
+        + f" / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')})"
+    )
+    return f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    )
+    SELECT a.vec_id AS delta_vec, b.vec_id AS index_vec, {cos} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % {_DELTA_MOD} = 0 AND {cos} >= {_NEAR_DUP_COSINE}
+    """
+
+
+@register("stream_embedding_neardup", oracle=_neardup_oracle())
+def stream_embedding_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static near-dup: arriving embeddings (every 20th vector
+    as the delta stream) bucket-joined against the persisted LSH index
+    (`_lsh_bucketed` materialized parquet) and cosine-verified — the
+    incremental-ingest twin of `dedup_embedding_cosine`, exercised
+    through the real stream-static join. The delta computes its bucket
+    with the SAME literal-plane expression the index used, so the two
+    sides agree bit-for-bit and the oracle replays the batch bucket
+    CTE with a delta-side filter."""
+    from lakeview_spark.pipeline.similarity import (
+        _NEAR_DUP_COSINE,
+        _lsh_bucketed,
+        _plane_vectors,
+    )
+
+    batch = t(spark, sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % _DELTA_MOD == 0)
+    )
+    indexed = _lsh_bucketed(spark, sf_dir)
+    planes = _plane_vectors(spark, sf_dir)
+    pairs = stream_embedding_neardup(
+        stream, indexed, planes, threshold=_NEAR_DUP_COSINE
+    ).filter(F.col("delta_vec") != F.col("index_vec"))
+    return _run_available_now(pairs, "append")

@@ -266,25 +266,30 @@ def run_once(
     tables = [r.asDict() for r in tables_df.collect()]
     metrics["tables_discovered"] = len(tables)
 
-    # properties: one distributed read over every table's hoodie.properties
-    prop_paths = [
+    # properties: one distributed read over every table's hoodie.properties;
+    # unreadable/corrupt files become sentinel rows with failure_reason
+    # (ParsedHudiProperties.java:16-22) instead of failing the run
+    all_prop_paths = [
         f"{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
         for t in tables
-        if os.path.exists(
-            f"{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
-        )
     ]
-    props = {r.path: r.asDict() for r in read_hoodie_properties(spark, prop_paths).collect()}
+    prop_paths = [p for p in all_prop_paths if os.path.exists(p)]
+    missing_paths = [p for p in all_prop_paths if not os.path.exists(p)]
+    props = {
+        r.path: r.asDict()
+        for r in read_hoodie_properties(spark, prop_paths, missing_paths).collect()
+    }
+    metrics["table_metadata_processing_failures"] = sum(
+        1 for p in props.values() if p.get("failure_reason")
+    )
     for t in tables:
-        p = props.get(
-            f"file:{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
-        ) or props.get(
-            f"file://{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
-        )
+        base = f"{t['table_uri'].rstrip('/')}/{HOODIE_FOLDER_NAME}/{HOODIE_PROPERTIES_FILE}"
+        p = props.get(base) or props.get(f"file:{base}") or props.get(f"file://{base}")
         t["table_name"] = (p or {}).get("table_name")
         t["table_type"] = (p or {}).get("table_type")
         t["table_version"] = (p or {}).get("table_version", 6)
         t["timeline_layout_version"] = (p or {}).get("timeline_layout_version", 1)
+        t["failure_reason"] = (p or {}).get("failure_reason")
 
     store = CheckpointStore(spark, os.path.join(state_dir, "checkpoints"))
     metrics["tables_initialized"] = store.initialize_tables(tables_df)

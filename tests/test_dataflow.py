@@ -124,6 +124,41 @@ def test_properties_reader_defaults(spark, tmp_path):
     assert rows["t1"].timeline_layout_version == 1
     assert rows["t2"].table_version == 8
     assert rows["t2"].timeline_layout_version == 2
+    assert rows["t1"].failure_reason is None and rows["t2"].failure_reason is None
+
+
+def test_properties_reader_failure_reason(spark, tmp_path):
+    """Corrupt/missing hoodie.properties -> reference sentinel row
+    (ParsedHudiProperties.java:16-22, HoodiePropertiesReader.java:62-80):
+    table_name='', MERGE_ON_READ, defaults, failure_reason set."""
+    ok = tmp_path / "ok.properties"
+    ok.write_text("hoodie.table.name=good\nhoodie.table.type=COPY_ON_WRITE\n")
+    no_name = tmp_path / "no_name.properties"
+    no_name.write_text("hoodie.table.type=COPY_ON_WRITE\n")  # @NonNull tableName throws
+    bad_type = tmp_path / "bad_type.properties"
+    bad_type.write_text(
+        "hoodie.table.name=t\nhoodie.table.type=NOT_A_TYPE\n"
+    )  # TableType.valueOf throws
+    bad_version = tmp_path / "bad_version.properties"
+    bad_version.write_text(
+        "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n"
+        "hoodie.table.version=six\n"
+    )  # Integer.parseInt throws
+    gone = str(tmp_path / "gone.properties")  # never written
+
+    df = read_hoodie_properties(
+        spark, [str(ok), str(no_name), str(bad_type), str(bad_version)], [gone]
+    )
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert rows["ok.properties"].failure_reason is None
+    assert rows["ok.properties"].table_name == "good"
+    for f in ("no_name.properties", "bad_type.properties", "bad_version.properties"):
+        r = rows[f]
+        assert r.failure_reason == "HOODIE_PROPERTY_NOT_FOUND_OR_CORRUPTED", f
+        assert r.table_name == "" and r.table_type == "MERGE_ON_READ"
+        assert r.table_version == 6 and r.timeline_layout_version == 1
+    assert rows["gone.properties"].failure_reason == "NO_SUCH_KEY"
+    assert rows["gone.properties"].table_name == ""
 
 
 def test_manifest_reader_and_diff(spark, tmp_path):
