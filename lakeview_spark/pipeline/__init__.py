@@ -8,4 +8,5 @@ from lakeview_spark.pipeline import (  # noqa: F401
     sketch,
     curation,
     evaluation,
+    packing,
 )

@@ -1,0 +1,152 @@
+"""Sequence packing: the concat-and-chunk sharding step of LLM
+pretraining data prep.
+
+Documents are concatenated per language in doc_id order and the token
+stream is cut into fixed-budget training sequences; each document is
+assigned the sequence its first token lands in plus its offset there.
+This is the standard "tokenize -> concat -> chunk" layout (a doc
+crossing a boundary spans into the next sequence; the slicer downstream
+consumes (seq_id, offset) to emit the pieces).
+
+Scale shape — the naive form is a window over PARTITION BY lang ORDER BY
+doc_id, which Spark executes as ONE task per language: a 100 TB corpus
+with 10 languages would serialize into 10 tasks. Instead the prefix sum
+is computed with the textbook two-phase plan, so every window partition
+is bounded no matter how large a language is:
+
+1. docs are assigned a doc_id range bucket (``_BUCKET`` ids per bucket);
+2. per-(lang, bucket) token sums — a tiny aggregate (langs × buckets
+   rows, data-independent);
+3. running bucket offsets via a window over that TINY table;
+4. offsets broadcast-joined back; the final cumsum is a window over
+   (lang, bucket) — at most ``_BUCKET`` rows per partition.
+
+Every stage is columnar (no UDFs); token counts reuse
+`text_token_count`'s whitespace definition so the two queries agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import register, t
+
+# tokens per packed training sequence
+SEQ_BUDGET = 2048
+# doc_ids per prefix-sum bucket: window partitions are <= this many rows
+_BUCKET = 256
+
+
+def _cum_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, cum_before): tokens of all prior docs in
+    the same lang (doc_id order) via the bounded two-phase prefix sum."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {_BUCKET}").alias("bucket"),  # integer div: exact past 2^53
+    )
+    # phase 1: tiny per-(lang, bucket) sums -> running offset per lang
+    bucket_sums = docs.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_bucket = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_bucket), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    # phase 2: within-bucket cumsum (<= _BUCKET rows per window partition)
+    w_doc = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.join(F.broadcast(offsets), ["lang", "bucket"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                F.col("bucket_offset")
+                + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0))
+            ).alias("cum_before"),
+        )
+    )
+
+
+_CUM_SQL = f"""
+    SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sum(len(string_split(text, ' ')))
+                  OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS cum_before
+    FROM documents
+"""
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH c AS ({_CUM_SQL})
+    SELECT doc_id, lang, n_tokens,
+           cum_before // {SEQ_BUDGET} AS seq_id,
+           cum_before % {SEQ_BUDGET} AS offset_in_seq
+    FROM c
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang concat-and-chunk packing assignment: each doc's training
+    sequence ({SEQ_BUDGET}-token budget) and offset within it. The
+    oracle is the closed form (cum_before div/mod budget) over a plain
+    windowed cumsum; the Spark side computes the same cumsum with the
+    bounded two-phase plan (module docstring)."""
+    c = _cum_before(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"cum_before div {SEQ_BUDGET}").alias("seq_id"),
+        (F.col("cum_before") % SEQ_BUDGET).alias("offset_in_seq"),
+    )
+
+
+@register(
+    "pack_sequence_stats",
+    oracle=f"""
+    WITH c AS ({_CUM_SQL})
+    SELECT lang, cum_before // {SEQ_BUDGET} AS seq_id,
+           count(*) AS docs_starting,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_starting,
+           CAST(min(cum_before % {SEQ_BUDGET}) AS BIGINT) AS first_offset
+    FROM c GROUP BY lang, seq_id
+    """,
+)
+def pack_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing telemetry per (lang, sequence): how many docs START in
+    each sequence, their total token mass, and the first start offset —
+    the fill/fragmentation report a packing job emits next to its
+    output."""
+    c = _cum_before(spark, sf_dir)
+    return (
+        c.select(
+            "lang",
+            F.expr(f"cum_before div {SEQ_BUDGET}").alias("seq_id"),
+            "n_tokens",
+            (F.col("cum_before") % SEQ_BUDGET).alias("off"),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("docs_starting"),
+            F.sum("n_tokens").alias("tokens_starting"),
+            F.min("off").alias("first_offset"),
+        )
+    )

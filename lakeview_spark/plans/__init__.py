@@ -73,15 +73,16 @@ _DRIVER_WINDOW = [
     "stream_token_stats",
     "stream_quality_filter",
     "stream_embedding_neardup",
+    # new this round: sequence packing (concat-and-chunk sharding)
+    "pack_training_sequences",
+    "pack_sequence_stats",
     # sentinels (green r03; one per shared layer / module family)
     "timeline_parse",
     "checkpoint_filter",
-    "pricing_summary",
     "dedup_minhash_lsh_pairs",
     "text_language_id",
     "dedup_clusters",
     "eval_lsh_bucket_health",
-    "multimodal_decode_bmp",
 ]
 
 

@@ -1,0 +1,52 @@
+"""Sequence packing: the bounded two-phase prefix sum must agree with
+the naive one-window-per-lang cumsum it replaces (pipeline/packing.py
+module docstring), and assignments must tile the token stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.packing import SEQ_BUDGET, _cum_before
+from lakeview_spark.plans.registry import t
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_two_phase_prefix_sum_matches_naive_window(spark):
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = docs.select(
+        "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before")
+    )
+    two_phase = _cum_before(spark, SF_DIR).select("doc_id", "cum_before")
+    diff = naive.join(two_phase, "doc_id", "full").filter(
+        naive.cum_before != two_phase.cum_before
+    )
+    assert diff.count() == 0
+
+
+def test_packing_tiles_the_stream(spark):
+    """Consecutive docs in a lang abut exactly: next.cum == prev.cum +
+    prev.n_tokens (no gaps, no overlaps), and offsets stay in budget."""
+    c = _cum_before(spark, SF_DIR)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    gaps = (
+        c.withColumn("prev_end", F.lag(F.col("cum_before") + F.col("n_tokens")).over(w))
+        .filter(F.col("prev_end").isNotNull())
+        .filter(F.col("cum_before") != F.col("prev_end"))
+    )
+    assert gaps.count() == 0
+    from lakeview_spark.plans import QUERIES
+
+    out = QUERIES["pack_training_sequences"](spark, SF_DIR)
+    bad = out.filter(
+        (F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= SEQ_BUDGET)
+    )
+    assert bad.count() == 0
