@@ -50,3 +50,24 @@ def test_packing_tiles_the_stream(spark):
         (F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= SEQ_BUDGET)
     )
     assert bad.count() == 0
+
+
+def test_packing_plan_broadcasts_offsets_and_bounds_windows(spark):
+    """The scale contract of the two-phase prefix sum: bucket offsets
+    come back via a broadcast join (never a shuffled join against the
+    full doc table), and the doc-side window partitions on (lang,
+    bucket) — bounded — not on lang alone."""
+    from lakeview_spark.plans import QUERIES
+
+    import re
+
+    plan = (
+        QUERIES["pack_training_sequences"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the doc-side cumsum window keys on BOTH lang and bucket
+    assert re.search(r"windowspecdefinition\(lang#\d+, bucket#\d+", plan), plan
