@@ -294,11 +294,18 @@ def run_once(
     store = CheckpointStore(spark, os.path.join(state_dir, "checkpoints"))
     metrics["tables_initialized"] = store.initialize_tables(tables_df)
 
+    # tables whose properties read/parse failed are SKIPPED from timeline
+    # processing — uploading against a guessed timeline layout version
+    # would mis-batch, so the reference logs, counts, and moves on
+    # (TableMetadataUploaderService.java:159-167) — the run continues for
+    # the healthy tables
+    healthy = [t for t in tables if not t["failure_reason"]]
+
     # V2 (LSM) archived timelines go through the manifest-diff path
-    metrics.update(process_archived_v2(spark, tables, store, mirror_dir))
+    metrics.update(process_archived_v2(spark, healthy, store, mirror_dir))
 
     for timeline_type in (ARCHIVED, ACTIVE):  # archived strictly first (§2.9)
-        scope = tables
+        scope = healthy
         if timeline_type == ARCHIVED:
             # archived timeline is processed once ever (README.md:423-427):
             # skip tables whose checkpoint says archived_commits_processed
@@ -306,7 +313,7 @@ def run_once(
                 r.table_id
                 for r in store.load().filter("archived_commits_processed").collect()
             }
-            scope = [t for t in tables if t["table_id"] not in done]
+            scope = [t for t in healthy if t["table_id"] not in done]
         files_df = list_timeline_files(spark, scope, timeline_type, lister)
         if files_df.isEmpty():
             metrics[f"{timeline_type}_files"] = 0

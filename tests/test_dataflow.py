@@ -161,6 +161,46 @@ def test_properties_reader_failure_reason(spark, tmp_path):
     assert rows["gone.properties"].table_name == ""
 
 
+def test_run_once_survives_corrupt_and_missing_properties(spark, tmp_path):
+    """A table whose hoodie.properties is corrupt (or absent) must not
+    abort the extractor run — the reference degrades it to a sentinel
+    with a failure reason and a metrics increment
+    (HoodiePropertiesReader.java:62-80) and keeps processing."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    make_table(root, "good", files=["100.commit.requested", "100.inflight", "100.commit"])
+    bad = make_table(
+        root, "bad", files=["200.commit.requested", "200.inflight", "200.commit"]
+    )
+    with open(os.path.join(bad, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=bad\nhoodie.table.type=NOT_A_TYPE\n")
+    gone = make_table(
+        root, "gone", files=["300.commit.requested", "300.inflight", "300.commit"]
+    )
+    os.remove(os.path.join(gone, ".hoodie", "hoodie.properties"))
+
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "ONCE",
+                "uploadStrategy": "BLOCK_ON_INCOMPLETE_COMMIT",
+                "parserConfig": PARSER_CFG(root),
+            },
+        }
+    )
+    mirror = str(tmp_path / "mirror")
+    metrics = run_once(spark, cfg, str(tmp_path / "state"), mirror)
+    assert metrics["tables_discovered"] == 3
+    assert metrics["table_metadata_processing_failures"] == 2
+    # the healthy table processed normally (commit triple + properties)...
+    assert metrics["active_batched_files"] == 4
+    # ...and the two degraded tables were skipped, not uploaded: only the
+    # good table's id appears in the mirror
+    good_id = uuid3_from_uri(f"{root}/good")
+    assert os.listdir(mirror) == [good_id]
+
+
 def test_manifest_reader_and_diff(spark, tmp_path):
     v = tmp_path / "_version_"
     v.write_text("3\n")
