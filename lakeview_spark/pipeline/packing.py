@@ -45,7 +45,18 @@ def _cum_before(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        F.expr(f"doc_id div {_BUCKET}").alias("bucket"),  # integer div: exact past 2^53
+    )
+    return prefix_sum_per_group(docs)
+
+
+def prefix_sum_per_group(docs: DataFrame) -> DataFrame:
+    """Distributed exclusive prefix sum of ``n_tokens`` over (lang,
+    doc_id order) with every window partition bounded by ``_BUCKET``
+    rows — the reusable core of the packing queries (see module
+    docstring for the two-phase plan)."""
+    docs = docs.withColumn(
+        "bucket",
+        F.expr(f"doc_id div {_BUCKET}"),  # integer div: exact past 2^53
     )
     # phase 1: tiny per-(lang, bucket) sums -> running offset per lang
     bucket_sums = docs.groupBy("lang", "bucket").agg(

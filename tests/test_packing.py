@@ -7,7 +7,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from lakeview_spark.pipeline.packing import SEQ_BUDGET, _cum_before
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakeview_spark.pipeline.packing import (
+    _BUCKET,
+    SEQ_BUDGET,
+    _cum_before,
+    prefix_sum_per_group,
+)
 from lakeview_spark.plans.registry import t
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -50,6 +58,42 @@ def test_packing_tiles_the_stream(spark):
         (F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= SEQ_BUDGET)
     )
     assert bad.count() == 0
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4 * _BUCKET),  # doc_id: spans buckets
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(min_value=0, max_value=5000),  # n_tokens incl. 0 and >budget
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],  # doc_id is a primary key
+    )
+)
+def test_two_phase_prefix_sum_property(spark, rows):
+    """Random corpora, including doc_ids exactly on bucket boundaries,
+    empty docs, and docs longer than a whole sequence: the distributed
+    two-phase sum must equal the exclusive prefix sum computed in plain
+    Python."""
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens bigint"
+    )
+    got = {
+        r.doc_id: r.cum_before for r in prefix_sum_per_group(df).collect()
+    }
+    expected: dict[int, int] = {}
+    running: dict[str, int] = {}
+    for doc_id, lang, n in sorted(rows):
+        expected[doc_id] = running.get(lang, 0)
+        running[lang] = running.get(lang, 0) + n
+    assert got == expected
 
 
 def test_packing_plan_broadcasts_offsets_and_bounds_windows(spark):
