@@ -9,4 +9,5 @@ from lakeview_spark.pipeline import (  # noqa: F401
     curation,
     evaluation,
     packing,
+    iterative,
 )

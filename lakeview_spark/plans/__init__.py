@@ -73,14 +73,15 @@ _DRIVER_WINDOW = [
     "stream_token_stats",
     "stream_quality_filter",
     "stream_embedding_neardup",
-    # new this round: sequence packing (concat-and-chunk sharding)
+    # new this round: sequence packing (concat-and-chunk sharding) and
+    # the iterative k-means trainer (rows-only)
     "pack_training_sequences",
     "pack_sequence_stats",
+    "kmeans_train",
     # sentinels (green r03; one per shared layer / module family)
     "timeline_parse",
     "checkpoint_filter",
     "dedup_minhash_lsh_pairs",
-    "text_language_id",
     "dedup_clusters",
     "eval_lsh_bucket_health",
 ]

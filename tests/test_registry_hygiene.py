@@ -15,8 +15,15 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES), set(ORACLES) - set(QUERIES)
 
 
-def test_rows_only_queries_are_exactly_the_documented_two():
-    assert set(QUERIES) - set(ORACLES) == {"active_batch_packing", "checkpoint_lookback"}
+def test_rows_only_queries_are_exactly_the_documented_set():
+    """Order-dependent greedy packing, checkpoint lookback, and the
+    iterative float-mean k-means trainer (pipeline/iterative.py
+    docstring) — every other query must carry an oracle."""
+    assert set(QUERIES) - set(ORACLES) == {
+        "active_batch_packing",
+        "checkpoint_lookback",
+        "kmeans_train",
+    }
 
 
 def test_every_registered_query_is_mentioned_in_coverage_md():
@@ -27,7 +34,7 @@ def test_every_registered_query_is_mentioned_in_coverage_md():
 
 def test_coverage_md_counts_match_registry():
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
-    assert f"({len(QUERIES)} registered; {len(ORACLES)} oracle-exact, 2" in text, (
+    assert f"({len(QUERIES)} registered; {len(ORACLES)} oracle-exact, 3" in text, (
         f"COVERAGE.md header count stale: registry has {len(QUERIES)}/{len(ORACLES)}"
     )
 
