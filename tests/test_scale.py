@@ -94,6 +94,8 @@ _TINY_BROADCAST_OK = {
     "dedup_embedding_cosine",
     "embedding_centroid_assign",
     "embedding_centroid_stats",
+    "kmeans_train",  # same 4-row centroid broadcast as centroid_assign
+
     "forecast_revenue",
     "minhash_similarity_estimate",
     "corpus_distinct_kmv",
