@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "brand_revenue_share",
     "events_sessionization",
     "dedup_embedding_cosine",
+    "pack_training_sequences",  # added r4 (~1.1 s at sf0.1; BASELINE.md)
 ]
 
 
