@@ -108,3 +108,61 @@ def materialized(
         _MATERIALIZED[key] = path
         _CREATED_PATHS.append(path)
     return spark.read.parquet(path)
+
+
+# default bucket count for bucketed scratch tables: matches the local
+# core count; on a cluster it's a config knob sized to executor count
+N_SCRATCH_BUCKETS = 32
+
+
+def materialized_bucketed(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    builder: Callable[[SparkSession, str], DataFrame],
+    bucket_cols: list[str],
+    n_buckets: int = N_SCRATCH_BUCKETS,
+) -> DataFrame:
+    """Like :func:`materialized`, but the scratch table is written
+    bucketed (and sorted) on ``bucket_cols`` via ``saveAsTable`` with an
+    explicit path, and read back through the catalog so Spark keeps the
+    bucketing metadata. Consumers that equi-join or self-join on the
+    bucket columns then plan NO Exchange on either side — at 100 TB the
+    signature/index self-joins become a zero-shuffle sort-merge over
+    co-located buckets, which is the point of persisting them at all.
+
+    The catalog entry lives in the session's in-memory catalog (unique
+    name per (session, dataset fingerprint)), so separate driver
+    processes rebuild their own — same lifecycle as the plain parquet
+    scratch; `_cleanup_scratch` removing the path at exit is sufficient
+    because the catalog dies with the session.
+    """
+    key = (
+        spark.sparkContext.applicationId,
+        f"bucketed_{name}",
+        os.path.realpath(sf_dir),
+        _dataset_fingerprint(sf_dir),
+    )
+    path = _MATERIALIZED.get(key)
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    table = f"lakeview_mat_{name}_{digest}"
+    if path is None:
+        path = os.path.join(scratch_dir(), f"lakeview_mat_{name}_{digest}")
+        (
+            # repartition on the bucket columns first: Spark's bucketing
+            # and repartition share the same hash partitioning, so each
+            # task then owns exactly one bucket and the write emits
+            # n_buckets files instead of (input partitions × buckets)
+            # small files — the standard bucketed-write alignment trick
+            builder(spark, sf_dir)
+            .repartition(n_buckets, *bucket_cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        _MATERIALIZED[key] = path
+        _CREATED_PATHS.append(path)
+    return spark.table(table)

@@ -235,9 +235,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures persisted to scratch once per (session, dataset)
     — every consumer (LSH self-join sides, similarity estimation,
-    clustering) reads the parquet back instead of recomputing the
-    shingle pipeline."""
-    return materialized(spark, "minhash_sig", sf_dir, dedup_minhash_signatures)
+    clustering) reads the table back instead of recomputing the shingle
+    pipeline. Written BUCKETED on (band, minhash): the LSH candidate
+    self-join equi-joins exactly those columns, so once the table
+    outgrows the broadcast threshold the join is a zero-Exchange
+    sort-merge over co-located buckets (tests/test_scale.py proves the
+    no-shuffle plan with broadcast disabled)."""
+    from lakeview_spark.operators.materialize import materialized_bucketed
+
+    return materialized_bucketed(
+        spark, "minhash_sig", sf_dir, dedup_minhash_signatures, ["band", "minhash"]
+    )
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")

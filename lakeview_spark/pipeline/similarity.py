@@ -419,8 +419,14 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     products, and the candidate-pair cosine needs only the dot-product
     fold (the two norm folds — 2/3 of the per-pair array work — become
     a parquet column read; doubles round-trip parquet exactly, so the
-    cosine is bit-identical to computing the norm in place)."""
-    return materialized(spark, "lsh_bucketed", sf_dir, _lsh_bucketed_build)
+    cosine is bit-identical to computing the norm in place). Written
+    BUCKETED on `bucket`, so the same-bucket self-join (near-dup pairs,
+    kNN graph) plans no Exchange once the index outgrows broadcast."""
+    from lakeview_spark.operators.materialize import materialized_bucketed
+
+    return materialized_bucketed(
+        spark, "lsh_bucketed", sf_dir, _lsh_bucketed_build, ["bucket"]
+    )
 
 
 def _lsh_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,27 @@ def test_embedding_cosine_reads_materialized_buckets(spark):
     assert plan.count("lakeview_mat_lsh_bucketed") >= 2
 
 
+def test_index_self_joins_are_exchange_free_past_broadcast(spark):
+    """The 100 TB claim behind the bucketed scratch tables: when the
+    signature/index tables outgrow the broadcast threshold (simulated
+    by disabling broadcast), their self-joins sort-merge over co-located
+    buckets with NO Exchange feeding the join — the only shuffle left
+    in the LSH pair query is the final pair-distinct."""
+    from lakeview_spark.plans import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = _plan(QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR))
+        assert pairs.count("SortMergeJoin") == 1
+        assert pairs.count("Exchange") == 1  # the distinct only
+        cosine = _plan(QUERIES["dedup_embedding_cosine"](spark, SF_DIR))
+        assert cosine.count("SortMergeJoin") == 1
+        assert cosine.count("Exchange") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
 # a 1-row (or 4-row centroid/plane) broadcast cross join used to attach
 # a query vector / probe bucket to every candidate — constant-size
