@@ -77,12 +77,22 @@ def read_hoodie_properties(
     if not paths:
         parsed = spark.createDataFrame([], _SCHEMA)
     else:
+        # java.util.Properties accepts '=' OR ':' as the key terminator
+        # and '#' OR '!' as comment leaders (Properties.load javadoc) —
+        # Hudi writes '=', but the reference would read a ':' file fine,
+        # so we must too. First [=:] wins; key/value whitespace-trimmed.
         lines = (
             spark.read.text(paths)
             .withColumn("path", F.input_file_name())
-            .filter(~F.col("value").startswith("#") & (F.trim("value") != ""))
-            .withColumn("key", F.trim(F.split("value", "=", 2)[0]))
-            .withColumn("val", F.trim(F.split("value", "=", 2)[1]))
+            .withColumn("stripped", F.ltrim(F.col("value")))
+            .filter(
+                ~F.col("stripped").startswith("#")
+                & ~F.col("stripped").startswith("!")
+                & (F.col("stripped") != "")
+            )
+            .withColumn("key", F.trim(F.regexp_extract("stripped", r"^([^=:]*?)\s*[=:]", 1)))
+            .withColumn("val", F.trim(F.regexp_extract("stripped", r"^[^=:]*?\s*[=:]\s*(.*)$", 1)))
+            .filter(F.col("key") != "")
         )
         pivoted = lines.groupBy("path").agg(
             *[

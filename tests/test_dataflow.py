@@ -127,6 +127,24 @@ def test_properties_reader_defaults(spark, tmp_path):
     assert rows["t1"].failure_reason is None and rows["t2"].failure_reason is None
 
 
+def test_properties_reader_accepts_colon_separator_and_bang_comments(spark, tmp_path):
+    """java.util.Properties treats ':' as a separator and '!' as a
+    comment leader (Properties.load javadoc) — a file the reference
+    parses must parse here too."""
+    p = tmp_path / "colon.properties"
+    p.write_text(
+        "! legacy comment\n"
+        "hoodie.table.name: colon_table\n"
+        "  hoodie.table.type = COPY_ON_WRITE\n"
+        "hoodie.table.version:8\n"
+    )
+    r = read_hoodie_properties(spark, [str(p)]).collect()[0]
+    assert r.failure_reason is None
+    assert r.table_name == "colon_table"
+    assert r.table_type == "COPY_ON_WRITE"
+    assert r.table_version == 8
+
+
 def test_properties_reader_failure_reason(spark, tmp_path):
     """Corrupt/missing hoodie.properties -> reference sentinel row
     (ParsedHudiProperties.java:16-22, HoodiePropertiesReader.java:62-80):
