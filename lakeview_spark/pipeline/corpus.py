@@ -221,6 +221,123 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_TOP5_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ((1000 * n.n_docs) // df.df) AS score
+      FROM tf JOIN df ON tf.token = df.token, n
+    ),
+    top5 AS (
+      SELECT doc_id, token, score FROM (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    )
+"""
+
+
+# Stop-term cap for the tf-idf pair index: a token sitting in the top-5
+# of more than this many documents is not "characteristic" of any of
+# them and would contribute O(posting²) candidate pairs (measured: one
+# 1,331-doc token at sf0.1 alone implies 11 M pairs). Synthetic testdata
+# maxes out at 137 postings at the driver's correctness scales, so the
+# cap never changes checked output — it bounds the 100 TB case, same
+# role as dedup.JACCARD_DF_CAP.
+TFIDF_POSTING_CAP = 250
+
+
+@register(
+    "similarity_tfidf_pairs",
+    oracle=_TFIDF_TOP5_SQL
+    + f""",
+    live AS (
+      SELECT token FROM top5 GROUP BY token
+      HAVING count(*) <= {TFIDF_POSTING_CAP}
+    ),
+    top5c AS (SELECT top5.* FROM top5 JOIN live USING (token)),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(score * score) AS DOUBLE)) AS nrm FROM top5c
+      GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(sum(a.score * b.score) AS BIGINT) AS dot,
+             count(*) AS shared_terms
+      FROM top5c a JOIN top5c b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2, shared_terms,
+           dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc1
+    JOIN norms nb ON nb.doc_id = doc2
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    """,
+)
+def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity: cosine over each document's top-5
+    integer tf-idf terms — the sparse complement of the dense embedding
+    near-dup (`dedup_embedding_cosine`) and the set-based n-gram
+    Jaccard. The classic plagiarism/near-dup scorer when embeddings are
+    unavailable.
+
+    Scale shape: the candidate join is an inverted index over the TOP-5
+    postings only, so each document contributes at most 5 postings no
+    matter how long it is, and tokens in more than TFIDF_POSTING_CAP
+    documents' top-5 are dropped as stop-terms (a token that
+    characteristic of a thousand docs characterizes none — and one hot
+    token is O(posting²) pairs). The dot product is an exact BIGINT sum
+    (deterministic across engines), with doubles only at the final
+    sqrt/divide edge."""
+    top5_all = text_tfidf_top_terms(spark, sf_dir).select("doc_id", "token", "score")
+    live = (
+        top5_all.groupBy("token")
+        .agg(F.count("*").alias("postings"))
+        .filter(F.col("postings") <= TFIDF_POSTING_CAP)
+        .select("token")
+    )
+    top5 = top5_all.join(live, "token")
+    norms = top5.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("score") * F.col("score")).cast("double")).alias("nrm")
+    )
+    a, b = top5.alias("a"), top5.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(
+            F.sum(F.col("a.score") * F.col("b.score")).cast("bigint").alias("dot"),
+            F.count("*").alias("shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc2"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc1")
+        .join(F.broadcast(nb), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "shared_terms",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
 @register(
     "minhash_similarity_estimate",
     oracle=f"""

@@ -78,9 +78,9 @@ _DRIVER_WINDOW = [
     "pack_training_sequences",
     "pack_sequence_stats",
     "kmeans_train",
+    "similarity_tfidf_pairs",
     # sentinels (green r03; one per shared layer / module family)
     "timeline_parse",
-    "checkpoint_filter",
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
     "eval_lsh_bucket_health",
