@@ -280,3 +280,118 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(dec, schema=_DECODED_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, pixel_rows: bytes) -> bytes:
+    """Build a real 24bpp BMP around an already-laid-out pixel buffer
+    (rows padded to the 4-byte stride for ``width``) — the encode half
+    of the resize kernel."""
+    stride = (width * 3 + 3) // 4 * 4
+    assert len(pixel_rows) == stride * height
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_BYTES + len(pixel_rows), 0, 0, _BMP_HEADER_BYTES
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_rows), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(pixel_rows)
+
+
+def resize_bmp_nearest(payload: bytes) -> bytes:
+    """Nearest-neighbor 2x downsample of a 24bpp BMP: resized pixel
+    (x, y) = source pixel (2x, 2y) on the stored row grid. Decodes the
+    real header, re-encodes a real BMP at max(1, w//2) x max(1, h//2)."""
+    magic, _, _, _, pixel_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, w, h = struct.unpack_from("<Iii", payload, 14)
+    h = abs(h)
+    buf = payload[pixel_offset:]
+    stride = (w * 3 + 3) // 4 * 4
+    new_w, new_h = max(1, w // 2), max(1, h // 2)
+    new_stride = (new_w * 3 + 3) // 4 * 4
+    out = bytearray(new_stride * new_h)
+    for y in range(new_h):
+        src_row = 2 * y * stride
+        dst_row = y * new_stride
+        for x in range(new_w):
+            s = src_row + 6 * x
+            d = dst_row + 3 * x
+            out[d : d + 3] = buf[s : s + 3]
+    return encode_bmp(new_w, new_h, bytes(out))
+
+
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixel_checksum", LongType()),
+    ]
+)
+
+_RESIZE_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             (octet_length(encode(text)) % {_BMP_W_MOD}) + 1 AS w,
+             ((octet_length(encode(text)) // {_BMP_W_MOD}) % {_BMP_H_MOD}) + 1 AS h
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, text, n,
+             (w * 3 + 3) // 4 * 4 AS stride,
+             greatest(w // 2, 1) AS new_w,
+             greatest(h // 2, 1) AS new_h
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(new_w AS BIGINT) AS width,
+           CAST(new_h AS BIGINT) AS height,
+           CAST(list_sum(flatten(list_transform(range(0, new_h), y ->
+             list_transform(range(0, new_w * 3), k ->
+               CASE WHEN (2 * y * stride + 6 * (k // 3) + (k % 3)) < n
+                    THEN ascii(substr(text, (2 * y * stride + 6 * (k // 3) + (k % 3)) + 1, 1))
+                    ELSE 0 END)))) AS BIGINT) AS pixel_checksum
+    FROM dims
+"""
+
+
+@register("multimodal_resize_bmp", oracle=_RESIZE_ORACLE)
+def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image RESIZE through the full codec chain: synthesize a BMP
+    from each document's bytes, decode it, nearest-neighbor downsample
+    2x on the stored pixel grid, RE-ENCODE a real BMP at the new
+    dimensions, decode that again, and report the re-decoded dims plus
+    the checksum of the resized pixel bytes (padding excluded).
+
+    The oracle replays the whole chain in closed form — the synthesized
+    pixel buffer is the document's (pure-ASCII) bytes zero-padded to
+    stride x h, so resized pixel (x, y, c) is text byte
+    2y*stride + 6x + c when in range — which means a resize kernel that
+    misses the stride padding, the row mapping, or the re-encode header
+    hash-fails. One narrow mapInPandas chain, no shuffle; payloads never
+    leave the executor."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                resized = resize_bmp_nearest(synthesize_bmp(bytes(payload)))
+                w, h, _ = decode_bmp(resized)
+                buf = resized[_BMP_HEADER_BYTES:]
+                stride = (w * 3 + 3) // 4 * 4
+                checksum = sum(
+                    buf[y * stride + 3 * x + c]
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                rows.append((int(doc_id), w, h, checksum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_checksum"]
+            )
+
+    return docs.mapInPandas(run, schema=_RESIZED_SCHEMA)

@@ -79,11 +79,11 @@ _DRIVER_WINDOW = [
     "pack_sequence_stats",
     "kmeans_train",
     "similarity_tfidf_pairs",
+    "multimodal_resize_bmp",
     # sentinels (green r03; one per shared layer / module family)
     "timeline_parse",
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
-    "eval_lsh_bucket_health",
 ]
 
 

@@ -216,6 +216,36 @@ def test_bmp_decode_roundtrips_real_bytes():
     assert decode_media(bmp) == (w, h, feats)  # magic-byte dispatch
 
 
+def test_bmp_resize_nearest_roundtrip_and_edges():
+    """resize_bmp_nearest halves dims on the stored grid, re-encodes a
+    real BMP, and clamps 1-wide/1-tall images instead of emitting 0."""
+    from lakeview_spark.pipeline.multimodal import (
+        decode_bmp,
+        resize_bmp_nearest,
+        synthesize_bmp,
+    )
+
+    # 5x3 source grid: w=5 needs payload n with n%64==4; h=3 needs n//64%64==2
+    n = 2 * 64 + 4
+    payload = bytes(i % 251 for i in range(n))
+    src = synthesize_bmp(payload)
+    w, h, _ = decode_bmp(src)
+    assert (w, h) == (5, 3)
+    resized = resize_bmp_nearest(src)
+    rw, rh, _ = decode_bmp(resized)
+    assert (rw, rh) == (2, 1)
+    # resized pixel (x,0) == source pixel (2x, 0): bytes 0-2 and 6-8
+    stride = (w * 3 + 3) // 4 * 4
+    buf = src[54 + 0 :]
+    out = resized[54:]
+    assert out[0:3] == buf[0:3]
+    assert out[3:6] == buf[6:9]
+    # 1x1 source: resize clamps to 1x1, not 0x0
+    tiny = synthesize_bmp(b"")
+    tw, th, _ = decode_bmp(resize_bmp_nearest(tiny))
+    assert (tw, th) == (1, 1)
+
+
 def test_wav_decode_real_bytes():
     import io
     import wave
