@@ -395,3 +395,102 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_RESIZED_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(greatest(octet_length(encode(text)) // 100, 1) AS BIGINT) AS n_frames,
+           array_to_string(
+             list_transform(range(1, greatest(octet_length(encode(text)) // 100, 1) + 1),
+                            i -> substr(text, (i - 1) * 100 + 1, 1)),
+             '') AS frames_str
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling under the driver gate: one 'frame' byte every 100
+    payload bytes via the JVM-side substring stride (`sample_frames`) —
+    the video-frame-sampling analog for opaque byte payloads. Pure
+    columnar, no Python kernel, no shuffle."""
+    frames = sample_frames(media_table(spark, sf_dir), every_n_bytes=100)
+    return frames.select(
+        "doc_id",
+        F.size("frames").cast("bigint").alias("n_frames"),
+        F.concat_ws("", F.col("frames")).alias("frames_str"),
+    )
+
+
+_WAV_RATE_BASE = 8000
+
+
+def synthesize_wav(payload: bytes) -> bytes:
+    """Wrap `payload` as a REAL mono 8-bit WAV (stdlib wave writer):
+    1 byte per frame, sample rate 8000 + (n % 8000) so tests and
+    oracles have a closed form."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(_WAV_RATE_BASE + (len(payload) % _WAV_RATE_BASE))
+        wf.writeframes(payload)
+    return buf.getvalue()
+
+
+_WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("head_checksum", LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_RATE_BASE} + (octet_length(encode(text)) % {_WAV_RATE_BASE}) AS BIGINT)
+             AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(
+                  range(1, least(octet_length(encode(text)), 8) + 1),
+                  i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode: each document's bytes become the
+    frames of a genuine mono 8-bit WAV (stdlib wave writer), decoded
+    back with the stdlib wave reader inside one Arrow-batched
+    mapInPandas kernel. Oracle = the closed-form header math (rate =
+    8000 + n%8000, 1 byte/frame) plus the checksum of the first 8
+    frames, so a reader that misparses the RIFF header or frame width
+    hash-fails. Same no-shuffle shape as the BMP twin."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = synthesize_wav(bytes(payload))
+                with wave.open(io.BytesIO(raw), "rb") as wf:
+                    rate = wf.getframerate()
+                    channels = wf.getnchannels()
+                    n_frames = wf.getnframes()
+                    head = wf.readframes(8)
+                rows.append(
+                    (int(doc_id), rate, channels, n_frames, sum(head))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_frames", "head_checksum"],
+            )
+
+    return docs.mapInPandas(run, schema=_WAV_SCHEMA)

@@ -80,10 +80,12 @@ _DRIVER_WINDOW = [
     "kmeans_train",
     "similarity_tfidf_pairs",
     "multimodal_resize_bmp",
-    # sentinels (green r03; one per shared layer / module family)
-    "timeline_parse",
+    "multimodal_frame_sample",
+    "multimodal_decode_wav",
+    # sentinel: re-validates the (now bucketed) scratch materialization
+    # inside the driver environment; every other layer is re-validated
+    # by the repaired/stale/new queries above
     "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
 ]
 
 
