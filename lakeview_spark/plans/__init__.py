@@ -55,7 +55,6 @@ _DRIVER_WINDOW = [
     "exactly_one_guard",
     "active_batch_packing",
     "checkpoint_lookback",
-    "forecast_revenue",
     "returned_items",
     "priority_by_orderpriority",
     "brand_revenue_share",
@@ -82,6 +81,7 @@ _DRIVER_WINDOW = [
     "multimodal_resize_bmp",
     "multimodal_frame_sample",
     "multimodal_decode_wav",
+    "events_rollup_cascade",
     # sentinel: re-validates the (now bucketed) scratch materialization
     # inside the driver environment; every other layer is re-validated
     # by the repaired/stale/new queries above

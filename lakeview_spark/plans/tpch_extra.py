@@ -580,3 +580,59 @@ def events_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "events_rollup_cascade",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events)
+    SELECT ts_us // 86400000000 AS day_bucket,
+           count(*) AS events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM e GROUP BY day_bucket
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute rollup from
+    raw events, hourly rollup FROM the minute level, daily FROM hourly —
+    each level re-aggregates the one below (counts sum; min/max of
+    min/max), never the raw table. The oracle is the direct daily
+    aggregate, so the driver hash proves cascade == direct — the
+    algebraic-reaggregation property that makes multi-resolution
+    continuous aggregates valid at all.
+
+    Scale shape: this is how a 100 TB event store serves dashboards —
+    raw -> minute is the only scan of the big table; every coarser
+    resolution aggregates the (tiny) previous level. Only
+    order-independent aggregates (count/min/max) cascade here;
+    float sums would need exact decimal carriers (CLAUDE.md rule)."""
+    ev = t(spark, sf_dir, "events")
+    minute = (
+        ev.select(events_ts_us(ev).alias("ts_us"), "value")
+        .withColumn("minute_bucket", F.expr("ts_us div 60000000"))
+        .groupBy("minute_bucket")
+        .agg(
+            F.count("*").alias("events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    hour = (
+        minute.withColumn("hour_bucket", F.expr("minute_bucket div 60"))
+        .groupBy("hour_bucket")
+        .agg(
+            F.sum("events").alias("events"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return (
+        hour.withColumn("day_bucket", F.expr("hour_bucket div 24"))
+        .groupBy("day_bucket")
+        .agg(
+            F.sum("events").cast("bigint").alias("events"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
