@@ -483,3 +483,96 @@ def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(F.array_distinct(ltoks)) * 3 >= F.size(ltoks))
     )
     return kept.select("doc_id", "lang", "source")
+
+
+# Pseudo-line chunking for line-level boilerplate removal. The corpus
+# documents carry no newlines, so the "line" tokenizer chunks every
+# _LINE_TOKENS tokens — the operator is the CCNet-style line-frequency
+# filter with a pluggable line splitter, not a newline-specific hack.
+_LINE_TOKENS = 10
+# A line is boilerplate when it appears in >= _LINE_DF_MIN distinct
+# documents (CCNet removes any line duplicated elsewhere in the shard).
+_LINE_DF_MIN = 2
+
+_LINES_EXPR = (
+    "transform(sequence(1, greatest(CAST(ceil(size(toks) / 10.0) AS INT), 1)), "
+    "i -> concat_ws(' ', slice(toks, (i - 1) * 10 + 1, 10)))"
+)
+
+_LINES_SQL = """
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    ln AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1) + 1),
+                            i -> array_to_string(toks[((i - 1) * 10 + 1):(i * 10)], ' ')) AS lines
+      FROM tk
+    ),
+    e AS (SELECT doc_id, unnest(lines) AS line FROM ln),
+    el AS (SELECT doc_id, md5(line) AS line_hash,
+                  len(string_split(line, ' ')) AS line_ntoks
+           FROM e)
+"""
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=_LINES_SQL
+    + """
+    , dfreq AS (
+      SELECT line_hash, count(DISTINCT doc_id) AS df FROM el GROUP BY line_hash
+    ),
+    bp AS (SELECT line_hash FROM dfreq WHERE df >= 2)
+    SELECT el.doc_id AS doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN b.line_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate_lines,
+           CAST(sum(CASE WHEN b.line_hash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS boilerplate_ratio,
+           CAST(sum(CASE WHEN b.line_hash IS NULL THEN el.line_ntoks ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM el LEFT JOIN bp b ON el.line_hash = b.line_hash
+    GROUP BY el.doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate detection: chunk each document
+    into 10-token pseudo-lines, hash every line, count each line's
+    document frequency across the corpus, and flag lines appearing in
+    >= 2 distinct documents as boilerplate. Per document: line count,
+    boilerplate line count/ratio, and the token count that survives
+    removal — the shard-dedup pass CCNet runs before model filtering.
+
+    Scale shape: one explode + one 16-byte-key groupBy builds the line
+    DF table (the same inverted-index shuffle as dedup), and the
+    boilerplate flag is a left join against only the df >= 2 tail —
+    in a real web crawl that tail (headers, nav bars, cookie banners)
+    is orders of magnitude smaller than the distinct-line set, so AQE
+    resolves it to a broadcast; nothing here is ever |docs|^2."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    ln = tk.select("doc_id", F.expr(_LINES_EXPR).alias("lines"))
+    el = ln.select("doc_id", F.explode("lines").alias("line")).select(
+        "doc_id",
+        F.md5("line").alias("line_hash"),
+        F.size(F.split("line", " ")).alias("line_ntoks"),
+    )
+    dfreq = (
+        el.select("doc_id", "line_hash")
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("df"))
+    )
+    bp = dfreq.filter(F.col("df") >= _LINE_DF_MIN).select(
+        F.col("line_hash").alias("bp_hash")
+    )
+    j = el.join(bp, el.line_hash == bp.bp_hash, "left")
+    flagged = F.when(F.col("bp_hash").isNotNull(), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(flagged).cast("bigint").alias("n_boilerplate_lines"),
+        (F.sum(flagged).cast("double") / F.count("*")).alias("boilerplate_ratio"),
+        F.sum(F.when(F.col("bp_hash").isNull(), F.col("line_ntoks")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

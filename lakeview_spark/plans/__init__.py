@@ -60,7 +60,6 @@ _DRIVER_WINDOW = [
     "brand_revenue_share",
     "customer_order_distribution",
     "top_revenue_supplier",
-    "brand_supplier_breadth",
     "events_props_json_stats",
     "events_user_value_quartiles",
     "dedup_simhash",
@@ -82,6 +81,13 @@ _DRIVER_WINDOW = [
     "multimodal_frame_sample",
     "multimodal_decode_wav",
     "events_rollup_cascade",
+    # new late-r4: CCNet-style line-frequency boilerplate removal.
+    # `brand_supplier_breadth` rotated out to make room: its r02 row
+    # stands, the star-join family keeps four in-window re-validations
+    # (pricing_summary r03 + shipping_priority/local_supplier_volume/
+    # region_segment_profile), and the sf0.01 sweep re-proves it on
+    # current data every round.
+    "text_boilerplate_lines",
     # sentinel: re-validates the (now bucketed) scratch materialization
     # inside the driver environment; every other layer is re-validated
     # by the repaired/stale/new queries above

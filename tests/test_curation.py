@@ -183,3 +183,41 @@ def test_simhash_band_blocking_is_lossless(spark):
     assert row.true_positives == row.true_pairs
     assert row.recall == 1.0
     assert 0.0 < row.precision <= 1.0
+
+
+def test_boilerplate_lines_invariants(spark):
+    rows = {r.doc_id: r for r in QUERIES["text_boilerplate_lines"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert set(rows) == {d.doc_id for d in docs}
+    for d in docs:
+        r = rows[d.doc_id]
+        ntoks = len(d.text.lower().split(" "))
+        assert r.n_lines == -(-ntoks // 10)  # ceil
+        assert 0 <= r.n_boilerplate_lines <= r.n_lines
+        assert abs(r.boilerplate_ratio - r.n_boilerplate_lines / r.n_lines) < 1e-12
+        assert r.kept_tokens <= ntoks
+        if r.n_boilerplate_lines == 0:
+            assert r.kept_tokens == ntoks
+    # the corpus plants exact/near duplicates: boilerplate must trigger
+    assert any(r.n_boilerplate_lines > 0 for r in rows.values())
+    # and not everything is boilerplate
+    assert any(r.n_boilerplate_lines == 0 for r in rows.values())
+
+
+def test_boilerplate_lines_flags_shared_lines_symmetrically(spark):
+    """Every line flagged boilerplate appears in >= 2 docs, so planted
+    duplicate pairs must BOTH carry nonzero boilerplate counts."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d.text.lower(), []).append(d.doc_id)
+    dup_ids = [ids for ids in by_text.values() if len(ids) > 1]
+    if not dup_ids:
+        return
+    rows = {r.doc_id: r for r in QUERIES["text_boilerplate_lines"](spark, SF_DIR).collect()}
+    for ids in dup_ids:
+        for doc_id in ids:
+            r = rows[doc_id]
+            assert r.n_boilerplate_lines == r.n_lines, (
+                f"exact-duplicate doc {doc_id} must be all boilerplate"
+            )
