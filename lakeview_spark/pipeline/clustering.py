@@ -247,3 +247,114 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).cast("bigint").alias("docs_covered"),
     )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    z AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+                         (a, b) -> a + b) AS z
+      FROM cnt
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) / z AS weight,
+             least(1.0, ((total // 2) * (sqrt(CAST(n_docs AS DOUBLE)) / z)) / n_docs)
+               AS sample_rate
+      FROM cnt, z
+    ),
+    thr AS (
+      SELECT lang, n_docs, weight, sample_rate,
+             lower(lpad(to_hex(CAST(floor(sample_rate * 4294967296.0) AS BIGINT)), 8, '0'))
+               AS thr_hex
+      FROM rates
+    ),
+    sel AS (
+      SELECT d.lang, count(*) AS sampled
+      FROM documents d JOIN thr t ON d.lang = t.lang
+      WHERE t.sample_rate >= 1.0
+         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+      GROUP BY d.lang
+    )
+    SELECT t.lang AS lang, t.n_docs AS n_docs, t.weight AS weight,
+           t.sample_rate AS sample_rate,
+           CAST(coalesce(s.sampled, 0) AS BIGINT) AS sampled_docs
+    FROM thr t LEFT JOIN sel s ON t.lang = s.lang
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling across languages (the XLM-R/mT5 recipe):
+    language l is drawn proportionally to p_l^alpha with alpha = 0.5,
+    flattening the head so low-resource languages are over-represented.
+    alpha = 0.5 is deliberately sqrt(): IEEE-754 sqrt is correctly
+    rounded, so Spark and DuckDB produce bit-identical weights (pow()
+    carries no such guarantee). The normalizer folds sqrt(n_l) in
+    sorted-language order — an explicit left fold, never an unordered
+    float sum. Selection is the same md5-threshold device as
+    sample_stratified, with the per-language rate mapped to an 8-hex
+    prefix threshold, so the drawn subset is reproducible under any
+    partitioning. Output: per language, corpus count, temperature
+    weight, effective sample rate at a half-corpus budget, and the
+    docs actually drawn.
+
+    Scale shape: one groupBy(lang) for counts, a 1-row normalizer
+    broadcast onto the 5-row rate table, and the rate table broadcast
+    onto the corpus scan — one shuffle total; the doc-level filter is
+    pure columnar md5 math."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    zrow = cnt.select(
+        F.sort_array(F.collect_list(F.struct("lang", "n_docs"))).alias("arr")
+    ).select(
+        F.aggregate(
+            F.expr("transform(arr, x -> x.n_docs)"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total"),
+        F.aggregate(
+            F.expr("transform(arr, x -> x.n_docs)"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x.cast("double")),
+        ).alias("z"),
+    )
+    weight = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    rates = cnt.crossJoin(F.broadcast(zrow)).select(
+        "lang",
+        "n_docs",
+        weight.alias("weight"),
+        F.least(
+            F.lit(1.0), (F.expr("total div 2") * weight) / F.col("n_docs")
+        ).alias("sample_rate"),
+    )
+    thr = rates.withColumn(
+        "thr_hex",
+        F.lower(
+            F.lpad(
+                F.hex(F.floor(F.col("sample_rate") * 4294967296.0).cast("bigint")),
+                8,
+                "0",
+            )
+        ),
+    )
+    sel = (
+        docs.join(F.broadcast(thr.select("lang", "sample_rate", "thr_hex")), "lang")
+        .filter(
+            (F.col("sample_rate") >= 1.0)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < F.col("thr_hex")
+            )
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("sampled"))
+    )
+    return thr.join(sel, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "weight",
+        "sample_rate",
+        F.coalesce("sampled", F.lit(0)).cast("bigint").alias("sampled_docs"),
+    )

@@ -50,6 +50,10 @@ _DRIVER_WINDOW = [
     "local_supplier_volume",
     "region_segment_profile",
     "recent_commit_groups",
+    # new late-r4: temperature resampling (customer_order_distribution
+    # rotated out on the same r02-row-stands rationale as
+    # brand_supplier_breadth below)
+    "sample_temperature",
     "duplicate_wins_join",
     "union_dedup_discovery",
     "exactly_one_guard",
@@ -58,7 +62,6 @@ _DRIVER_WINDOW = [
     "returned_items",
     "priority_by_orderpriority",
     "brand_revenue_share",
-    "customer_order_distribution",
     "top_revenue_supplier",
     "events_props_json_stats",
     "events_user_value_quartiles",

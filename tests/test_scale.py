@@ -124,6 +124,7 @@ _TINY_BROADCAST_OK = {
     "table_health_summary",
     "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
     "similarity_tfidf_pairs",  # wraps the same 1-row idf broadcast
+    "sample_temperature",  # 1-row normalizer broadcast onto the 5-row rate table
     "eval_lsh_precision_recall",  # 1-row scalar-count broadcasts
     "eval_embedding_bucket_health",  # 1-row total-count broadcast
     "eval_simhash_band_quality",  # bounded-sample all-pairs truth + scalar counts
