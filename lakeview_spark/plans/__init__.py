@@ -61,7 +61,9 @@ _DRIVER_WINDOW = [
     "checkpoint_lookback",
     "returned_items",
     "priority_by_orderpriority",
-    "brand_revenue_share",
+    # new late-r4: ordered view->click->purchase funnel (brand_revenue_
+    # share rotated out on the r02-row-stands rationale below)
+    "events_funnel_conversion",
     "top_revenue_supplier",
     "events_props_json_stats",
     "events_user_value_quartiles",

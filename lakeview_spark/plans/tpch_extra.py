@@ -636,3 +636,81 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    v AS (SELECT user_id, min(ts_us) AS view_ts
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts_us) AS click_ts
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts_us > v.view_ts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts_us) AS purchase_ts
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_us > c.click_ts
+          GROUP BY e.user_id)
+    SELECT CAST(v.view_ts // 604800000000 AS BIGINT) AS cohort_week,
+           count(*) AS n_viewers,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked,
+           CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchased,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS click_through,
+           CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS purchase_through
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY cohort_week
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly AFTER that click — the sequential-pattern
+    constraint that separates a funnel from three independent counts.
+    Cohorted by the week of the first view, with per-stage conversion
+    rates.
+
+    Three stage tables built by filtered min-aggregations, each joined
+    to the previous stage on user_id — every shuffle keys on user_id,
+    so with the event stream bucketed (or AQE co-partitioning) the
+    whole funnel runs in one partitioning; the final rollup is a
+    small groupBy on the cohort week. Integer time math throughout,
+    divisions only at the edge."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", events_ts_us(ev).alias("ts_us"), "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_ts"))
+    )
+    j = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    clicked = F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+    purchased = F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    return j.groupBy(
+        F.expr("view_ts div 604800000000").alias("cohort_week")
+    ).agg(
+        F.count("*").alias("n_viewers"),
+        F.sum(clicked).cast("bigint").alias("n_clicked"),
+        F.sum(purchased).cast("bigint").alias("n_purchased"),
+        (F.sum(clicked).cast("double") / F.count("*")).alias("click_through"),
+        (F.sum(purchased).cast("double") / F.count("*")).alias("purchase_through"),
+    )

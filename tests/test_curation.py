@@ -221,3 +221,23 @@ def test_boilerplate_lines_flags_shared_lines_symmetrically(spark):
             assert r.n_boilerplate_lines == r.n_lines, (
                 f"exact-duplicate doc {doc_id} must be all boilerplate"
             )
+
+
+def test_funnel_conversion_is_monotone_and_ordered(spark):
+    rows = QUERIES["events_funnel_conversion"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # funnel stages can only shrink
+        assert r.n_viewers >= r.n_clicked >= r.n_purchased >= 0
+        assert 0.0 <= r.purchase_through <= r.click_through <= 1.0
+    # the ORDER constraint must bind: strictly fewer full-funnel users
+    # than users who simply have all three event types in any order
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    by_user = {}
+    for row in e.select("user_id", "event_type").collect():
+        by_user.setdefault(row.user_id, set()).add(row.event_type)
+    unordered = sum(
+        1 for types in by_user.values() if {"view", "click", "purchase"} <= types
+    )
+    total_purchased = sum(r.n_purchased for r in rows)
+    assert total_purchased <= unordered
