@@ -494,3 +494,102 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_WAV_SCHEMA)
+
+
+_PATCH = 8
+
+_PATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("patch_y", LongType()),
+        StructField("patch_x", LongType()),
+        StructField("patch_w", LongType()),
+        StructField("patch_h", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+_PATCH_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             (octet_length(encode(text)) % {_BMP_W_MOD}) + 1 AS w,
+             ((octet_length(encode(text)) // {_BMP_W_MOD}) % {_BMP_H_MOD}) + 1 AS h
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, text, n, w, h, (w * 3 + 3) // 4 * 4 AS stride,
+             (w + {_PATCH} - 1) // {_PATCH} AS npx,
+             (h + {_PATCH} - 1) // {_PATCH} AS npy
+      FROM d
+    ),
+    px AS (
+      SELECT doc_id,
+             unnest(flatten(list_transform(range(0, npy), py ->
+               list_transform(range(0, npx), px -> struct_pack(
+                 patch_y := py,
+                 patch_x := px,
+                 patch_w := least(w - px * {_PATCH}, {_PATCH}),
+                 patch_h := least(h - py * {_PATCH}, {_PATCH}),
+                 byte_sum := list_sum(flatten(
+                   list_transform(range(py * {_PATCH}, least(py * {_PATCH} + {_PATCH}, h)), y ->
+                     list_transform(range(px * {_PATCH} * 3, least(px * {_PATCH} + {_PATCH}, w) * 3), k ->
+                       CASE WHEN (y * stride + k) < n
+                            THEN ascii(substr(text, y * stride + k + 1, 1))
+                            ELSE 0 END))))
+               ))))) AS p
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(p.patch_y AS BIGINT) AS patch_y,
+           CAST(p.patch_x AS BIGINT) AS patch_x,
+           CAST(p.patch_w AS BIGINT) AS patch_w,
+           CAST(p.patch_h AS BIGINT) AS patch_h,
+           CAST(p.byte_sum AS BIGINT) AS byte_sum
+    FROM px
+"""
+
+
+@register("multimodal_patch_stats", oracle=_PATCH_ORACLE)
+def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction through the REAL codec chain: each
+    document's bytes become a genuine 24bpp BMP, the decoded pixel grid
+    is split into 8x8 patches (edge patches truncated, exactly like a
+    ViT preprocessor on non-multiple dimensions), and every patch emits
+    one row with its grid position, effective size, and pixel byte sum
+    (stride padding excluded) — the per-patch reduction a patch-embed
+    stage feeds from.
+
+    The oracle replays the chain in closed form (patch (px, py) covers
+    source bytes y*stride + 3x + c), so a patcher that misses the row
+    stride, the truncated edge patches, or the pixel/padding boundary
+    hash-fails. One Arrow-batched mapInPandas, no shuffle; the output
+    fan-out is bounded by pixels / 64, never payload bytes."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bmp = synthesize_bmp(bytes(payload))
+                w, h, _ = decode_bmp(bmp)
+                buf = bmp[_BMP_HEADER_BYTES:]
+                stride = (w * 3 + 3) // 4 * 4
+                for py in range((h + _PATCH - 1) // _PATCH):
+                    ph = min(_PATCH, h - py * _PATCH)
+                    for px in range((w + _PATCH - 1) // _PATCH):
+                        pw = min(_PATCH, w - px * _PATCH)
+                        s = 0
+                        for y in range(py * _PATCH, py * _PATCH + ph):
+                            row0 = y * stride
+                            s += sum(
+                                buf[row0 + 3 * px * _PATCH : row0 + 3 * (px * _PATCH + pw)]
+                            )
+                        rows.append((int(doc_id), py, px, pw, ph, s))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "patch_y", "patch_x", "patch_w", "patch_h", "byte_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=_PATCH_SCHEMA)

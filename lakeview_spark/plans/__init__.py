@@ -60,10 +60,11 @@ _DRIVER_WINDOW = [
     "active_batch_packing",
     "checkpoint_lookback",
     "returned_items",
-    "priority_by_orderpriority",
-    # new late-r4: ordered view->click->purchase funnel (brand_revenue_
-    # share rotated out on the r02-row-stands rationale below)
+    # new late-r4: ordered view->click->purchase funnel and ViT-style
+    # patch extraction (brand_revenue_share and priority_by_
+    # orderpriority rotated out on the r02-row-stands rationale below)
     "events_funnel_conversion",
+    "multimodal_patch_stats",
     "top_revenue_supplier",
     "events_props_json_stats",
     "events_user_value_quartiles",

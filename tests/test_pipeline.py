@@ -322,3 +322,40 @@ def test_materialize_scratch_cleanup_removes_created_paths(spark, tmp_path):
     again = mat.materialized(spark, "cleantest", str(sf), lambda s, d: s.range(2))
     assert again.count() == 2
     mat._cleanup_scratch([p for p in mat._CREATED_PATHS if "cleantest" in p])
+
+
+def test_patch_stats_tile_exactly_and_conserve_pixel_mass(spark):
+    """Patches must tile the image: per doc, sum(patch_w*patch_h) == w*h
+    and sum(byte_sum) == the whole-image pixel sum (padding excluded) —
+    any overlap, gap, or stride slip breaks one of the two."""
+    from lakeview_spark.pipeline.multimodal import (
+        _BMP_HEADER_BYTES,
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    out = QUERIES["multimodal_patch_stats"](spark, SF_DIR).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert set(per_doc) == {d.doc_id for d in docs}
+    for d in docs:
+        bmp = synthesize_bmp(d.text.encode("utf-8"))
+        w, h, _ = decode_bmp(bmp)
+        buf = bmp[_BMP_HEADER_BYTES:]
+        stride = (w * 3 + 3) // 4 * 4
+        whole = sum(
+            buf[y * stride + k] for y in range(h) for k in range(3 * w)
+        )
+        patches = per_doc[d.doc_id]
+        assert sum(p.patch_w * p.patch_h for p in patches) == w * h
+        assert sum(p.byte_sum for p in patches) == whole
+        # grid positions are unique and dense
+        grid = {(p.patch_y, p.patch_x) for p in patches}
+        assert len(grid) == len(patches)
+        assert grid == {
+            (py, px)
+            for py in range((h + 7) // 8)
+            for px in range((w + 7) // 8)
+        }
