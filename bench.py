@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "events_sessionization",
     "dedup_embedding_cosine",
     "pack_training_sequences",  # added r4 (~1.1 s at sf0.1; BASELINE.md)
+    "text_boilerplate_lines",  # added late r4 (line-DF shuffle; BASELINE.md)
+    "events_funnel_conversion",  # added late r4 (3-stage user_id join chain)
 ]
 
 

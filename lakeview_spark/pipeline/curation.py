@@ -308,9 +308,14 @@ _SIMHASH32_SQL = (
 
 
 def _simhash32_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("th"))
+    # repartition before the md5/explode kernel: single-row-group local
+    # parquet is unsplittable (see dedup.py _doc_shingles_build note)
+    h = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("th"))
+    )
     bits = [
         F.when(
             F.sum(

@@ -70,7 +70,19 @@ _SHINGLES_SQL = """
 
 
 def _doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", _tokens(F.col("text")).alias("toks"))
+    # Repartition the raw scan before the shingle map: the local
+    # testdata tables are single-row-group parquet files, which Spark
+    # cannot split, so without this every downstream array/md5 kernel
+    # (here and in the signature builder reading this scratch table)
+    # would run on ONE core. One cheap shuffle of (doc_id, text) buys a
+    # fully parallel build and a multi-file scratch table that every
+    # consumer scans in parallel. On real multi-row-group inputs the
+    # scan splits on its own and this is a no-op-sized exchange.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+    )
     return docs.select(
         "doc_id", F.array_distinct(F.expr(_shingles_expr())).alias("shingles")
     )

@@ -433,7 +433,10 @@ def _lsh_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single narrow map: norm fold + literal-plane bucket bits in one
     # pass over the scan — no join back onto the embeddings (the old
     # crossJoin -> groupBy -> join form paid two shuffles for the same
-    # columns)
+    # columns). No builder-side repartition here: materialized_bucketed
+    # already repartitions on the bucket column for the write, and a
+    # second exchange of the full vector table would double the shuffle
+    # at scale for zero local gain (A/B: 4.3 s either way at sf0.1).
     emb = t(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
