@@ -639,3 +639,56 @@ def eval_embedding_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pairs_per_vector",
         )
     )
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH assign AS ({_ASSIGN_SQL}),
+    v AS (
+      SELECT e.vec_id, a.cluster_id, e.embedding,
+             {_NORM_SQL.format(a="e.embedding")} AS norm
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+    )
+    SELECT a.cluster_id AS cluster_id, a.vec_id AS vec1, b.vec_id AS vec2,
+           {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+           / (a.norm * b.norm) AS cosine
+    FROM v a JOIN v b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+          / (a.norm * b.norm) >= {_NEAR_DUP_COSINE}
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the corpus with k-means
+    (the oracle-proven centroid assignment), then find near-duplicate
+    pairs ONLY within each cluster — the Abbas et al. recipe that makes
+    embedding dedup tractable at web scale by turning the all-pairs
+    cosine into per-cluster self-joins. Complements
+    dedup_embedding_cosine's LSH-bucket restriction with the
+    learned-partition restriction; at 100 TB, k grows with n so the
+    per-cluster candidate count stays constant, and the join keys on
+    cluster_id exactly like the bucket join keys on bucket.
+
+    Pairs above the 0.35 cosine threshold are the drop candidates (keep
+    min vec_id, drop the rest — same convention as dedup_clusters)."""
+    assign = embedding_centroid_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm("embedding").alias("norm")
+    )
+    v = emb.join(assign, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
+    )

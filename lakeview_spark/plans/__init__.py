@@ -59,7 +59,10 @@ _DRIVER_WINDOW = [
     "exactly_one_guard",
     "active_batch_packing",
     "checkpoint_lookback",
-    "returned_items",
+    # new late-r4: SemDeDup-style within-cluster embedding dedup
+    # (returned_items rotated out on the r02-row-stands rationale
+    # below; top_partitions/top_revenue_supplier keep O4 in-window)
+    "dedup_semdedup",
     # new late-r4: ordered view->click->purchase funnel and ViT-style
     # patch extraction (brand_revenue_share and priority_by_
     # orderpriority rotated out on the r02-row-stands rationale below)

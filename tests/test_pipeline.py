@@ -359,3 +359,42 @@ def test_patch_stats_tile_exactly_and_conserve_pixel_mass(spark):
             for py in range((h + 7) // 8)
             for px in range((w + 7) // 8)
         }
+
+
+def test_semdedup_matches_within_cluster_brute_force(spark):
+    """dedup_semdedup must equal the brute-force enumeration: every
+    within-cluster pair (and no cross-cluster pair) with exact cosine
+    >= the threshold."""
+    import math
+
+    from lakeview_spark.pipeline.similarity import _NEAR_DUP_COSINE
+
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in QUERIES["embedding_centroid_assign"](spark, SF_DIR).collect()
+    }
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def cosine(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return dot / (nu * nv)
+
+    expected = set()
+    ids = sorted(emb)
+    for i, v1 in enumerate(ids):
+        for v2 in ids[i + 1 :]:
+            if assign[v1] == assign[v2] and cosine(emb[v1], emb[v2]) >= _NEAR_DUP_COSINE - 1e-12:
+                expected.add((v1, v2))
+
+    got = QUERIES["dedup_semdedup"](spark, SF_DIR).collect()
+    got_pairs = {(r.vec1, r.vec2) for r in got}
+    assert got_pairs == expected
+    for r in got:
+        assert r.vec1 < r.vec2
+        assert assign[r.vec1] == assign[r.vec2] == r.cluster_id
+        assert r.cosine >= _NEAR_DUP_COSINE
