@@ -593,3 +593,71 @@ def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_PATCH_SCHEMA)
+
+
+_AUDIO_WIN = 400  # 50 ms at the 8 kHz base rate
+
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, (n + {_AUDIO_WIN} - 1) // {_AUDIO_WIN})) AS win
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(win AS BIGINT) AS window_idx,
+           CAST(least(n - win * {_AUDIO_WIN}, {_AUDIO_WIN}) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+                  range(win * {_AUDIO_WIN} + 1, least(win * {_AUDIO_WIN} + {_AUDIO_WIN}, n) + 1),
+                  i -> (ascii(substr(text, i, 1)) - 128) * (ascii(substr(text, i, 1)) - 128)))
+             AS BIGINT) AS energy
+    FROM w
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy through the REAL codec chain: each
+    document's bytes become a genuine mono 8-bit WAV, the stdlib wave
+    reader streams it back 400 frames (50 ms) at a time, and every
+    window emits its bias-centered energy sum((s-128)^2) — the frame
+    feature a speech/VAD pipeline computes first. Integer math, so the
+    closed-form oracle (samples are the document's bytes) hash-checks
+    the full synth -> decode -> window -> energy chain, including the
+    short final window. One Arrow-batched mapInPandas, no shuffle;
+    fan-out bounded by samples / 400."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = synthesize_wav(bytes(payload))
+                with wave.open(io.BytesIO(raw), "rb") as wf:
+                    win = 0
+                    while True:
+                        frames = wf.readframes(_AUDIO_WIN)
+                        if not frames:
+                            break
+                        energy = sum((b - 128) * (b - 128) for b in frames)
+                        rows.append((int(doc_id), win, len(frames), energy))
+                        win += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "n_samples", "energy"]
+            )
+
+    return docs.mapInPandas(run, schema=_ENERGY_SCHEMA)

@@ -71,7 +71,11 @@ _DRIVER_WINDOW = [
     "top_revenue_supplier",
     "events_props_json_stats",
     "events_user_value_quartiles",
-    "dedup_simhash",
+    # new late-r4: windowed audio energy (dedup_simhash rotated out:
+    # the simhash layer keeps r03-green driver rows via
+    # dedup_simhash_hamming_pairs + eval_simhash_band_quality, and the
+    # sf0.01 sweep re-proves the 16-bit demo variant every round)
+    "multimodal_audio_energy",
     # new this round: driver-checkable twins of the streaming ingestion
     # operators (VERDICT r03 §next-8) — no green rows yet, so they MUST
     # sit inside the window

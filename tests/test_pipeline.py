@@ -398,3 +398,26 @@ def test_semdedup_matches_within_cluster_brute_force(spark):
         assert r.vec1 < r.vec2
         assert assign[r.vec1] == assign[r.vec2] == r.cluster_id
         assert r.cosine >= _NEAR_DUP_COSINE
+
+
+def test_audio_energy_windows_tile_the_sample_stream(spark):
+    """Windows must partition the frames exactly: per doc, indices are
+    dense from 0, every window is full except possibly the last, and
+    n_samples sums to the payload byte count."""
+    out = QUERIES["multimodal_audio_energy"](spark, SF_DIR).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert set(per_doc) == {d.doc_id for d in docs}
+    for d in docs:
+        n = len(d.text.encode("utf-8"))
+        wins = sorted(per_doc[d.doc_id], key=lambda r: r.window_idx)
+        assert [w.window_idx for w in wins] == list(range(len(wins)))
+        assert len(wins) == (n + 399) // 400
+        assert sum(w.n_samples for w in wins) == n
+        for w in wins[:-1]:
+            assert w.n_samples == 400
+        # 8-bit samples: energy bounded by n_samples * 128^2
+        for w in wins:
+            assert 0 <= w.energy <= w.n_samples * 128 * 128
