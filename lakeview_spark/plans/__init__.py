@@ -101,10 +101,13 @@ _DRIVER_WINDOW = [
     # region_segment_profile), and the sf0.01 sweep re-proves it on
     # current data every round.
     "text_boilerplate_lines",
-    # sentinel: re-validates the (now bucketed) scratch materialization
-    # inside the driver environment; every other layer is re-validated
-    # by the repaired/stale/new queries above
-    "dedup_minhash_lsh_pairs",
+    # new late-r4: per-type z-score outlier scan. It replaces the
+    # dedup_minhash_lsh_pairs sentinel: that query keeps its r03 green
+    # row, and the bucketed scratch materialization it was re-proving
+    # is now exercised inside the driver run by stream_embedding_neardup
+    # (materialized_bucketed LSH index) and dedup_semdedup
+    # (materialized centroid assignment) above.
+    "events_anomaly_zscore",
 ]
 
 

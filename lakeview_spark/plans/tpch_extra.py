@@ -714,3 +714,66 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(clicked).cast("double") / F.count("*")).alias("click_through"),
         (F.sum(purchased).cast("double") / F.count("*")).alias("purchase_through"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sv2
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type,
+             sv / n AS mean_value,
+             sqrt(sv2 / n - (sv / n) * (sv / n)) AS std_value
+      FROM s
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - m.mean_value)
+               / m.std_value AS zscore
+      FROM events e JOIN m ON e.event_type = m.event_type
+    )
+    SELECT event_id, event_type, value, zscore FROM z WHERE abs(zscore) > 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection — the telemetry guardrail a
+    pipeline runs over its event stream (value spikes, broken
+    instrumentation). Moments are DECIMAL(18,2)-exact sums (the values
+    are 2-decimal amounts) cast to double only at the edge, so
+    mean/stddev — and therefore the outlier SET — are bit-identical
+    across engines; IEEE sqrt and division are correctly rounded.
+
+    One groupBy(event_type) builds the 5-row moment table, broadcast
+    back onto the scan; the z computation is pure columnar. No window,
+    no second pass over the data — the textbook two-moment one-pass
+    outlier scan."""
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    d = _dec("value")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("double").alias("sv"),
+        F.sum(d * d).cast("double").alias("sv2"),
+    )
+    m = s.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mean_value"),
+        F.sqrt(
+            F.col("sv2") / F.col("n")
+            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
+        ).alias("std_value"),
+    )
+    z = e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((d.cast("double") - F.col("mean_value")) / F.col("std_value")).alias(
+            "zscore"
+        ),
+    )
+    return z.filter(F.abs(F.col("zscore")) > 3.0)

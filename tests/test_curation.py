@@ -241,3 +241,38 @@ def test_funnel_conversion_is_monotone_and_ordered(spark):
     )
     total_purchased = sum(r.n_purchased for r in rows)
     assert total_purchased <= unordered
+
+
+def test_anomaly_zscore_matches_population_moments(spark):
+    import math
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(round(r.value, 2))
+    stats = {}
+    for et, vals in by_type.items():
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mean * mean
+        stats[et] = (mean, math.sqrt(var))
+    out = QUERIES["events_anomaly_zscore"](spark, SF_DIR).collect()
+    assert out, "outliers must exist on the synthetic value distribution"
+    expected_ids = {
+        r.event_id
+        for r in ev
+        if abs((round(r.value, 2) - stats[r.event_type][0]) / stats[r.event_type][1])
+        > 3.0 - 1e-9
+    }
+    got_ids = {r.event_id for r in out}
+    # float assoc differs between the python fold and the exact decimal
+    # sum only at the boundary; allow the 1e-9 guard band both ways
+    assert got_ids.symmetric_difference(expected_ids) == set() or all(
+        abs(abs((round(r.value, 2) - stats[r.event_type][0]) / stats[r.event_type][1]) - 3.0) < 1e-6
+        for r in ev
+        if r.event_id in got_ids.symmetric_difference(expected_ids)
+    )
+    for r in out:
+        mean, sd = stats[r.event_type]
+        assert abs(r.zscore - (round(r.value, 2) - mean) / sd) < 1e-6
+        assert abs(r.zscore) > 3.0
