@@ -755,19 +755,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier scan."""
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     d = _dec("value")
-    s = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(d).cast("double").alias("sv"),
-        F.sum(d * d).cast("double").alias("sv2"),
-    )
-    m = s.select(
-        "event_type",
-        (F.col("sv") / F.col("n")).alias("mean_value"),
-        F.sqrt(
-            F.col("sv2") / F.col("n")
-            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
-        ).alias("std_value"),
-    )
+    m = event_value_moments(e)
     z = e.join(F.broadcast(m), "event_type").select(
         "event_id",
         "event_type",
@@ -777,3 +765,25 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return z.filter(F.abs(F.col("zscore")) > 3.0)
+
+
+def event_value_moments(e: DataFrame) -> DataFrame:
+    """(event_type, mean_value, std_value) from an events-shaped frame:
+    DECIMAL(18,2)-exact one-pass sums, doubles only at the edge. Shared
+    by the batch outlier scan and its streaming twin
+    (streaming/pipeline_stream.py stream_anomaly_zscore) so the two can
+    never disagree on the reference distribution."""
+    d = _dec("value")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("double").alias("sv"),
+        F.sum(d * d).cast("double").alias("sv2"),
+    )
+    return s.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mean_value"),
+        F.sqrt(
+            F.col("sv2") / F.col("n")
+            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
+        ).alias("std_value"),
+    )

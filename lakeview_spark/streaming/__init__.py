@@ -10,4 +10,5 @@ from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
     stream_embedding_neardup,
     stream_event_sessions,
     stream_token_stats,
+    stream_anomaly_zscore,
 )

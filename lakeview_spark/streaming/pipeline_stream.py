@@ -180,3 +180,29 @@ def stream_quality_filter(
         )
         .filter(F.size(F.array_distinct(ltoks)) * 3 >= F.size(ltoks))
     )
+
+
+def stream_anomaly_zscore(
+    stream: DataFrame,
+    moments: DataFrame,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Online outlier monitoring: arriving events join the static
+    per-type moment table (plans/tpch_extra.py event_value_moments —
+    the SAME helper the batch events_anomaly_zscore scan uses, so the
+    two tiers can never disagree on the reference distribution) and
+    emit rows whose |z| exceeds the threshold.
+
+    Stateless stream-static broadcast join — no aggregation on the
+    stream side, hence no watermark requirement, and it composes before
+    or after the other ingestion stages. The production loop refreshes
+    the moment table batch-side (e.g. daily) while the stream keeps
+    flagging against the last published distribution — the standard
+    two-tier monitoring design."""
+    d = F.col("value").cast("decimal(18,2)")
+    z = (d.cast("double") - F.col("mean_value")) / F.col("std_value")
+    return (
+        stream.join(F.broadcast(moments), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > threshold)
+    )

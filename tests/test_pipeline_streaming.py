@@ -193,3 +193,43 @@ def test_stream_quality_filter_matches_batch_flags(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.sql("SELECT * FROM quality_stream").collect()}
     assert kept == {1}
+
+
+def test_stream_anomaly_zscore_matches_batch_scan(spark):
+    """The streaming monitor over the events file-stream must flag
+    EXACTLY the rows the batch events_anomaly_zscore scan flags when
+    the moment table comes from the same data."""
+    from lakeview_spark.plans import QUERIES
+    from lakeview_spark.plans.registry import t
+    from lakeview_spark.plans.tpch_extra import event_value_moments
+    from lakeview_spark.streaming import stream_anomaly_zscore
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch_events = t(spark, sf_dir, "events")
+    moments = event_value_moments(
+        batch_events.select("event_id", "event_type", "value")
+    )
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "event_type", "value")
+    )
+    q = (
+        stream_anomaly_zscore(stream, moments)
+        .writeStream.format("memory")
+        .queryName("anomaly_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.zscore)
+        for r in spark.sql("SELECT * FROM anomaly_stream").collect()
+    }
+    want = {
+        (r.event_id, r.zscore)
+        for r in QUERIES["events_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    assert got == want and got
