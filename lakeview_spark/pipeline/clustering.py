@@ -351,7 +351,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("sampled"))
     )
-    return thr.join(sel, "lang", "left").select(
+    return thr.join(F.broadcast(sel), "lang", "left").select(
         "lang",
         "n_docs",
         "weight",
