@@ -1,0 +1,58 @@
+"""Reshape operators: pivot (long -> wide) and unpivot (wide -> long).
+
+The long<->wide round trip every reporting/feature layer needs:
+`pivot_counts` turns a (group, category, value) stream into one row per
+group with a column per category (Spark `groupBy().pivot()` — compiled
+into conditional aggregates, one shuffle on the group key), and
+`unpivot_columns` inverts it with `stack()` (pure map, no shuffle).
+
+Scale notes: pivot with an EXPLICIT category list (always pass one) is
+a single hash aggregate — without the list Spark first runs a distinct
+scan over the category column to discover it, which is a second job and
+an unbounded-width risk. Wide-side columns are bounded by the category
+count, never by row count; unpivot is narrow.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    categories: Sequence[str],
+    agg: Optional[F.Column] = None,
+) -> DataFrame:
+    """One row per ``group_cols``, one column per category in
+    ``categories`` (explicit list — see module note), cells =
+    ``agg`` (default ``count(*)``). Missing cells coalesce to 0 so the
+    wide table is dense and join-ready."""
+    agg = agg if agg is not None else F.count(F.lit(1))
+    wide = df.groupBy(*group_cols).pivot(pivot_col, list(categories)).agg(agg)
+    return wide.select(
+        *group_cols,
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in categories],
+    )
+
+
+def unpivot_columns(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    key_name: str = "category",
+    value_name: str = "value",
+) -> DataFrame:
+    """Inverse of :func:`pivot_counts`: melt ``value_cols`` back into
+    (key, value) rows via ``stack()`` — a pure projection, no shuffle."""
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return df.select(
+        *id_cols,
+        F.expr(
+            f"stack({len(value_cols)}, {stack_args}) AS ({key_name}, {value_name})"
+        ),
+    )
