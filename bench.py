@@ -60,6 +60,27 @@ def main() -> None:
     # warm the JVM + parquet footers once (not timed)
     QUERIES["pricing_summary"](spark, SF_DIR).count()
 
+    # SPARK_GRAFT_PREWARM=1: build the shared scratch tables untimed so
+    # the timings below are STEADY-STATE (what a long-lived deployment
+    # sees). Default off — the default run charges first-touch
+    # materialization to the first query that needs it, which is the
+    # honest cold-start number (BASELINE.md reports the split).
+    if os.environ.get("SPARK_GRAFT_PREWARM") == "1":
+        from lakeview_spark.pipeline.curation import simhash32_materialized
+        from lakeview_spark.pipeline.dedup import (
+            _doc_shingles,
+            minhash_signatures_materialized,
+        )
+        from lakeview_spark.pipeline.similarity import _lsh_bucketed
+
+        for builder in (
+            _doc_shingles,
+            minhash_signatures_materialized,
+            simhash32_materialized,
+            _lsh_bucketed,
+        ):
+            builder(spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
