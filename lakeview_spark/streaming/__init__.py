@@ -2,7 +2,11 @@ from lakeview_spark.streaming.timeline_stream import (  # noqa: F401
     stream_timeline_batches,
     stream_windowed_table_stats,
 )
-from lakeview_spark.streaming.stateful import track_incomplete_commits  # noqa: F401
+from lakeview_spark.streaming.stateful import (  # noqa: F401
+    cusum_detector,
+    stream_value_cusum,
+    track_incomplete_commits,
+)
 from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
     document_stream,
     stream_document_dedup,
@@ -11,4 +15,6 @@ from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
     stream_event_sessions,
     stream_token_stats,
     stream_anomaly_zscore,
+    boilerplate_screen,
+    stream_boilerplate_filter,
 )

@@ -206,3 +206,63 @@ def stream_anomaly_zscore(
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > threshold)
     )
+
+
+def boilerplate_screen(
+    batch: DataFrame,
+    boilerplate_lines: DataFrame,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Boilerplate screen over ONE micro-batch of documents: chunk each
+    document into the same 10-token pseudo-lines as the batch pass
+    (pipeline/curation.py text_boilerplate_lines), left-join the hashes
+    against the batch-published boilerplate line set, and keep documents
+    whose boilerplate line share is <= ``max_ratio``."""
+    from lakeview_spark.pipeline.curation import _LINES_EXPR
+
+    tk = batch.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    el = tk.select("doc_id", F.explode(F.expr(_LINES_EXPR)).alias("line")).select(
+        "doc_id", F.md5("line").alias("line_hash")
+    )
+    j = el.join(
+        F.broadcast(boilerplate_lines.select(F.col("line_hash").alias("bp_hash"))),
+        el.line_hash == F.col("bp_hash"),
+        "left",
+    )
+    ratio = j.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("bp_hash").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("boilerplate_ratio")
+    )
+    return (
+        batch.join(ratio, "doc_id")
+        .filter(F.col("boilerplate_ratio") <= max_ratio)
+        .select("doc_id", "text", "lang", "boilerplate_ratio")
+    )
+
+
+def stream_boilerplate_filter(
+    stream: DataFrame,
+    boilerplate_lines: DataFrame,
+    sink,
+    max_ratio: float = 0.5,
+):
+    """Ingestion-time boilerplate screen — the streaming half of the
+    CCNet two-tier design: the batch text_boilerplate_lines pass
+    refreshes the line-DF table, the stream screens arrivals against
+    the last published df>=2 set.
+
+    The per-document ratio needs an explode + re-aggregate on doc_id,
+    which is not a watermarkable event-time aggregation — so this runs
+    under ``foreachBatch`` (the engine's sanctioned escape hatch for
+    batch-shaped per-micro-batch logic, same device as the timeline
+    uploader stream): each micro-batch is screened with
+    :func:`boilerplate_screen` (stream-static broadcast join on the
+    16-byte line hash; state is the micro-batch itself, nothing carries
+    across triggers) and handed to ``sink(batch_df, batch_id)``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        sink(boilerplate_screen(batch, boilerplate_lines, max_ratio), batch_id)
+
+    return stream.writeStream.foreachBatch(_process)

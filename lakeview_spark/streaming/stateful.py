@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     ArrayType,
+    DoubleType,
     StringType,
     StructField,
     StructType,
@@ -103,6 +104,102 @@ def track_incomplete_commits(stream: DataFrame) -> DataFrame:
             _update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detector over the event stream (second custom stateful
+# operator): per event_type, the classic two-sided cumulative-sum
+# control chart on standardized values. State = (s_pos, s_neg) carried
+# across micro-batches; an alarm fires when either side crosses the
+# decision interval H, then that side resets — change-point detection
+# a pipeline runs on its telemetry to catch distribution drift that a
+# per-batch z-score scan cannot see (many small shifts, no single
+# outlier).
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("n_seen", LongType()),
+        StructField("alerts_in_batch", LongType()),
+    ]
+)
+
+# reference slack and decision interval in sigma units (textbook values)
+CUSUM_K = 0.5
+CUSUM_H = 5.0
+
+
+def cusum_detector(
+    moments: dict[str, tuple[float, float]],
+    k: float = CUSUM_K,
+    h: float = CUSUM_H,
+):
+    """Build the per-group update function with the batch-published
+    per-type (mean, std) closed over — the same two-tier design as
+    stream_anomaly_zscore: the reference distribution is tiny (one row
+    per event type) and refreshed batch-side."""
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type = key[0]
+        s_pos, s_neg, n_seen = state.get if state.exists else (0.0, 0.0, 0)
+        mean, sd = moments.get(event_type, (0.0, 1.0))
+        alerts = 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic replay order: event time, then id as tiebreak
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        for value in batch["value"]:
+            z = (float(value) - mean) / sd
+            s_pos = max(0.0, s_pos + z - k)
+            s_neg = max(0.0, s_neg - z - k)
+            if s_pos > h:
+                alerts += 1
+                s_pos = 0.0
+            if s_neg > h:
+                alerts += 1
+                s_neg = 0.0
+            n_seen += 1
+        state.update((s_pos, s_neg, n_seen))
+        yield pd.DataFrame(
+            [(event_type, s_pos, s_neg, n_seen, alerts)],
+            columns=["event_type", "s_pos", "s_neg", "n_seen", "alerts_in_batch"],
+        )
+
+    return update
+
+
+def stream_value_cusum(
+    stream: DataFrame,
+    moments: dict[str, tuple[float, float]],
+    k: float = CUSUM_K,
+    h: float = CUSUM_H,
+) -> DataFrame:
+    """events stream (event_id, ts_us, event_type, value) -> per-type
+    CUSUM tracker, one row per type per micro-batch with the end-of-
+    batch chart state and the alarms raised. State is two doubles and a
+    counter per event type — constant, never row-proportional."""
+    return (
+        stream.select("event_id", "ts_us", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            cusum_detector(moments, k, h),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -233,3 +233,58 @@ def test_stream_anomaly_zscore_matches_batch_scan(spark):
         for r in QUERIES["events_anomaly_zscore"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_stream_boilerplate_filter_matches_batch_screen(spark, tmp_path):
+    """foreachBatch screening must keep exactly the docs the batch
+    text_boilerplate_lines pass would keep at the same ratio bound,
+    with the line set published from the same corpus."""
+    from lakeview_spark.plans import QUERIES
+    from lakeview_spark.streaming import stream_boilerplate_filter
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # batch-published boilerplate line set (df >= 2), derived the same
+    # way the registry query derives it
+    from pyspark.sql import functions as F2
+    from lakeview_spark.pipeline.curation import _LINES_EXPR
+
+    el = (
+        docs.select("doc_id", F2.split(F2.lower("text"), " ").alias("toks"))
+        .select("doc_id", F2.explode(F2.expr(_LINES_EXPR)).alias("line"))
+        .select("doc_id", F2.md5("line").alias("line_hash"))
+    )
+    bp = (
+        el.distinct()
+        .groupBy("line_hash")
+        .count()
+        .filter(F2.col("count") >= 2)
+        .select("line_hash")
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    got_batches = []
+
+    def sink(batch_df, batch_id):
+        got_batches.extend(batch_df.collect())
+
+    q = (
+        stream_boilerplate_filter(stream, bp, sink, max_ratio=0.5)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ratios = {
+        r.doc_id: r.boilerplate_ratio
+        for r in QUERIES["text_boilerplate_lines"](spark, sf_dir).collect()
+    }
+    want = {d for d, ratio in ratios.items() if ratio <= 0.5}
+    got = {r.doc_id for r in got_batches}
+    assert got == want and got
+    for r in got_batches:
+        assert abs(r.boilerplate_ratio - ratios[r.doc_id]) < 1e-12

@@ -74,3 +74,97 @@ def test_incomplete_commit_tracker_across_batches(spark, tmp_path):
     assert r2.completed_in_batch == 1  # 300 closed using carried state
     assert r2.open_commits == 1  # 400 open
     assert r2.first_incomplete == "399"
+
+
+def test_cusum_state_carries_across_micro_batches(spark, tmp_path):
+    """Two micro-batches (one json file each, maxFilesPerTrigger=1) must
+    end in the same chart state as a single-pass Python CUSUM over the
+    concatenated, time-ordered stream — proving state survives the
+    batch boundary and replay order is deterministic."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakeview_spark.streaming import stream_value_cusum
+    from lakeview_spark.streaming.stateful import CUSUM_H, CUSUM_K
+
+    indir = str(tmp_path / "events")
+    _os.makedirs(indir, exist_ok=True)
+    moments = {"click": (10.0, 2.0)}
+    # batch 1 drifts upward (should build s_pos), batch 2 keeps drifting
+    # past the decision interval
+    b1 = [
+        {"event_id": i, "ts_us": 1000 + i, "event_type": "click", "value": 13.0}
+        for i in range(5)
+    ]
+    b2 = [
+        {"event_id": 10 + i, "ts_us": 2000 + i, "event_type": "click", "value": 14.0}
+        for i in range(6)
+    ]
+    with open(f"{indir}/b1.json", "w") as f:
+        for r in b1:
+            f.write(_json.dumps(r) + "\n")
+    with open(f"{indir}/b2.json", "w") as f:
+        for r in b2:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    q = (
+        stream_value_cusum(stream, moments)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM cusum_stream ORDER BY n_seen"
+    ).collect()
+    assert len(rows) == 2, rows  # one row per micro-batch
+
+    # single-pass python reference over the ordered concatenation
+    s_pos = s_neg = 0.0
+    alerts = []
+    a = 0
+    for i, r in enumerate(sorted(b1 + b2, key=lambda r: (r["ts_us"], r["event_id"]))):
+        z = (r["value"] - 10.0) / 2.0
+        s_pos = max(0.0, s_pos + z - CUSUM_K)
+        s_neg = max(0.0, s_neg - z - CUSUM_K)
+        if s_pos > CUSUM_H:
+            a += 1
+            s_pos = 0.0
+        if s_neg > CUSUM_H:
+            a += 1
+            s_neg = 0.0
+        if i == len(b1) - 1:
+            alerts.append(a)
+            a = 0
+    alerts.append(a)
+
+    final = rows[-1]
+    assert final.n_seen == len(b1) + len(b2)
+    assert abs(final.s_pos - s_pos) < 1e-12
+    assert abs(final.s_neg - s_neg) < 1e-12
+    assert [r.alerts_in_batch for r in rows] == alerts
+    assert sum(alerts) >= 1, "the drift scenario must raise at least one alarm"
