@@ -683,26 +683,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions only at the edge."""
     ev = t(spark, sf_dir, "events")
     e = ev.select("user_id", events_ts_us(ev).alias("ts_us"), "event_type")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("view_ts"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_us") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("click_ts"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_us") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("purchase_ts"))
-    )
-    j = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    j = funnel_stages(e)
     clicked = F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
     purchased = F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
     return j.groupBy(
@@ -787,3 +768,32 @@ def event_value_moments(e: DataFrame) -> DataFrame:
             - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
         ).alias("std_value"),
     )
+
+
+def funnel_stages(e: DataFrame) -> DataFrame:
+    """Per-user funnel stage times over an (user_id, ts_us, event_type)
+    frame: first view, first click strictly after it, first purchase
+    strictly after that — one row per viewer with nullable click_ts /
+    purchase_ts. Shared by the registry query and the property tests
+    (tests/test_funnel_properties.py) so the sequential semantics are
+    checked independently of the cohort rollup."""
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_ts"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")

@@ -1,0 +1,54 @@
+"""Property test: the distributed funnel-stage computation must agree
+with a direct sequential Python simulation on arbitrary event sets —
+the ordering constraint (view, THEN click, THEN purchase, strictly
+increasing times) is easy to get subtly wrong in a set-based
+reformulation."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from lakeview_spark.plans.tpch_extra import funnel_stages
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=4),          # user_id
+    st.integers(min_value=0, max_value=30),         # ts_us
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+def _python_funnel(events):
+    out = {}
+    by_user: dict[int, list] = {}
+    for u, ts, et in events:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        views = [ts for ts, et in evs if et == "view"]
+        if not views:
+            continue
+        view_ts = min(views)
+        clicks = [ts for ts, et in evs if et == "click" and ts > view_ts]
+        click_ts = min(clicks) if clicks else None
+        purchase_ts = None
+        if click_ts is not None:
+            purchases = [ts for ts, et in evs if et == "purchase" and ts > click_ts]
+            purchase_ts = min(purchases) if purchases else None
+        out[u] = (view_ts, click_ts, purchase_ts)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(EVENT, min_size=0, max_size=40))
+def test_funnel_stages_match_sequential_simulation(spark, events):
+    if events:
+        df = spark.createDataFrame(
+            [(u, ts, et) for u, ts, et in events],
+            ["user_id", "ts_us", "event_type"],
+        )
+    else:
+        df = spark.createDataFrame([], "user_id long, ts_us long, event_type string")
+    got = {
+        r.user_id: (r.view_ts, r.click_ts, r.purchase_ts)
+        for r in funnel_stages(df).collect()
+    }
+    assert got == _python_funnel(events)
