@@ -69,12 +69,14 @@ def main() -> None:
         from lakeview_spark.pipeline.curation import simhash32_materialized
         from lakeview_spark.pipeline.dedup import (
             _doc_shingles,
+            jaccard_index_materialized,
             minhash_signatures_materialized,
         )
         from lakeview_spark.pipeline.similarity import _lsh_bucketed
 
         for builder in (
             _doc_shingles,
+            jaccard_index_materialized,
             minhash_signatures_materialized,
             simhash32_materialized,
             _lsh_bucketed,

@@ -90,8 +90,9 @@ def _doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles) materialized once per run: the Jaccard query
-    alone scans it three times (df-cap counts + both self-join sides),
-    and the MinHash signature builder reads it again."""
+    reads it for set sizes, the capped inverted-index builder
+    (jaccard_index_materialized) and the MinHash signature builder each
+    read it once more."""
     return materialized(spark, "doc_shingles", sf_dir, _doc_shingles_build)
 
 
@@ -142,17 +143,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is exact whenever the true intersection avoids hot
     shingles (always true on the testdata; conservative at scale).
 
-    No cache: shingle recompute is a ~1 s narrow map (zip_with), cheaper
-    than holding a cached copy per invocation."""
+    The capped inverted index is materialized BUCKETED on `shingle`
+    (jaccard_index_materialized): without it the explode + df-filter
+    lineage executes once per self-join side plus once for the df
+    count; with it both pair-join sides are co-located parquet scans
+    with no exchange before the pair groupBy."""
     s = _doc_shingles(spark, sf_dir)
-    e0 = s.select("doc_id", F.explode("shingles").alias("shingle"))
-    live = (
-        e0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= JACCARD_DF_CAP)
-        .select("shingle")
-    )
-    e = e0.join(live, "shingle")
+    e = jaccard_index_materialized(spark, sf_dir)
     sizes = s.select("doc_id", F.size("shingles").alias("n"))
     a = e.alias("a")
     b = e.alias("b")
@@ -309,3 +306,28 @@ def simhash_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming-pair self-join reads both sides from parquet instead of
     re-running the token groupBy twice."""
     return materialized(spark, "simhash_sig", sf_dir, dedup_simhash)
+
+
+def _jaccard_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _doc_shingles(spark, sf_dir)
+    e0 = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    live = (
+        e0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    return e0.join(live, "shingle")
+
+
+def jaccard_index_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped (doc_id, shingle) inverted index persisted once per
+    (session, dataset), bucketed on `shingle` — the pair self-join's
+    equi key — so both join sides read co-located buckets with zero
+    exchanges before the pair aggregation (same device as the MinHash
+    signature table)."""
+    from lakeview_spark.operators.materialize import materialized_bucketed
+
+    return materialized_bucketed(
+        spark, "jaccard_index", sf_dir, _jaccard_index_build, ["shingle"]
+    )
