@@ -99,6 +99,13 @@ def test_index_self_joins_are_exchange_free_past_broadcast(spark):
         cosine = _plan(QUERIES["dedup_embedding_cosine"](spark, SF_DIR))
         assert cosine.count("SortMergeJoin") == 1
         assert cosine.count("Exchange") == 0
+        # Jaccard pair join: one SMJ over two co-located bucketed scans
+        # of the persisted index; the ONLY shuffle is the pair groupBy
+        # (the size joins stay hinted broadcasts)
+        jac = _plan(QUERIES["dedup_ngram_jaccard"](spark, SF_DIR))
+        assert jac.count("lakeview_mat_jaccard_index") >= 2
+        assert jac.count("SortMergeJoin") == 1
+        assert jac.count("Exchange hashpartitioning") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
