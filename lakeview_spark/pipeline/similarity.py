@@ -670,18 +670,34 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id exactly like the bucket join keys on bucket.
 
     Pairs above the 0.35 cosine threshold are the drop candidates (keep
-    min vec_id, drop the rest — same convention as dedup_clusters)."""
+    min vec_id, drop the rest — same convention as dedup_clusters).
+
+    The self-join is SALTED (the operators/scale.py skew defense, live
+    in a registered query): a plain cluster_id equi-join has only k
+    reduce tasks, and this demo runs k=4 — one straggler owns a quarter
+    of all pair scoring. The a-side adds salt = hash(vec_id) mod S, the
+    b-side replicates across all S salts, and the join keys on
+    (cluster_id, salt): identical pair multiplicity, S x the
+    parallelism. In production k grows with n, so S shrinks toward 1
+    and the replication cost vanishes."""
     assign = embedding_centroid_assign(spark, sf_dir).select("vec_id", "cluster_id")
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _norm("embedding").alias("norm")
     )
     v = emb.join(assign, "vec_id")
-    a, b = v.alias("a"), v.alias("b")
+    n_salts = max(spark.sparkContext.defaultParallelism // len(_CENTROID_IDS), 1)
+    a = v.withColumn(
+        "salt", F.pmod(F.hash("vec_id"), F.lit(n_salts)).cast("int")
+    ).alias("a")
+    b = v.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).alias("b")
     cos = _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
