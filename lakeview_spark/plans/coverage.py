@@ -143,11 +143,24 @@ def active_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTINUE strategy: the synthesized timeline has incomplete commits
     (status-'O' orders) scattered from the earliest ids, so BLOCK would
     stop at the first one and emit ~nothing — CONTINUE skips them and
-    packs every complete group (and exercises the skip arithmetic)."""
-    from lakeview_spark.operators.batcher import CONTINUE
+    packs every complete group (and exercises the skip arithmetic).
 
-    files = _synthesized_multi_table_timeline(spark, sf_dir)
-    return batch_instants(files, max_batch_size=20, strategy=CONTINUE)
+    The packed batch table is materialized once per (session, dataset):
+    the inherently-sequential per-table Python packer is the expensive
+    stage, and checkpoint_lookback starts from the same batches."""
+    return _continue_batches(spark, sf_dir)
+
+
+def _continue_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeview_spark.operators.materialize import materialized
+
+    def build(s: SparkSession, d: str) -> DataFrame:
+        from lakeview_spark.operators.batcher import CONTINUE
+
+        files = _synthesized_multi_table_timeline(s, d)
+        return batch_instants(files, max_batch_size=20, strategy=CONTINUE)
+
+    return materialized(spark, "active_batches", sf_dir, build)
 
 
 @register("checkpoint_lookback")  # rows-only: case-ladder over batch tails
@@ -157,10 +170,8 @@ def checkpoint_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeview_spark.runner import compute_checkpoint_updates
     from lakeview_spark.schemas import CHECKPOINTS_SCHEMA
 
-    from lakeview_spark.operators.batcher import CONTINUE
-
     files = _synthesized_multi_table_timeline(spark, sf_dir)
-    batches = batch_instants(files, max_batch_size=20, strategy=CONTINUE)
+    batches = _continue_batches(spark, sf_dir)
     empty_ckpts = spark.createDataFrame([], CHECKPOINTS_SCHEMA)
     return compute_checkpoint_updates(batches, files, empty_ckpts, "active").select(
         "table_id", "batch_id", "last_uploaded_file", "first_incomplete_commit_file"
