@@ -288,3 +288,52 @@ def test_stream_boilerplate_filter_matches_batch_screen(spark, tmp_path):
     assert got == want and got
     for r in got_batches:
         assert abs(r.boilerplate_ratio - ratios[r.doc_id]) < 1e-12
+
+
+def test_stream_dedup_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Stop/restart against the same checkpointLocation must not
+    reprocess batch-1 files: the restarted query picks up only the new
+    file, and the parquet sink holds each surviving doc exactly once."""
+    from lakeview_spark.streaming import document_stream, stream_document_dedup
+
+    indir = str(tmp_path / "docs")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            {"doc_id": 1, "text": "alpha beta", "lang": "en", "ingest_ts": "2026-03-01T10:00:00.000Z"},
+            {"doc_id": 2, "text": "alpha beta", "lang": "en", "ingest_ts": "2026-03-01T10:00:05.000Z"},
+        ],
+    )
+
+    def run_once():
+        q = (
+            stream_document_dedup(document_stream(spark, indir), "1 hour")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {r.doc_id for r in spark.read.parquet(outdir).collect()}
+    assert first == {1}  # doc 2 is an in-horizon duplicate
+
+    # second run: one genuinely new doc plus a late duplicate of doc 1
+    _write_docs(
+        f"{indir}/batch2.json",
+        [
+            {"doc_id": 3, "text": "gamma delta", "lang": "de", "ingest_ts": "2026-03-01T10:10:00.000Z"},
+            {"doc_id": 4, "text": "alpha beta", "lang": "en", "ingest_ts": "2026-03-01T10:15:00.000Z"},
+        ],
+    )
+    run_once()
+    rows = spark.read.parquet(outdir).collect()
+    ids = sorted(r.doc_id for r in rows)
+    # exactly-once: batch-1 rows not re-emitted, duplicate state survived
+    # the restart (doc 4 dropped because doc 1 is in checkpointed state)
+    assert ids == [1, 3], ids
