@@ -84,28 +84,34 @@ def main() -> None:
             builder(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
         t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        try:
+            n = QUERIES[name](spark, SF_DIR).count()
+            assert n >= 0
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — a broken query must not
+            # hide the numbers for the rest (round-3 lesson: the bench
+            # died at query 8 and the round lost its headline entirely)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "lakeview_spark bench: headline query wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    payload = {
+        "metric": "lakeview_spark bench: headline query wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
