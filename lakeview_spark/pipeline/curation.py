@@ -581,3 +581,71 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+def boilerplate_apply(
+    docs: DataFrame, boilerplate_lines: DataFrame, max_ratio: float = 1.0
+) -> DataFrame:
+    """The CCNet pass's OUTPUT: rebuild each document's text with its
+    boilerplate pseudo-lines REMOVED (not just counted), dropping
+    documents whose boilerplate share exceeds ``max_ratio`` (1.0 keeps
+    every doc that retains at least one line). `docs` needs (doc_id,
+    text); `boilerplate_lines` is the published df>=2 set (line_hash).
+
+    Shape: explode to (doc, position, line), left-anti-ish flag join on
+    the 16-byte hash, then one groupBy(doc_id) that reassembles the
+    survivors IN POSITION ORDER via sort_array over (pos, line) structs
+    — order restoration costs a struct sort per doc, never a window.
+    Documents that are pure boilerplate disappear (their survivor set
+    is empty)."""
+    tk = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
+    el = tk.select(
+        "doc_id",
+        F.posexplode(F.expr(_LINES_EXPR)).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    j = el.join(
+        F.broadcast(boilerplate_lines.select(F.col("line_hash").alias("bp_hash"))),
+        el.line_hash == F.col("bp_hash"),
+        "left",
+    )
+    rebuilt = (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("bp_hash").isNotNull(), 1).otherwise(0)).alias("n_bp"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("bp_hash").isNull(), F.struct("pos", "line")
+                    )
+                )
+            ).alias("kept"),
+        )
+        .filter(F.col("n_bp").cast("double") / F.col("n_lines") <= max_ratio)
+        .filter(F.size("kept") > 0)
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.concat_ws(" ", F.expr("transform(kept, x -> x.line)")).alias("clean_text"),
+        (F.col("n_lines") - F.col("n_bp")).cast("bigint").alias("kept_lines"),
+        (F.col("n_bp").cast("double") / F.col("n_lines")).alias("boilerplate_ratio"),
+    )
+
+
+def published_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df>=2 pseudo-line hash set over the corpus — the table the
+    batch pass publishes for boilerplate_apply and the streaming screen
+    (streaming/pipeline_stream.py stream_boilerplate_filter)."""
+    el = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(_LINES_EXPR)).alias("line"))
+        .select("doc_id", F.md5("line").alias("line_hash"))
+    )
+    return (
+        el.distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _LINE_DF_MIN)
+        .select("line_hash")
+    )

@@ -276,3 +276,42 @@ def test_anomaly_zscore_matches_population_moments(spark):
         mean, sd = stats[r.event_type]
         assert abs(r.zscore - (round(r.value, 2) - mean) / sd) < 1e-6
         assert abs(r.zscore) > 3.0
+
+
+def test_boilerplate_apply_removes_lines_in_position_order(spark):
+    from lakeview_spark.pipeline.curation import (
+        boilerplate_apply,
+        published_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bp = published_boilerplate_lines(spark, SF_DIR)
+    out = {r.doc_id: r for r in boilerplate_apply(docs, bp).collect()}
+    stats = {r.doc_id: r for r in QUERIES["text_boilerplate_lines"](spark, SF_DIR).collect()}
+
+    # python reference: chunk, drop lines whose hash is in the bp set,
+    # rejoin in order
+    import hashlib
+
+    bp_set = {r.line_hash for r in bp.collect()}
+    for d in docs.collect():
+        toks = d.text.lower().split(" ")
+        lines = [
+            " ".join(toks[i * 10 : (i + 1) * 10])
+            for i in range(max(-(-len(toks) // 10), 1))
+        ]
+        kept = [
+            ln
+            for ln in lines
+            if hashlib.md5(ln.encode()).hexdigest() not in bp_set
+        ]
+        if not kept:
+            assert d.doc_id not in out  # pure-boilerplate docs disappear
+            continue
+        r = out[d.doc_id]
+        assert r.clean_text == " ".join(kept)
+        assert r.kept_lines == len(kept)
+        assert abs(r.boilerplate_ratio - stats[d.doc_id].boilerplate_ratio) < 1e-12
+    # non-vacuous: something was cleaned, something dropped entirely
+    assert any(r.boilerplate_ratio > 0 for r in out.values())
+    assert len(out) < docs.count()
