@@ -66,22 +66,9 @@ def main() -> None:
     # materialization to the first query that needs it, which is the
     # honest cold-start number (BASELINE.md reports the split).
     if os.environ.get("SPARK_GRAFT_PREWARM") == "1":
-        from lakeview_spark.pipeline.curation import simhash32_materialized
-        from lakeview_spark.pipeline.dedup import (
-            _doc_shingles,
-            jaccard_index_materialized,
-            minhash_signatures_materialized,
-        )
-        from lakeview_spark.pipeline.similarity import _lsh_bucketed
+        from lakeview_spark.pipeline import prewarm_scratch
 
-        for builder in (
-            _doc_shingles,
-            jaccard_index_materialized,
-            minhash_signatures_materialized,
-            simhash32_materialized,
-            _lsh_bucketed,
-        ):
-            builder(spark, SF_DIR).count()
+        prewarm_scratch(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -50,16 +50,25 @@ def compact_files(
     return len(glob.glob(os.path.join(dst_dir, "*.parquet")))
 
 
-_ZBITS = 16  # bits per dimension in the Morton code (65k ranks each)
+_ZBITS = 16  # max bits per dimension in the Morton code (65k ranks each)
 
 
-def _interleave(cols: list[str]) -> F.Column:
+def _bits_per_dim(n_dims: int) -> int:
+    """Bits per dimension so the full code fits a SIGNED long: the top
+    interleaved position is (bits-1)*n + (n-1) <= 62. 2 dims -> 16 bits
+    (capped), 3 -> 16, 4 -> 15, 8 -> 7."""
+    if n_dims < 1:
+        raise ValueError("zorder needs at least one column")
+    return min(_ZBITS, 63 // n_dims)
+
+
+def _interleave(cols: list[str], bits: int) -> F.Column:
     """Morton code: bit i of dimension d lands at position
     i * n_dims + d. Pure integer shifts — whole-stage codegen."""
     n = len(cols)
     code = F.lit(0).cast("long")
     for d, c in enumerate(cols):
-        for i in range(_ZBITS):
+        for i in range(bits):
             bit = F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))
             code = code + (bit.cast("long") * F.lit(1 << (i * n + d)).cast("long"))
     return code
@@ -84,6 +93,7 @@ def zorder_write(
     unchanged."""
     from pyspark.sql.window import Window
 
+    bits = _bits_per_dim(len(cols))
     ranked = df
     rank_cols = []
     for c in cols:
@@ -92,11 +102,11 @@ def zorder_write(
             rc,
             (
                 F.percent_rank().over(Window.orderBy(F.col(c)))
-                * ((1 << _ZBITS) - 1)
+                * ((1 << bits) - 1)
             ).cast("int"),
         )
         rank_cols.append(rc)
-    coded = ranked.withColumn("__z", _interleave(rank_cols)).drop(*rank_cols)
+    coded = ranked.withColumn("__z", _interleave(rank_cols, bits)).drop(*rank_cols)
     (
         coded.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -133,8 +143,10 @@ def file_pruning_stats(
                     continue
                 mins[name] = min(mins.get(name, st.min), st.min)
                 maxs[name] = max(maxs.get(name, st.max), st.max)
+        # a file missing statistics for ANY queried column cannot be
+        # pruned — a min/max scan must read it (never assume skippable)
         if all(
-            name in mins and not (maxs[name] < lo or mins[name] > hi)
+            name not in mins or not (maxs[name] < lo or mins[name] > hi)
             for name, (lo, hi) in col_bounds.items()
         ):
             needed += 1

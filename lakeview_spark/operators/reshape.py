@@ -29,11 +29,16 @@ def pivot_counts(
     agg: Optional[F.Column] = None,
 ) -> DataFrame:
     """One row per ``group_cols``, one column per category in
-    ``categories`` (explicit list — see module note), cells =
-    ``agg`` (default ``count(*)``). Missing cells coalesce to 0 so the
-    wide table is dense and join-ready."""
-    agg = agg if agg is not None else F.count(F.lit(1))
+    ``categories`` (explicit list — see module note), cells = ``agg``.
+    With the default count aggregate, missing cells coalesce to 0
+    bigint so the wide table is dense and join-ready; a caller-supplied
+    ``agg`` keeps its own type and NULL for missing cells (coercing an
+    avg/sum to bigint-0 would silently corrupt it)."""
+    counting = agg is None
+    agg = F.count(F.lit(1)) if counting else agg
     wide = df.groupBy(*group_cols).pivot(pivot_col, list(categories)).agg(agg)
+    if not counting:
+        return wide
     return wide.select(
         *group_cols,
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in categories],

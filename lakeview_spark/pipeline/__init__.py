@@ -11,3 +11,33 @@ from lakeview_spark.pipeline import (  # noqa: F401
     packing,
     iterative,
 )
+
+
+def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
+    """Build every shared materialized scratch table once, untimed —
+    THE prewarm list, shared by bench.py (SPARK_GRAFT_PREWARM) and
+    scripts/profile_queries.py so the two can't measure different warm
+    states. `include_clusters` adds the connected-components label
+    table (needed by the full-registry profile, not by the headline
+    bench set)."""
+    from lakeview_spark.pipeline.curation import simhash32_materialized
+    from lakeview_spark.pipeline.dedup import (
+        _doc_shingles,
+        jaccard_index_materialized,
+        minhash_signatures_materialized,
+    )
+    from lakeview_spark.pipeline.similarity import _lsh_bucketed
+
+    builders = [
+        _doc_shingles,
+        jaccard_index_materialized,
+        minhash_signatures_materialized,
+        simhash32_materialized,
+        _lsh_bucketed,
+    ]
+    if include_clusters:
+        from lakeview_spark.pipeline.clustering import clusters_materialized
+
+        builders.append(clusters_materialized)
+    for builder in builders:
+        builder(spark, sf_dir).count()

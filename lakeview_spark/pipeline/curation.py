@@ -500,16 +500,16 @@ _LINE_TOKENS = 10
 _LINE_DF_MIN = 2
 
 _LINES_EXPR = (
-    "transform(sequence(1, greatest(CAST(ceil(size(toks) / 10.0) AS INT), 1)), "
-    "i -> concat_ws(' ', slice(toks, (i - 1) * 10 + 1, 10)))"
+    f"transform(sequence(1, greatest(CAST(ceil(size(toks) / {_LINE_TOKENS}.0) AS INT), 1)), "
+    f"i -> concat_ws(' ', slice(toks, (i - 1) * {_LINE_TOKENS} + 1, {_LINE_TOKENS})))"
 )
 
-_LINES_SQL = """
+_LINES_SQL = f"""
     WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     ln AS (
       SELECT doc_id,
-             list_transform(range(1, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1) + 1),
-                            i -> array_to_string(toks[((i - 1) * 10 + 1):(i * 10)], ' ')) AS lines
+             list_transform(range(1, greatest(CAST(ceil(len(toks) / {_LINE_TOKENS}.0) AS BIGINT), 1) + 1),
+                            i -> array_to_string(toks[((i - 1) * {_LINE_TOKENS} + 1):(i * {_LINE_TOKENS})], ' ')) AS lines
       FROM tk
     ),
     e AS (SELECT doc_id, unnest(lines) AS line FROM ln),
@@ -519,14 +519,41 @@ _LINES_SQL = """
 """
 
 
+def doc_pseudo_lines(docs: DataFrame, with_position: bool = False) -> DataFrame:
+    """(doc_id, [pos,] line, line_hash) — THE pseudo-line lineage, used
+    by the stats query, the published-set builder, boilerplate_apply,
+    and the streaming screen, so the four tiers can never chunk or hash
+    differently. `docs` needs (doc_id, text)."""
+    tk = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    if with_position:
+        el = tk.select("doc_id", F.posexplode(F.expr(_LINES_EXPR)).alias("pos", "line"))
+        return el.withColumn("line_hash", F.md5("line"))
+    el = tk.select("doc_id", F.explode(F.expr(_LINES_EXPR)).alias("line"))
+    return el.withColumn("line_hash", F.md5("line"))
+
+
+def _boilerplate_line_set(el: DataFrame) -> DataFrame:
+    """(line_hash) with document frequency >= _LINE_DF_MIN over an
+    exploded (doc_id, line_hash) frame — the published boilerplate
+    set, derived in one place for every tier."""
+    return (
+        el.select("doc_id", "line_hash")
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _LINE_DF_MIN)
+        .select("line_hash")
+    )
+
+
 @register(
     "text_boilerplate_lines",
     oracle=_LINES_SQL
-    + """
+    + f"""
     , dfreq AS (
       SELECT line_hash, count(DISTINCT doc_id) AS df FROM el GROUP BY line_hash
     ),
-    bp AS (SELECT line_hash FROM dfreq WHERE df >= 2)
+    bp AS (SELECT line_hash FROM dfreq WHERE df >= {_LINE_DF_MIN})
     SELECT el.doc_id AS doc_id,
            count(*) AS n_lines,
            CAST(sum(CASE WHEN b.line_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -553,22 +580,13 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a real web crawl that tail (headers, nav bars, cookie banners)
     is orders of magnitude smaller than the distinct-line set, so AQE
     resolves it to a broadcast; nothing here is ever |docs|^2."""
-    tk = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
-    )
-    ln = tk.select("doc_id", F.expr(_LINES_EXPR).alias("lines"))
-    el = ln.select("doc_id", F.explode("lines").alias("line")).select(
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    el = doc_pseudo_lines(docs).select(
         "doc_id",
-        F.md5("line").alias("line_hash"),
+        "line_hash",
         F.size(F.split("line", " ")).alias("line_ntoks"),
     )
-    dfreq = (
-        el.select("doc_id", "line_hash")
-        .distinct()
-        .groupBy("line_hash")
-        .agg(F.count("*").alias("df"))
-    )
-    bp = dfreq.filter(F.col("df") >= _LINE_DF_MIN).select(
+    bp = _boilerplate_line_set(doc_pseudo_lines(docs)).select(
         F.col("line_hash").alias("bp_hash")
     )
     j = el.join(bp, el.line_hash == bp.bp_hash, "left")
@@ -598,11 +616,7 @@ def boilerplate_apply(
     — order restoration costs a struct sort per doc, never a window.
     Documents that are pure boilerplate disappear (their survivor set
     is empty)."""
-    tk = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
-    el = tk.select(
-        "doc_id",
-        F.posexplode(F.expr(_LINES_EXPR)).alias("pos", "line"),
-    ).withColumn("line_hash", F.md5("line"))
+    el = doc_pseudo_lines(docs, with_position=True)
     j = el.join(
         F.broadcast(boilerplate_lines.select(F.col("line_hash").alias("bp_hash"))),
         el.line_hash == F.col("bp_hash"),
@@ -636,16 +650,5 @@ def published_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df>=2 pseudo-line hash set over the corpus — the table the
     batch pass publishes for boilerplate_apply and the streaming screen
     (streaming/pipeline_stream.py stream_boilerplate_filter)."""
-    el = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-        .select("doc_id", F.explode(F.expr(_LINES_EXPR)).alias("line"))
-        .select("doc_id", F.md5("line").alias("line_hash"))
-    )
-    return (
-        el.distinct()
-        .groupBy("line_hash")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= _LINE_DF_MIN)
-        .select("line_hash")
-    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _boilerplate_line_set(doc_pseudo_lines(docs))

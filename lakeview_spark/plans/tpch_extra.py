@@ -710,7 +710,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT event_type,
              sv / n AS mean_value,
-             sqrt(sv2 / n - (sv / n) * (sv / n)) AS std_value
+             sqrt(greatest(0.0, sv2 / n - (sv / n) * (sv / n))) AS std_value
       FROM s
     ),
     z AS (
@@ -735,17 +735,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second pass over the data — the textbook two-moment one-pass
     outlier scan."""
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    d = _dec("value")
-    m = event_value_moments(e)
-    z = e.join(F.broadcast(m), "event_type").select(
-        "event_id",
-        "event_type",
-        "value",
-        ((d.cast("double") - F.col("mean_value")) / F.col("std_value")).alias(
-            "zscore"
-        ),
-    )
-    return z.filter(F.abs(F.col("zscore")) > 3.0)
+    return flag_value_outliers(e, event_value_moments(e))
 
 
 def event_value_moments(e: DataFrame) -> DataFrame:
@@ -760,12 +750,19 @@ def event_value_moments(e: DataFrame) -> DataFrame:
         F.sum(d).cast("double").alias("sv"),
         F.sum(d * d).cast("double").alias("sv2"),
     )
+    # greatest(0, var): the two-moment form can round to a tiny
+    # negative in doubles when a type's values are (near-)identical —
+    # unguarded, Spark sqrt returns NaN silently while DuckDB raises,
+    # so the clamp keeps both engines defined AND identical
     return s.select(
         "event_type",
         (F.col("sv") / F.col("n")).alias("mean_value"),
         F.sqrt(
-            F.col("sv2") / F.col("n")
-            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
+            F.greatest(
+                F.lit(0.0),
+                F.col("sv2") / F.col("n")
+                - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")),
+            )
         ).alias("std_value"),
     )
 
@@ -797,3 +794,21 @@ def funnel_stages(e: DataFrame) -> DataFrame:
         .agg(F.min("ts_us").alias("purchase_ts"))
     )
     return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+def flag_value_outliers(
+    events: DataFrame, moments: DataFrame, threshold: float = 3.0
+) -> DataFrame:
+    """The z computation + threshold filter itself, shared verbatim by
+    the batch scan (events_anomaly_zscore) and the streaming monitor
+    (streaming/pipeline_stream.py stream_anomaly_zscore) — sharing only
+    the moment TABLE would still let the two tiers' z formulas drift;
+    sharing the expression makes tier disagreement impossible. Works on
+    a batch or streaming frame (stream-static broadcast join)."""
+    d = _dec("value")
+    z = (d.cast("double") - F.col("mean_value")) / F.col("std_value")
+    return (
+        events.join(F.broadcast(moments), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > threshold)
+    )

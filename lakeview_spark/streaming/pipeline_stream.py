@@ -188,10 +188,11 @@ def stream_anomaly_zscore(
     threshold: float = 3.0,
 ) -> DataFrame:
     """Online outlier monitoring: arriving events join the static
-    per-type moment table (plans/tpch_extra.py event_value_moments —
-    the SAME helper the batch events_anomaly_zscore scan uses, so the
-    two tiers can never disagree on the reference distribution) and
-    emit rows whose |z| exceeds the threshold.
+    per-type moment table and emit rows whose |z| exceeds the
+    threshold. Delegates to plans/tpch_extra.py flag_value_outliers —
+    the SAME function (not just the same moment table) the batch
+    events_anomaly_zscore scan runs, so the two tiers cannot disagree
+    on either the reference distribution or the z formula.
 
     Stateless stream-static broadcast join — no aggregation on the
     stream side, hence no watermark requirement, and it composes before
@@ -199,13 +200,9 @@ def stream_anomaly_zscore(
     the moment table batch-side (e.g. daily) while the stream keeps
     flagging against the last published distribution — the standard
     two-tier monitoring design."""
-    d = F.col("value").cast("decimal(18,2)")
-    z = (d.cast("double") - F.col("mean_value")) / F.col("std_value")
-    return (
-        stream.join(F.broadcast(moments), "event_type")
-        .select("event_id", "event_type", "value", z.alias("zscore"))
-        .filter(F.abs(F.col("zscore")) > threshold)
-    )
+    from lakeview_spark.plans.tpch_extra import flag_value_outliers
+
+    return flag_value_outliers(stream, moments, threshold)
 
 
 def boilerplate_screen(
@@ -213,17 +210,14 @@ def boilerplate_screen(
     boilerplate_lines: DataFrame,
     max_ratio: float = 0.5,
 ) -> DataFrame:
-    """Boilerplate screen over ONE micro-batch of documents: chunk each
-    document into the same 10-token pseudo-lines as the batch pass
-    (pipeline/curation.py text_boilerplate_lines), left-join the hashes
+    """Boilerplate screen over ONE micro-batch of documents: chunk via
+    the SAME pseudo-line lineage as every batch tier
+    (pipeline/curation.py doc_pseudo_lines), left-join the hashes
     against the batch-published boilerplate line set, and keep documents
     whose boilerplate line share is <= ``max_ratio``."""
-    from lakeview_spark.pipeline.curation import _LINES_EXPR
+    from lakeview_spark.pipeline.curation import doc_pseudo_lines
 
-    tk = batch.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    el = tk.select("doc_id", F.explode(F.expr(_LINES_EXPR)).alias("line")).select(
-        "doc_id", F.md5("line").alias("line_hash")
-    )
+    el = doc_pseudo_lines(batch.select("doc_id", "text"))
     j = el.join(
         F.broadcast(boilerplate_lines.select(F.col("line_hash").alias("bp_hash"))),
         el.line_hash == F.col("bp_hash"),

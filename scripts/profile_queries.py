@@ -24,24 +24,9 @@ def main() -> int:
     spark = get_spark("lakeview-profile", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from lakeview_spark.pipeline.clustering import clusters_materialized
-    from lakeview_spark.pipeline.curation import simhash32_materialized
-    from lakeview_spark.pipeline.dedup import (
-        _doc_shingles,
-        jaccard_index_materialized,
-        minhash_signatures_materialized,
-    )
-    from lakeview_spark.pipeline.similarity import _lsh_bucketed
+    from lakeview_spark.pipeline import prewarm_scratch
 
-    for builder in (
-        _doc_shingles,
-        jaccard_index_materialized,
-        minhash_signatures_materialized,
-        simhash32_materialized,
-        _lsh_bucketed,
-        clusters_materialized,
-    ):
-        builder(spark, sf_dir).count()
+    prewarm_scratch(spark, sf_dir, include_clusters=True)
 
     times: dict[str, object] = {}
     for name, fn in QUERIES.items():

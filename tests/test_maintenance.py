@@ -64,3 +64,23 @@ def test_zorder_layout_prunes_better_than_linear(spark, tmp_path):
     assert z_need < l_need, (z_need, l_need)
     # and the z layout reads a minority of files for a ~1% box
     assert z_need <= z_total // 2
+
+
+def test_zorder_four_dims_fits_signed_long(spark, tmp_path):
+    """>= 4 clustered columns must narrow bits-per-dim so the Morton
+    code stays inside a signed long instead of overflowing."""
+    from lakeview_spark.operators.maintenance import _bits_per_dim
+
+    assert _bits_per_dim(2) == 16
+    assert _bits_per_dim(4) == 15
+    assert _bits_per_dim(8) == 7
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        *[
+            (F.pmod(F.hash(F.col("id") + d), F.lit(1000))).alias(f"c{d}")
+            for d in range(4)
+        ],
+    )
+    out = str(tmp_path / "z4")
+    zorder_write(df, ["c0", "c1", "c2", "c3"], out, n_files=4)
+    assert spark.read.parquet(out).count() == 2000

@@ -244,23 +244,9 @@ def test_stream_boilerplate_filter_matches_batch_screen(spark, tmp_path):
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # batch-published boilerplate line set (df >= 2), derived the same
-    # way the registry query derives it
-    from pyspark.sql import functions as F2
-    from lakeview_spark.pipeline.curation import _LINES_EXPR
+    from lakeview_spark.pipeline.curation import published_boilerplate_lines
 
-    el = (
-        docs.select("doc_id", F2.split(F2.lower("text"), " ").alias("toks"))
-        .select("doc_id", F2.explode(F2.expr(_LINES_EXPR)).alias("line"))
-        .select("doc_id", F2.md5("line").alias("line_hash"))
-    )
-    bp = (
-        el.distinct()
-        .groupBy("line_hash")
-        .count()
-        .filter(F2.col("count") >= 2)
-        .select("line_hash")
-    )
+    bp = published_boilerplate_lines(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(docs.schema)

@@ -62,3 +62,19 @@ def test_unpivot_inverts_pivot(spark):
         for r in e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt")).collect()
     }
     assert back == truth
+
+
+def test_pivot_custom_aggregate_keeps_type_and_nulls(spark):
+    """A caller-supplied agg must come through untruncated (doubles stay
+    doubles) with NULL for missing cells, not bigint-0."""
+    df = spark.createDataFrame(
+        [("u1", "click", 1.5), ("u1", "click", 2.5), ("u2", "view", 3.0)],
+        ["user_id", "event_type", "value"],
+    )
+    wide = pivot_counts(
+        df, ["user_id"], "event_type", ["click", "view"], agg=F.avg("value")
+    )
+    rows = {r.user_id: r for r in wide.collect()}
+    assert rows["u1"].click == 2.0  # not truncated to 2
+    assert rows["u1"].view is None  # missing cell stays NULL
+    assert rows["u2"].view == 3.0
