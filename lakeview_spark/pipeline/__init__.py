@@ -10,6 +10,7 @@ from lakeview_spark.pipeline import (  # noqa: F401
     evaluation,
     packing,
     iterative,
+    mixing,
 )
 
 

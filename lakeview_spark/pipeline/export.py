@@ -21,8 +21,10 @@ row count (a second evaluation of the input) is paid only when
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def estimate_row_bytes(df: DataFrame, sample_rows: int = 500) -> int:
@@ -74,3 +76,61 @@ def write_sized(
         "max_records_per_file": int(max_records),
         "n_partitions": n_partitions,
     }
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    samples_per_shard: int = 1000,
+    key_col: str = "doc_id",
+) -> int:
+    """WebDataset-style export: tar shards where each sample is one or
+    more files sharing a key prefix (`<key>.txt` here; a multimodal row
+    adds `<key>.jpg`/`<key>.json` members the same way) — the de-facto
+    container format multimodal training loaders stream. Returns the
+    shard count.
+
+    Distribution contract: rows are assigned to shards by a
+    DETERMINISTIC key hash (never monotonically_increasing_id, which
+    depends on partitioning), then each shard is written by exactly one
+    task via repartition(shard) + foreachPartition with the stdlib
+    tarfile writer streaming to `out_dir`. Shard contents are sorted by
+    key inside the tar so byte output is reproducible run-to-run.
+    `out_dir` must be executor-visible (local dir on local[*], a fuse/
+    NFS mount or staging-then-upload on a cluster — the same contract
+    as any foreachPartition sink, cf. sinks.py mirror_sink)."""
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // samples_per_shard))
+    os.makedirs(out_dir, exist_ok=True)
+
+    # columnar shard hash (md5 32-bit prefix mod shards) — no Python in
+    # the row path; the only Python is the tarfile writer per shard
+    shard = (
+        F.conv(F.substring(F.md5(F.col("__key").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_shards
+    ).cast("int")
+    prepared = df.select(
+        F.col(key_col).cast("long").alias("__key"), F.col("text")
+    ).withColumn("__shard", shard)
+
+    def write_partition(rows) -> None:
+        import io
+        import tarfile
+
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["__shard"], []).append((r["__key"], r["text"]))
+        for shard, samples in by_shard.items():
+            samples.sort()
+            path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+            with tarfile.open(path, "w") as tf:
+                for key, text in samples:
+                    payload = text.encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{key:012d}.txt")
+                    info.size = len(payload)
+                    info.mtime = 0  # reproducible bytes
+                    tf.addfile(info, io.BytesIO(payload))
+
+    prepared.repartition(n_shards, "__shard").foreachPartition(write_partition)
+    return n_shards

@@ -1,0 +1,68 @@
+"""Dataset mixing for training: combine corpus sources at target
+proportions with a deterministic sample AND a deterministic global
+order — the "data mixture" step between curation and sequence packing.
+
+Everything is hash math (no RNG): per-source acceptance uses the same
+md5-threshold device as sample_stratified/sample_temperature, and the
+training order is a hash shuffle (order by md5(salt || doc_id)) —
+reproducible under any partitioning, re-shuffleable per epoch by
+changing the salt. At scale: one columnar filter per source, one union,
+one range sort on the 16-byte order key (Spark's sort is a range
+shuffle — the only exchange here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _accept(rate_col: F.Column) -> F.Column:
+    """Deterministic Bernoulli(rate): md5 32-bit prefix under the scaled
+    threshold (same device as sample_temperature's selection)."""
+    key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (rate_col >= 1.0) | (key < F.floor(rate_col * 4294967296.0).cast("bigint"))
+
+
+def mix_datasets(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    total_budget: int,
+    epoch_salt: str = "epoch0",
+) -> DataFrame:
+    """Blend `sources` (name -> DataFrame with doc_id, text columns) so
+    source s contributes ~ total_budget * weights[s] documents (weights
+    need not sum to 1 — they are normalized). Oversubscribed sources
+    downsample deterministically; undersized sources contribute
+    everything they have (the standard behavior when a mixture asks for
+    more of a small set than exists — upsampling/repetition is the
+    packer's job, not the mixer's).
+
+    Output carries (source, doc_id, text, order_key); training order =
+    ORDER BY order_key — a per-epoch hash shuffle, reproducible and
+    independent of physical partitioning."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must cover the same names")
+    z = sum(weights.values())
+    if z <= 0:
+        raise ValueError("weights must be positive")
+    parts = []
+    for name, df in sources.items():
+        target = total_budget * (weights[name] / z)
+        n = df.count()
+        rate = min(1.0, target / n) if n else 0.0
+        part = (
+            df.select("doc_id", "text")
+            .filter(_accept(F.lit(rate)))
+            .withColumn("source", F.lit(name))
+        )
+        parts.append(part)
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+    return mixed.withColumn(
+        "order_key",
+        F.md5(F.concat(F.lit(epoch_salt), F.lit(":"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+    ).select("source", "doc_id", "text", "order_key")

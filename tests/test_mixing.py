@@ -1,0 +1,60 @@
+"""Dataset mixing: proportions land near target, selection and order
+are deterministic, and epoch salts reshuffle without resampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeview_spark.pipeline.mixing import mix_datasets
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sources(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return {
+        "en": docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        "rest": docs.filter(F.col("lang") != "en").select("doc_id", "text"),
+    }
+
+
+def test_mix_hits_target_proportions(spark):
+    src = _sources(spark)
+    n_en = src["en"].count()
+    n_rest = src["rest"].count()
+    budget = (n_en + n_rest) // 2
+    mixed = mix_datasets(src, {"en": 3.0, "rest": 1.0}, budget)
+    counts = {r.source: r.cnt for r in mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    want_en = min(budget * 0.75, n_en)
+    want_rest = min(budget * 0.25, n_rest)
+    assert abs(counts["en"] - want_en) <= max(6, 0.35 * want_en)
+    assert abs(counts.get("rest", 0) - want_rest) <= max(6, 0.35 * want_rest)
+
+
+def test_mix_is_deterministic_and_salt_reshuffles(spark):
+    src = _sources(spark)
+    a = mix_datasets(src, {"en": 1.0, "rest": 1.0}, 30, "epoch0")
+    b = mix_datasets(src, {"en": 1.0, "rest": 1.0}, 30, "epoch0")
+    rows_a = [(r.source, r.doc_id) for r in a.orderBy("order_key").collect()]
+    rows_b = [(r.source, r.doc_id) for r in b.orderBy("order_key").collect()]
+    assert rows_a == rows_b and rows_a
+    c = mix_datasets(src, {"en": 1.0, "rest": 1.0}, 30, "epoch1")
+    rows_c = [(r.source, r.doc_id) for r in c.orderBy("order_key").collect()]
+    # same sample (salt only affects order), different order
+    assert sorted(rows_c) == sorted(rows_a)
+    assert rows_c != rows_a
+
+
+def test_mix_small_source_contributes_everything(spark):
+    src = _sources(spark)
+    n_rest = src["rest"].count()
+    mixed = mix_datasets(src, {"en": 0.01, "rest": 10.0}, 10 * n_rest)
+    counts = {r.source: r.cnt for r in mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["rest"] == n_rest  # rate clamps at 1.0
+
+
+def test_mix_rejects_mismatched_names(spark):
+    src = _sources(spark)
+    with pytest.raises(ValueError):
+        mix_datasets(src, {"en": 1.0}, 10)
