@@ -66,3 +66,55 @@ def mix_datasets(
         "order_key",
         F.md5(F.concat(F.lit(epoch_salt), F.lit(":"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
     ).select("source", "doc_id", "text", "order_key")
+
+
+def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataFrame:
+    """Deterministic repetition for an undersized source: every doc
+    appears floor(target/n) times, plus one extra epoch for a
+    hash-chosen subset so the total lands exactly on `target` (the
+    repetition side of a data mixture, complementing mix_datasets'
+    downsampling). Output adds `rep` (0-based repetition index) and the
+    same per-epoch `order_key` hash as mix_datasets.
+
+    Scale shape: one count, one explode(sequence(0, reps)) — fan-out
+    exactly target/n per row, no joins, no shuffle until the consumer
+    orders by the key."""
+    n = df.count()
+    if n == 0 or target <= 0:
+        return df.select("doc_id", "text").withColumn(
+            "rep", F.lit(0)
+        ).withColumn("order_key", F.lit("")).limit(0)
+    base = target // n
+    remainder = target - base * n
+    rank = F.conv(
+        F.substring(F.md5(F.concat(F.lit(epoch_salt), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    # the `remainder` docs with the smallest salt-hash get one extra rep;
+    # a threshold on the hash value would be approximate, so rank exactly
+    from pyspark.sql.window import Window
+
+    ranked = df.select("doc_id", "text").withColumn(
+        "__r", F.row_number().over(Window.orderBy(rank, "doc_id"))
+    )
+    reps = F.when(F.col("__r") <= remainder, base + 1).otherwise(base)
+    # explode can't nest inside arithmetic, and sequence(0, -1) DESCENDS
+    # (CLAUDE.md), so guard the reps==0 rows with an empty array —
+    # explode drops them, which is exactly the base=0 subset semantics
+    rep_idx = F.when(
+        reps > 0, F.sequence(F.lit(0), reps - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    out = ranked.withColumn("rep", F.explode(rep_idx)).drop("__r")
+    return out.withColumn(
+        "order_key",
+        F.md5(
+            F.concat(
+                F.lit(epoch_salt),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            )
+        ),
+    )

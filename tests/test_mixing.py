@@ -58,3 +58,23 @@ def test_mix_rejects_mismatched_names(spark):
     src = _sources(spark)
     with pytest.raises(ValueError):
         mix_datasets(src, {"en": 1.0}, 10)
+
+
+def test_upsample_lands_exactly_on_target_and_spreads_reps(spark):
+    from lakeview_spark.pipeline.mixing import upsample_to
+
+    src = _sources(spark)["rest"]
+    n = src.count()
+    target = int(2.5 * n)
+    up = upsample_to(src, target)
+    assert up.count() == target
+    per_doc = {r.doc_id: r.cnt for r in up.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per_doc.values()) <= {2, 3}
+    assert sum(per_doc.values()) == target
+    # deterministic: same call -> same rep assignment
+    again = {r.doc_id: r.cnt for r in upsample_to(src, target).groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert again == per_doc
+    # under-target degenerates to a subset... (base=0): every kept doc once
+    half = upsample_to(src, n // 2)
+    assert half.count() == n // 2
+    assert half.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] == 1
