@@ -139,7 +139,9 @@ def file_pruning_stats(
                 if name not in col_bounds:
                     continue
                 st = md.row_group(rg).column(ci).statistics
-                if st is None:
+                # a statistics object can exist with min/max unset —
+                # treat it the same as absent stats (unprunable file)
+                if st is None or not st.has_min_max:
                     continue
                 mins[name] = min(mins.get(name, st.min), st.min)
                 maxs[name] = max(maxs.get(name, st.max), st.max)

@@ -53,11 +53,10 @@ def unpivot_columns(
     value_name: str = "value",
 ) -> DataFrame:
     """Inverse of :func:`pivot_counts`: melt ``value_cols`` back into
-    (key, value) rows via ``stack()`` — a pure projection, no shuffle."""
-    stack_args = ", ".join(f"'{c}', `{c}`" for c in value_cols)
-    return df.select(
-        *id_cols,
-        F.expr(
-            f"stack({len(value_cols)}, {stack_args}) AS ({key_name}, {value_name})"
-        ),
+    (key, value) rows via the built-in ``DataFrame.unpivot`` (an Expand
+    node — a pure projection, no shuffle). The built-in resolves column
+    names as identifiers rather than interpolating them into a SQL
+    string, so names containing quotes/backticks melt correctly."""
+    return df.unpivot(
+        list(id_cols), list(value_cols), key_name, value_name
     )

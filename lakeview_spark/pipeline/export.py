@@ -111,12 +111,16 @@ def write_webdataset(
         % n_shards
     ).cast("int")
     prepared = df.select(
-        F.col(key_col).cast("long").alias("__key"), F.col("text")
+        F.col(key_col).cast("long").alias("__key"),
+        # NULL text would crash the executor task (None.encode); an
+        # empty member keeps the sample count identical to the input
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
     ).withColumn("__shard", shard)
 
     def write_partition(rows) -> None:
         import io
         import tarfile
+        import uuid
 
         by_shard: dict[int, list] = {}
         for r in rows:
@@ -124,13 +128,20 @@ def write_webdataset(
         for shard, samples in by_shard.items():
             samples.sort()
             path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
-            with tarfile.open(path, "w") as tf:
+            # write to a unique temp name, then atomically replace: under
+            # task retry / speculative execution two attempts may run
+            # concurrently, and os.replace guarantees readers only ever
+            # see one attempt's COMPLETE bytes (both attempts produce
+            # identical tars, so last-replace-wins is safe)
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            with tarfile.open(tmp, "w") as tf:
                 for key, text in samples:
                     payload = text.encode("utf-8")
                     info = tarfile.TarInfo(name=f"{key:012d}.txt")
                     info.size = len(payload)
                     info.mtime = 0  # reproducible bytes
                     tf.addfile(info, io.BytesIO(payload))
+            os.replace(tmp, path)
 
     prepared.repartition(n_shards, "__shard").foreachPartition(write_partition)
     return n_shards

@@ -76,9 +76,13 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
     downsampling). Output adds `rep` (0-based repetition index) and the
     same per-epoch `order_key` hash as mix_datasets.
 
-    Scale shape: one count, one explode(sequence(0, reps)) — fan-out
-    exactly target/n per row, no joins, no shuffle until the consumer
-    orders by the key."""
+    Scale shape: one count, a top-`remainder` selection (TakeOrdered —
+    per-partition local top-K then one bounded single-partition merge of
+    K-row candidates, never a global sort of the source), a left join
+    against that remainder-row key set (AQE broadcasts it when small),
+    and one explode(sequence(0, reps)) fan-out. No unpartitioned window
+    anywhere (r04 verdict: row_number over a global Window executed the
+    whole source in ONE task)."""
     n = df.count()
     if n == 0 or target <= 0:
         return df.select("doc_id", "text").withColumn(
@@ -92,20 +96,28 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
         10,
     ).cast("bigint")
     # the `remainder` docs with the smallest salt-hash get one extra rep;
-    # a threshold on the hash value would be approximate, so rank exactly
-    from pyspark.sql.window import Window
-
-    ranked = df.select("doc_id", "text").withColumn(
-        "__r", F.row_number().over(Window.orderBy(rank, "doc_id"))
-    )
-    reps = F.when(F.col("__r") <= remainder, base + 1).otherwise(base)
+    # a threshold on the hash value would be approximate, so select the
+    # exact subset with orderBy().limit() — a distributed TakeOrdered —
+    # and mark membership with a join instead of ranking every row
+    src = df.select("doc_id", "text")
+    if remainder > 0:
+        extra = (
+            src.select("doc_id")
+            .orderBy(rank, "doc_id")
+            .limit(remainder)
+            .withColumn("__extra", F.lit(1))
+        )
+        marked = src.join(extra, "doc_id", "left")
+    else:
+        marked = src.withColumn("__extra", F.lit(None).cast("int"))
+    reps = F.when(F.col("__extra") == 1, base + 1).otherwise(base)
     # explode can't nest inside arithmetic, and sequence(0, -1) DESCENDS
     # (CLAUDE.md), so guard the reps==0 rows with an empty array —
     # explode drops them, which is exactly the base=0 subset semantics
     rep_idx = F.when(
         reps > 0, F.sequence(F.lit(0), reps - 1)
     ).otherwise(F.array().cast("array<int>"))
-    out = ranked.withColumn("rep", F.explode(rep_idx)).drop("__r")
+    out = marked.withColumn("rep", F.explode(rep_idx)).drop("__extra")
     return out.withColumn(
         "order_key",
         F.md5(

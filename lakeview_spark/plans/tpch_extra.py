@@ -718,6 +718,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - m.mean_value)
                / m.std_value AS zscore
       FROM events e JOIN m ON e.event_type = m.event_type
+      WHERE m.std_value > 0
     )
     SELECT event_id, event_type, value, zscore FROM z WHERE abs(zscore) > 3.0
     """,
@@ -809,6 +810,11 @@ def flag_value_outliers(
     z = (d.cast("double") - F.col("mean_value")) / F.col("std_value")
     return (
         events.join(F.broadcast(moments), "event_type")
+        # zero-variance guard: a type whose values are all identical has
+        # std_value = 0 and z = ±Inf/NaN — Spark's NaN>x semantics differ
+        # from DuckDB's, so both engines drop those rows up front (no
+        # value of a constant distribution is an outlier)
+        .filter(F.col("std_value") > 0)
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > threshold)
     )

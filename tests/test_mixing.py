@@ -78,3 +78,16 @@ def test_upsample_lands_exactly_on_target_and_spreads_reps(spark):
     half = upsample_to(src, n // 2)
     assert half.count() == n // 2
     assert half.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_upsample_plan_has_no_unpartitioned_window(spark):
+    """r04 verdict: the old implementation ranked the whole source with
+    row_number over a global Window — ONE task at scale. The rewrite
+    must plan no Window at all (TakeOrdered + join instead), the same
+    way test_scale.py asserts join shapes."""
+    from lakeview_spark.pipeline.mixing import upsample_to
+
+    src = _sources(spark)["rest"]
+    up = upsample_to(src, int(2.5 * src.count()))
+    plan = up._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
