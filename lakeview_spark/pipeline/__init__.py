@@ -27,6 +27,7 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         jaccard_index_materialized,
         minhash_signatures_materialized,
     )
+    from lakeview_spark.pipeline.corpus import tfidf_top5_materialized
     from lakeview_spark.pipeline.similarity import _lsh_bucketed
 
     builders = [
@@ -35,6 +36,7 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         minhash_signatures_materialized,
         simhash32_materialized,
         _lsh_bucketed,
+        tfidf_top5_materialized,
     ]
     if include_clusters:
         from lakeview_spark.pipeline.clustering import clusters_materialized

@@ -254,6 +254,34 @@ _TFIDF_TOP5_SQL = """
 TFIDF_POSTING_CAP = 250
 
 
+def _tfidf_top5_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-term-capped top-5 posting table (doc_id, token, score):
+    each document's 5 characteristic terms, minus tokens appearing in
+    more than TFIDF_POSTING_CAP documents' top-5."""
+    top5 = text_tfidf_top_terms(spark, sf_dir).select("doc_id", "token", "score")
+    live = (
+        top5.groupBy("token")
+        .agg(F.count("*").alias("postings"))
+        .filter(F.col("postings") <= TFIDF_POSTING_CAP)
+        .select("token")
+    )
+    return top5.join(live, "token")
+
+
+def tfidf_top5_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped posting table persisted once per (session, dataset),
+    bucketed on `token` — the pair self-join's equi key — so the
+    tokenize→tf→df→window feeder lineage runs ONCE instead of once per
+    consumer (r04 verdict: 5 recomputes, 36 exchanges), and the pair
+    self-join reads co-located buckets with zero exchanges. Same device
+    as dedup.jaccard_index_materialized (pipeline/dedup.py)."""
+    from lakeview_spark.operators.materialize import materialized_bucketed
+
+    return materialized_bucketed(
+        spark, "tfidf_top5", sf_dir, _tfidf_top5_build, ["token"]
+    )
+
+
 @register(
     "similarity_tfidf_pairs",
     oracle=_TFIDF_TOP5_SQL
@@ -296,15 +324,13 @@ def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     characteristic of a thousand docs characterizes none — and one hot
     token is O(posting²) pairs). The dot product is an exact BIGINT sum
     (deterministic across engines), with doubles only at the final
-    sqrt/divide edge."""
-    top5_all = text_tfidf_top_terms(spark, sf_dir).select("doc_id", "token", "score")
-    live = (
-        top5_all.groupBy("token")
-        .agg(F.count("*").alias("postings"))
-        .filter(F.col("postings") <= TFIDF_POSTING_CAP)
-        .select("token")
-    )
-    top5 = top5_all.join(live, "token")
+    sqrt/divide edge.
+
+    The capped posting table is materialized bucketed on `token`
+    (tfidf_top5_materialized), so the expensive tokenize→tf→df→window
+    feeder runs once per run and every consumer here — norms and both
+    self-join sides — starts from a bucketed parquet scan."""
+    top5 = tfidf_top5_materialized(spark, sf_dir)
     norms = top5.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("score") * F.col("score")).cast("double")).alias("nrm")
     )
