@@ -414,3 +414,40 @@ def minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matching_bands",
         (F.col("matching_bands").cast("double") / N_BANDS).alias("est_jaccard"),
     )
+
+
+@register(
+    "corpus_token_concentration",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token)
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS distinct_tokens,
+           CAST(sum(cnt * cnt) AS BIGINT) AS simpson_num
+    FROM c GROUP BY lang
+    """,
+)
+def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-diversity telemetry: total tokens, distinct
+    tokens, and the Simpson-index numerator sum(cnt²) — the integer
+    core of lexical-diversity / repetition monitoring (simpson_num /
+    n_tokens² is the probability two random tokens match; a corpus
+    collapsing to boilerplate shows it spiking). All-BIGINT so sums
+    are order-independent and engine-exact — no log-entropy parity
+    risk.
+
+    Scale shape: two partial-aggregable counts on (lang, token) then
+    (lang) — map-side combine does the heavy lifting; final table is
+    langs-sized."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    c = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    return c.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("simpson_num"),
+    )

@@ -13,8 +13,10 @@ shuffle — the only exchange here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import register, t
 
 
 def _accept(rate_col: F.Column) -> F.Column:
@@ -129,4 +131,58 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
                 F.col("rep").cast("string"),
             )
         ),
+    )
+
+
+# train/val/test hash-split thresholds on the first 4 hex digits of
+# md5(doc_id): < 0xfae1 (64225/65536 ~ 98.0%) -> train, < 0xfd70
+# (64880/65536 ~ 99.0%) -> val, else test. String compares on lowercase
+# hex are engine-identical, same device as sample_stratified.
+SPLIT_TRAIN_HEX = "fae1"
+SPLIT_VAL_HEX = "fd70"
+
+
+@register(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_TRAIN_HEX}' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_VAL_HEX}' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             lang,
+             len(string_split(lower(text), ' ')) AS ntok
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (~98/1/1) via an
+    md5 hex-prefix threshold on doc_id — the reproducible-split step
+    every training pipeline needs before packing/mixing: no RNG state,
+    stable under repartitioning and reruns, and a document can never
+    migrate between splits when the corpus grows (its hash doesn't
+    change). Returns the per-(split, lang) doc/token counts — the
+    telemetry that catches a skewed split.
+
+    Scale shape: one columnar projection + one small groupBy (splits x
+    langs rows); the split column itself is free at scan time."""
+    p4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(p4 < SPLIT_TRAIN_HEX, "train")
+        .when(p4 < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        split.alias("split"),
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).alias("ntok"),
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
     )

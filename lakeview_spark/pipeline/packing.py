@@ -161,3 +161,68 @@ def pack_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("off").alias("first_offset"),
         )
     )
+
+
+# context-window chunking: tokens per chunk / stride between chunk starts
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, len(toks) AS n,
+             unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS start_tok,
+             toks
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_SIZE}, n - start_tok) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+               list_slice(toks, start_tok + 1, start_tok + {CHUNK_SIZE}), ' '
+           )) AS chunk_hash
+    FROM ch
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: cut each document's token
+    stream into CHUNK_SIZE-token chunks whose starts advance by
+    CHUNK_STRIDE (overlap = size - stride) — the context-window
+    chunking step of RAG indexing and long-document pretraining. One
+    row per chunk with its position and an md5 over the chunk text
+    (the downstream embed/dedup key).
+
+    Scale shape: pure columnar explode — sequence() of starts, slice()
+    per start, no shuffle at all (narrow map over the scan); chunk
+    counts fan out rows by ~n_tokens/stride, never by n_tokens."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    ch = tk.select(
+        "doc_id",
+        n.alias("n"),
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+        ).alias("start_tok"),
+    )
+    return ch.select(
+        "doc_id",
+        F.expr(f"start_tok div {CHUNK_STRIDE}").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start_tok"))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_SIZE), " "
+            )
+        ).alias("chunk_hash"),
+    )

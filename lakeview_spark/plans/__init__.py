@@ -17,97 +17,79 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-4 window: the 7 queries repaired this round (events.ts dtype
-# dispatch) lead so their fix is driver-proven, then the 30 queries
-# whose only green rows are r02 — measured on the OLD testdata, which
-# the driver regenerated at r3 start, so those rows are stale and must
-# be re-validated on the current parquet — then the 5 streaming twins
-# (new, no rows yet) and 8 cross-family sentinels from the r03-green
-# set (they re-verify shared layers: materialize, instants, LSH, eval).
-# See COVERAGE.md "driver verification" column.
+# Round-5 window (VERDICT r04 next-1): the 7 queries whose only green
+# rows were r02 (measured on the pre-r3-regen testdata) lead so every
+# registered query finally holds a current-testdata driver row; then
+# the 3 queries NEW this round; then the 3 permanent rows-only
+# exemptions (err=no_oracle never turns green, so they can only be
+# driver-exercised inside the window); then the 3 queries whose PLANS
+# changed this round (tf-idf posting-table materialization, Q5
+# predicate pushdown, z-score zero-variance guard) so their rewrites
+# are driver-re-proven; the rest are r04-green sentinels kept from the
+# previous window re-validating the shared layers (streaming twins,
+# packing prefix sum, multimodal codecs, star joins, scratch
+# materialization). Rotated OUT (each keeps its r04 green row, layers
+# re-proved by in-window kin): events_sessionization, compaction_
+# backlog, timeline_trends, events_asof_click_value, events_sliding_
+# window_stats, events_user_retention, events_click_attribution,
+# manifest_diff, new_table_detection, table_stats_daily.
 _DRIVER_WINDOW = [
-    # repaired in r4 (events_ts_us dtype dispatch)
-    "events_sessionization",
-    "compaction_backlog",
-    "timeline_trends",
-    "events_asof_click_value",
-    "events_sliding_window_stats",
-    "events_user_retention",
-    "events_click_attribution",
-    # r02-only rows, stale since the r3 testdata regen
+    # r02-only rows, displaced late-r4 — rotate through per VERDICT r04
+    "forecast_revenue",
+    "brand_supplier_breadth",
+    "customer_order_distribution",
+    "brand_revenue_share",
+    "priority_by_orderpriority",
+    "returned_items",
+    "dedup_simhash",
+    # new this round (r5): context-window chunking, deterministic
+    # train/val/test split, token-diversity telemetry
+    "docs_chunk_overlap",
+    "dataset_split_assign",
+    "corpus_token_concentration",
+    # permanent rows-only exemptions (documented; never turn green)
+    "active_batch_packing",
+    "checkpoint_lookback",
+    "kmeans_train",
+    # plans changed this round — re-prove under the driver
+    "similarity_tfidf_pairs",
+    "local_supplier_volume",
+    "events_anomaly_zscore",
+    # r04-green sentinels kept in-window (shared-layer re-validation)
     "timeline_completeness",
     "first_incomplete_commit",
     "instant_sort_order",
-    "new_table_detection",
-    "manifest_diff",
-    "table_stats_daily",
     "partition_size_distribution",
     "file_size_percentiles",
     "partition_histogram",
     "table_counts_rollup",
     "top_partitions",
     "shipping_priority",
-    "local_supplier_volume",
     "region_segment_profile",
     "recent_commit_groups",
-    # new late-r4: temperature resampling (customer_order_distribution
-    # rotated out on the same r02-row-stands rationale as
-    # brand_supplier_breadth below)
     "sample_temperature",
     "duplicate_wins_join",
     "union_dedup_discovery",
     "exactly_one_guard",
-    "active_batch_packing",
-    "checkpoint_lookback",
-    # new late-r4: SemDeDup-style within-cluster embedding dedup
-    # (returned_items rotated out on the r02-row-stands rationale
-    # below; top_partitions/top_revenue_supplier keep O4 in-window)
     "dedup_semdedup",
-    # new late-r4: ordered view->click->purchase funnel and ViT-style
-    # patch extraction (brand_revenue_share and priority_by_
-    # orderpriority rotated out on the r02-row-stands rationale below)
     "events_funnel_conversion",
     "multimodal_patch_stats",
     "top_revenue_supplier",
     "events_props_json_stats",
     "events_user_value_quartiles",
-    # new late-r4: windowed audio energy (dedup_simhash rotated out:
-    # the simhash layer keeps r03-green driver rows via
-    # dedup_simhash_hamming_pairs + eval_simhash_band_quality, and the
-    # sf0.01 sweep re-proves the 16-bit demo variant every round)
     "multimodal_audio_energy",
-    # new this round: driver-checkable twins of the streaming ingestion
-    # operators (VERDICT r03 §next-8) — no green rows yet, so they MUST
-    # sit inside the window
     "stream_event_sessions",
     "stream_doc_dedup",
     "stream_token_stats",
     "stream_quality_filter",
     "stream_embedding_neardup",
-    # new this round: sequence packing (concat-and-chunk sharding) and
-    # the iterative k-means trainer (rows-only)
     "pack_training_sequences",
     "pack_sequence_stats",
-    "kmeans_train",
-    "similarity_tfidf_pairs",
     "multimodal_resize_bmp",
     "multimodal_frame_sample",
     "multimodal_decode_wav",
     "events_rollup_cascade",
-    # new late-r4: CCNet-style line-frequency boilerplate removal.
-    # `brand_supplier_breadth` rotated out to make room: its r02 row
-    # stands, the star-join family keeps four in-window re-validations
-    # (pricing_summary r03 + shipping_priority/local_supplier_volume/
-    # region_segment_profile), and the sf0.01 sweep re-proves it on
-    # current data every round.
     "text_boilerplate_lines",
-    # new late-r4: per-type z-score outlier scan. It replaces the
-    # dedup_minhash_lsh_pairs sentinel: that query keeps its r03 green
-    # row, and the bucketed scratch materialization it was re-proving
-    # is now exercised inside the driver run by stream_embedding_neardup
-    # (materialized_bucketed LSH index) and dedup_semdedup
-    # (materialized centroid assignment) above.
-    "events_anomaly_zscore",
 ]
 
 
