@@ -94,25 +94,38 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs against exact-Jaccard >= 0.1 truth — the tuning readout for
     band count vs threshold. Both pair sets are (doc1, doc2) joins on
     already-shuffle-bounded candidates; counts are scalars."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
-    pred = dedup_minhash_lsh_pairs(spark, sf_dir)
-    tp = truth.join(pred, ["doc1", "doc2"]).agg(
-        F.count("*").alias("true_positives")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("in_truth")
     )
-    return (
-        tp.crossJoin(F.broadcast(truth.agg(F.count("*").alias("true_pairs"))))
-        .crossJoin(F.broadcast(pred.agg(F.count("*").alias("predicted_pairs"))))
-        .select(
-            "true_pairs",
-            "predicted_pairs",
-            "true_positives",
-            (
-                F.col("true_positives").cast("double") / F.col("predicted_pairs")
-            ).alias("precision"),
-            (F.col("true_positives").cast("double") / F.col("true_pairs")).alias(
-                "recall"
+    pred = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("in_pred")
+    )
+    # one full-outer marker join + ONE aggregation pass computes all
+    # three counts together (r04 verdict item 6: the previous form
+    # recomputed truth/pred as separate scalar crossJoins — 2 BNLJ
+    # broadcasts and 3 single-partition exchanges for numbers one
+    # pass already knows)
+    both = truth.join(pred, ["doc1", "doc2"], "full_outer")
+    counts = both.agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).alias("true_pairs"),
+        F.coalesce(F.sum("in_pred"), F.lit(0)).alias("predicted_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_truth").isNotNull() & F.col("in_pred").isNotNull(), 1
+                )
             ),
-        )
+            F.lit(0),
+        ).alias("true_positives"),
+    )
+    return counts.select(
+        "true_pairs",
+        "predicted_pairs",
+        "true_positives",
+        (F.col("true_positives").cast("double") / F.col("predicted_pairs")).alias(
+            "precision"
+        ),
+        (F.col("true_positives").cast("double") / F.col("true_pairs")).alias("recall"),
     )
 
 
@@ -300,21 +313,41 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    tp = truth.join(cand, ["doc1", "doc2"]).agg(F.count("*").alias("true_positives"))
-    return (
-        tp.crossJoin(F.broadcast(sig.agg(F.count("*").alias("sample_docs"))))
-        .crossJoin(F.broadcast(truth.agg(F.count("*").alias("true_pairs"))))
-        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("candidate_pairs"))))
-        .select(
-            "sample_docs",
-            "true_pairs",
-            "candidate_pairs",
-            "true_positives",
-            (F.col("true_positives").cast("double") / F.col("candidate_pairs")).alias(
-                "precision"
-            ),
-            (F.col("true_positives").cast("double") / F.col("true_pairs")).alias(
-                "recall"
-            ),
+    # one full-outer marker join unifies truth and candidates; a doc
+    # tally row per sample doc rides the same union so ALL four counts
+    # come out of ONE aggregation pass — the previous form recomputed
+    # sig/truth/cand as 3 scalar crossJoins (5 BNLJ broadcasts, 4
+    # single-partition exchanges; r04 verdict item 6)
+    pairs = truth.withColumn("in_truth", F.lit(1)).join(
+        cand.withColumn("in_cand", F.lit(1)), ["doc1", "doc2"], "full_outer"
+    )
+    tallies = pairs.select("in_truth", "in_cand", F.lit(0).alias("is_doc")).unionByName(
+        sig.select(
+            F.lit(None).cast("int").alias("in_truth"),
+            F.lit(None).cast("int").alias("in_cand"),
+            F.lit(1).alias("is_doc"),
         )
+    )
+    counts = tallies.agg(
+        F.sum("is_doc").alias("sample_docs"),
+        F.coalesce(F.sum("in_truth"), F.lit(0)).alias("true_pairs"),
+        F.coalesce(F.sum("in_cand"), F.lit(0)).alias("candidate_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_truth").isNotNull() & F.col("in_cand").isNotNull(), 1
+                )
+            ),
+            F.lit(0),
+        ).alias("true_positives"),
+    )
+    return counts.select(
+        "sample_docs",
+        "true_pairs",
+        "candidate_pairs",
+        "true_positives",
+        (F.col("true_positives").cast("double") / F.col("candidate_pairs")).alias(
+            "precision"
+        ),
+        (F.col("true_positives").cast("double") / F.col("true_pairs")).alias("recall"),
     )
