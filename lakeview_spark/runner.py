@@ -468,14 +468,19 @@ def run_continuous(
     base_config_source=None,
     override_source=None,
     sleep_fn=time.sleep,
+    refresh_interval_s: float = 120.0,
 ) -> list[dict]:
     """Driver-loop CONTINUOUS mode (§3.2).
 
     When ``base_config_source`` is given (dict or YAML path/string), the
     config — including the optional ``override_source`` file — is
-    re-loaded before every round, matching ConfigRefresher.java:39-52's
-    periodic fetch-and-merge. A failed refresh keeps the previous config
-    (the refresher logs and carries on, :44-49).
+    re-merged on its OWN ``refresh_interval_s`` clock (default 2 min,
+    ConfigRefresher.java:17,39-52), independent of the round interval:
+    the inter-round sleep is chopped into refresh-cadence slices with a
+    fetch-and-merge after each, so an override edited mid-interval is in
+    force within one refresh period, not one round period. A failed
+    refresh keeps the previous config (the refresher logs and carries
+    on, :44-49).
 
     Failures are surfaced, never swallowed: a failed round appends a
     ``{"succeeded": False, "error": ...}`` entry and the loop carries on
@@ -490,13 +495,19 @@ def run_continuous(
     log = logging.getLogger(__name__)
     rounds: list[dict] = []
     refresh_failures = 0
+
+    def refresh():
+        nonlocal config, refresh_failures
+        if base_config_source is None:
+            return
+        try:
+            config = load_config_with_override(base_config_source, override_source)
+        except Exception as ex:  # noqa: BLE001 — keep last good config
+            refresh_failures += 1
+            log.warning("config refresh failed, keeping last good config: %r", ex)
+
+    refresh()
     while max_rounds is None or len(rounds) < max_rounds:
-        if base_config_source is not None:
-            try:
-                config = load_config_with_override(base_config_source, override_source)
-            except Exception as ex:  # noqa: BLE001 — keep last good config
-                refresh_failures += 1
-                log.warning("config refresh failed, keeping last good config: %r", ex)
         try:
             metrics = run_once(spark, config, state_dir, mirror_dir, lister)
             metrics["succeeded"] = True
@@ -507,5 +518,18 @@ def run_continuous(
         rounds.append(metrics)
         if max_rounds is not None and len(rounds) >= max_rounds:
             break
-        sleep_fn(interval_s)
+        # sleep to the next round in refresh-cadence slices, re-merging
+        # the override after each — the refresher's independent clock
+        remaining = interval_s
+        while True:
+            step = (
+                min(refresh_interval_s, remaining)
+                if refresh_interval_s > 0
+                else remaining
+            )
+            sleep_fn(step)
+            remaining -= step
+            refresh()
+            if remaining <= 0:
+                break
     return rounds

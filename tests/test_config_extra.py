@@ -322,3 +322,81 @@ def test_continuous_mode_counts_config_refresh_failures(monkeypatch):
     # failure count is visible in each round's metrics
     assert [r["config_refresh_failures"] for r in rounds] == [1, 2]
     assert all(r["succeeded"] for r in rounds)
+
+
+def test_continuous_mode_refreshes_override_on_its_own_2min_clock(
+    monkeypatch, tmp_path
+):
+    """ConfigRefresher.java:17,39-52: the override is re-merged every 2
+    minutes on its own timer, independent of the (longer) round
+    interval. With interval_s=300 and the default refresh_interval_s=120
+    the inter-round sleep must be sliced [120, 120, 60] with a refresh
+    after each slice, so an edit at virtual t=10 s is in force by
+    t=120 s — within one refresh period, not one round period."""
+    seen_strategies = []
+
+    def fake_run_once(spark, config, state_dir, mirror_dir, lister):
+        seen_strategies.append(config.upload_strategy)
+        return {}
+
+    monkeypatch.setattr(runner_mod, "run_once", fake_run_once)
+
+    from lakeview_spark import config as runner_mod_config
+
+    refresh_times = []
+    real_loader = runner_mod_config.load_config_with_override
+
+    def counting_loader(base, override=None):
+        refresh_times.append(sum(sleeps))
+        return real_loader(base, override)
+
+    monkeypatch.setattr(
+        runner_mod_config, "load_config_with_override", counting_loader
+    )
+
+    base = {
+        "version": "V1",
+        "metadataExtractorConfig": {
+            "jobRunMode": "CONTINUOUS",
+            "parserConfig": [
+                {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+            ],
+        },
+    }
+    override = tmp_path / "override.yaml"
+    override.write_text(
+        "metadataExtractorConfig:\n  uploadStrategy: BLOCK_ON_INCOMPLETE_COMMIT\n"
+    )
+
+    sleeps = []
+
+    def virtual_sleep(seconds):
+        sleeps.append(seconds)
+        if len(sleeps) == 1:
+            # the operator edits the override 10 "seconds" into the
+            # first slice (the slice's sleep models that whole span)
+            override.write_text(
+                "metadataExtractorConfig:\n"
+                "  uploadStrategy: CONTINUE_ON_INCOMPLETE_COMMIT\n"
+            )
+
+    rounds = run_continuous(
+        None,
+        None,
+        "/tmp/unused",
+        max_rounds=2,
+        interval_s=300,
+        base_config_source=base,
+        override_source=str(override),
+        sleep_fn=virtual_sleep,
+    )
+    assert len(rounds) == 2
+    # the inter-round gap was sliced on the refresh cadence
+    assert sleeps == [120, 120, 60]
+    # initial load at t=0, then one refresh per slice end
+    assert refresh_times == [0, 120, 240, 300]
+    # the edit landed mid-interval and round 2 ran with it in force
+    assert seen_strategies == [
+        "BLOCK_ON_INCOMPLETE_COMMIT",
+        "CONTINUE_ON_INCOMPLETE_COMMIT",
+    ]
