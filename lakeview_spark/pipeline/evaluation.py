@@ -351,3 +351,62 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("true_positives").cast("double") / F.col("true_pairs")).alias("recall"),
     )
+
+
+def _split_case_sql(col: str) -> str:
+    from lakeview_spark.pipeline.mixing import SPLIT_TRAIN_HEX, SPLIT_VAL_HEX
+
+    return (
+        f"CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < '{SPLIT_TRAIN_HEX}' "
+        f"THEN 'train' WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < "
+        f"'{SPLIT_VAL_HEX}' THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "eval_split_leakage",
+    oracle=f"""
+    WITH truth AS ({_TRUE_PAIRS_SQL}),
+    lab AS (
+      SELECT {_split_case_sql('doc1')} AS s1, {_split_case_sql('doc2')} AS s2
+      FROM truth
+    )
+    SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+           count(*) AS n_pairs
+    FROM lab GROUP BY split_a, split_b
+    """,
+)
+def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: count near-duplicate pairs (the exact
+    n-gram Jaccard >= 0.1 set, same threshold as dedup_ngram_jaccard)
+    that CROSS the dataset_split_assign train/val/test boundary — a
+    test document with a train near-twin inflates eval scores, so any
+    pair in a mixed (split_a != split_b) bucket is a decontamination
+    work item. Grouped by the unordered split pair; the train-train
+    bucket doubles as the in-split near-dup baseline.
+
+    Scale shape: the split label is a pure hash function of doc_id, so
+    labeling the pair table is columnar (NO join against the corpus);
+    cost is the already-bounded near-dup pair query + a <=6-row
+    groupBy."""
+    from lakeview_spark.pipeline.mixing import SPLIT_TRAIN_HEX, SPLIT_VAL_HEX
+
+    def split_of(col):
+        p4 = F.substring(F.md5(col.cast("string")), 1, 4)
+        return (
+            F.when(p4 < SPLIT_TRAIN_HEX, "train")
+            .when(p4 < SPLIT_VAL_HEX, "val")
+            .otherwise("test")
+        )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        split_of(F.col("doc1")).alias("s1"), split_of(F.col("doc2")).alias("s2")
+    )
+    return (
+        pairs.select(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

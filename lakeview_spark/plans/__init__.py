@@ -43,10 +43,13 @@ _DRIVER_WINDOW = [
     "returned_items",
     "dedup_simhash",
     # new this round (r5): context-window chunking, deterministic
-    # train/val/test split, token-diversity telemetry
+    # train/val/test split, token-diversity telemetry, cross-split
+    # near-dup leakage audit, TPC-H Q18 group-having shape
     "docs_chunk_overlap",
     "dataset_split_assign",
     "corpus_token_concentration",
+    "eval_split_leakage",
+    "large_order_customers",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -75,8 +78,6 @@ _DRIVER_WINDOW = [
     "events_funnel_conversion",
     "multimodal_patch_stats",
     "top_revenue_supplier",
-    "events_props_json_stats",
-    "events_user_value_quartiles",
     "multimodal_audio_energy",
     "stream_event_sessions",
     "stream_doc_dedup",

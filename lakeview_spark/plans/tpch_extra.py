@@ -818,3 +818,48 @@ def flag_value_outliers(
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > threshold)
     )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold, joined back to their customers —
+    the group-filter-then-semi-join pattern Q18's correlated IN
+    subquery decorrelates to. The HAVING compare runs on the exact
+    DECIMAL sum in both engines (doubles only in the output column).
+
+    Scale shape: the per-order quantity sum is one partial-aggregable
+    groupBy on the fact key; the surviving order set is tiny (tail of
+    the distribution), so it BROADCASTS onto orders and the enriched
+    result broadcasts onto customer — no fact-sized shuffle after the
+    first aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+        .select("l_orderkey", F.col("sum_qty_dec").cast("double").alias("sum_qty"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enriched = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    out = c.join(F.broadcast(enriched), enriched.o_custkey == c.c_custkey)
+    return out.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+    )
