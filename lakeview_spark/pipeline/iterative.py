@@ -3,7 +3,7 @@
 `kmeans_train` is the canonical Spark iterative-algorithm shape: a
 driver loop of Lloyd's iterations where each step is a fully
 distributed DataFrame job and the only driver state is the k×dim
-centroid matrix (k=4, dim=64 — broadcast-scale metadata, same class as
+centroid matrix (k x dim — broadcast-scale metadata, same class as
 a dim table build side). The per-step pieces are already oracle-proven
 elsewhere: the assignment step is `embedding_centroid_assign`
 (similarity.py, hash-checked every round) and this loop simply replays
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakeview_spark.pipeline.similarity import _CENTROID_IDS, _dot, _norm
+from lakeview_spark.pipeline.similarity import centroid_ids, _dot, _norm
 from lakeview_spark.plans.registry import register, t
 
 _ITERATIONS = 3
@@ -57,7 +57,7 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
 @register("kmeans_train")  # rows-only: iterative float-mean updates (module docstring)
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means: {_ITERATIONS} assign/update rounds from the
-    data-derived seeds (vec_id 1..4), then the final assignment's
+    data-derived seeds (vec_id 1..k, corpus-sized k), then the final assignment's
     per-cluster report (size, cosine spread).
 
     Each update is one distributed job: posexplode the assigned vectors
@@ -67,9 +67,10 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid matrix between rounds; an empty cluster keeps its previous
     centroid (the standard Lloyd's guard)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    seed_ids = centroid_ids(spark, sf_dir)
     centroids = [
         (int(r.vec_id), [float(v) for v in r.embedding])
-        for r in emb.filter(F.col("vec_id").isin(*_CENTROID_IDS))
+        for r in emb.filter(F.col("vec_id").between(1, len(seed_ids)))
         .select("vec_id", "embedding")
         .collect()
     ]

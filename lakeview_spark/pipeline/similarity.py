@@ -78,9 +78,44 @@ else:
         CAST(floor(log2(GREATEST(count(*) // {_TARGET_BUCKET}, 1))) AS INT))) AS p
       FROM embeddings"""
 
-# k-means centroid seeds are a separate knob from the LSH planes: the
-# cluster count stays k=4 no matter how wide the LSH index is sized.
-_CENTROID_IDS = (1, 2, 3, 4)
+# k-means cluster count is corpus-derived, a separate knob from the LSH
+# planes: one centroid per ~_CLUSTER_TARGET vectors, clamped to
+# [_K_MIN, _K_MAX] — the SemDeDup sizing rule (k grows with n so
+# per-cluster pair candidates stay constant; a FIXED k is an O(n²/k)
+# pair blowup, which the r5 profile measured as the registry's heaviest
+# steady query). Seeds are vec_id 1.._k_for_n(n) — data-derived, and
+# the clamp means the driver correctness scales (<= 512 vectors) keep
+# the historical k=4 byte-identically, same device as _planes_for_n.
+_CLUSTER_TARGET = 128
+_K_MIN = 4
+_K_MAX = 4096
+
+
+def _k_for_n(n: int) -> int:
+    return max(_K_MIN, min(_K_MAX, n // _CLUSTER_TARGET))
+
+
+# (application id, dataset path, dataset fingerprint) -> centroid seed
+# id tuple; bounded cache keyed like _PLANE_CACHE.
+_K_CACHE: dict[tuple[str, str, str], tuple[int, ...]] = {}
+
+
+def centroid_ids(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
+    """Seed vec_ids (1..k) for the corpus-sized cluster count; one
+    cached metadata-only count job per (session, dataset)."""
+    from lakeview_spark.operators.materialize import _dataset_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _dataset_fingerprint(sf_dir),
+    )
+    ids = _K_CACHE.get(key)
+    if ids is None:
+        n = t(spark, sf_dir, "embeddings").count()
+        ids = tuple(range(1, _k_for_n(n) + 1))
+        _K_CACHE[key] = ids
+    return ids
 # Near-dup cosine threshold: 0.5 matches nothing on the synthetic
 # embeddings (same-bucket max ≈ 0.49), which made the oracle vacuous;
 # 0.35 keeps ~40 pairs at every SF so the check exercises real arithmetic.
@@ -332,11 +367,15 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(F.desc("cosine"), "vec_id").limit(_TOP_K)
 
 
-_CENTROID_IDS_SQL = "(" + ", ".join(str(c) for c in _CENTROID_IDS) + ")"
-
+# k derived in SQL exactly as _k_for_n derives it in Python: integer
+# floor-div and min/max clamp, so both engines seed identical centroids
+# at every SF
 _CENTROID_SQL = f"""
     SELECT vec_id AS cluster_id, embedding AS ce FROM embeddings
-    WHERE vec_id IN {_CENTROID_IDS_SQL}
+    WHERE vec_id BETWEEN 1 AND (
+      SELECT GREATEST({_K_MIN}, LEAST({_K_MAX}, count(*) // {_CLUSTER_TARGET}))
+      FROM embeddings
+    )
 """
 
 _ASSIGN_SQL = f"""
@@ -358,8 +397,9 @@ _ASSIGN_SQL = f"""
 
 @register("embedding_centroid_assign", oracle=_ASSIGN_SQL)
 def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means assignment step: nearest of 4 data-derived centroids
-    (vec_id 1..4) by cosine, tie-broken on cluster_id.
+    """K-means assignment step: nearest of the corpus-sized k
+    data-derived centroids (vec_id 1.._k_for_n(n)) by cosine,
+    tie-broken on cluster_id.
 
     The distributed k-means inner loop: centroids broadcast, one narrow
     map to score, one window partitioned by vec_id (4 rows each) for the
@@ -373,7 +413,8 @@ def _centroid_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
+    ids = centroid_ids(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id").between(1, len(ids))).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce")
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
@@ -674,18 +715,20 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The self-join is SALTED (the operators/scale.py skew defense, live
     in a registered query): a plain cluster_id equi-join has only k
-    reduce tasks, and this demo runs k=4 — one straggler owns a quarter
-    of all pair scoring. The a-side adds salt = hash(vec_id) mod S, the
-    b-side replicates across all S salts, and the join keys on
-    (cluster_id, salt): identical pair multiplicity, S x the
-    parallelism. In production k grows with n, so S shrinks toward 1
-    and the replication cost vanishes."""
+    reduce tasks, and at the small-k end of the clamp one straggler
+    owns a quarter of all pair scoring. The a-side adds salt =
+    hash(vec_id) mod S, the b-side replicates across all S salts, and
+    the join keys on (cluster_id, salt): identical pair multiplicity,
+    S x the parallelism. k grows with n (_k_for_n), so S shrinks
+    toward 1 and the replication cost vanishes as the corpus grows."""
     assign = embedding_centroid_assign(spark, sf_dir).select("vec_id", "cluster_id")
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _norm("embedding").alias("norm")
     )
     v = emb.join(assign, "vec_id")
-    n_salts = max(spark.sparkContext.defaultParallelism // len(_CENTROID_IDS), 1)
+    n_salts = max(
+        spark.sparkContext.defaultParallelism // len(centroid_ids(spark, sf_dir)), 1
+    )
     a = v.withColumn(
         "salt", F.pmod(F.hash("vec_id"), F.lit(n_salts)).cast("int")
     ).alias("a")
