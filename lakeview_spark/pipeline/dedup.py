@@ -331,3 +331,74 @@ def jaccard_index_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized_bucketed(
         spark, "jaccard_index", sf_dir, _jaccard_index_build, ["shingle"]
     )
+
+
+# shared-span window width (tokens): between the 3-token shingle (pair
+# candidates) and the 64-token chunk (RAG blocks) — wide enough that a
+# match means copied text, not shared phrasing
+SPAN_WIDTH = 8
+
+
+@register(
+    "dedup_shared_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + {SPAN_WIDTH} - 1), ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(toks) - {SPAN_WIDTH} + 2, 1))) AS u(i)
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY h)
+    SELECT w.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS shared_share
+    FROM w JOIN df ON w.h = df.h
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication scan (the exact-substring-dedup readout a
+    la Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): slide an 8-token window with stride 1 over every
+    document, hash each window, and report per document how many of its
+    windows also occur in ANOTHER document — the copied-boilerplate /
+    quoted-passage signal that document-level near-dup (Jaccard over
+    3-gram shingles) underweights and chunk-level dedup (64-token
+    blocks) misses entirely.
+
+    Scale shape: the window explode is ~n_tokens rows per doc (the same
+    row class as the shingle explode feeding the Jaccard index); the
+    span-frequency table is one count-distinct groupBy on a 16-byte
+    hash, and the only join is windows->df on that hash — a shuffle
+    whose left side is the window stream and whose right side is
+    vocabulary-sized. No pair join anywhere: cost is linear in corpus
+    tokens."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    # docs shorter than one span emit no windows (the oracle's range()
+    # is empty for them) — filter matches that
+    w = tk.filter(n >= SPAN_WIDTH).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n - SPAN_WIDTH + 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.expr(f"slice(toks, i, {SPAN_WIDTH})"), " ")).alias("h"),
+    )
+    df = w.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    shared = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    return (
+        w.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(shared).cast("bigint").alias("n_shared"),
+            (F.sum(shared).cast("double") / F.count("*")).alias("shared_share"),
+        )
+    )

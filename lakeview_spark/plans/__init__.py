@@ -50,6 +50,7 @@ _DRIVER_WINDOW = [
     "corpus_token_concentration",
     "eval_split_leakage",
     "large_order_customers",
+    "dedup_shared_spans",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -69,7 +70,6 @@ _DRIVER_WINDOW = [
     "top_partitions",
     "shipping_priority",
     "region_segment_profile",
-    "recent_commit_groups",
     "sample_temperature",
     "duplicate_wins_join",
     "union_dedup_discovery",
