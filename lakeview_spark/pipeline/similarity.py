@@ -116,6 +116,8 @@ def centroid_ids(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
         ids = tuple(range(1, _k_for_n(n) + 1))
         _K_CACHE[key] = ids
     return ids
+
+
 # Near-dup cosine threshold: 0.5 matches nothing on the synthetic
 # embeddings (same-bucket max ≈ 0.49), which made the oracle vacuous;
 # 0.35 keeps ~40 pairs at every SF so the check exercises real arithmetic.
@@ -751,3 +753,59 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
     )
+
+
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, xd,
+             list_reduce(list_transform(xd, v -> abs(v)),
+                         (a, b) -> greatest(a, b)) AS max_abs
+      FROM x
+    )
+    SELECT vec_id, max_abs,
+           CASE WHEN max_abs = 0 THEN 0.0 ELSE
+             list_reduce(list_transform(xd, v ->
+               (v - floor(v / (max_abs / 127.0)) * (max_abs / 127.0))
+               * (v - floor(v / (max_abs / 127.0)) * (max_abs / 127.0))),
+               (a, b) -> a + b)
+           END AS sq_err
+    FROM m
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization telemetry: per vector, the symmetric-scale
+    (scale = max|x|/127) floor-quantization reconstruction error — the
+    readout that decides whether an embedding corpus can ship int8
+    (4x smaller at 100 TB, the standard ANN-index compression) without
+    hurting retrieval. Every step is IEEE-exact in both engines: max is
+    order-independent, scale is one division, floor/multiply/subtract
+    are correctly rounded, and the squared-error sum is the same
+    left fold as the cosine dot products — no rounding-mode or
+    summation-order divergence anywhere.
+
+    Scale shape: pure narrow map over the embeddings scan (two array
+    folds per row), no shuffle, no join."""
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    max_abs = F.aggregate(
+        xd, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    m = t(spark, sf_dir, "embeddings").select(
+        "vec_id", xd.alias("xd"), max_abs.alias("max_abs")
+    )
+    scale = F.col("max_abs") / F.lit(127.0)
+
+    def sq(acc, v):
+        recon = F.floor(v / scale) * scale
+        return acc + (v - recon) * (v - recon)
+
+    sq_err = F.when(F.col("max_abs") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(F.col("xd"), F.lit(0.0), sq)
+    )
+    return m.select("vec_id", "max_abs", sq_err.alias("sq_err"))

@@ -51,6 +51,7 @@ _DRIVER_WINDOW = [
     "eval_split_leakage",
     "large_order_customers",
     "dedup_shared_spans",
+    "embedding_quantize_error",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -71,7 +72,6 @@ _DRIVER_WINDOW = [
     "shipping_priority",
     "region_segment_profile",
     "sample_temperature",
-    "duplicate_wins_join",
     "union_dedup_discovery",
     "exactly_one_guard",
     "dedup_semdedup",
