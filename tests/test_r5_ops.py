@@ -1,0 +1,133 @@
+"""Property tests for the round-5 operators, beyond the registry-wide
+DuckDB parity harness (which proves value equality): these pin the
+SEMANTIC invariants — coverage, partition, bounds — a refactor could
+silently break while still hash-matching a co-broken oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans import QUERIES
+from lakeview_spark.plans.registry import t
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chunks_tile_every_document(spark):
+    """docs_chunk_overlap: chunk 0 starts at token 0, starts advance by
+    exactly the stride, the last chunk reaches the final token, and
+    every chunk is full-size except possibly trailing ones."""
+    from lakeview_spark.pipeline.packing import CHUNK_SIZE, CHUNK_STRIDE
+
+    chunks = QUERIES["docs_chunk_overlap"](spark, SF_DIR)
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tok")
+    )
+    bad_grid = chunks.filter(
+        (F.col("start_tok") != F.col("chunk_idx") * CHUNK_STRIDE)
+        | (F.col("n_tok") > CHUNK_SIZE)
+        | (F.col("n_tok") < 1)
+    )
+    assert bad_grid.count() == 0
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("n_tok")).alias("covered"),
+        F.count("*").alias("n_chunks"),
+        F.min("start_tok").alias("first_start"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    # last chunk ends exactly at the doc's last token; first starts at 0
+    assert j.filter(
+        (F.col("covered") != F.col("n_tok")) | (F.col("first_start") != 0)
+    ).count() == 0
+    # every document with >= 1 token appears
+    assert per_doc.count() == docs.count()
+
+
+def test_split_assignment_partitions_the_corpus(spark):
+    """dataset_split_assign: the three splits partition every document
+    exactly once and land near the 98/1/1 design proportions."""
+    out = QUERIES["dataset_split_assign"](spark, SF_DIR).collect()
+    total_docs = t(spark, SF_DIR, "documents").count()
+    by_split: dict[str, int] = {}
+    for r in out:
+        assert r.split in ("train", "val", "test")
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert sum(by_split.values()) == total_docs
+    # hash split tolerance at 500 docs: expect ~490/5/5
+    assert by_split["train"] >= 0.95 * total_docs
+    assert by_split.get("val", 0) + by_split.get("test", 0) <= 0.05 * total_docs
+
+
+def test_token_concentration_bounds(spark):
+    """corpus_token_concentration: sum(cnt^2) is bounded below by
+    n_tokens (all-distinct corpus) and above by n_tokens^2 (single
+    repeated token), and distinct <= total."""
+    for r in QUERIES["corpus_token_concentration"](spark, SF_DIR).collect():
+        assert r.distinct_tokens <= r.n_tokens
+        assert r.n_tokens <= r.simpson_num <= r.n_tokens * r.n_tokens
+
+
+def test_split_leakage_pairs_conserve_the_neardup_set(spark):
+    """eval_split_leakage: the per-split-pair counts sum to the full
+    near-dup pair count, and bucket labels are canonically ordered."""
+    leak = QUERIES["eval_split_leakage"](spark, SF_DIR).collect()
+    n_pairs = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    assert sum(r.n_pairs for r in leak) == n_pairs
+    assert all(r.split_a <= r.split_b for r in leak)
+
+
+def test_large_order_customers_threshold_and_keys(spark):
+    """large_order_customers: every emitted order's recomputed quantity
+    sum exceeds the threshold, and no qualifying order is dropped by
+    the join chain (orders/customer are complete dimensions here)."""
+    out = QUERIES["large_order_customers"](spark, SF_DIR)
+    assert out.filter(F.col("sum_qty") <= 300).count() == 0
+    li = t(spark, SF_DIR, "lineitem")
+    expected = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
+        .filter(F.col("s") > 300)
+        .count()
+    )
+    assert out.count() == expected
+    # one row per order (the customer join is 1:1 on custkey)
+    assert out.select("o_orderkey").distinct().count() == expected
+
+
+def test_shared_spans_counts_are_symmetric_evidence(spark):
+    """dedup_shared_spans: shares are in [0, 1], n_shared <= n_spans,
+    every >= SPAN_WIDTH-token document appears, and a shared span
+    implies at least TWO documents carry shared spans (sharing is
+    between documents, so the flagged set can never have size 1)."""
+    from lakeview_spark.pipeline.dedup import SPAN_WIDTH
+
+    out = QUERIES["dedup_shared_spans"](spark, SF_DIR)
+    assert out.filter(
+        (F.col("n_shared") > F.col("n_spans"))
+        | (F.col("shared_share") < 0)
+        | (F.col("shared_share") > 1)
+    ).count() == 0
+    eligible = (
+        t(spark, SF_DIR, "documents")
+        .filter(F.size(F.split(F.lower("text"), " ")) >= SPAN_WIDTH)
+        .count()
+    )
+    assert out.count() == eligible
+    flagged = out.filter(F.col("n_shared") > 0).count()
+    assert flagged != 1
+
+
+def test_quantize_error_bound(spark):
+    """embedding_quantize_error: floor quantization's per-coordinate
+    error is < scale = max_abs/127, so sq_err < dim * scale^2; and the
+    error is never negative."""
+    rows = QUERIES["embedding_quantize_error"](spark, SF_DIR).collect()
+    dim = len(
+        t(spark, SF_DIR, "embeddings").select("embedding").first()["embedding"]
+    )
+    assert rows
+    for r in rows:
+        assert r.sq_err >= 0.0
+        scale = r.max_abs / 127.0
+        assert r.sq_err < dim * scale * scale + 1e-12
