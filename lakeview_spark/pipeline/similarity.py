@@ -809,3 +809,127 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("xd"), F.lit(0.0), sq)
     )
     return m.select("vec_id", "max_abs", sq_err.alias("sq_err"))
+
+
+# ANN recall audit: every ANN_RECALL_MOD-th vector is a probe query;
+# recall@ANN_RECALL_K of the bucket-restricted search vs exact top-k.
+ANN_RECALL_MOD = 50
+ANN_RECALL_K = 10
+
+_ANN_BUCKETED_SQL = f"""
+      SELECT e.vec_id, e.embedding, {_NORM_SQL.format(a="e.embedding")} AS norm,
+             CAST(sum(CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0
+                      THEN (1 << (p.plane_id - 1)) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, e.embedding
+"""
+
+
+@register(
+    "eval_ann_recall",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bucketed AS ({_ANN_BUCKETED_SQL}),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qe, norm AS qn, bucket AS qbucket
+      FROM bucketed WHERE vec_id % {ANN_RECALL_MOD} = 0
+    ),
+    ex0 AS (
+      SELECT q.qid, b.vec_id AS nid,
+             {_DOT_SQL.format(a="b.embedding", b="q.qe")} / (b.norm * q.qn) AS cosine
+      FROM bucketed b, q WHERE b.vec_id <> q.qid
+    ),
+    top_exact AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM ex0
+      ) WHERE rn <= {ANN_RECALL_K}
+    ),
+    cand0 AS (
+      SELECT q.qid, b.vec_id AS nid,
+             {_DOT_SQL.format(a="b.embedding", b="q.qe")} / (b.norm * q.qn) AS cosine
+      FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+    ),
+    ncand AS (SELECT qid, count(*) AS n_candidates FROM cand0 GROUP BY qid),
+    top_ann AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM cand0
+      ) WHERE rn <= {ANN_RECALL_K}
+    ),
+    h AS (
+      SELECT e.qid, count(*) AS hits
+      FROM top_exact e JOIN top_ann a ON e.qid = a.qid AND e.nid = a.nid
+      GROUP BY e.qid
+    )
+    SELECT q.qid AS vec_id,
+           CAST(coalesce(ncand.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           coalesce(h.hits, 0) / {ANN_RECALL_K}.0 AS recall_at_k
+    FROM q LEFT JOIN ncand ON q.qid = ncand.qid LEFT JOIN h ON q.qid = h.qid
+    """,
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@k of the LSH-bucket-restricted search
+    against exact brute-force top-k, for a deterministic probe sample
+    (every ANN_RECALL_MOD-th vector) — the number that tells you
+    whether the bucket index is losing real neighbors, completing the
+    eval suite (the bucket-health queries bound COST; this bounds
+    QUALITY). Per probe: candidate count, exact-top-k hits, recall.
+
+    Scale shape: the exact side is a broadcast of the fixed-size probe
+    sample against the corpus (sample x n cosines — bounded by the
+    sample, the same audit-sampling device as eval_simhash_band
+    _quality); the ANN side touches only the probes' buckets. All
+    rankings use left-fold cosines with vec_id tiebreaks, so both
+    top-k sets — and therefore recall — are engine-exact."""
+    idx = _lsh_bucketed(spark, sf_dir)
+    q = idx.filter(F.col("vec_id") % ANN_RECALL_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    from pyspark.sql import Window
+
+    cos = _dot("embedding", "qe") / (F.col("norm") * F.col("qn"))
+    ex0 = (
+        idx.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    top_exact = (
+        ex0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_RECALL_K)
+        .select("qid", "nid")
+    )
+    cand0 = (
+        idx.join(F.broadcast(q), idx.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), cos.alias("cosine"))
+    )
+    ncand = cand0.groupBy("qid").agg(F.count("*").alias("n_candidates"))
+    top_ann = (
+        cand0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_RECALL_K)
+        .select("qid", "nid")
+    )
+    h = top_exact.join(top_ann, ["qid", "nid"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        q.select("qid")
+        .join(ncand, "qid", "left")
+        .join(h, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(ANN_RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -52,6 +52,7 @@ _DRIVER_WINDOW = [
     "large_order_customers",
     "dedup_shared_spans",
     "embedding_quantize_error",
+    "eval_ann_recall",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -72,7 +73,6 @@ _DRIVER_WINDOW = [
     "shipping_priority",
     "region_segment_profile",
     "sample_temperature",
-    "union_dedup_discovery",
     "exactly_one_guard",
     "dedup_semdedup",
     "events_funnel_conversion",

@@ -135,6 +135,7 @@ _TINY_BROADCAST_OK = {
     "eval_lsh_precision_recall",  # 1-row scalar-count broadcasts
     "eval_embedding_bucket_health",  # 1-row total-count broadcast
     "eval_simhash_band_quality",  # bounded-sample all-pairs truth + scalar counts
+    "eval_ann_recall",  # fixed-size probe sample broadcast for the exact-top-k truth
 }
 
 
