@@ -226,3 +226,61 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+# power-of-two length buckets for padded batching; docs above the top
+# cap share the overflow bucket
+LENGTH_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _cap_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN n <= {c} THEN {c}" for c in LENGTH_CAPS
+    )
+    return f"CASE {branches} ELSE {2 * LENGTH_CAPS[-1]} END"
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    b AS (SELECT lang, n, {_cap_case_sql()} AS cap FROM d)
+    SELECT lang, cap,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(cap - n) AS BIGINT) AS padding_waste,
+           CAST(sum(n) AS DOUBLE) / CAST(sum(cap) AS DOUBLE) AS fill_ratio
+    FROM b GROUP BY lang, cap
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching telemetry: assign each document to the
+    smallest power-of-two token cap that holds it and report per
+    (lang, cap) the doc count, token mass, padding waste, and fill
+    ratio — the decision table for padded dynamic batching (the
+    alternative to concat-and-chunk packing when document boundaries
+    must survive, e.g. SFT). The cap ladder is an explicit CASE chain,
+    so both engines bucket identically with no log2 in sight; docs
+    longer than the top cap land in one overflow bucket (cap doubled),
+    which the report makes visible rather than silently truncating.
+
+    Scale shape: one columnar projection + one (lang x ~9)-cell
+    groupBy — partial aggregation does everything map-side."""
+    n = F.size(F.split("text", " "))
+    cap = F.when(n <= LENGTH_CAPS[0], LENGTH_CAPS[0])
+    for c in LENGTH_CAPS[1:]:
+        cap = cap.when(n <= c, c)
+    cap = cap.otherwise(2 * LENGTH_CAPS[-1])
+    b = t(spark, sf_dir, "documents").select(
+        "lang", n.alias("n"), cap.alias("cap")
+    )
+    return b.groupBy("lang", "cap").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("cap") - F.col("n")).cast("bigint").alias("padding_waste"),
+        (
+            F.sum("n").cast("double") / F.sum("cap").cast("double")
+        ).alias("fill_ratio"),
+    )

@@ -53,6 +53,7 @@ _DRIVER_WINDOW = [
     "dedup_shared_spans",
     "embedding_quantize_error",
     "eval_ann_recall",
+    "pack_length_buckets",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -67,7 +68,6 @@ _DRIVER_WINDOW = [
     "instant_sort_order",
     "partition_size_distribution",
     "file_size_percentiles",
-    "partition_histogram",
     "table_counts_rollup",
     "top_partitions",
     "shipping_priority",

@@ -131,3 +131,61 @@ def test_quantize_error_bound(spark):
         assert r.sq_err >= 0.0
         scale = r.max_abs / 127.0
         assert r.sq_err < dim * scale * scale + 1e-12
+
+
+def test_multiprobe_dominates_single_bucket_recall(spark):
+    """Hamming-1 multiprobe candidates are a SUPERSET of the exact
+    bucket's, so per-probe recall@k can only improve — the property
+    that justifies multiprobe as the recall knob (eval_ann_recall
+    audits the single-bucket floor)."""
+    from pyspark.sql import Window
+
+    from lakeview_spark.pipeline.similarity import (
+        ANN_RECALL_K,
+        ANN_RECALL_MOD,
+        _dot,
+        _lsh_bucketed,
+    )
+
+    idx = _lsh_bucketed(spark, SF_DIR)
+    q = idx.filter(F.col("vec_id") % ANN_RECALL_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = _dot("embedding", "qe") / (F.col("norm") * F.col("qn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    scored = (
+        idx.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cos.alias("cosine"),
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))).alias("hd"),
+        )
+    )
+    top_exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_RECALL_K)
+        .select("qid", "nid")
+    )
+
+    def hits(max_hd):
+        top = (
+            scored.filter(F.col("hd") <= max_hd)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ANN_RECALL_K)
+            .select("qid", "nid")
+        )
+        rows = (
+            top_exact.join(top, ["qid", "nid"]).groupBy("qid").count().collect()
+        )
+        return {r.qid: r["count"] for r in rows}
+
+    single, multi = hits(0), hits(1)
+    assert single and set(single) <= set(multi) | set(single)
+    for qid, s in single.items():
+        assert multi.get(qid, 0) >= s, qid
+    assert sum(multi.values()) > sum(single.values())
