@@ -284,3 +284,104 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("double") / F.sum("cap").cast("double")
         ).alias("fill_ratio"),
     )
+
+
+# content-defined chunking: gear-hash window width and boundary
+# probability (first 2 md5 hex chars < '08' -> 8/256 = 1/32 -> mean
+# chunk ~32 tokens)
+CDC_GEAR = 4
+CDC_BOUNDARY_HEX = "08"
+
+
+_CDC_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tk
+    ),
+    b AS (
+      SELECT doc_id, toks, pos,
+             CASE WHEN pos > {CDC_GEAR} AND substr(md5(array_to_string(
+                    list_slice(toks, pos - {CDC_GEAR}, pos - 1), ' ')), 1, 2)
+                  < '{CDC_BOUNDARY_HEX}' THEN 1 ELSE 0 END AS brk
+      FROM p
+    ),
+    c AS (
+      SELECT doc_id, toks, pos,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+      FROM b
+    ),
+    g AS (
+      SELECT doc_id, chunk_id, any_value(toks) AS toks,
+             min(pos) AS start_tok, count(*) AS n_tok
+      FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           md5(array_to_string(
+             list_slice(toks, start_tok, start_tok + n_tok - 1), ' ')) AS chunk_hash
+    FROM g
+    """
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """The CDC chunker over any (doc_id, text) frame — shared by the
+    registry query and the edit-stability property test."""
+    tk = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    p = tk.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("pos")
+    )
+    gear = F.md5(
+        F.array_join(F.expr(f"slice(toks, pos - {CDC_GEAR}, {CDC_GEAR})"), " ")
+    )
+    brk = F.when(
+        (F.col("pos") > CDC_GEAR)
+        & (F.substring(gear, 1, 2) < CDC_BOUNDARY_HEX),
+        1,
+    ).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.withColumn("chunk_id", F.sum(brk).over(w).cast("bigint"))
+    g = c.groupBy("doc_id", "chunk_id").agg(
+        F.first("toks").alias("toks"),
+        F.min("pos").alias("start_tok"),
+        F.count("*").alias("n_tok"),
+    )
+    return g.select(
+        "doc_id",
+        "chunk_id",
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.md5(
+            F.array_join(F.expr("slice(toks, start_tok, n_tok)"), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+@register("docs_cdc_chunks", oracle=_CDC_SQL)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-style gear boundaries over
+    tokens): a chunk boundary opens wherever the rolling CDC_GEAR-token
+    window's hash falls under the boundary threshold, so chunk edges
+    are determined by CONTENT, not position — insert one sentence into
+    a document and every chunk except the touched one keeps its hash,
+    which is what makes CDC the dedup-stable chunker (fixed-stride
+    chunking shifts every downstream chunk). One row per chunk with
+    its position, length, and content hash — feed the hashes to the
+    exact-dedup pass for block-level dedup across revisions
+    (edit-stability is pinned by test_r5_ops.py).
+
+    Scale shape: the position explode is one row per token (the
+    shingle-explode row class); the boundary flag is a pure expression;
+    the chunk-id prefix sum is a window per document — bounded by
+    document length, with the packing module's two-phase bucketed
+    prefix sum (prefix_sum_per_group) as the swap-in for mega-docs.
+    The final chunk hash slices the token array once per chunk."""
+    return cdc_chunk_frame(t(spark, sf_dir, "documents"))

@@ -54,6 +54,7 @@ _DRIVER_WINDOW = [
     "embedding_quantize_error",
     "eval_ann_recall",
     "pack_length_buckets",
+    "docs_cdc_chunks",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -87,7 +88,6 @@ _DRIVER_WINDOW = [
     "pack_training_sequences",
     "pack_sequence_stats",
     "multimodal_resize_bmp",
-    "multimodal_frame_sample",
     "multimodal_decode_wav",
     "events_rollup_cascade",
     "text_boilerplate_lines",

@@ -189,3 +189,51 @@ def test_multiprobe_dominates_single_bucket_recall(spark):
     for qid, s in single.items():
         assert multi.get(qid, 0) >= s, qid
     assert sum(multi.values()) > sum(single.values())
+
+
+def test_cdc_chunks_are_edit_stable(spark):
+    """docs_cdc_chunks: inserting tokens at the FRONT of a document
+    shifts every fixed-stride chunk but must leave most CDC chunk
+    hashes intact (boundaries are content-defined), and chunks must
+    tile the document exactly."""
+    from lakeview_spark.pipeline.packing import cdc_chunk_frame
+
+    base = (
+        t(spark, SF_DIR, "documents")
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", "text")
+    )
+    edited = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("inserted preamble sentence goes here "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    chunks = cdc_chunk_frame(base.unionByName(edited))
+    # tiling: per doc, sum of chunk lengths == token count, chunk ids
+    # are 0..k dense, starts line up
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("tok_sum"), F.count("*").alias("k")
+    )
+    docs = base.unionByName(edited).select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n")
+    )
+    assert per_doc.join(docs, "doc_id").filter(
+        F.col("tok_sum") != F.col("n")
+    ).count() == 0
+
+    got = chunks.select("doc_id", "chunk_hash").collect()
+    by_doc: dict[int, set] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.chunk_hash)
+    preserved = total = 0
+    for doc_id, hashes in by_doc.items():
+        if doc_id >= 1_000_000:
+            continue
+        ed = by_doc.get(doc_id + 1_000_000, set())
+        preserved += len(hashes & ed)
+        total += len(hashes)
+    # the preamble only perturbs chunks up to the first content-defined
+    # boundary; everything after re-synchronizes
+    assert total > 0 and preserved / total >= 0.5, (preserved, total)
