@@ -55,6 +55,8 @@ _DRIVER_WINDOW = [
     "eval_ann_recall",
     "pack_length_buckets",
     "docs_cdc_chunks",
+    "nation_trade_volume",
+    "cold_customers",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -65,7 +67,6 @@ _DRIVER_WINDOW = [
     "events_anomaly_zscore",
     # r04-green sentinels kept in-window (shared-layer re-validation)
     "timeline_completeness",
-    "first_incomplete_commit",
     "instant_sort_order",
     "partition_size_distribution",
     "file_size_percentiles",
@@ -74,7 +75,6 @@ _DRIVER_WINDOW = [
     "shipping_priority",
     "region_segment_profile",
     "sample_temperature",
-    "exactly_one_guard",
     "dedup_semdedup",
     "events_funnel_conversion",
     "multimodal_patch_stats",

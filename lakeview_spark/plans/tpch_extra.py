@@ -863,3 +863,133 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
     )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS lineitems
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS yr, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations by (supplier nation, customer nation, ship year) — the
+    role-playing-dimension query: the SAME nation table joins twice
+    under two aliases, and the cross-pair predicate keeps only the two
+    directed flows.
+
+    Scale shape: both dim chains are pre-filtered to the two named
+    nations BEFORE touching the fact (supplier and customer shrink to
+    2/|nations| of themselves), then broadcast; the only fact-sized
+    exchange is the orders join."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey", "cust_nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("lineitems"),
+    )
+
+
+@register(
+    "cold_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    cold AS (
+      SELECT c.c_nationkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer c, thr
+      WHERE c.c_acctbal > thr.a
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+    )
+    SELECT n_name AS nation, count(*) AS n_customers,
+           CAST(sum(bal) AS DOUBLE) AS total_acctbal
+    FROM cold JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive account balance and no URGENT-priority
+    order, counted per nation — the scalar-subquery + NOT EXISTS
+    pattern, decorrelated Spark-style as a 1-row threshold broadcast
+    plus a left-anti join against the filtered order keys (the
+    filter-inside-NOT-EXISTS variant, so the anti join's build side is
+    a fraction of orders). The threshold divides an exact DECIMAL sum
+    (as double) by the count, so both engines compare against the
+    identical double.
+
+    Scale shape: one scalar aggregate broadcast (BNLJ whitelisted —
+    constant build side), one anti join keyed on custkey, one tiny
+    nation broadcast; no fact-sized shuffle beyond the anti join."""
+    c = t(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("a")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cold = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        cold.join(F.broadcast(n), cold.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
