@@ -57,6 +57,8 @@ _DRIVER_WINDOW = [
     "docs_cdc_chunks",
     "nation_trade_volume",
     "cold_customers",
+    "events_gapfill_locf",
+    "events_session_paths",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -67,10 +69,8 @@ _DRIVER_WINDOW = [
     "events_anomaly_zscore",
     # r04-green sentinels kept in-window (shared-layer re-validation)
     "timeline_completeness",
-    "instant_sort_order",
     "partition_size_distribution",
     "file_size_percentiles",
-    "table_counts_rollup",
     "top_partitions",
     "shipping_priority",
     "region_segment_profile",

@@ -993,3 +993,161 @@ def cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+    b AS (
+      SELECT event_type, (ts_us // {_HOUR_US}) * {_HOUR_US} AS bucket_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+      FROM e GROUP BY event_type, bucket_us
+    ),
+    r AS (
+      SELECT (min(ts_us) // {_HOUR_US}) * {_HOUR_US} AS lo,
+             (max(ts_us) // {_HOUR_US}) * {_HOUR_US} AS hi
+      FROM e
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket_us
+      FROM (SELECT DISTINCT event_type FROM e) t,
+           (SELECT unnest(range(r.lo, r.hi + 1, {_HOUR_US})) AS bucket_us FROM r) g
+    )
+    SELECT grid.event_type, grid.bucket_us,
+           CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+           b.avg_value,
+           last_value(b.avg_value IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.bucket_us
+             ROWS UNBOUNDED PRECEDING) AS locf_avg
+    FROM grid LEFT JOIN b USING (event_type, bucket_us)
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill + locf` shape: a dense hourly
+    (event_type x bucket) grid over the stream's full range, empty
+    buckets emitted with n_events = 0 and the previous bucket's average
+    carried forward (leading gaps stay NULL). The op every monitoring
+    dashboard needs and plain GROUP BY cannot produce (it has no rows
+    for the gaps).
+
+    Scale shape: one keyed aggregation builds the measured buckets; the
+    grid is |types| x |hours| rows built from a 1-row min/max broadcast
+    (BNLJ whitelisted — constant build side) and joined back on the
+    grid key; LOCF is a window per type ordered by bucket, partition
+    size = grid hours, independent of event count."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("event_type", events_ts_us(ev).alias("ts_us"), "value")
+    bucket = (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("bucket_us")
+    b = e.groupBy("event_type", bucket).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_dec("value")).cast("double") / F.count("*")).alias("avg_value"),
+    )
+    r = e.agg(
+        (F.min("ts_us") - F.min("ts_us") % _HOUR_US).alias("lo"),
+        (F.max("ts_us") - F.max("ts_us") % _HOUR_US).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(r))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(_HOUR_US))
+            ).alias("bucket_us"),
+        )
+    )
+    joined = grid.join(b, ["event_type", "bucket_us"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg"),
+    )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id, event_type)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id, event_type
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM lagged
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>'
+                        ORDER BY ts_us, event_id, event_type) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the top-20 most common ordered
+    event-type sequences per session (gap-based 30-min sessions, same
+    rule as events_sessionization) — the product-analytics "user
+    journey" query. The in-session order is totalized on
+    (ts_us, event_id, event_type) because the synthetic keys are not
+    unique (CLAUDE.md), so both engines agree on every path string:
+    Spark builds it as sort_array over (ts, id, type) structs -> the
+    projected type sequence, the oracle as an ORDER BY string_agg.
+
+    Scale shape: everything is keyed on user_id (lag window, running
+    sum, path aggregation) — one shuffle class; the path histogram is
+    one more count groupBy; TakeOrdered for the top-20 (no global
+    sort)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", events_ts_us(ev).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id", "event_type")
+    prev = F.lag("ts_us").over(w)
+    brk = F.when(
+        prev.isNotNull() & ((F.col("ts_us") - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("sid", F.sum(brk).over(wrun).cast("bigint"))
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -137,6 +137,7 @@ _TINY_BROADCAST_OK = {
     "eval_simhash_band_quality",  # bounded-sample all-pairs truth + scalar counts
     "eval_ann_recall",  # fixed-size probe sample broadcast for the exact-top-k truth
     "cold_customers",  # 1-row avg-balance threshold broadcast (Q22 decorrelation)
+    "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
 }
 
 
