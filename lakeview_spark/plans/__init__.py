@@ -59,6 +59,7 @@ _DRIVER_WINDOW = [
     "cold_customers",
     "events_gapfill_locf",
     "events_session_paths",
+    "events_hourly_ohlc",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -70,7 +71,6 @@ _DRIVER_WINDOW = [
     # r04-green sentinels kept in-window (shared-layer re-validation)
     "timeline_completeness",
     "partition_size_distribution",
-    "file_size_percentiles",
     "top_partitions",
     "shipping_priority",
     "region_segment_profile",

@@ -1151,3 +1151,51 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_hourly_ohlc",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT event_type,
+           (ts_us // {_HOUR_US}) * {_HOUR_US} AS bucket_us,
+           count(*) AS n_events,
+           CAST((min(struct_pack(ts := ts_us, eid := event_id, v := v))).v AS DOUBLE) AS open,
+           CAST(max(v) AS DOUBLE) AS high,
+           CAST(min(v) AS DOUBLE) AS low,
+           CAST((max(struct_pack(ts := ts_us, eid := event_id, v := v))).v AS DOUBLE) AS close
+    FROM e GROUP BY event_type, bucket_us
+    """,
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (open/high/low/close — the
+    time-series downsampling shape candlestick dashboards and feature
+    pipelines use): open/close are the first/last value in the bucket,
+    selected with the min/max-of-struct device over (ts, event_id,
+    value) so ties resolve by the same total order in both engines —
+    no argmin/argmax tie ambiguity, no window pass.
+
+    Scale shape: ONE partial-aggregable groupBy over the scan (struct
+    min/max combine map-side like any min/max); no window, no join —
+    the cheapest possible downsampler."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        events_ts_us(ev).alias("ts_us"),
+        "event_id",
+        _dec("value").alias("v"),
+    )
+    bucket = (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("bucket_us")
+    first = F.min(F.struct(F.col("ts_us"), F.col("event_id"), F.col("v")))
+    last = F.max(F.struct(F.col("ts_us"), F.col("event_id"), F.col("v")))
+    return e.groupBy("event_type", bucket).agg(
+        F.count("*").alias("n_events"),
+        first.getField("v").cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        last.getField("v").cast("double").alias("close"),
+    )
