@@ -4,7 +4,9 @@ The long<->wide round trip every reporting/feature layer needs:
 `pivot_counts` turns a (group, category, value) stream into one row per
 group with a column per category (Spark `groupBy().pivot()` — compiled
 into conditional aggregates, one shuffle on the group key), and
-`unpivot_columns` inverts it with `stack()` (pure map, no shuffle).
+`unpivot_columns` inverts it with `DataFrame.unpivot` (pure map, no
+shuffle; it builds the melt from column objects — the earlier stack()
+SQL-string form broke on quoted/backticked column names).
 
 Scale notes: pivot with an EXPLICIT category list (always pass one) is
 a single hash aggregate — without the list Spark first runs a distinct

@@ -370,13 +370,18 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles) underweights and chunk-level dedup (64-token
     blocks) misses entirely.
 
-    Scale shape: the window explode is ~n_tokens rows per doc (the same
-    row class as the shingle explode feeding the Jaccard index); the
-    span-frequency table is one count-distinct groupBy on a 16-byte
-    hash, and the only join is windows->df on that hash — a shuffle
-    whose left side is the window stream and whose right side is
-    vocabulary-sized. No pair join anywhere: cost is linear in corpus
-    tokens."""
+    Scale shape: the heavy kernel (scan -> tokenize -> window explode ->
+    md5, ~one row per corpus token) executes exactly ONCE — it feeds a
+    single groupBy(h, doc_id) pre-aggregation, and span-frequency
+    (ndocs per hash) is then a count() window over the h partitions of
+    that compact (hash, doc_id, cnt) table, whose partition sizes are
+    bounded by a span's document frequency. The earlier form joined the
+    raw window stream against its own groupBy, which re-executed the
+    unmaterialized explode/md5 lineage per consumer (the r04
+    tf-idf-recompute class). No pair join anywhere: cost is linear in
+    corpus tokens."""
+    from pyspark.sql import Window
+
     tk = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
@@ -391,14 +396,12 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.array_join(F.expr(f"slice(toks, i, {SPAN_WIDTH})"), " ")).alias("h"),
     )
-    df = w.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
-    shared = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
-    return (
-        w.join(df, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(shared).cast("bigint").alias("n_shared"),
-            (F.sum(shared).cast("double") / F.count("*")).alias("shared_share"),
-        )
+    per_doc_span = w.groupBy("h", "doc_id").agg(F.count("*").alias("cnt"))
+    ndocs = F.count("*").over(Window.partitionBy("h"))
+    scored = per_doc_span.withColumn("ndocs", ndocs)
+    shared_cnt = F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_spans"),
+        F.sum(shared_cnt).cast("bigint").alias("n_shared"),
+        (F.sum(shared_cnt).cast("double") / F.sum("cnt")).alias("shared_share"),
     )

@@ -329,7 +329,7 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = tallies.agg(
-        F.sum("is_doc").alias("sample_docs"),
+        F.coalesce(F.sum("is_doc"), F.lit(0)).alias("sample_docs"),
         F.coalesce(F.sum("in_truth"), F.lit(0)).alias("true_pairs"),
         F.coalesce(F.sum("in_cand"), F.lit(0)).alias("candidate_pairs"),
         F.coalesce(
@@ -354,13 +354,11 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_case_sql(col: str) -> str:
-    from lakeview_spark.pipeline.mixing import SPLIT_TRAIN_HEX, SPLIT_VAL_HEX
+    # single source of truth for the split rule lives in mixing.py next
+    # to the hex thresholds; this alias keeps the oracle f-string short
+    from lakeview_spark.pipeline.mixing import split_case_sql
 
-    return (
-        f"CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < '{SPLIT_TRAIN_HEX}' "
-        f"THEN 'train' WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < "
-        f"'{SPLIT_VAL_HEX}' THEN 'val' ELSE 'test' END"
-    )
+    return split_case_sql(col)
 
 
 @register(
@@ -389,18 +387,10 @@ def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling the pair table is columnar (NO join against the corpus);
     cost is the already-bounded near-dup pair query + a <=6-row
     groupBy."""
-    from lakeview_spark.pipeline.mixing import SPLIT_TRAIN_HEX, SPLIT_VAL_HEX
-
-    def split_of(col):
-        p4 = F.substring(F.md5(col.cast("string")), 1, 4)
-        return (
-            F.when(p4 < SPLIT_TRAIN_HEX, "train")
-            .when(p4 < SPLIT_VAL_HEX, "val")
-            .otherwise("test")
-        )
+    from lakeview_spark.pipeline.mixing import split_expr
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        split_of(F.col("doc1")).alias("s1"), split_of(F.col("doc2")).alias("s2")
+        split_expr(F.col("doc1")).alias("s1"), split_expr(F.col("doc2")).alias("s2")
     )
     return (
         pairs.select(

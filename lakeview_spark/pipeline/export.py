@@ -134,14 +134,23 @@ def write_webdataset(
             # see one attempt's COMPLETE bytes (both attempts produce
             # identical tars, so last-replace-wins is safe)
             tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-            with tarfile.open(tmp, "w") as tf:
-                for key, text in samples:
-                    payload = text.encode("utf-8")
-                    info = tarfile.TarInfo(name=f"{key:012d}.txt")
-                    info.size = len(payload)
-                    info.mtime = 0  # reproducible bytes
-                    tf.addfile(info, io.BytesIO(payload))
-            os.replace(tmp, path)
+            try:
+                with tarfile.open(tmp, "w") as tf:
+                    for key, text in samples:
+                        payload = text.encode("utf-8")
+                        info = tarfile.TarInfo(name=f"{key:012d}.txt")
+                        info.size = len(payload)
+                        info.mtime = 0  # reproducible bytes
+                        tf.addfile(info, io.BytesIO(payload))
+                os.replace(tmp, path)
+            finally:
+                # a task killed mid-write (OOM, preemption, speculative
+                # duplicate) must not orphan its temp file in out_dir
+                if os.path.exists(tmp):
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
 
     prepared.repartition(n_shards, "__shard").foreachPartition(write_partition)
     return n_shards

@@ -78,13 +78,16 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
     downsampling). Output adds `rep` (0-based repetition index) and the
     same per-epoch `order_key` hash as mix_datasets.
 
-    Scale shape: one count, a top-`remainder` selection (TakeOrdered —
+    Scale shape: one count, one doc_id-partitioned window (partition
+    size = duplicate multiplicity, usually 1 — NOT a global window; the
+    r04 verdict flagged row_number over an unpartitioned Window as a
+    single-task bottleneck), a top-`remainder` selection (TakeOrdered —
     per-partition local top-K then one bounded single-partition merge of
     K-row candidates, never a global sort of the source), a left join
     against that remainder-row key set (AQE broadcasts it when small),
-    and one explode(sequence(0, reps)) fan-out. No unpartitioned window
-    anywhere (r04 verdict: row_number over a global Window executed the
-    whole source in ONE task)."""
+    and one explode(sequence(0, reps)) fan-out."""
+    from pyspark.sql import Window
+
     n = df.count()
     if n == 0 or target <= 0:
         return df.select("doc_id", "text").withColumn(
@@ -92,24 +95,45 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
         ).withColumn("order_key", F.lit("")).limit(0)
     base = target // n
     remainder = target - base * n
+    # doc_id alone is not a total order when the source carries duplicate
+    # keys — a limit that cuts inside a duplicated group would mark every
+    # copy through the join and overshoot the target. Give each row a
+    # unique identity (doc_id, occ) first: occ is a row_number inside the
+    # doc_id partition (bounded by the key's multiplicity), so the
+    # selection key below is a genuine total order and the join marks
+    # exactly `remainder` rows.
+    occ = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("text"))
+    )
+    src = df.select("doc_id", "text").withColumn("__occ", occ)
     rank = F.conv(
-        F.substring(F.md5(F.concat(F.lit(epoch_salt), F.col("doc_id").cast("string"))), 1, 8),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(epoch_salt),
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("__occ").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("bigint")
-    # the `remainder` docs with the smallest salt-hash get one extra rep;
+    # the `remainder` rows with the smallest salt-hash get one extra rep;
     # a threshold on the hash value would be approximate, so select the
     # exact subset with orderBy().limit() — a distributed TakeOrdered —
     # and mark membership with a join instead of ranking every row
-    src = df.select("doc_id", "text")
     if remainder > 0:
         extra = (
-            src.select("doc_id")
-            .orderBy(rank, "doc_id")
+            src.select("doc_id", "__occ")
+            .orderBy(rank, "doc_id", "__occ")
             .limit(remainder)
             .withColumn("__extra", F.lit(1))
         )
-        marked = src.join(extra, "doc_id", "left")
+        marked = src.join(extra, ["doc_id", "__occ"], "left")
     else:
         marked = src.withColumn("__extra", F.lit(None).cast("int"))
     reps = F.when(F.col("__extra") == 1, base + 1).otherwise(base)
@@ -119,7 +143,7 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
     rep_idx = F.when(
         reps > 0, F.sequence(F.lit(0), reps - 1)
     ).otherwise(F.array().cast("array<int>"))
-    out = marked.withColumn("rep", F.explode(rep_idx)).drop("__extra")
+    out = marked.withColumn("rep", F.explode(rep_idx)).drop("__extra", "__occ")
     return out.withColumn(
         "order_key",
         F.md5(
@@ -142,15 +166,36 @@ SPLIT_TRAIN_HEX = "fae1"
 SPLIT_VAL_HEX = "fd70"
 
 
+def split_expr(doc_id_col="doc_id") -> F.Column:
+    """The canonical train/val/test assignment as a Spark Column — the
+    ONE definition of the split rule (evaluation.eval_split_leakage and
+    dataset_split_assign both use it; change it here and every consumer
+    plus both oracle builders move together). Accepts a column name or a
+    Column."""
+    c = F.col(doc_id_col) if isinstance(doc_id_col, str) else doc_id_col
+    p4 = F.substring(F.md5(c.cast("string")), 1, 4)
+    return (
+        F.when(p4 < SPLIT_TRAIN_HEX, "train")
+        .when(p4 < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+    )
+
+
+def split_case_sql(doc_id_sql: str = "doc_id") -> str:
+    """The same split rule as an ANSI-SQL CASE fragment for the DuckDB
+    oracles — kept next to split_expr so the two can never drift."""
+    return (
+        f"CASE WHEN substr(md5(CAST({doc_id_sql} AS VARCHAR)), 1, 4) < '{SPLIT_TRAIN_HEX}' THEN 'train' "
+        f"WHEN substr(md5(CAST({doc_id_sql} AS VARCHAR)), 1, 4) < '{SPLIT_VAL_HEX}' THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 @register(
     "dataset_split_assign",
     oracle=f"""
     WITH assigned AS (
-      SELECT CASE
-               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_TRAIN_HEX}' THEN 'train'
-               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_VAL_HEX}' THEN 'val'
-               ELSE 'test'
-             END AS split,
+      SELECT {split_case_sql("doc_id")} AS split,
              lang,
              len(string_split(lower(text), ' ')) AS ntok
       FROM documents
@@ -171,14 +216,8 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one columnar projection + one small groupBy (splits x
     langs rows); the split column itself is free at scan time."""
-    p4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    split = (
-        F.when(p4 < SPLIT_TRAIN_HEX, "train")
-        .when(p4 < SPLIT_VAL_HEX, "val")
-        .otherwise("test")
-    )
     docs = t(spark, sf_dir, "documents").select(
-        split.alias("split"),
+        split_expr("doc_id").alias("split"),
         "lang",
         F.size(F.split(F.lower("text"), " ")).alias("ntok"),
     )

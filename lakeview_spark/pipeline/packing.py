@@ -335,8 +335,16 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     p = tk.select(
         "doc_id", "toks", F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("pos")
     )
+    # clamp the slice start: at pos <= CDC_GEAR the raw `pos - gear`
+    # start would be 0 (Spark throws — array indices start at 1) or
+    # negative (slices from the END of the array). The pos > CDC_GEAR
+    # guard below means those rows never *use* the gear value, but only
+    # And short-circuiting kept them from *evaluating* it — the clamp
+    # removes that landmine so the expression is safe standalone.
     gear = F.md5(
-        F.array_join(F.expr(f"slice(toks, pos - {CDC_GEAR}, {CDC_GEAR})"), " ")
+        F.array_join(
+            F.expr(f"slice(toks, greatest(pos - {CDC_GEAR}, 1), {CDC_GEAR})"), " "
+        )
     )
     brk = F.when(
         (F.col("pos") > CDC_GEAR)

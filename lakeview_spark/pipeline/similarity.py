@@ -95,14 +95,15 @@ def _k_for_n(n: int) -> int:
     return max(_K_MIN, min(_K_MAX, n // _CLUSTER_TARGET))
 
 
-# (application id, dataset path, dataset fingerprint) -> centroid seed
-# id tuple; bounded cache keyed like _PLANE_CACHE.
-_K_CACHE: dict[tuple[str, str, str], tuple[int, ...]] = {}
+# (application id, dataset path, dataset fingerprint) -> embeddings row
+# count; bounded cache keyed like _PLANE_CACHE. Every corpus-derived
+# knob (cluster count, recall-probe stride) shares this one count job.
+_N_CACHE: dict[tuple[str, str, str], int] = {}
 
 
-def centroid_ids(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
-    """Seed vec_ids (1..k) for the corpus-sized cluster count; one
-    cached metadata-only count job per (session, dataset)."""
+def corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    """Embeddings corpus size; one cached metadata-only count job per
+    (session, dataset)."""
     from lakeview_spark.operators.materialize import _dataset_fingerprint
 
     key = (
@@ -110,12 +111,16 @@ def centroid_ids(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
         os.path.realpath(sf_dir),
         _dataset_fingerprint(sf_dir),
     )
-    ids = _K_CACHE.get(key)
-    if ids is None:
+    n = _N_CACHE.get(key)
+    if n is None:
         n = t(spark, sf_dir, "embeddings").count()
-        ids = tuple(range(1, _k_for_n(n) + 1))
-        _K_CACHE[key] = ids
-    return ids
+        _N_CACHE[key] = n
+    return n
+
+
+def centroid_ids(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
+    """Seed vec_ids (1..k) for the corpus-sized cluster count."""
+    return tuple(range(1, _k_for_n(corpus_n(spark, sf_dir)) + 1))
 
 
 # Near-dup cosine threshold: 0.5 matches nothing on the synthetic
@@ -404,7 +409,8 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-broken on cluster_id.
 
     The distributed k-means inner loop: centroids broadcast, one narrow
-    map to score, one window partitioned by vec_id (4 rows each) for the
+    map to score, one window partitioned by vec_id (k rows each, k =
+    clamp(n / 128, 4, 4096) — corpus-derived, see _k_for_n) for the
     argmax — no global shuffle beyond the per-vector partition. Cosines
     are left-fold doubles, so the argmax (and its tiebreak) is
     deterministic across engines."""
@@ -811,10 +817,19 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("vec_id", "max_abs", sq_err.alias("sq_err"))
 
 
-# ANN recall audit: every ANN_RECALL_MOD-th vector is a probe query;
-# recall@ANN_RECALL_K of the bucket-restricted search vs exact top-k.
-ANN_RECALL_MOD = 50
+# ANN recall audit: every (n // ANN_RECALL_PROBES)-th vector is a probe
+# query; recall@ANN_RECALL_K of the bucket-restricted search vs exact
+# top-k. The stride is CORPUS-DERIVED (same device as _planes_for_n /
+# _k_for_n) so the probe count stays ~constant as the corpus grows — a
+# fixed stride would make the exact brute-force side O(n²/stride). At
+# the driver scales (n=500) the stride is exactly the historical 50, so
+# results are byte-identical there.
+ANN_RECALL_PROBES = 10
 ANN_RECALL_K = 10
+
+
+def _recall_mod_for_n(n: int) -> int:
+    return max(1, n // ANN_RECALL_PROBES)
 
 _ANN_BUCKETED_SQL = f"""
       SELECT e.vec_id, e.embedding, {_NORM_SQL.format(a="e.embedding")} AS norm,
@@ -832,7 +847,8 @@ _ANN_BUCKETED_SQL = f"""
     bucketed AS ({_ANN_BUCKETED_SQL}),
     q AS (
       SELECT vec_id AS qid, embedding AS qe, norm AS qn, bucket AS qbucket
-      FROM bucketed WHERE vec_id % {ANN_RECALL_MOD} = 0
+      FROM bucketed WHERE vec_id %
+        (SELECT GREATEST(count(*) // {ANN_RECALL_PROBES}, 1) FROM embeddings) = 0
     ),
     ex0 AS (
       SELECT q.qid, b.vec_id AS nid,
@@ -874,7 +890,9 @@ _ANN_BUCKETED_SQL = f"""
 def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality audit: recall@k of the LSH-bucket-restricted search
     against exact brute-force top-k, for a deterministic probe sample
-    (every ANN_RECALL_MOD-th vector) — the number that tells you
+    (every (n // ANN_RECALL_PROBES)-th vector, corpus-derived stride so
+    the sample stays ~ANN_RECALL_PROBES probes at any n) — the number
+    that tells you
     whether the bucket index is losing real neighbors, completing the
     eval suite (the bucket-health queries bound COST; this bounds
     QUALITY). Per probe: candidate count, exact-top-k hits, recall.
@@ -886,7 +904,8 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings use left-fold cosines with vec_id tiebreaks, so both
     top-k sets — and therefore recall — are engine-exact."""
     idx = _lsh_bucketed(spark, sf_dir)
-    q = idx.filter(F.col("vec_id") % ANN_RECALL_MOD == 0).select(
+    mod = _recall_mod_for_n(corpus_n(spark, sf_dir))
+    q = idx.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qn"),

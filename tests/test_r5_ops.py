@@ -142,13 +142,15 @@ def test_multiprobe_dominates_single_bucket_recall(spark):
 
     from lakeview_spark.pipeline.similarity import (
         ANN_RECALL_K,
-        ANN_RECALL_MOD,
         _dot,
         _lsh_bucketed,
+        _recall_mod_for_n,
+        corpus_n,
     )
 
     idx = _lsh_bucketed(spark, SF_DIR)
-    q = idx.filter(F.col("vec_id") % ANN_RECALL_MOD == 0).select(
+    mod = _recall_mod_for_n(corpus_n(spark, SF_DIR))
+    q = idx.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qn"),
