@@ -11,6 +11,7 @@ from lakeview_spark.pipeline import (  # noqa: F401
     packing,
     iterative,
     mixing,
+    labels,
 )
 
 

@@ -832,11 +832,12 @@ def _recall_mod_for_n(n: int) -> int:
     return max(1, n // ANN_RECALL_PROBES)
 
 _ANN_BUCKETED_SQL = f"""
-      SELECT e.vec_id, e.embedding, {_NORM_SQL.format(a="e.embedding")} AS norm,
+      SELECT e.vec_id, e.label, e.embedding,
+             {_NORM_SQL.format(a="e.embedding")} AS norm,
              CAST(sum(CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0
                       THEN (1 << (p.plane_id - 1)) ELSE 0 END) AS BIGINT) AS bucket
       FROM embeddings e, planes p
-      GROUP BY e.vec_id, e.embedding
+      GROUP BY e.vec_id, e.label, e.embedding
 """
 
 

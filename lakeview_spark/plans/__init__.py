@@ -60,6 +60,17 @@ _DRIVER_WINDOW = [
     "events_gapfill_locf",
     "events_session_paths",
     "events_hourly_ohlc",
+    # new late-r5: label-aware embedding eval + banded range join
+    # (swapped in for the r04-green sentinels multimodal_decode_wav,
+    # multimodal_resize_bmp, region_segment_profile,
+    # events_rollup_cascade — each keeps its r04 row and a same-layer
+    # kin stays in-window: patch_stats/audio_energy for the codecs,
+    # shipping_priority/top_revenue_supplier for the star joins,
+    # funnel_conversion for the events cascade)
+    "embedding_label_purity",
+    "embedding_knn_label_accuracy",
+    "contrastive_pair_sample",
+    "events_error_proximity",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -73,7 +84,6 @@ _DRIVER_WINDOW = [
     "partition_size_distribution",
     "top_partitions",
     "shipping_priority",
-    "region_segment_profile",
     "sample_temperature",
     "dedup_semdedup",
     "events_funnel_conversion",
@@ -87,9 +97,6 @@ _DRIVER_WINDOW = [
     "stream_embedding_neardup",
     "pack_training_sequences",
     "pack_sequence_stats",
-    "multimodal_resize_bmp",
-    "multimodal_decode_wav",
-    "events_rollup_cascade",
     "text_boilerplate_lines",
 ]
 

@@ -1199,3 +1199,89 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("double").alias("low"),
         last.getField("v").cast("double").alias("close"),
     )
+
+
+# proximity window for the banded range join: ±4 hours in microseconds
+# (wide enough for real per-user co-occurrence signal on the synthetic
+# event spacing; the band width below equals it so every match lies in
+# the error's own bucket or an adjacent one)
+_PROX_US = 14_400_000_000
+
+
+@register(
+    "events_error_proximity",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_nearby,
+           CAST(coalesce(sum(b.v), 0) AS DOUBLE) AS nearby_value
+    FROM e a LEFT JOIN e b
+      ON a.user_id = b.user_id AND b.event_type IN ('click', 'view')
+      AND abs(b.us - a.us) <= {_PROX_US}
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+)
+def events_error_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded time-range join (the interval-join shape Spark lacks as a
+    primitive): for every error event, how many click/view events the
+    same user produced within ±4 hours, and their summed value — the
+    "what was the user doing around the failure" query, and the
+    template for any |t_a - t_b| <= W range join at scale.
+
+    Scale shape: a naive range join is a per-user cross product; the
+    banded form buckets time into W-width bands and joins on
+    (user_id, band) with the error side exploded into its 3 candidate
+    bands (a match within ±W always lies in the same or an adjacent
+    band, and each candidate event lives in exactly ONE band, so no
+    dedup pass is needed). The join is a bounded equi shuffle — never
+    a nested-loop — and the residual |dt| filter runs columnar on the
+    joined rows. Zero-match errors are restored by a left join against
+    the error set (AQE broadcasts the per-error aggregate when small).
+    Value sums ride DECIMAL(18,2) and cast to double at the edge
+    (CLAUDE.md float rules)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        events_ts_us(ev).alias("us"),
+        "event_type",
+        _dec("value").alias("v"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("us").alias("err_us")
+    )
+    band = F.expr(f"err_us div {_PROX_US}")
+    probed = errors.select(
+        "err_id",
+        "user_id",
+        "err_us",
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    cand = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("us").alias("cand_us"),
+        "v",
+        F.expr(f"us div {_PROX_US}").alias("band"),
+    )
+    hits = probed.join(cand, ["user_id", "band"]).filter(
+        F.abs(F.col("cand_us") - F.col("err_us")) <= _PROX_US
+    )
+    agg = hits.groupBy("err_id").agg(
+        F.count("*").alias("n_nearby"), F.sum("v").alias("sum_v")
+    )
+    return (
+        errors.select("err_id")
+        .join(agg, "err_id", "left")
+        .select(
+            F.col("err_id").alias("event_id"),
+            F.coalesce(F.col("n_nearby"), F.lit(0)).cast("bigint").alias("n_nearby"),
+            F.coalesce(F.col("sum_v").cast("double"), F.lit(0.0)).alias(
+                "nearby_value"
+            ),
+        )
+    )

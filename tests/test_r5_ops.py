@@ -239,3 +239,101 @@ def test_cdc_chunks_are_edit_stable(spark):
     # the preamble only perturbs chunks up to the first content-defined
     # boundary; everything after re-synchronizes
     assert total > 0 and preserved / total >= 0.5, (preserved, total)
+
+
+def test_label_purity_invariants(spark):
+    """Purity is majority_n / n_vectors, clusters partition the corpus,
+    and the majority label really is a modal label of its cluster."""
+    pur = QUERIES["embedding_label_purity"](spark, SF_DIR)
+    rows = pur.collect()
+    n_emb = t(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_emb
+    for r in rows:
+        assert 1 <= r.majority_n <= r.n_vectors
+        assert abs(r.purity - r.majority_n / r.n_vectors) < 1e-12
+    # cross-check one cluster's majority against a direct count
+    assign = QUERIES["embedding_centroid_assign"](spark, SF_DIR)
+    c0 = rows[0].cluster_id
+    direct = (
+        assign.filter(F.col("cluster_id") == c0)
+        .groupBy("label")
+        .count()
+        .orderBy(F.desc("count"), "label")
+        .first()
+    )
+    assert direct.label == rows[0].majority_label
+    assert direct["count"] == rows[0].majority_n
+
+
+def test_knn_label_accuracy_bounds(spark):
+    """Scored set is the vectors with at least one same-bucket
+    neighbor; per-class counts partition it; accuracy is exact."""
+    from lakeview_spark.pipeline.similarity import _lsh_bucketed
+
+    acc = QUERIES["embedding_knn_label_accuracy"](spark, SF_DIR).collect()
+    idx = _lsh_bucketed(spark, SF_DIR)
+    sizes = idx.groupBy("bucket").count()
+    n_scored_expected = (
+        idx.join(sizes, "bucket").filter(F.col("count") >= 2).count()
+    )
+    assert sum(r.n_scored for r in acc) == n_scored_expected
+    for r in acc:
+        assert 0 <= r.n_correct <= r.n_scored
+        assert abs(r.accuracy - r.n_correct / r.n_scored) < 1e-12
+
+
+def test_contrastive_pairs_cover_buckets(spark):
+    """Each hash bucket of size s contributes exactly s-1 consecutive
+    pairs; pair_type agrees with the labels; no self pairs."""
+    from lakeview_spark.pipeline.labels import PAIR_BUCKET_ROWS
+    from lakeview_spark.pipeline.similarity import corpus_n
+
+    pairs = QUERIES["contrastive_pair_sample"](spark, SF_DIR)
+    n = corpus_n(spark, SF_DIR)
+    nb = max(1, n // PAIR_BUCKET_ROWS)
+    bucket_sizes = (
+        t(spark, SF_DIR, "embeddings")
+        .select((F.col("vec_id") % nb).alias("bkt"))
+        .groupBy("bkt")
+        .count()
+        .collect()
+    )
+    expected = sum(r["count"] - 1 for r in bucket_sizes)
+    assert pairs.count() == expected
+    assert pairs.filter(F.col("anchor_id") == F.col("partner_id")).count() == 0
+    mislabeled = pairs.filter(
+        (
+            (F.col("anchor_label") == F.col("partner_label"))
+            & (F.col("pair_type") != "positive")
+        )
+        | (
+            (F.col("anchor_label") != F.col("partner_label"))
+            & (F.col("pair_type") != "negative")
+        )
+    )
+    assert mislabeled.count() == 0
+
+
+def test_error_proximity_matches_bruteforce(spark):
+    """The banded (user, band) equi join finds exactly the pairs a
+    naive |dt| <= W range predicate finds — the band explosion loses
+    nothing at the band boundaries (the claim that makes the banded
+    form a valid range join)."""
+    from lakeview_spark.plans.registry import events_ts_us
+    from lakeview_spark.plans.tpch_extra import _PROX_US
+
+    out = {r.event_id: r.n_nearby for r in QUERIES["events_error_proximity"](spark, SF_DIR).collect()}
+    ev = t(spark, SF_DIR, "events")
+    e = ev.select(
+        "event_id", "user_id", events_ts_us(ev).alias("us"), "event_type"
+    ).toPandas()
+    errors = e[e.event_type == "error"]
+    cands = e[e.event_type.isin(["click", "view"])]
+    import pandas as pd  # noqa: F401
+
+    merged = errors.merge(cands, on="user_id", suffixes=("_a", "_b"))
+    merged = merged[(merged.us_b - merged.us_a).abs() <= _PROX_US]
+    brute = merged.groupby("event_id_a").size().to_dict()
+    assert len(out) == len(errors)
+    for eid, n in out.items():
+        assert n == brute.get(eid, 0), eid
