@@ -71,9 +71,10 @@ def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
+# the recursive-CTE fixpoint (LSH candidate pairs -> transitive closure
+# -> min reachable label), shared by every cluster-consuming oracle —
+# ONE definition so the four oracles can never drift from each other
+_CLUSTERS_CTE = """
     WITH RECURSIVE pairs AS (
       -- inline: the dedup_minhash_lsh_pairs oracle
       WITH s AS (
@@ -101,10 +102,17 @@ def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2")
       SELECT a, b FROM edges
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
     )
-    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-    FROM reach GROUP BY src
-    """,
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"{_CLUSTERS_CTE} SELECT doc_id, cluster_id FROM clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup groups: connected components of the LSH candidate
@@ -127,38 +135,8 @@ def _clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_apply",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      WITH s AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-      ),
-      e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
-      sig AS (
-        SELECT doc_id, b.band,
-               min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
-        FROM e, (SELECT unnest(range(1, 9)) AS band) b
-        GROUP BY doc_id, b.band
-      )
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM sig a JOIN sig b
-        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT doc1 AS a, doc2 AS b FROM pairs
-      UNION SELECT doc2, doc1 FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    ),
-    clusters AS (
-      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src
-    )
+    oracle=f"""
+    {_CLUSTERS_CTE}
     SELECT d.doc_id, d.lang, d.source
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
@@ -175,6 +153,60 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     docs = t(spark, sf_dir, "documents")
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_apply_quality",
+    oracle=f"""
+    {_CLUSTERS_CTE},
+    sized AS (
+      SELECT c.doc_id, c.cluster_id, len(string_split(d.text, ' ')) AS n_tok
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tok DESC, doc_id) AS rn
+        FROM sized
+      ) WHERE rn > 1
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_apply_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup apply: per near-dup cluster keep the LONGEST
+    member (token count desc, doc_id tiebreak) instead of dedup_apply's
+    min-doc_id canonical — the policy real corpora want (near-dups are
+    usually truncations/excerpts of one another, so min-id keeps an
+    arbitrary version while longest keeps the most complete). The
+    keep-policy is the only delta vs dedup_apply: same cluster table,
+    same anti-join output shape, so the two results diff cleanly.
+
+    Scale shape: the cluster member table is tiny relative to the
+    corpus (near-dup members only) — its join to the token counts and
+    the per-cluster argmax window (partition size = cluster size) cost
+    nothing next to the LSH pass; the final anti join shuffles only
+    doc_ids, never text."""
+    from pyspark.sql import Window
+
+    members = dedup_clusters(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    sized = members.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), "doc_id")
+    losers = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(
@@ -198,38 +230,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_stats",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      WITH s AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-      ),
-      e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
-      sig AS (
-        SELECT doc_id, b.band,
-               min(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS minhash
-        FROM e, (SELECT unnest(range(1, 9)) AS band) b
-        GROUP BY doc_id, b.band
-      )
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM sig a JOIN sig b
-        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT doc1 AS a, doc2 AS b FROM pairs
-      UNION SELECT doc2, doc1 FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    ),
-    clusters AS (
-      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src
-    ),
+    oracle=f"""
+    {_CLUSTERS_CTE},
     sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
     SELECT cluster_size, count(*) AS n_clusters,
            CAST(cluster_size * count(*) AS BIGINT) AS docs_covered

@@ -71,6 +71,10 @@ _DRIVER_WINDOW = [
     "embedding_knn_label_accuracy",
     "contrastive_pair_sample",
     "events_error_proximity",
+    # quality-aware keep policy over the cluster table (displaced the
+    # r04-green sample_temperature; sampling layer still covered
+    # in-window by dataset_split_assign)
+    "dedup_apply_quality",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -84,7 +88,6 @@ _DRIVER_WINDOW = [
     "partition_size_distribution",
     "top_partitions",
     "shipping_priority",
-    "sample_temperature",
     "dedup_semdedup",
     "events_funnel_conversion",
     "multimodal_patch_stats",

@@ -337,3 +337,25 @@ def test_error_proximity_matches_bruteforce(spark):
     assert len(out) == len(errors)
     for eid, n in out.items():
         assert n == brute.get(eid, 0), eid
+
+
+def test_quality_apply_keeps_longest_per_cluster(spark):
+    """dedup_apply_quality: same survivor COUNT as dedup_apply (one doc
+    per cluster either way), and every cluster's survivor is at least
+    as long as every member it displaced."""
+    apply_min = QUERIES["dedup_apply"](spark, SF_DIR)
+    apply_q = QUERIES["dedup_apply_quality"](spark, SF_DIR)
+    assert apply_q.count() == apply_min.count()
+    members = QUERIES["dedup_clusters"](spark, SF_DIR)
+    lens = t(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    sized = members.join(lens, "doc_id")
+    kept = apply_q.select("doc_id").join(sized, "doc_id").select(
+        "cluster_id", F.col("n_tok").alias("kept_tok")
+    )
+    worst = sized.groupBy("cluster_id").agg(F.max("n_tok").alias("max_tok"))
+    bad = kept.join(worst, "cluster_id").filter(
+        F.col("kept_tok") != F.col("max_tok")
+    )
+    assert bad.count() == 0
