@@ -953,3 +953,85 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# neighbors returned per retrieval probe
+RETRIEVAL_K = 3
+
+
+@register(
+    "retrieval_semantic_docs",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bucketed AS ({_ANN_BUCKETED_SQL}),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qe, norm AS qn, bucket AS qbucket
+      FROM bucketed WHERE vec_id %
+        (SELECT GREATEST(count(*) // {ANN_RECALL_PROBES}, 1) FROM embeddings) = 0
+    ),
+    cand AS (
+      SELECT q.qid, b.vec_id AS nid,
+             {_DOT_SQL.format(a="b.embedding", b="q.qe")} / (b.norm * q.qn) AS cosine
+      FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, nid, cosine, rn FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rn
+        FROM cand
+      ) WHERE rn <= {RETRIEVAL_K}
+    )
+    SELECT t.qid AS probe_id, t.nid AS neighbor_doc_id,
+           CAST(t.rn AS INT) AS rank, t.cosine, d.lang, d.source
+    FROM topk t JOIN documents d ON t.nid = d.doc_id
+    """,
+)
+def retrieval_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic retrieval: for each probe vector (the same
+    corpus-derived stride as eval_ann_recall), the top-RETRIEVAL_K
+    same-bucket neighbors joined BACK to the documents table for their
+    metadata — the compose-the-pieces query a RAG/retrieval user runs
+    (vec_id v is the embedding of doc_id v; the ANN layer finds ids,
+    this query returns documents). Ranks carry the engine-exact cosine
+    total order (cosine desc, neighbor id).
+
+    Scale shape: probes and candidates ride the bucketed LSH index
+    (bounded bucket occupancy, zero-exchange self-join past broadcast);
+    the result set is RETRIEVAL_K x probes rows — tiny — so Spark
+    broadcasts it into the documents join rather than shuffling the
+    corpus."""
+    idx = _lsh_bucketed(spark, sf_dir)
+    mod = _recall_mod_for_n(corpus_n(spark, sf_dir))
+    q = idx.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        idx.join(F.broadcast(q), idx.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (_dot("embedding", "qe") / (F.col("norm") * F.col("qn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    topk = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= RETRIEVAL_K
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return F.broadcast(
+        topk.select(
+            F.col("qid").alias("probe_id"),
+            F.col("nid").alias("neighbor_doc_id"),
+            F.col("rn").cast("int").alias("rank"),
+            "cosine",
+        )
+    ).join(docs, F.col("neighbor_doc_id") == F.col("doc_id")).drop("doc_id")

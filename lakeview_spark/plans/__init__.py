@@ -75,6 +75,10 @@ _DRIVER_WINDOW = [
     # r04-green sample_temperature; sampling layer still covered
     # in-window by dataset_split_assign)
     "dedup_apply_quality",
+    # retrieval composition (displaced the r04-green dedup_semdedup;
+    # its cluster-restriction layer is re-proved in-window by
+    # embedding_label_purity riding the same centroid assignment)
+    "retrieval_semantic_docs",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -88,7 +92,6 @@ _DRIVER_WINDOW = [
     "partition_size_distribution",
     "top_partitions",
     "shipping_priority",
-    "dedup_semdedup",
     "events_funnel_conversion",
     "multimodal_patch_stats",
     "top_revenue_supplier",

@@ -359,3 +359,42 @@ def test_quality_apply_keeps_longest_per_cluster(spark):
         F.col("kept_tok") != F.col("max_tok")
     )
     assert bad.count() == 0
+
+
+def test_retrieval_ranks_are_contiguous_and_bucket_restricted(spark):
+    """retrieval_semantic_docs: per probe, ranks run 1..min(K, bucket
+    peers); every neighbor shares the probe's LSH bucket; neighbor
+    metadata matches the documents table."""
+    from lakeview_spark.pipeline.similarity import RETRIEVAL_K, _lsh_bucketed
+
+    out = QUERIES["retrieval_semantic_docs"](spark, SF_DIR)
+    per_probe = out.groupBy("probe_id").agg(
+        F.count("*").alias("k"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+    )
+    bad = per_probe.filter(
+        (F.col("rmin") != 1)
+        | (F.col("rmax") != F.col("k"))
+        | (F.col("k") > RETRIEVAL_K)
+    )
+    assert bad.count() == 0
+    idx = _lsh_bucketed(spark, SF_DIR).select("vec_id", "bucket")
+    j = (
+        out.join(idx.withColumnRenamed("vec_id", "probe_id"), "probe_id")
+        .withColumnRenamed("bucket", "probe_bucket")
+        .join(
+            idx.withColumnRenamed("vec_id", "neighbor_doc_id"),
+            "neighbor_doc_id",
+        )
+    )
+    assert j.filter(F.col("bucket") != F.col("probe_bucket")).count() == 0
+    docs = t(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("neighbor_doc_id"),
+        F.col("lang").alias("d_lang"),
+        F.col("source").alias("d_source"),
+    )
+    mism = out.join(docs, "neighbor_doc_id").filter(
+        (F.col("lang") != F.col("d_lang")) | (F.col("source") != F.col("d_source"))
+    )
+    assert mism.count() == 0
