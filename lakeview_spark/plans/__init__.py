@@ -79,6 +79,11 @@ _DRIVER_WINDOW = [
     # its cluster-restriction layer is re-proved in-window by
     # embedding_label_purity riding the same centroid assignment)
     "retrieval_semantic_docs",
+    # the banded range join under Structured Streaming (displaced the
+    # r04-green stream_quality_filter; its stateless-predicate layer
+    # stays covered in-window by text_boilerplate_lines and the other
+    # four stream twins)
+    "stream_error_proximity",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -99,7 +104,6 @@ _DRIVER_WINDOW = [
     "stream_event_sessions",
     "stream_doc_dedup",
     "stream_token_stats",
-    "stream_quality_filter",
     "stream_embedding_neardup",
     "pack_training_sequences",
     "pack_sequence_stats",

@@ -263,3 +263,72 @@ def stream_embedding_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         stream, indexed, planes, threshold=_NEAR_DUP_COSINE
     ).filter(F.col("delta_vec") != F.col("index_vec"))
     return _run_available_now(pairs, "append")
+
+
+def _proximity_oracle() -> str:
+    from lakeview_spark.plans.tpch_extra import _PROX_US
+
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_nearby,
+           CAST(coalesce(sum(b.v), 0) AS DOUBLE) AS nearby_value
+    FROM e a LEFT JOIN e b
+      ON a.user_id = b.user_id AND b.event_type IN ('click', 'view')
+      AND abs(b.us - a.us) <= {_PROX_US}
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """
+
+
+@register("stream_error_proximity", oracle=_proximity_oracle())
+def stream_error_proximity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded range join under Structured Streaming: errors arrive
+    as a stream and are banded-joined (stream-static, stateless) against
+    the static click/view candidates; the emitted pair stream is then
+    aggregated in batch to the same per-error shape — and the SAME
+    oracle — as the batch `events_error_proximity`. Zero-match errors
+    are restored with a batch left join, exactly like the batch twin.
+    Proves the range-join template survives the ingestion path, not
+    just the backfill."""
+    from lakeview_spark.plans.tpch_extra import _PROX_US
+
+    batch = t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    err_stream = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        events_ts_us(stream).alias("err_us"),
+    )
+    cand = (
+        batch.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            events_ts_us(batch).alias("cand_us"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .withColumn("band", F.expr(f"cand_us div {_PROX_US}"))
+    )
+    from lakeview_spark.streaming.pipeline_stream import stream_error_proximity
+
+    pairs = stream_error_proximity(err_stream, cand, _PROX_US)
+    sink = _run_available_now(pairs, "append")
+    agg = sink.groupBy("err_id").agg(
+        F.count("*").alias("n_nearby"), F.sum("v").alias("sum_v")
+    )
+    errors = batch.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id")
+    )
+    return errors.join(agg, "err_id", "left").select(
+        F.col("err_id").alias("event_id"),
+        F.coalesce(F.col("n_nearby"), F.lit(0)).cast("bigint").alias("n_nearby"),
+        F.coalesce(F.col("sum_v").cast("double"), F.lit(0.0)).alias("nearby_value"),
+    )

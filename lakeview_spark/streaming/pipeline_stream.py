@@ -260,3 +260,35 @@ def stream_boilerplate_filter(
         sink(boilerplate_screen(batch, boilerplate_lines, max_ratio), batch_id)
 
     return stream.writeStream.foreachBatch(_process)
+
+
+def stream_error_proximity(
+    error_stream: DataFrame,
+    candidates: DataFrame,
+    width_us: int,
+) -> DataFrame:
+    """Banded time-range join, streaming form: arriving error events
+    (columns err_id, user_id, err_us) are matched against a STATIC
+    candidate table (user_id, cand_us, v, band) within |dt| <= width_us.
+
+    Same banding device as the batch `events_error_proximity`
+    (plans/tpch_extra.py): the stream side explodes each error into its
+    3 candidate band ids — a narrow per-row op, fine on a stream — and
+    the stream-static join is then a pure equi join on (user_id, band),
+    which Structured Streaming supports stateless (no watermark needed:
+    the static side never changes mid-query and each match emits
+    exactly once in append mode). The residual |dt| filter runs
+    columnar on the joined rows. Emits one row per (error, nearby
+    candidate) pair; aggregation to per-error counts happens downstream
+    (a streaming groupBy would need watermark state — pair emission
+    keeps the operator stateless and the state size ZERO)."""
+    band = F.expr(f"err_us div {width_us}")
+    probed = error_stream.select(
+        "err_id",
+        "user_id",
+        "err_us",
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    return probed.join(candidates, ["user_id", "band"]).filter(
+        F.abs(F.col("cand_us") - F.col("err_us")) <= width_us
+    )

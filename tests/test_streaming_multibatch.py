@@ -232,3 +232,50 @@ def test_windowed_token_stats_accumulate_across_micro_batches(spark, tmp_path):
     )
     key = lambda r: (r.lang, r.window_start, r.docs, r.tokens)  # noqa: E731
     assert sorted(map(key, final.collect())) == sorted(map(key, expected.collect()))
+
+
+def test_error_proximity_pairs_across_micro_batches(spark, tmp_path):
+    """stream_error_proximity is stateless stream-static, so the pair
+    set must be EXACTLY the batch banded join's regardless of how the
+    error stream is chopped into micro-batches — verified with the
+    errors split across 4 time-ordered files, one per trigger."""
+    from lakeview_spark.plans.tpch_extra import _PROX_US
+    from lakeview_spark.streaming.pipeline_stream import stream_error_proximity
+
+    batch = t(spark, SF_DIR, "events")
+    errors = batch.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        events_ts_us(batch).alias("err_us"),
+    )
+    dest = str(tmp_path / "errors_split")
+    _write_time_ordered_files(spark, errors, "err_us", 4, dest)
+    stream = (
+        spark.readStream.schema(errors.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dest)
+    )
+    cand = (
+        batch.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            events_ts_us(batch).alias("cand_us"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .withColumn("band", F.expr(f"cand_us div {_PROX_US}"))
+    )
+    pairs = stream_error_proximity(stream, cand, _PROX_US)
+    sink, q = _run_stream(pairs, "append")
+    assert _data_batches(q) >= 3
+    got = {
+        (r.err_id, r.cand_us)
+        for r in sink.select("err_id", "cand_us").collect()
+    }
+    exp_pairs = (
+        errors.join(cand.drop("band"), "user_id")
+        .filter(F.abs(F.col("cand_us") - F.col("err_us")) <= _PROX_US)
+        .select("err_id", "cand_us")
+        .collect()
+    )
+    expected = {(r.err_id, r.cand_us) for r in exp_pairs}
+    assert got == expected and expected
