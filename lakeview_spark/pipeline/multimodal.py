@@ -661,3 +661,100 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_ENERGY_SCHEMA)
+
+
+# perceptual average-hash: 32 evenly spaced pixel-buffer samples,
+# bit i set iff sample_i strictly exceeds the sample mean (compared as
+# val*32 > sum — pure integer math, no division, engine-exact)
+_PHASH_SAMPLES = 32
+
+_PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+@register(
+    "multimodal_phash_twins",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             (octet_length(encode(text)) % {_BMP_W_MOD}) + 1 AS w,
+             ((octet_length(encode(text)) // {_BMP_W_MOD}) % {_BMP_H_MOD}) + 1 AS h
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, text, n, ((w * 3 + 3) // 4 * 4) * h AS npix FROM m
+    ),
+    s AS (
+      SELECT doc_id, text, n, i, (i * npix) // {_PHASH_SAMPLES} AS pos
+      FROM d, unnest(range(0, {_PHASH_SAMPLES})) AS u(i)
+    ),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN pos < n
+                  THEN ascii(substr(text, CAST(pos + 1 AS INT), 1))
+                  ELSE 0 END AS val
+      FROM s
+    ),
+    tot AS (
+      SELECT doc_id, i, val,
+             sum(val) OVER (PARTITION BY doc_id) AS total
+      FROM v
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN val * {_PHASH_SAMPLES} > total
+                      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+      FROM tot GROUP BY doc_id
+    )
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) - 1 AS BIGINT) AS n_twins
+    FROM ph
+    """,
+)
+def multimodal_phash_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: an average-hash (aHash) per synthesized
+    BMP — 32 evenly spaced samples of the REAL decoded pixel buffer,
+    bit set where the sample exceeds the mean — and, per document, how
+    many OTHER documents share its hash. Identical phash == perceptually
+    identical image; this is the image-side analogue of text SimHash,
+    and the twin counts are the dedup work list. The codec chain is
+    real (synthesize_bmp -> struct-parse header -> pixel array inside
+    the Arrow kernel); the oracle replays the closed-form layout math
+    (pixel buffer = text bytes zero-padded to stride x h — the current
+    testdata is pure ASCII, so character indexing equals byte indexing;
+    were that to drift, this oracle hash-fails loudly).
+
+    Scale shape: one narrow mapInPandas (payloads never shuffle), then
+    ONE shuffle of the 16-byte (doc_id, phash) pairs for the twin-count
+    window — partition sizes bounded by the hash's collision count."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = synthesize_bmp(bytes(payload))
+                # real decode: header -> pixel offset -> pixel buffer
+                _, _, _, _, pixel_offset = struct.unpack_from("<2sIHHI", raw, 0)
+                pix = raw[pixel_offset:]
+                npix = len(pix)
+                vals = [
+                    pix[(i * npix) // _PHASH_SAMPLES]
+                    for i in range(_PHASH_SAMPLES)
+                ]
+                total = sum(vals)
+                phash = 0
+                for i, val in enumerate(vals):
+                    if val * _PHASH_SAMPLES > total:
+                        phash |= 1 << i
+                rows.append((int(doc_id), phash))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = docs.mapInPandas(run, schema=_PHASH_SCHEMA)
+    twins = (F.count("*").over(Window.partitionBy("phash")) - 1).cast("bigint")
+    return hashed.select("doc_id", "phash", twins.alias("n_twins"))

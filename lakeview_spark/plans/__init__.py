@@ -84,6 +84,10 @@ _DRIVER_WINDOW = [
     # stays covered in-window by text_boilerplate_lines and the other
     # four stream twins)
     "stream_error_proximity",
+    # perceptual image dedup (displaced the r04-green
+    # multimodal_patch_stats; the image mapInPandas codec chain is
+    # re-proved by this very op, audio by multimodal_audio_energy)
+    "multimodal_phash_twins",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -98,7 +102,6 @@ _DRIVER_WINDOW = [
     "top_partitions",
     "shipping_priority",
     "events_funnel_conversion",
-    "multimodal_patch_stats",
     "top_revenue_supplier",
     "multimodal_audio_energy",
     "stream_event_sessions",

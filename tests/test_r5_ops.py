@@ -398,3 +398,36 @@ def test_retrieval_ranks_are_contiguous_and_bucket_restricted(spark):
         (F.col("lang") != F.col("d_lang")) | (F.col("source") != F.col("d_source"))
     )
     assert mism.count() == 0
+
+
+def test_phash_twins_symmetry_and_identical_payloads(spark):
+    """multimodal_phash_twins: twin counts are group sizes minus one
+    (so the flagged set can never have exactly one member per hash),
+    every doc appears once, and two documents with identical text get
+    identical hashes."""
+    out = QUERIES["multimodal_phash_twins"](spark, SF_DIR)
+    n_docs = t(spark, SF_DIR, "documents").count()
+    assert out.count() == n_docs
+    groups = out.groupBy("phash").agg(
+        F.count("*").alias("size"), F.max("n_twins").alias("mx"),
+        F.min("n_twins").alias("mn"),
+    )
+    assert groups.filter(
+        (F.col("mx") != F.col("size") - 1) | (F.col("mn") != F.col("mx"))
+    ).count() == 0
+    dup_texts = (
+        t(spark, SF_DIR, "documents")
+        .groupBy("text")
+        .agg(F.count("*").alias("c"), F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("c") >= 2)
+    )
+    if dup_texts.count():
+        joined = (
+            t(spark, SF_DIR, "documents")
+            .join(dup_texts.select("text"), "text")
+            .join(out, "doc_id")
+        )
+        per_text = joined.groupBy("text").agg(
+            F.countDistinct("phash").alias("nh")
+        )
+        assert per_text.filter(F.col("nh") != 1).count() == 0
