@@ -451,3 +451,70 @@ def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("distinct_tokens"),
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("simpson_num"),
     )
+
+
+# vocabulary sizes at which to report corpus coverage
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+@register(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn FROM cnt
+    )
+    SELECT ks.k,
+           CAST(sum(CASE WHEN rn <= ks.k THEN c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           tot.total_tokens,
+           CAST(sum(CASE WHEN rn <= ks.k THEN c ELSE 0 END) AS DOUBLE)
+             / tot.total_tokens AS coverage
+    FROM ranked, tot,
+         (SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS k) ks
+    GROUP BY ks.k, tot.total_tokens
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES
+    the top-k most frequent types cover, at k = 100 / 1k / 10k — the
+    first number a tokenizer design needs (how big must the vocab be
+    before <unk> is rare) and the Zipf-shape telemetry that catches a
+    corpus drifting toward boilerplate (coverage at small k spikes).
+    Ties rank deterministically on (count desc, token asc) in both
+    engines.
+
+    Scale shape: one partial-aggregable (token) count — the same
+    vocab-sized table corpus_top_tokens builds — then one TakeOrdered
+    per k (per-partition local top-k, single bounded merge; never a
+    global sort or an unpartitioned rank over the vocabulary), each
+    reduced to one scalar and joined against the broadcast total."""
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    parts = []
+    for k in VOCAB_COVERAGE_KS:
+        covered = (
+            cnt.orderBy(F.desc("c"), "token")
+            .limit(k)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("covered_tokens"))
+            .select(F.lit(k).alias("k"), "covered_tokens")
+        )
+        parts.append(covered)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        (F.col("covered_tokens").cast("double") / F.col("total_tokens")).alias(
+            "coverage"
+        ),
+    )

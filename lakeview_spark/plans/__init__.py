@@ -88,6 +88,9 @@ _DRIVER_WINDOW = [
     # multimodal_patch_stats; the image mapInPandas codec chain is
     # re-proved by this very op, audio by multimodal_audio_energy)
     "multimodal_phash_twins",
+    # vocab coverage curve (displaced the r04-green top_revenue_supplier;
+    # the star-join layer keeps shipping_priority in-window)
+    "corpus_vocab_coverage",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -102,7 +105,6 @@ _DRIVER_WINDOW = [
     "top_partitions",
     "shipping_priority",
     "events_funnel_conversion",
-    "top_revenue_supplier",
     "multimodal_audio_energy",
     "stream_event_sessions",
     "stream_doc_dedup",

@@ -130,6 +130,7 @@ _TINY_BROADCAST_OK = {
     "quality_filter_funnel",
     "table_health_summary",
     "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
+    "corpus_vocab_coverage",  # 1-row total-tokens broadcast for the share
     "similarity_tfidf_pairs",  # wraps the same 1-row idf broadcast
     "sample_temperature",  # 1-row normalizer broadcast onto the 5-row rate table
     "eval_lsh_precision_recall",  # 1-row scalar-count broadcasts
