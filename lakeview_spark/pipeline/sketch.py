@@ -73,3 +73,121 @@ def corpus_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - 1).cast("double") * F.lit(HASH_SPACE) / F.max("hv")
         ).alias("est_distinct"),
     ).crossJoin(F.broadcast(exact))
+
+
+# count-min sketch geometry: CMS_DEPTH independent md5-salted hash rows
+# of CMS_WIDTH counters each. Estimate = min over rows of the counter a
+# token hashes into; overestimate-only by construction (collisions can
+# only ADD counts), which the query surfaces as `overestimate >= 0`.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def _cms_bucket_spark(row: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(str(row)), F.lit(":"), F.col("token")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % CMS_WIDTH
+    )
+
+
+def _cms_bucket_sql(row: str, token: str = "token") -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' || {token}), 1, 8))::BIGINT"
+        f" % {CMS_WIDTH})"
+    )
+
+
+@register(
+    "corpus_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    rows AS (SELECT unnest(range(0, {CMS_DEPTH})) AS r),
+    counters AS (
+      SELECT r, {_cms_bucket_sql("r")} AS bucket, count(*) AS cnt
+      FROM tok, rows GROUP BY r, bucket
+    ),
+    exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+    topk AS (
+      SELECT token, exact_cnt FROM (
+        SELECT token, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn
+        FROM exact
+      ) WHERE rn <= {CMS_TOP_K}
+    )
+    SELECT t.token, CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(min(c.cnt) - t.exact_cnt AS BIGINT) AS overestimate
+    FROM topk t JOIN rows ON true
+    JOIN counters c
+      ON c.r = rows.r AND c.bucket = {_cms_bucket_sql("rows.r", "t.token")}
+    GROUP BY t.token, t.exact_cnt
+    """,
+)
+def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit for heavy hitters: build a CMS_DEPTH x
+    CMS_WIDTH counter sketch over the token stream (md5-salted row
+    hashes — deterministic, no seed), then compare its estimate against
+    the exact count for the exact top-CMS_TOP_K tokens. `overestimate`
+    is the CMS's collision error, >= 0 by construction — the telemetry
+    that says whether this sketch geometry is tight enough to replace
+    the exact vocabulary count in per-shard reports (the sketch is
+    ~{CMS_DEPTH}x{CMS_WIDTH} integers of state per shard and merges by
+    element-wise ADD, which exact top-k tables do not).
+
+    Scale shape: the counter build is one partial-aggregable groupBy on
+    (row, bucket) — at most {CMS_DEPTH}x{CMS_WIDTH} groups, so map-side
+    combine collapses the token stream before the shuffle; the exact
+    side is the usual vocab count + TakeOrdered; the probe join
+    broadcasts {CMS_TOP_K} x {CMS_DEPTH} rows against the tiny counter
+    table."""
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    # all CMS_DEPTH row-buckets in ONE pass over the token stream (a
+    # union of per-row projections would re-execute the tokenize/explode
+    # lineage once per row — the recompute class dedup_shared_spans was
+    # fixed for)
+    row_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), _cms_bucket_spark(r).alias("bucket")
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    stream = tok.select(F.explode(row_buckets).alias("rb")).select(
+        F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    counters = stream.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    topk = exact.orderBy(F.desc("exact_cnt"), "token").limit(CMS_TOP_K)
+    probes = []
+    for r in range(CMS_DEPTH):
+        probes.append(
+            topk.select(
+                "token",
+                "exact_cnt",
+                F.lit(r).alias("r"),
+                _cms_bucket_spark(r).alias("bucket"),
+            )
+        )
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionByName(p)
+    est = (
+        F.broadcast(probe)
+        .join(counters, ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).cast("bigint").alias(
+            "overestimate"
+        ),
+    )

@@ -91,6 +91,11 @@ _DRIVER_WINDOW = [
     # vocab coverage curve (displaced the r04-green top_revenue_supplier;
     # the star-join layer keeps shipping_priority in-window)
     "corpus_vocab_coverage",
+    # count-min heavy-hitter audit + pivot reshape (displaced the
+    # r04-green stream_doc_dedup and pack_sequence_stats; streaming
+    # keeps 4 twins in-window, packing keeps pack_training_sequences)
+    "corpus_heavy_hitters_cms",
+    "events_type_hour_pivot",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -107,11 +112,9 @@ _DRIVER_WINDOW = [
     "events_funnel_conversion",
     "multimodal_audio_energy",
     "stream_event_sessions",
-    "stream_doc_dedup",
     "stream_token_stats",
     "stream_embedding_neardup",
     "pack_training_sequences",
-    "pack_sequence_stats",
     "text_boilerplate_lines",
 ]
 

@@ -1285,3 +1285,44 @@ def events_error_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_type_hour_pivot",
+    oracle=f"""
+    WITH e AS (
+      SELECT (epoch_us(ts) // {_HOUR_US}) % 24 AS hour_of_day, event_type
+      FROM events
+    )
+    SELECT hour_of_day,
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT) AS {et}"
+               for et in _EVENT_TYPES
+           )}
+    FROM e GROUP BY hour_of_day
+    """,
+)
+def events_type_hour_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type activity matrix via groupBy().pivot()
+    with an EXPLICIT category list (operators/reshape.pivot_counts):
+    the long->wide reporting reshape, compiled by Spark into one hash
+    aggregate of conditional counts — the same plan the oracle's CASE
+    columns spell out by hand. Missing cells are dense bigint 0, so
+    the wide table joins cleanly downstream.
+
+    Scale shape: one partial-aggregable groupBy on a 24-row key; the
+    explicit category list avoids pivot's extra distinct-discovery job
+    and bounds the width (reshape.py module note)."""
+    from lakeview_spark.operators.reshape import pivot_counts
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        ((events_ts_us(ev) / F.lit(_HOUR_US)).cast("bigint") % 24).alias(
+            "hour_of_day"
+        ),
+        "event_type",
+    )
+    return pivot_counts(e, ["hour_of_day"], "event_type", _EVENT_TYPES)

@@ -431,3 +431,29 @@ def test_phash_twins_symmetry_and_identical_payloads(spark):
             F.countDistinct("phash").alias("nh")
         )
         assert per_text.filter(F.col("nh") != 1).count() == 0
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min estimates are lower-bounded by the exact count (a
+    counter only ever ADDS colliding tokens), and the probe set is the
+    exact top-k."""
+    from lakeview_spark.pipeline.sketch import CMS_TOP_K
+
+    rows = QUERIES["corpus_heavy_hitters_cms"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= CMS_TOP_K
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt
+        assert r.overestimate == r.cms_estimate - r.exact_cnt
+
+
+def test_pivot_matrix_conserves_event_counts(spark):
+    """The pivot's dense cells sum to the event count and every
+    category column is present even when a cell is empty."""
+    from lakeview_spark.plans.tpch_extra import _EVENT_TYPES
+
+    out = QUERIES["events_type_hour_pivot"](spark, SF_DIR)
+    assert set(_EVENT_TYPES) <= set(out.columns)
+    total = out.select(
+        sum(F.sum(c) for c in _EVENT_TYPES).alias("s")
+    ).collect()[0]["s"]
+    assert total == t(spark, SF_DIR, "events").count()
