@@ -489,27 +489,47 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: one partial-aggregable (token) count — the same
-    vocab-sized table corpus_top_tokens builds — then one TakeOrdered
-    per k (per-partition local top-k, single bounded merge; never a
-    global sort or an unpartitioned rank over the vocabulary), each
-    reduced to one scalar and joined against the broadcast total."""
+    vocab-sized table corpus_top_tokens builds — consumed exactly TWICE
+    (the total and ONE TakeOrdered of the largest k; a per-k union
+    would replay the tokenize/count lineage once per k), with the
+    count shuffle shared between the two via exchange reuse. The three
+    coverage scalars are conditional sums over the single max(k)-row
+    ranked set (its rank window orders a constant-bounded 10k rows),
+    exploded to one output row per k against the broadcast total."""
+    from pyspark.sql import Window
+
+    max_k = max(VOCAB_COVERAGE_KS)
     tok = t(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
     cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
     total = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
-    parts = []
-    for k in VOCAB_COVERAGE_KS:
-        covered = (
-            cnt.orderBy(F.desc("c"), "token")
-            .limit(k)
-            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("covered_tokens"))
-            .select(F.lit(k).alias("k"), "covered_tokens")
+    ranked = (
+        cnt.orderBy(F.desc("c"), "token")
+        .limit(max_k)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "token"))
         )
-        parts.append(covered)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    )
+    per_k = ranked.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("rn") <= k, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"covered_{k}")
+            for k in VOCAB_COVERAGE_KS
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"), F.col(f"covered_{k}").alias("covered_tokens")
+            )
+            for k in VOCAB_COVERAGE_KS
+        ]
+    )
+    out = per_k.select(F.explode(rows).alias("kr")).select(
+        F.col("kr.k").alias("k"), F.col("kr.covered_tokens").alias("covered_tokens")
+    )
     return out.crossJoin(F.broadcast(total)).select(
         "k",
         "covered_tokens",

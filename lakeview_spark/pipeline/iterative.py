@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakeview_spark.pipeline.similarity import centroid_ids, _dot, _norm
+from lakeview_spark.pipeline.similarity import centroid_seed_predicate, _dot, _norm
 from lakeview_spark.plans.registry import register, t
 
 _ITERATIONS = 3
@@ -67,10 +67,9 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid matrix between rounds; an empty cluster keeps its previous
     centroid (the standard Lloyd's guard)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    seed_ids = centroid_ids(spark, sf_dir)
     centroids = [
         (int(r.vec_id), [float(v) for v in r.embedding])
-        for r in emb.filter(F.col("vec_id").between(1, len(seed_ids)))
+        for r in emb.filter(centroid_seed_predicate(spark, sf_dir))
         .select("vec_id", "embedding")
         .collect()
     ]

@@ -81,11 +81,16 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
     Scale shape: one count, one doc_id-partitioned window (partition
     size = duplicate multiplicity, usually 1 — NOT a global window; the
     r04 verdict flagged row_number over an unpartitioned Window as a
-    single-task bottleneck), a top-`remainder` selection (TakeOrdered —
-    per-partition local top-K then one bounded single-partition merge of
-    K-row candidates, never a global sort of the source), a left join
-    against that remainder-row key set (AQE broadcasts it when small),
-    and one explode(sequence(0, reps)) fan-out."""
+    single-task bottleneck), then a histogram-bounded exact selection
+    of the `remainder` extra-rep rows: remainder can approach n (it is
+    target mod n), so a plain orderBy().limit(remainder) would funnel
+    O(n) rows through one TakeOrdered merge. Instead the salt-hash rank
+    space is split into 2^16 buckets, a 65536-row histogram (driver
+    metadata, same class as the LSH plane collect) finds the cut
+    bucket, every bucket below it is selected COLUMNAR (a filter, no
+    ordering), and only the cut bucket — ~n/65536 uniformly hashed
+    rows — pays a TakeOrdered for the exact boundary. One broadcast
+    join of that tiny boundary set, one explode(sequence) fan-out."""
     from pyspark.sql import Window
 
     n = df.count()
@@ -122,18 +127,43 @@ def upsample_to(df: DataFrame, target: int, epoch_salt: str = "epoch0") -> DataF
         16,
         10,
     ).cast("bigint")
-    # the `remainder` rows with the smallest salt-hash get one extra rep;
-    # a threshold on the hash value would be approximate, so select the
-    # exact subset with orderBy().limit() — a distributed TakeOrdered —
-    # and mark membership with a join instead of ranking every row
+    # the `remainder` rows with the smallest salt-hash get one extra
+    # rep. Exact selection without ranking (or TakeOrdered-ing) the
+    # whole source: histogram the 32-bit rank into 2^16 buckets, select
+    # whole buckets below the cut columnar, and order only the cut
+    # bucket for the boundary rows.
     if remainder > 0:
-        extra = (
-            src.select("doc_id", "__occ")
-            .orderBy(rank, "doc_id", "__occ")
-            .limit(remainder)
-            .withColumn("__extra", F.lit(1))
+        src = src.withColumn("__rank", rank)
+        bucket = F.expr(f"__rank div {1 << 16}")
+        hist = sorted(
+            (r["b"], r["cnt"])
+            for r in src.groupBy(bucket.alias("b"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
         )
-        marked = src.join(extra, ["doc_id", "__occ"], "left")
+        below, cut = 0, None
+        for b, c in hist:
+            if below + c >= remainder:
+                cut = b
+                break
+            below += c
+        # remainder < n guarantees a cut bucket; 1 <= need <= its size
+        need = remainder - below
+        boundary = (
+            src.filter(bucket == cut)
+            .orderBy("__rank", "doc_id", "__occ")
+            .limit(need)
+            .select("doc_id", "__occ")
+            .withColumn("__bx", F.lit(1))
+        )
+        marked = (
+            src.join(F.broadcast(boundary), ["doc_id", "__occ"], "left")
+            .withColumn(
+                "__extra",
+                F.when((bucket < cut) | (F.col("__bx") == 1), 1),
+            )
+            .drop("__bx", "__rank")
+        )
     else:
         marked = src.withColumn("__extra", F.lit(None).cast("int"))
     reps = F.when(F.col("__extra") == 1, base + 1).otherwise(base)

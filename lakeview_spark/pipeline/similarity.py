@@ -123,6 +123,16 @@ def centroid_ids(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
     return tuple(range(1, _k_for_n(corpus_n(spark, sf_dir)) + 1))
 
 
+def centroid_seed_predicate(spark: SparkSession, sf_dir: str) -> F.Column:
+    """The ONE filter selecting the centroid seed rows — call sites must
+    not re-encode the id scheme (a between(1, k) written inline would
+    silently diverge if the scheme ever changed, e.g. to strided or
+    0-based seeds). Contiguity is this module's implementation detail,
+    so the range form lives only here."""
+    ids = centroid_ids(spark, sf_dir)
+    return F.col("vec_id").between(ids[0], ids[-1])
+
+
 # Near-dup cosine threshold: 0.5 matches nothing on the synthetic
 # embeddings (same-bucket max ≈ 0.49), which made the oracle vacuous;
 # 0.35 keeps ~40 pairs at every SF so the check exercises real arithmetic.
@@ -421,8 +431,7 @@ def _centroid_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    ids = centroid_ids(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id").between(1, len(ids))).select(
+    cent = emb.filter(centroid_seed_predicate(spark, sf_dir)).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce")
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(

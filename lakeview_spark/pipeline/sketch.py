@@ -164,19 +164,17 @@ def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = stream.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
     exact = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
     topk = exact.orderBy(F.desc("exact_cnt"), "token").limit(CMS_TOP_K)
-    probes = []
-    for r in range(CMS_DEPTH):
-        probes.append(
-            topk.select(
-                "token",
-                "exact_cnt",
-                F.lit(r).alias("r"),
-                _cms_bucket_spark(r).alias("bucket"),
-            )
-        )
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionByName(p)
+    # same one-pass device as the counter build: a union of per-row
+    # selects over topk would re-execute the exact-count lineage
+    # (scan -> explode -> groupBy -> TakeOrdered) once per row
+    probe = topk.select(
+        "token", "exact_cnt", F.explode(row_buckets).alias("rb")
+    ).select(
+        "token",
+        "exact_cnt",
+        F.col("rb.r").alias("r"),
+        F.col("rb.bucket").alias("bucket"),
+    )
     est = (
         F.broadcast(probe)
         .join(counters, ["r", "bucket"])

@@ -266,23 +266,11 @@ def stream_embedding_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _proximity_oracle() -> str:
-    from lakeview_spark.plans.tpch_extra import _PROX_US
+    # the twin verifies against the BATCH query's exact oracle — one
+    # shared definition, so the two can never drift
+    from lakeview_spark.plans.tpch_extra import PROXIMITY_ORACLE_SQL
 
-    return f"""
-    WITH e AS (
-      SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
-             CAST(value AS DECIMAL(18,2)) AS v
-      FROM events
-    )
-    SELECT a.event_id,
-           CAST(count(b.event_id) AS BIGINT) AS n_nearby,
-           CAST(coalesce(sum(b.v), 0) AS DOUBLE) AS nearby_value
-    FROM e a LEFT JOIN e b
-      ON a.user_id = b.user_id AND b.event_type IN ('click', 'view')
-      AND abs(b.us - a.us) <= {_PROX_US}
-    WHERE a.event_type = 'error'
-    GROUP BY a.event_id
-    """
+    return PROXIMITY_ORACLE_SQL
 
 
 @register("stream_error_proximity", oracle=_proximity_oracle())
@@ -324,8 +312,12 @@ def stream_error_proximity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sink.groupBy("err_id").agg(
         F.count("*").alias("n_nearby"), F.sum("v").alias("sum_v")
     )
-    errors = batch.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("err_id")
+    # distinct for the same duplicated-event_id reason as the batch
+    # query: the oracle GROUPs BY event_id
+    errors = (
+        batch.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"))
+        .distinct()
     )
     return errors.join(agg, "err_id", "left").select(
         F.col("err_id").alias("event_id"),

@@ -1207,10 +1207,11 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the error's own bucket or an adjacent one)
 _PROX_US = 14_400_000_000
 
-
-@register(
-    "events_error_proximity",
-    oracle=f"""
+# ONE oracle definition shared with the streaming twin
+# (plans/streaming_twins.py) so the batch query and its ingestion-path
+# twin can never verify against different truths — the _CLUSTERS_CTE
+# device (pipeline/clustering.py)
+PROXIMITY_ORACLE_SQL = f"""
     WITH e AS (
       SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
              CAST(value AS DECIMAL(18,2)) AS v
@@ -1224,8 +1225,10 @@ _PROX_US = 14_400_000_000
       AND abs(b.us - a.us) <= {_PROX_US}
     WHERE a.event_type = 'error'
     GROUP BY a.event_id
-    """,
-)
+    """
+
+
+@register("events_error_proximity", oracle=PROXIMITY_ORACLE_SQL)
 def events_error_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded time-range join (the interval-join shape Spark lacks as a
     primitive): for every error event, how many click/view events the
@@ -1274,8 +1277,12 @@ def events_error_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hits.groupBy("err_id").agg(
         F.count("*").alias("n_nearby"), F.sum("v").alias("sum_v")
     )
+    # distinct: the oracle GROUPs BY event_id, so a duplicated error
+    # event_id (synthetic keys are not guaranteed unique — CLAUDE.md)
+    # must still emit ONE merged row, not one per copy
     return (
         errors.select("err_id")
+        .distinct()
         .join(agg, "err_id", "left")
         .select(
             F.col("err_id").alias("event_id"),

@@ -30,6 +30,14 @@ from pyspark.sql.types import StringType, StructField, StructType
 _CORRUPT = "_corrupt_record"
 
 
+def _keeps_corrupt(schema: StructType, keep_corrupt: bool) -> bool:
+    """A caller whose EXPLICIT schema already carries the corrupt column
+    has asked for it — dropping it would hand back a frame that
+    violates their own schema contract — so the drop is skipped either
+    when keep_corrupt is set or when the schema names the column."""
+    return keep_corrupt or any(f.name == _CORRUPT for f in schema.fields)
+
+
 def _with_corrupt(schema: StructType) -> StructType:
     """PERMISSIVE mode only materializes the corrupt column if the read
     schema carries it."""
@@ -54,7 +62,7 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    return df if keep_corrupt else df.drop(_CORRUPT)
+    return df if _keeps_corrupt(schema, keep_corrupt) else df.drop(_CORRUPT)
 
 
 def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
@@ -83,7 +91,7 @@ def read_csv(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .csv(path)
     )
-    return df if keep_corrupt else df.drop(_CORRUPT)
+    return df if _keeps_corrupt(schema, keep_corrupt) else df.drop(_CORRUPT)
 
 
 def write_csv(

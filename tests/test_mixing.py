@@ -78,6 +78,16 @@ def test_upsample_lands_exactly_on_target_and_spreads_reps(spark):
     half = upsample_to(src, n // 2)
     assert half.count() == n // 2
     assert half.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] == 1
+    # remainder near n (target = 2n - 1 -> remainder = n - 1): the
+    # histogram cut sits in the last occupied rank bucket, so nearly
+    # every row is selected columnar and exactly one is excluded
+    big = upsample_to(src, 2 * n - 1)
+    assert big.count() == 2 * n - 1
+    reps = sorted(
+        r["cnt"]
+        for r in big.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    )
+    assert reps == [1] + [2] * (n - 1)
 
 
 def test_upsample_plan_has_no_unpartitioned_window(spark):
