@@ -96,6 +96,16 @@ _DRIVER_WINDOW = [
     # keeps 4 twins in-window, packing keeps pack_training_sequences)
     "corpus_heavy_hitters_cms",
     "events_type_hour_pivot",
+    # TPC-H plan-shape breadth: Q17 decorrelation, Q19 disjunctive
+    # pushdown, Q21 semi/anti chain, Q11 scalar threshold (displaced
+    # the r04-green top_partitions, events_funnel_conversion,
+    # stream_embedding_neardup — its stream-static join layer is
+    # re-proved in-window by stream_error_proximity — and
+    # pack_training_sequences)
+    "small_quantity_revenue",
+    "promo_disjunctive_revenue",
+    "flagged_suppliers",
+    "important_parts",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -107,14 +117,10 @@ _DRIVER_WINDOW = [
     # r04-green sentinels kept in-window (shared-layer re-validation)
     "timeline_completeness",
     "partition_size_distribution",
-    "top_partitions",
     "shipping_priority",
-    "events_funnel_conversion",
     "multimodal_audio_energy",
     "stream_event_sessions",
     "stream_token_stats",
-    "stream_embedding_neardup",
-    "pack_training_sequences",
     "text_boilerplate_lines",
 ]
 

@@ -1333,3 +1333,173 @@ def events_type_hour_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return pivot_counts(e, ["hour_of_day"], "event_type", _EVENT_TYPES)
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS small_lineitems
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < pa.half_avg
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    CORRELATED-subquery classic (l_quantity < half the part's own
+    average), written decorrelated from the start: the per-part average
+    is one groupBy, joined back to the fact instead of re-running a
+    subquery per row. The quantity average is exact in both engines
+    (integral doubles sum without rounding; one correctly-rounded
+    division), so the filter boundary cannot drift.
+
+    Scale shape: one partial-aggregable groupBy on l_partkey, one
+    broadcast of the filtered brand dim, one fact join on l_partkey —
+    no nested-loop re-evaluation anywhere."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("small_lineitems"),
+    )
+
+
+@register(
+    "promo_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS qualifying
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def promo_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of brand/size/quantity conjunctions
+    spanning both join sides — the disjunctive-pushdown stress test.
+    Catalyst extracts the common single-side implications (the brand IN
+    set prunes the part scan, the quantity envelope 1..30 prunes the
+    fact scan) so each side scans a superset cheaply and the exact
+    disjunction evaluates post-join, instead of a full cross read.
+
+    Scale shape: broadcast part dim, one fact pass; the residual OR is
+    columnar."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("qualifying"),
+    )
+
+
+@register(
+    "flagged_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_returnflag = 'R' AND l_quantity >= 50)
+    """,
+)
+def flagged_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 family: the EXISTS / NOT EXISTS composition — suppliers
+    with at least one returned item (left SEMI join) but no max-size
+    (quantity-50) return (left ANTI join) — "returns, but only small
+    ones". Semi/anti are the decorrelated physical
+    forms of EXISTS; neither materializes the match set, both
+    short-circuit per key.
+
+    Scale shape: two fact passes, each pre-filtered columnar and
+    reduced to the supplier-key set; the supplier dim is the small side
+    of both joins."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    big_returns = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 50)
+    ).select("l_suppkey")
+    return (
+        s.join(returned, s.s_suppkey == returned.l_suppkey, "left_semi")
+        .join(big_returns, s.s_suppkey == big_returns.l_suppkey, "left_anti")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "important_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(val) * 0.0007 AS thr FROM pr)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pr, tot WHERE val > thr
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue above a fraction of the GLOBAL
+    total (0.07% — above the ~0.05% uniform share, so the filter has
+    real selectivity) — the scalar-subquery-threshold HAVING. The threshold is one
+    1-row aggregate broadcast against the per-part table; the compare
+    happens in DECIMAL on both sides (exact, no float boundary), and
+    only the surviving rows cast to double at the edge.
+
+    Scale shape: one partial-aggregable groupBy on l_partkey, one
+    scalar broadcast, one columnar filter."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
+    thr = pr.agg((F.sum("val") * F.lit(0.0007)).alias("thr"))
+    return (
+        pr.crossJoin(F.broadcast(thr))
+        .filter(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )

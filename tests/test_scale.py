@@ -131,6 +131,7 @@ _TINY_BROADCAST_OK = {
     "table_health_summary",
     "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
     "corpus_vocab_coverage",  # 1-row total-tokens broadcast for the share
+    "important_parts",  # 1-row global-revenue-threshold broadcast (Q11)
     "similarity_tfidf_pairs",  # wraps the same 1-row idf broadcast
     "sample_temperature",  # 1-row normalizer broadcast onto the 5-row rate table
     "eval_lsh_precision_recall",  # 1-row scalar-count broadcasts
