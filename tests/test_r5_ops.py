@@ -457,3 +457,22 @@ def test_pivot_matrix_conserves_event_counts(spark):
         sum(F.sum(c) for c in _EVENT_TYPES).alias("s")
     ).collect()[0]["s"]
     assert total == t(spark, SF_DIR, "events").count()
+
+
+def test_disjunctive_predicates_push_into_both_scans(spark):
+    """promo_disjunctive_revenue's docstring claims Catalyst extracts
+    the single-side implications of the OR-of-conjunctions into each
+    scan — pin it: the lineitem scan must push a quantity disjunction
+    and the part scan a brand/size disjunction (a regression here means
+    both sides scan everything and the OR evaluates only post-join)."""
+    plan = (
+        QUERIES["promo_disjunctive_revenue"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = next(s for s in scans if "lineitem" in s)
+    p_scan = next(s for s in scans if "part.parquet" in s)
+    assert "PushedFilters" in li_scan and "l_quantity" in li_scan.split("PushedFilters")[1]
+    assert "PushedFilters" in p_scan and "p_brand" in p_scan.split("PushedFilters")[1]
