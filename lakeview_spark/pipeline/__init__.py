@@ -29,7 +29,10 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         minhash_signatures_materialized,
     )
     from lakeview_spark.pipeline.corpus import tfidf_top5_materialized
-    from lakeview_spark.pipeline.similarity import _lsh_bucketed
+    from lakeview_spark.pipeline.similarity import (
+        _lsh_bucketed,
+        similarity_knn_graph,
+    )
 
     builders = [
         _doc_shingles,
@@ -38,6 +41,7 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         simhash32_materialized,
         _lsh_bucketed,
         tfidf_top5_materialized,
+        similarity_knn_graph,
     ]
     if include_clusters:
         from lakeview_spark.pipeline.clustering import clusters_materialized

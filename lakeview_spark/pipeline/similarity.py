@@ -553,10 +553,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 3
 
-
-@register(
-    "similarity_knn_graph",
-    oracle=f"""
+# the kNN graph derivation as ONE shared CTE (ends with a `knn` table:
+# src, dst, cosine, rank) — used by the similarity_knn_graph oracle and
+# every downstream graph-analytics oracle, same no-drift device as
+# clustering._CLUSTERS_CTE
+_KNN_GRAPH_CTE = f"""
     WITH planes AS ({_PLANES_SQL}),
     bits AS (
       SELECT e.vec_id, e.embedding, p.plane_id,
@@ -579,20 +580,34 @@ _KNN_K = 3
       SELECT src, dst, cosine,
              row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
       FROM pairs
+    ),
+    knn AS (
+      SELECT src, dst, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= {_KNN_K}
     )
-    SELECT src, dst, cosine, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {_KNN_K}
-    """,
+"""
+
+
+@register(
+    "similarity_knn_graph",
+    oracle=f"{_KNN_GRAPH_CTE} SELECT src, dst, cosine, rank FROM knn",
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-restricted kNN graph: every vector's top-3 (_KNN_K)
     neighbors within its LSH bucket — the input artifact for
-    graph-based dedup, IVF training, and diversity sampling.
+    graph-based dedup, IVF training, diversity sampling, and the
+    triangle count below. MATERIALIZED once per run (the triangle
+    query's three-way self-join would otherwise re-execute the pair
+    join + ranking window once per side).
 
     The directed pair join is same-bucket only (never all-pairs) with
     precomputed norms; the ranking window partitions per source vector,
     so state is one bucket's candidates. Cosines are left-fold doubles:
     the rank (and its dst tiebreak) is engine-deterministic."""
+    return materialized(spark, "knn_graph", sf_dir, _knn_graph_build)
+
+
+def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = _lsh_bucketed(spark, sf_dir)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
@@ -614,6 +629,63 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+    {_KNN_GRAPH_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (SELECT unnest([x, y, z]) AS vec_id FROM tri)
+    SELECT vec_id, count(*) AS n_triangles FROM nodes GROUP BY vec_id
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the kNN graph — the local
+    clustering signal: a vector in many triangles sits in a tight
+    semantic clique (a near-dup/template cluster candidate), one in
+    none is a hub or an outlier. The standard distributed formulation:
+    normalize edges to ordered (a < b) pairs, then the x<y<z three-way
+    self-join emits each triangle exactly once, and each triangle
+    credits its three corners.
+
+    Scale shape: all three join sides are the MATERIALIZED kNN edge
+    table (parquet scans, the build runs once per run), so the join
+    input is n x k rows with degree bounded by 2k — the three-way join
+    is bounded by sum-of-degree-squared, not all pairs. No lineage
+    recompute: the self-join reads the scratch parquet three times."""
+    edges = similarity_knn_graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("vec_id")
+    )
+    return nodes.groupBy("vec_id").agg(F.count("*").alias("n_triangles"))
 
 
 # a bucket is "hot" when it holds >= _HOT_FACTOR x the expected uniform

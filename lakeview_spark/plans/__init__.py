@@ -106,6 +106,13 @@ _DRIVER_WINDOW = [
     "promo_disjunctive_revenue",
     "flagged_suppliers",
     "important_parts",
+    # kNN-graph triangle counts, plus similarity_knn_graph itself whose
+    # plan changed (now a materialized scratch feeding the triangles) —
+    # displaced the r04-green partition_size_distribution and
+    # timeline_completeness (their layers hold 3 and 5 other green r03/
+    # r04 rows respectively)
+    "graph_triangle_counts",
+    "similarity_knn_graph",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -115,8 +122,6 @@ _DRIVER_WINDOW = [
     "local_supplier_volume",
     "events_anomaly_zscore",
     # r04-green sentinels kept in-window (shared-layer re-validation)
-    "timeline_completeness",
-    "partition_size_distribution",
     "shipping_priority",
     "multimodal_audio_energy",
     "stream_event_sessions",
