@@ -1116,3 +1116,47 @@ def retrieval_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     ).join(docs, F.col("neighbor_doc_id") == F.col("doc_id")).drop("doc_id")
+
+
+@register(
+    "graph_mutual_edges",
+    oracle=f"""
+    {_KNN_GRAPH_CTE}
+    SELECT e.src AS vec_id,
+           count(*) AS out_degree,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS mutual_degree,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS reciprocity
+    FROM knn e
+    LEFT JOIN knn r ON r.src = e.dst AND r.dst = e.src
+    GROUP BY e.src
+    """,
+)
+def graph_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN degree per vector: of a vector's k out-edges, how
+    many are reciprocated (the neighbor also lists it). The mutual-kNN
+    subgraph is the robust near-dup/cluster graph — one-way edges are
+    usually hub attraction, mutual ones genuine affinity — so per-node
+    reciprocity is the triage signal between the full kNN graph and
+    the conservative mutual graph.
+
+    Scale shape: one self-join of the materialized edge parquet on the
+    reversed key (n x k rows both sides, equi join), one groupBy on
+    src. No recompute — both sides scan the scratch."""
+    edges = similarity_knn_graph(spark, sf_dir)
+    e = edges.alias("e")
+    r = edges.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    ).alias("r")
+    j = e.join(
+        r,
+        (F.col("r_src") == F.col("e.dst")) & (F.col("r_dst") == F.col("e.src")),
+        "left",
+    )
+    mutual = F.when(F.col("r_src").isNotNull(), 1).otherwise(0)
+    return j.groupBy(F.col("e.src").alias("vec_id")).agg(
+        F.count("*").alias("out_degree"),
+        F.sum(mutual).cast("bigint").alias("mutual_degree"),
+        (F.sum(mutual).cast("double") / F.count("*")).alias("reciprocity"),
+    )

@@ -113,6 +113,10 @@ _DRIVER_WINDOW = [
     # r04 rows respectively)
     "graph_triangle_counts",
     "similarity_knn_graph",
+    # mutual-kNN reciprocity (displaced the r04-green
+    # stream_token_stats; streaming keeps stream_event_sessions and
+    # stream_error_proximity in-window)
+    "graph_mutual_edges",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
@@ -125,7 +129,6 @@ _DRIVER_WINDOW = [
     "shipping_priority",
     "multimodal_audio_energy",
     "stream_event_sessions",
-    "stream_token_stats",
     "text_boilerplate_lines",
 ]
 

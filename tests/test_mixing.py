@@ -134,3 +134,37 @@ def test_upsample_exact_with_duplicate_doc_ids(spark):
         .collect()
     )
     assert sorted(r.cnt for r in per_row) == [1, 1, 2]
+
+
+def test_upsample_exactness_property(spark):
+    """Property sweep over the histogram-cut selection: random-ish
+    duplicate multiplicities and targets must all land exactly, with
+    per-row rep counts in {base, base+1}."""
+    from hypothesis import given, settings, strategies as st
+
+    from lakeview_spark.pipeline.mixing import upsample_to
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        dup=st.lists(st.integers(min_value=1, max_value=3), min_size=2, max_size=6),
+        mult=st.floats(min_value=0.3, max_value=3.5),
+    )
+    def check(dup, mult):
+        rows = [(i, f"t{i % 3}") for i, m in enumerate(dup) for _ in range(m)]
+        src = spark.createDataFrame(rows, ["doc_id", "text"])
+        n = len(rows)
+        target = max(1, int(n * mult))
+        out = upsample_to(src, target)
+        assert out.count() == target
+        base = target // n
+        # identical source rows collapse under the groupBy, so a group
+        # with multiplicity m must emit between m*base and m*(base+1)
+        got = {
+            (r.doc_id): r.cnt
+            for r in out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        for i, m in enumerate(dup):
+            c = got.get(i, 0)
+            assert m * base <= c <= m * (base + 1), (i, m, c, base)
+
+    check()
