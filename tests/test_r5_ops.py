@@ -476,3 +476,27 @@ def test_disjunctive_predicates_push_into_both_scans(spark):
     p_scan = next(s for s in scans if "part.parquet" in s)
     assert "PushedFilters" in li_scan and "l_quantity" in li_scan.split("PushedFilters")[1]
     assert "PushedFilters" in p_scan and "p_brand" in p_scan.split("PushedFilters")[1]
+
+
+def test_graph_invariants(spark):
+    """Triangles and mutual edges: each triangle credits exactly 3
+    corners (total participation divisible by 3); mutual degree is
+    bounded by out degree; every graph vertex appears in the mutual
+    report with out_degree <= k."""
+    from lakeview_spark.pipeline.similarity import _KNN_K, similarity_knn_graph
+
+    tri = QUERIES["graph_triangle_counts"](spark, SF_DIR)
+    total = tri.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total is not None and total % 3 == 0 and total > 0
+    mut = QUERIES["graph_mutual_edges"](spark, SF_DIR)
+    bad = mut.filter(
+        (F.col("mutual_degree") > F.col("out_degree"))
+        | (F.col("out_degree") > _KNN_K)
+        | (F.col("reciprocity") < 0)
+        | (F.col("reciprocity") > 1)
+    )
+    assert bad.count() == 0
+    n_sources = (
+        similarity_knn_graph(spark, SF_DIR).select("src").distinct().count()
+    )
+    assert mut.count() == n_sources

@@ -90,3 +90,29 @@ def test_jsonl_corrupt_lines_are_contained(spark, tmp_path):
     clean = read_jsonl(spark, str(d), DOC_SCHEMA)
     assert "_corrupt_record" not in clean.columns
     assert clean.filter(F.col("doc_id").isNotNull()).count() == 1
+
+
+def test_csv_corrupt_lines_are_contained(spark, tmp_path):
+    """A malformed CSV line (wrong arity / bad types) surfaces as a
+    null-field row with the raw line retained when asked for, same
+    contract as JSONL."""
+    d = tmp_path / "csv_mixed"
+    d.mkdir()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    with open(d / "part-0.csv", "w") as f:
+        f.write("doc_id,lang,n_chars\n")
+        f.write("1,en,10\n")
+        f.write("not_a_number,fr,oops\n")
+    audited = read_csv(spark, str(d), schema, keep_corrupt=True)
+    rows = audited.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["doc_id"] is None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("not_a_number")
+    clean = read_csv(spark, str(d), schema)
+    assert "_corrupt_record" not in clean.columns
