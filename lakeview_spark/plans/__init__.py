@@ -17,119 +17,79 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-5 window (VERDICT r04 next-1): the 7 queries whose only green
-# rows were r02 (measured on the pre-r3-regen testdata) lead so every
-# registered query finally holds a current-testdata driver row; then
-# the 3 queries NEW this round; then the 3 permanent rows-only
-# exemptions (err=no_oracle never turns green, so they can only be
-# driver-exercised inside the window); then the 3 queries whose PLANS
-# changed this round (tf-idf posting-table materialization, Q5
-# predicate pushdown, z-score zero-variance guard) so their rewrites
-# are driver-re-proven; the rest are r04-green sentinels kept from the
-# previous window re-validating the shared layers (streaming twins,
-# packing prefix sum, multimodal codecs, star joins, scratch
-# materialization). Rotated OUT (each keeps its r04 green row, layers
-# re-proved by in-window kin): events_sessionization, compaction_
-# backlog, timeline_trends, events_asof_click_value, events_sliding_
-# window_stats, events_user_retention, events_click_attribution,
-# manifest_diff, new_table_detection, table_stats_daily.
+# Round-7 window (VERDICT r06 next-1, the rotation COVERAGE.md planned
+# at r5 close): 41 slots go to the r03 cohort — the queries whose
+# newest green driver row is still CORRECTNESS_r03 (current-testdata
+# sweep-green every round since, but the driver's hard signal is two
+# rounds stale). 7 of the 48 r03-cohort queries defer to r8 because a
+# same-layer kin is in-window (text_language_id / text_quality_score /
+# text_repetition_score / text_tfidf_top_terms ride the pure-columnar
+# text layer with text_token_count + text_fingerprint in-window;
+# corpus_bigram_counts / corpus_bigram_cohesion ride the token-pair
+# layer with corpus_top_tokens; multimodal_decode_bmp rides the
+# mapInPandas codec chain with multimodal_metadata in-window and the
+# r06-green phash/audio rows). Then the 3 queries whose CODE changes
+# this round (64-bit simhash signature, important_parts DECIMAL
+# threshold, eval_ann_recall plan slim) so the rewrites earn fresh
+# driver rows; the 3 permanent rows-only exemptions (err=no_oracle
+# never turns green — in-window is the only driver exercise they get);
+# and 3 r06-green sentinels re-validating the shared layers that stay
+# out of the rotation (star joins, streaming twins, Arrow codecs).
 _DRIVER_WINDOW = [
-    # r02-only rows, displaced late-r4 — rotate through per VERDICT r04
-    "forecast_revenue",
-    "brand_supplier_breadth",
-    "customer_order_distribution",
-    "brand_revenue_share",
-    "priority_by_orderpriority",
-    "returned_items",
+    # r03 cohort (41 of 48; the other 7 defer to the r8 window)
+    "archived_batching",
+    "checkpoint_filter",
+    "contamination_ngram_overlap",
+    "corpus_cube_stats",
+    "corpus_distinct_kmv",
+    "corpus_top_tokens",
+    "dedup_apply",
+    "dedup_cluster_stats",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_hamming_pairs",
+    "embedding_centroid_assign",
+    "embedding_centroid_stats",
+    "eval_dedup_reduction",
+    "eval_embedding_bucket_health",
+    "eval_language_id_confusion",
+    "eval_lsh_bucket_health",
+    "eval_lsh_precision_recall",
+    "eval_simhash_band_quality",
+    "minhash_similarity_estimate",
+    "multimodal_metadata",
+    "partition_skew",
+    "pricing_summary",
+    "quality_filter_apply",
+    "quality_filter_funnel",
+    "sample_stratified",
+    "similarity_ann_ivf",
+    "similarity_ann_multiprobe",
+    "similarity_lsh_buckets",
+    "similarity_topk_cosine",
+    "table_health_summary",
+    "text_fingerprint",
+    "text_token_count",
+    "timeline_parse",
+    "timeline_search",
+    "uuid3_table_ids",
+    # code changed this round (r7) — re-prove under the driver
     "dedup_simhash",
-    # new this round (r5): context-window chunking, deterministic
-    # train/val/test split, token-diversity telemetry, cross-split
-    # near-dup leakage audit, TPC-H Q18 group-having shape
-    "docs_chunk_overlap",
-    "dataset_split_assign",
-    "corpus_token_concentration",
-    "eval_split_leakage",
-    "large_order_customers",
-    "dedup_shared_spans",
-    "embedding_quantize_error",
-    "eval_ann_recall",
-    "pack_length_buckets",
-    "docs_cdc_chunks",
-    "nation_trade_volume",
-    "cold_customers",
-    "events_gapfill_locf",
-    "events_session_paths",
-    "events_hourly_ohlc",
-    # new late-r5: label-aware embedding eval + banded range join
-    # (swapped in for the r04-green sentinels multimodal_decode_wav,
-    # multimodal_resize_bmp, region_segment_profile,
-    # events_rollup_cascade — each keeps its r04 row and a same-layer
-    # kin stays in-window: patch_stats/audio_energy for the codecs,
-    # shipping_priority/top_revenue_supplier for the star joins,
-    # funnel_conversion for the events cascade)
-    "embedding_label_purity",
-    "embedding_knn_label_accuracy",
-    "contrastive_pair_sample",
-    "events_error_proximity",
-    # quality-aware keep policy over the cluster table (displaced the
-    # r04-green sample_temperature; sampling layer still covered
-    # in-window by dataset_split_assign)
-    "dedup_apply_quality",
-    # retrieval composition (displaced the r04-green dedup_semdedup;
-    # its cluster-restriction layer is re-proved in-window by
-    # embedding_label_purity riding the same centroid assignment)
-    "retrieval_semantic_docs",
-    # the banded range join under Structured Streaming (displaced the
-    # r04-green stream_quality_filter; its stateless-predicate layer
-    # stays covered in-window by text_boilerplate_lines and the other
-    # four stream twins)
-    "stream_error_proximity",
-    # perceptual image dedup (displaced the r04-green
-    # multimodal_patch_stats; the image mapInPandas codec chain is
-    # re-proved by this very op, audio by multimodal_audio_energy)
-    "multimodal_phash_twins",
-    # vocab coverage curve (displaced the r04-green top_revenue_supplier;
-    # the star-join layer keeps shipping_priority in-window)
-    "corpus_vocab_coverage",
-    # count-min heavy-hitter audit + pivot reshape (displaced the
-    # r04-green stream_doc_dedup and pack_sequence_stats; streaming
-    # keeps 4 twins in-window, packing keeps pack_training_sequences)
-    "corpus_heavy_hitters_cms",
-    "events_type_hour_pivot",
-    # TPC-H plan-shape breadth: Q17 decorrelation, Q19 disjunctive
-    # pushdown, Q21 semi/anti chain, Q11 scalar threshold (displaced
-    # the r04-green top_partitions, events_funnel_conversion,
-    # stream_embedding_neardup — its stream-static join layer is
-    # re-proved in-window by stream_error_proximity — and
-    # pack_training_sequences)
-    "small_quantity_revenue",
-    "promo_disjunctive_revenue",
-    "flagged_suppliers",
     "important_parts",
-    # kNN-graph triangle counts, plus similarity_knn_graph itself whose
-    # plan changed (now a materialized scratch feeding the triangles) —
-    # displaced the r04-green partition_size_distribution and
-    # timeline_completeness (their layers hold 3 and 5 other green r03/
-    # r04 rows respectively)
-    "graph_triangle_counts",
-    "similarity_knn_graph",
-    # mutual-kNN reciprocity (displaced the r04-green
-    # stream_token_stats; streaming keeps stream_event_sessions and
-    # stream_error_proximity in-window)
-    "graph_mutual_edges",
+    "eval_ann_recall",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
     "kmeans_train",
-    # plans changed this round — re-prove under the driver
-    "similarity_tfidf_pairs",
-    "local_supplier_volume",
-    "events_anomaly_zscore",
-    # r04-green sentinels kept in-window (shared-layer re-validation)
+    # r06-green sentinels (star-join layer; streaming layer; codec layer)
     "shipping_priority",
-    "multimodal_audio_energy",
     "stream_event_sessions",
-    "text_boilerplate_lines",
+    "multimodal_audio_energy",
 ]
 
 
