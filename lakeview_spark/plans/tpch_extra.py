@@ -1479,27 +1479,33 @@ def flagged_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
       FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT sum(val) * 0.0007 AS thr FROM pr)
+    tot AS (SELECT CAST(sum(val) AS DOUBLE) * 0.0007 AS thr FROM pr)
     SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
-    FROM pr, tot WHERE val > thr
+    FROM pr, tot WHERE CAST(val AS DOUBLE) > thr
     """,
 )
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part revenue above a fraction of the GLOBAL
     total (0.07% — above the ~0.05% uniform share, so the filter has
-    real selectivity) — the scalar-subquery-threshold HAVING. The threshold is one
-    1-row aggregate broadcast against the per-part table; the compare
-    happens in DECIMAL on both sides (exact, no float boundary), and
-    only the surviving rows cast to double at the edge.
+    real selectivity) — the scalar-subquery-threshold HAVING. The
+    threshold is one 1-row aggregate broadcast against the per-part
+    table. Sums stay DECIMAL (exact, order-independent); the compare
+    happens in DOUBLE on BOTH sides, explicitly: each engine casts the
+    same exact decimals with a correctly-rounded cast, multiplies by
+    the same double literal (IEEE-exact), and compares identical
+    doubles. The earlier form compared Spark-side in double (sum *
+    lit(0.0007) promotes) but DuckDB-side in DECIMAL(38,8) — a latent
+    cross-engine divergence whenever a part lands within an ulp of the
+    threshold (r5 ADVICE finding).
 
     Scale shape: one partial-aggregable groupBy on l_partkey, one
     scalar broadcast, one columnar filter."""
     li = t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
-    thr = pr.agg((F.sum("val") * F.lit(0.0007)).alias("thr"))
+    thr = pr.agg((F.sum("val").cast("double") * F.lit(0.0007)).alias("thr"))
     return (
         pr.crossJoin(F.broadcast(thr))
-        .filter(F.col("val") > F.col("thr"))
+        .filter(F.col("val").cast("double") > F.col("thr"))
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
     )

@@ -485,8 +485,15 @@ def run_continuous(
     Failures are surfaced, never swallowed: a failed round appends a
     ``{"succeeded": False, "error": ...}`` entry and the loop carries on
     (the reference increments a discovery-failure metric and keeps its
-    schedule, TableDiscoveryAndUploadJob.java:141-163); every round also
-    carries the running ``config_refresh_failures`` count.
+    schedule, TableDiscoveryAndUploadJob.java:141-163). Every round also
+    carries the running refresh counters, and their unit is the refresh
+    ATTEMPT, not the round: each refresh-cadence slice of the
+    inter-round sleep is one attempt (plus the initial merge before
+    round 1), so at the defaults a 300 s round holds ~3 attempts.
+    ``config_refresh_failures`` counts failed attempts cumulatively and
+    ``config_refresh_attempts`` counts all attempts, so a reader can
+    form the failure RATE — the per-round framing the r5 ADVICE flagged
+    as misleading is now explicit in both name and denominator.
     """
     import logging
 
@@ -495,11 +502,13 @@ def run_continuous(
     log = logging.getLogger(__name__)
     rounds: list[dict] = []
     refresh_failures = 0
+    refresh_attempts = 0
 
     def refresh():
-        nonlocal config, refresh_failures
+        nonlocal config, refresh_failures, refresh_attempts
         if base_config_source is None:
             return
+        refresh_attempts += 1
         try:
             config = load_config_with_override(base_config_source, override_source)
         except Exception as ex:  # noqa: BLE001 — keep last good config
@@ -515,6 +524,7 @@ def run_continuous(
             log.warning("discovery/upload round failed: %r", ex)
             metrics = {"succeeded": False, "error": repr(ex)}
         metrics["config_refresh_failures"] = refresh_failures
+        metrics["config_refresh_attempts"] = refresh_attempts
         rounds.append(metrics)
         if max_rounds is not None and len(rounds) >= max_rounds:
             break

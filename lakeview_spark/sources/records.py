@@ -120,7 +120,14 @@ def corrupt_record_stats(
         _with_corrupt(schema),
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
-    corrupt = F.when(parsed.getField(_CORRUPT).isNotNull(), 1).otherwise(0)
+    # `from_json` yields a NULL struct (not a populated corrupt column)
+    # for empty/blank lines, so both conditions are needed: a line is
+    # corrupt when it failed to parse into a struct at all OR when the
+    # struct carries the corrupt-record payload (r5 ADVICE finding —
+    # the corrupt-column check alone counts blank lines as clean).
+    corrupt = F.when(
+        parsed.isNull() | parsed.getField(_CORRUPT).isNotNull(), 1
+    ).otherwise(0)
     return raw.agg(
         F.count("*").alias("n_rows"),
         F.sum(corrupt).cast("bigint").alias("n_corrupt"),

@@ -321,6 +321,45 @@ def test_continuous_mode_counts_config_refresh_failures(monkeypatch):
     # every refresh fails, the last good config stays in force, and the
     # failure count is visible in each round's metrics
     assert [r["config_refresh_failures"] for r in rounds] == [1, 2]
+    assert [r["config_refresh_attempts"] for r in rounds] == [1, 2]
+    assert all(r["succeeded"] for r in rounds)
+
+
+def test_refresh_counters_are_per_attempt_not_per_round(monkeypatch):
+    """The refresh clock is independent of the round clock: a 300 s
+    round at the default 100 s refresh cadence holds THREE refresh
+    slices, each one attempt. The counters' unit is the attempt —
+    attempts gives the denominator, so the failure rate is readable
+    (r5 ADVICE: a per-round reading of the failure count inflates)."""
+    monkeypatch.setattr(
+        runner_mod, "run_once", lambda *a: {"tables_discovered": 0}
+    )
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "CONTINUOUS",
+                "parserConfig": [
+                    {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+                ],
+            },
+        }
+    )
+    rounds = run_continuous(
+        None,
+        cfg,
+        "/tmp/unused",
+        max_rounds=2,
+        interval_s=300,
+        refresh_interval_s=100,
+        sleep_fn=lambda s: None,
+        base_config_source={"version": "V1"},  # invalid: no parserConfig
+    )
+    # initial merge = attempt 1 (before round 1); the inter-round sleep
+    # is 3 slices of 100 s = attempts 2-4 (before round 2). Every
+    # attempt fails here, so failures == attempts.
+    assert [r["config_refresh_attempts"] for r in rounds] == [1, 4]
+    assert [r["config_refresh_failures"] for r in rounds] == [1, 4]
     assert all(r["succeeded"] for r in rounds)
 
 

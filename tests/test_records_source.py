@@ -92,6 +92,25 @@ def test_jsonl_corrupt_lines_are_contained(spark, tmp_path):
     assert clean.filter(F.col("doc_id").isNotNull()).count() == 1
 
 
+def test_blank_lines_count_as_corrupt(spark, tmp_path):
+    """`from_json` yields a NULL struct (no corrupt-column payload) for
+    empty and whitespace-only lines — the audit must still count them
+    as corrupt, not clean (r5 ADVICE finding: the corrupt-column check
+    alone misses them)."""
+    d = tmp_path / "blanks"
+    d.mkdir()
+    with open(d / "part-0.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "a", "lang": "en",
+                            "source": "s", "n_chars": 1}) + "\n")
+        f.write("\n")          # empty line
+        f.write("   \n")       # whitespace-only line
+        f.write("{broken\n")   # classic malformed line
+    stats = corrupt_record_stats(spark, str(d), DOC_SCHEMA).collect()[0]
+    assert stats.n_rows == 4
+    assert stats.n_corrupt == 3
+    assert abs(stats.corrupt_share - 0.75) < 1e-12
+
+
 def test_csv_corrupt_lines_are_contained(spark, tmp_path):
     """A malformed CSV line (wrong arity / bad types) surfaces as a
     null-field row with the raw line retained when asked for, same
