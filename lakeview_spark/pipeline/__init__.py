@@ -22,7 +22,7 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
     states. `include_clusters` adds the connected-components label
     table (needed by the full-registry profile, not by the headline
     bench set)."""
-    from lakeview_spark.pipeline.curation import simhash32_materialized
+    from lakeview_spark.pipeline.curation import simhash64_materialized
     from lakeview_spark.pipeline.dedup import (
         _doc_shingles,
         jaccard_index_materialized,
@@ -38,7 +38,7 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         _doc_shingles,
         jaccard_index_materialized,
         minhash_signatures_materialized,
-        simhash32_materialized,
+        simhash64_materialized,
         _lsh_bucketed,
         tfidf_top5_materialized,
         similarity_knn_graph,

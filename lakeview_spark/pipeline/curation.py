@@ -24,10 +24,12 @@ from lakeview_spark.operators.materialize import materialized
 from lakeview_spark.pipeline.dedup import (
     _SHINGLES_SQL,
     _MINHASH_SIG_SQL,
-    _ODD_HEX,
+    _SIMHASH_SQL,
+    SIMHASH_BITS,
     _doc_shingles,
     _tokens,
     minhash_signatures_materialized,
+    simhash_signature,
 )
 from lakeview_spark.plans.registry import register, t
 
@@ -36,18 +38,42 @@ from lakeview_spark.plans.registry import register, t
 _PROBE_MOD = 29
 
 # SimHash hamming threshold and band layout for the pair query. The
-# 32-bit signature (one bit per md5 hex digit, twice the width of the
-# 16-bit dedup_simhash demo signature) splits into 4 bytes: by
+# 64-bit signature (two independent md5-nibble bits per hex digit,
+# dedup.py simhash_signature) splits into 4 x 16-bit bands: by
 # pigeonhole any pair within hamming distance 3 has at least one
-# identical byte, so band-blocking is lossless for the <=3 threshold —
-# and each band has 256 distinct values, so bucket sizes (and the
-# candidate-pair count) stay ~256x below the all-pairs quadratic. A
-# 16-bit signature here would cap bands at 16 values, making candidates
-# O(n^2/16) — the same hot-key quadratic the Jaccard df-cap guards
-# against. At corpus scale the identical shape runs 64-bit signatures
-# with 4 x 16-bit bands.
+# identical band, so band-blocking is lossless for the <=3 threshold —
+# and each band has 65536 distinct values, so chance bucket collisions
+# (and the candidate-pair count) stay ~65536x below the all-pairs
+# quadratic. The earlier 32-bit/4-byte layout hit the birthday regime
+# at ~50k docs: random 32-bit signatures put ~n^2*5489/2^32 chance
+# pairs INSIDE hamming<=3 (2.7M measured at 50k, SCALE.md §8), growing
+# the verify join's input quadratically. At 64 bits the same estimate
+# is ~n^2*43745/2^64 — under one chance pair per 10^6-doc shard — so
+# candidate volume tracks true near-dups, not corpus size.
 _HAMMING_MAX = 3
-_SIG_BITS = 32
+_BAND_BITS = 16
+_N_BANDS = 4
+_BAND_MASK = (1 << _BAND_BITS) - 1
+# pigeonhole losslessness needs the bands to tile the whole signature
+assert _N_BANDS * _BAND_BITS == SIMHASH_BITS
+assert _HAMMING_MAX < _N_BANDS
+
+# band extraction, shared by the pair query and the evaluation audit:
+# shift is arithmetic on BIGINT in both engines, and the mask discards
+# the sign-extension bits, so the banded values agree bit-for-bit
+_BANDS_STACK_EXPR = (
+    f"stack({_N_BANDS}, "
+    + ", ".join(
+        f"{b}, shiftright(simhash, {b * _BAND_BITS}) & {_BAND_MASK}"
+        for b in range(_N_BANDS)
+    )
+    + ") AS (band, band_val)"
+)
+_BANDS_UNNEST_SQL = (
+    "SELECT doc_id, simhash, b.band, (simhash >> (b.band * "
+    f"{_BAND_BITS})) & {_BAND_MASK} AS band_val "
+    f"FROM sig, (SELECT unnest(range(0, {_N_BANDS})) AS band) b"
+)
 
 
 @register(
@@ -288,26 +314,13 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 32-bit signature: bit i = majority vote of the parity of md5 hex
-# digit i over tokens (i = 1..32) — dedup_simhash's construction at
-# double width, shared bit-for-bit between the engines.
-_SIMHASH32_SQL = (
-    """
-    SELECT doc_id, """
-    + " + ".join(
-        f"(CASE WHEN sum(CASE WHEN substr(th, {i}, 1) IN ('1','3','5','7','9','b','d','f') "
-        f"THEN 1 ELSE -1 END) > 0 THEN CAST({1 << (i - 1)} AS BIGINT) ELSE 0 END)"
-        for i in range(1, _SIG_BITS + 1)
-    )
-    + """ AS simhash
-    FROM (SELECT doc_id, md5(tok) AS th FROM
-          (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents))
-    GROUP BY doc_id
-    """
-)
+# 64-bit signature SQL: shared bit-for-bit with `dedup_simhash`
+# (dedup.py builds the string and the matching DataFrame aggregation
+# from one bit-weight table, so the engines cannot drift).
+_SIMHASH64_SQL = _SIMHASH_SQL
 
 
-def _simhash32_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash64_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the md5/explode kernel: single-row-group local
     # parquet is unsplittable (see dedup.py _doc_shingles_build note)
     h = (
@@ -316,70 +329,49 @@ def _simhash32_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
         .select("doc_id", F.md5("tok").alias("th"))
     )
-    bits = [
-        F.when(
-            F.sum(
-                F.when(F.substring("th", i, 1).isin(*_ODD_HEX), 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(1 << (i - 1)).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for i in range(1, _SIG_BITS + 1)
-    ]
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return h.groupBy("doc_id").agg(simhash.alias("simhash"))
+    return simhash_signature(h)
 
 
-def simhash32_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash64_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash BIGINT) persisted to scratch once per run — both
     sides of the hamming-pair self-join read parquet instead of
-    re-running the 32-way conditional-sum groupBy."""
-    return materialized(spark, "simhash32_sig", sf_dir, _simhash32_build)
+    re-running the 64-way conditional-sum groupBy."""
+    return materialized(spark, "simhash64_sig", sf_dir, _simhash64_build)
 
 
 @register(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
-    WITH sig AS ({_SIMHASH32_SQL}),
-    bands AS (
-      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS byte
-      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-    ),
+    WITH sig AS ({_SIMHASH64_SQL}),
+    bands AS ({_BANDS_UNNEST_SQL}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
                       a.simhash AS s1, b.simhash AS s2
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
     SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
     """,
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band blocking then exact popcount.
+    """SimHash near-dup pairs: band blocking then exact popcount.
 
-    4 bands x 8 bits over a 32-bit signature: any pair within hamming
-    distance 3 collides in >=1 byte (pigeonhole), so the band self-join
-    is a lossless candidate generator, and 256 values per band keep
-    bucket sizes ~n/256 — the same blocking that runs 64-bit simhash
-    with 16-bit bands at corpus scale. Candidates are verified with
-    bit_count(xor), one integer op per pair."""
-    sig = simhash32_materialized(spark, sf_dir)
-    bands = sig.selectExpr(
-        "doc_id",
-        "simhash",
-        "stack(4, 0, shiftright(simhash, 0) & 255, 1, shiftright(simhash, 8) & 255, "
-        "2, shiftright(simhash, 16) & 255, 3, shiftright(simhash, 24) & 255) "
-        "AS (band, byte)",
-    )
+    4 bands x 16 bits over the 64-bit signature: any pair within
+    hamming distance 3 collides in >=1 band (pigeonhole), so the band
+    self-join is a lossless candidate generator, and 65536 values per
+    band keep chance bucket collisions ~n^2/65536 — past the birthday
+    knee that made the 32-bit layout's candidate set quadratic at ~50k
+    docs (SCALE.md §8). Candidates are verified with bit_count(xor),
+    one integer op per pair."""
+    sig = simhash64_materialized(spark, sf_dir)
+    bands = sig.selectExpr("doc_id", "simhash", _BANDS_STACK_EXPR)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -258,17 +258,47 @@ def minhash_signatures_materialized(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+# hex digits whose second-lowest nibble bit is set — the other
+# independent md5 bit each hex digit contributes to the wide signature
+_BIT2_HEX = ("2", "3", "6", "7", "a", "b", "e", "f")
 
-# Shared with curation.py's hamming-pair query: a WITH-composable SELECT
-# producing (doc_id, simhash).
+# 64-bit SimHash signature (r6 verdict next-2: the 32-bit variant hits
+# the birthday regime for hamming<=3 at ~50k docs — 2.7M chance pairs
+# measured, SCALE.md §8 — so candidate-join input grew quadratically;
+# 64 bits pushes the chance-collision knee past any realistic corpus
+# shard and the band domain from 256 to 65536 values). Construction:
+# bit i (1..32) = majority vote over tokens of md5 hex digit i's LOWEST
+# bit; bit i (33..64) = majority vote of hex digit (i-32)'s SECOND bit
+# — two independent bits per digit, same classic simhash majority, and
+# byte-for-byte reproducible in any engine with md5. Bit 64 is the
+# BIGINT sign bit, so its weight is -(2^63) (two's complement); partial
+# sums never overflow because bits 1..63 sum to at most 2^63-1 before
+# the single negative term lands.
+SIMHASH_BITS = 64
+
+
+def _simhash_bit_weight(i: int) -> int:
+    return -(1 << 63) if i == 64 else 1 << (i - 1)
+
+
+def _simhash_bit_sql(i: int) -> str:
+    digit = i if i <= 32 else i - 32
+    in_list = ",".join(f"'{h}'" for h in (_ODD_HEX if i <= 32 else _BIT2_HEX))
+    return (
+        f"(CASE WHEN sum(CASE WHEN substr(th, {digit}, 1) IN ({in_list}) "
+        f"THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({_simhash_bit_weight(i)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+# Shared with curation.py's hamming-pair query and the evaluation
+# band-quality audit: a WITH-composable SELECT producing
+# (doc_id, simhash BIGINT).
 _SIMHASH_SQL = (
     """
     SELECT doc_id, """
-    + " + ".join(
-        f"(CASE WHEN sum(CASE WHEN substr(th, {i}, 1) IN ('1','3','5','7','9','b','d','f') "
-        f"THEN 1 ELSE -1 END) > 0 THEN {1 << (i - 1)} ELSE 0 END)"
-        for i in range(1, 17)
-    )
+    + " + ".join(_simhash_bit_sql(i) for i in range(1, SIMHASH_BITS + 1))
     + """ AS simhash
     FROM (SELECT doc_id, md5(tok) AS th FROM
           (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents))
@@ -277,35 +307,40 @@ _SIMHASH_SQL = (
 )
 
 
-@register("dedup_simhash", oracle=_SIMHASH_SQL)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 16-bit signature, bit i = majority vote of md5-nibble
-    parity over tokens (token multiplicity counts, as in classic simhash)."""
-    e = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    h = e.select("doc_id", F.md5("tok").alias("th"))
-    bits = [
-        F.when(
+def simhash_signature(hashed: DataFrame) -> DataFrame:
+    """(doc_id, th=md5-hex) token stream -> (doc_id, simhash BIGINT):
+    the 64-bit majority-vote aggregation, shared between the one-shot
+    `dedup_simhash` query and the materialized builder in curation.py
+    (which repartitions its input first — SCALE.md §6)."""
+
+    def bit(i: int):
+        digit = i if i <= 32 else i - 32
+        hex_set = _ODD_HEX if i <= 32 else _BIT2_HEX
+        return F.when(
             F.sum(
-                F.when(F.substring("th", i, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+                F.when(F.substring("th", digit, 1).isin(*hex_set), 1).otherwise(-1)
             )
             > 0,
-            F.lit(1 << (i - 1)),
-        ).otherwise(0)
-        for i in range(1, 17)
-    ]
+            F.lit(_simhash_bit_weight(i)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    bits = [bit(i) for i in range(1, SIMHASH_BITS + 1)]
     simhash = bits[0]
     for b in bits[1:]:
         simhash = simhash + b
-    return h.groupBy("doc_id").agg(simhash.alias("simhash"))
+    return hashed.groupBy("doc_id").agg(simhash.alias("simhash"))
 
 
-def simhash_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) persisted to scratch once per run — the
-    hamming-pair self-join reads both sides from parquet instead of
-    re-running the token groupBy twice."""
-    return materialized(spark, "simhash_sig", sf_dir, dedup_simhash)
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit signature, bits = majority votes of md5-nibble
+    bits over tokens (token multiplicity counts, as in classic
+    simhash). Same signature the hamming-pair query banishes into 4 x
+    16-bit bands (curation.py)."""
+    e = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return simhash_signature(e.select("doc_id", F.md5("tok").alias("th")))
 
 
 def _jaccard_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 
 from lakeview_spark.pipeline.clustering import clusters_materialized
 from lakeview_spark.pipeline.curation import (
+    _BANDS_STACK_EXPR,
+    _BANDS_UNNEST_SQL,
     _HAMMING_MAX,
-    _SIMHASH32_SQL,
-    simhash32_materialized,
+    _SIMHASH64_SQL,
+    simhash64_materialized,
 )
 from lakeview_spark.pipeline.dedup import (
     _MINHASH_SIG_SQL,
@@ -238,42 +240,48 @@ def eval_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The all-pairs hamming truth is O((n/MOD)^2), so MOD grows with the
 # corpus to keep the sample (and its pair count) bounded — the standard
 # way to audit a blocking scheme without running the quadratic on the
-# full corpus. MOD=5 keeps ~n/5 docs and a non-vacuous truth set
-# (13 pairs at the 500-doc test SF).
-_SIMHASH_EVAL_MOD = 5
+# full corpus. MOD=2 keeps ~n/2 docs and, now that the 64-bit
+# signature leaves no CHANCE pairs inside hamming<=3, a non-vacuous
+# truth of genuine near-dups at every testdata SF (10 / 4 / 60 pairs
+# at sf0.001 / sf0.01 / sf0.1 — measured; under MOD=5 the sf0.01
+# sample had zero, which is a legitimate result the query now reports
+# as NULL recall rather than crashing, but a vacuous audit verifies
+# nothing).
+_SIMHASH_EVAL_MOD = 2
 
 
 @register(
     "eval_simhash_band_quality",
     oracle=f"""
-    WITH sig0 AS ({_SIMHASH32_SQL}),
+    WITH sig0 AS ({_SIMHASH64_SQL}),
     sig AS (SELECT doc_id, simhash FROM sig0 WHERE doc_id % {_SIMHASH_EVAL_MOD} = 0),
     truth AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
     ),
-    bands AS (
-      SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS byte
-      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-    ),
+    bands AS ({_BANDS_UNNEST_SQL}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     ),
     tp AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc1, doc2))
     SELECT (SELECT count(*) FROM sig) AS sample_docs,
            (SELECT count(*) FROM truth) AS true_pairs,
            (SELECT count(*) FROM cand) AS candidate_pairs,
            tp.n AS true_positives,
-           CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM cand) AS precision,
-           CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM truth) AS recall
+           CASE WHEN (SELECT count(*) FROM cand) > 0
+                THEN CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM cand) END
+             AS precision,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN CAST(tp.n AS DOUBLE) / (SELECT count(*) FROM truth) END
+             AS recall
     FROM tp
     """,
 )
 def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash byte-band blocking audit: precision/recall of the band
+    """SimHash band-blocking audit: precision/recall of the 16-bit-band
     candidates against exact all-pairs hamming<=3 truth on a
     deterministic doc sample — the query-verified form of the
     pigeonhole losslessness claim in dedup_simhash_hamming_pairs
@@ -284,7 +292,7 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (bounded by construction; the mod grows with the corpus). The
     candidate side reuses the same banding as the production pair
     query, restricted to the sample."""
-    sig = simhash32_materialized(spark, sf_dir).filter(
+    sig = simhash64_materialized(spark, sf_dir).filter(
         F.col("doc_id") % _SIMHASH_EVAL_MOD == 0
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -296,18 +304,13 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
     )
-    bands = sig.selectExpr(
-        "doc_id",
-        "stack(4, 0, shiftright(simhash, 0) & 255, 1, shiftright(simhash, 8) & 255, "
-        "2, shiftright(simhash, 16) & 255, 3, shiftright(simhash, 24) & 255) "
-        "AS (band, byte)",
-    )
+    bands = sig.selectExpr("doc_id", _BANDS_STACK_EXPR)
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (
         ba.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
@@ -341,15 +344,22 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("true_positives"),
     )
+    # NULL, not a crash, when a sample has no candidates / no true
+    # pairs (ANSI division; a clean shard is a legitimate audit result
+    # now that 64-bit signatures leave no chance pairs in the truth)
     return counts.select(
         "sample_docs",
         "true_pairs",
         "candidate_pairs",
         "true_positives",
-        (F.col("true_positives").cast("double") / F.col("candidate_pairs")).alias(
-            "precision"
-        ),
-        (F.col("true_positives").cast("double") / F.col("true_pairs")).alias("recall"),
+        F.when(
+            F.col("candidate_pairs") > 0,
+            F.col("true_positives").cast("double") / F.col("candidate_pairs"),
+        ).alias("precision"),
+        F.when(
+            F.col("true_pairs") > 0,
+            F.col("true_positives").cast("double") / F.col("true_pairs"),
+        ).alias("recall"),
     )
 
 

@@ -52,10 +52,10 @@ def test_quality_funnel_monotone(spark):
 
 
 def test_simhash_hamming_pairs_verified_and_band_lossless(spark):
-    from lakeview_spark.pipeline.curation import simhash32_materialized
+    from lakeview_spark.pipeline.curation import simhash64_materialized
 
     pairs = QUERIES["dedup_simhash_hamming_pairs"](spark, SF_DIR)
-    sig = {r.doc_id: r.simhash for r in simhash32_materialized(spark, SF_DIR).collect()}
+    sig = {r.doc_id: r.simhash for r in simhash64_materialized(spark, SF_DIR).collect()}
     sample = pairs.limit(50).collect()
     assert sample
     for r in sample:
@@ -177,9 +177,9 @@ def test_simhash_band_blocking_is_lossless(spark):
     from lakeview_spark.plans import QUERIES
 
     row = QUERIES["eval_simhash_band_quality"](spark, "/root/testdata/sf0.001").collect()[0]
-    assert row.sample_docs == 100
+    assert row.sample_docs == 250
     assert row.true_pairs > 0  # non-vacuous truth set
-    # pigeonhole: 4x8-bit bands over 32 bits catch every hamming<=3 pair
+    # pigeonhole: 4x16-bit bands over 64 bits catch every hamming<=3 pair
     assert row.true_positives == row.true_pairs
     assert row.recall == 1.0
     assert 0.0 < row.precision <= 1.0

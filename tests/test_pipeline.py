@@ -104,9 +104,14 @@ def test_ann_results_subset_of_brute_force_universe(spark):
     assert all(0 <= r.bucket <= 15 for r in buckets)
 
 
-def test_simhash_is_16bit(spark):
+def test_simhash_is_64bit(spark):
     rows = QUERIES["dedup_simhash"](spark, SF_DIR).collect()
-    assert all(0 <= r.simhash < (1 << 16) for r in rows)
+    # int64 two's complement: the full range is representable, and the
+    # corpus must actually exercise the high half of the signature
+    # (bits 33-64) — a regression to the narrow build shows up as every
+    # value fitting in 32 bits
+    assert all(-(1 << 63) <= r.simhash < (1 << 63) for r in rows)
+    assert any(r.simhash < 0 or r.simhash >= (1 << 32) for r in rows)
 
 
 def test_language_id_accuracy(spark):
