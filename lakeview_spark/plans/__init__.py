@@ -82,14 +82,18 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "important_parts",
     "eval_ann_recall",
+    # NEW this round: the stateful CUSUM detector's AvailableNow twin
+    # (the last streaming op without a driver row; its slot displaced
+    # the multimodal_audio_energy sentinel — that query keeps its r06
+    # row and the Arrow codec chain keeps multimodal_metadata in-window)
+    "stream_value_cusum",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
     "kmeans_train",
-    # r06-green sentinels (star-join layer; streaming layer; codec layer)
+    # r06-green sentinels (star-join layer; streaming layer)
     "shipping_priority",
     "stream_event_sessions",
-    "multimodal_audio_energy",
 ]
 
 

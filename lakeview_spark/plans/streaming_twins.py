@@ -324,3 +324,122 @@ def stream_error_proximity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_nearby"), F.lit(0)).cast("bigint").alias("n_nearby"),
         F.coalesce(F.col("sum_v").cast("double"), F.lit(0.0)).alias("nearby_value"),
     )
+
+
+# CUSUM reference distribution: the production operator closes over
+# batch-published per-type (mean, std) moments; the twin PINS them to
+# one published constant pair so the oracle is a pure ordered fold with
+# no float mean/stddev computation anywhere (sums of doubles are
+# order-dependent; constants are not). (50, 50) is the corpus's rough
+# per-type scale, so z-scores are O(1) and alerts fire on genuine
+# high-value runs rather than on every row.
+_CUSUM_TYPES = ("click", "error", "purchase", "signup", "view")
+_CUSUM_MEAN = 50.0
+_CUSUM_SD = 50.0
+
+
+def _cusum_oracle() -> str:
+    from lakeview_spark.streaming.stateful import CUSUM_H, CUSUM_K
+
+    types = ", ".join(f"'{t}'" for t in _CUSUM_TYPES)
+    # Field order inside the fold struct is load-bearing: DuckDB's
+    # list_reduce rebinds struct fields SEQUENTIALLY, so a field
+    # expression written after `s_pos := ...` that mentions `acc.s_pos`
+    # sees the NEW value, not the accumulator's (observed on 1.0.0 —
+    # the alerts counter read the post-update chart and over-fired).
+    # Ordering the fields so every acc.* reference precedes that
+    # field's own rebinding (alerts first, then s_pos/s_neg, then the
+    # no-acc fields) is correct under BOTH sequential and simultaneous
+    # lambda semantics.
+    zero = (
+        "struct_pack(alerts := CAST(0 AS BIGINT), "
+        "s_pos := CAST(0 AS DOUBLE), s_neg := CAST(0 AS DOUBLE), "
+        "n := CAST(0 AS BIGINT), z := CAST(0 AS DOUBLE))"
+    )
+    # raw chart values before the reset-on-alarm; greatest/add/sub/div
+    # are IEEE-exact given identical inputs, and the fold order (event
+    # time, then event_id) is the exact replay order the stateful
+    # operator sorts each micro-batch into. Every float field is CAST
+    # to DOUBLE explicitly: a bare 0.0 literal is DECIMAL(2,1) in
+    # DuckDB and the accumulator coerces to the element struct type,
+    # which silently quantized the chart state until the casts.
+    raw_pos = f"greatest(CAST(0 AS DOUBLE), acc.s_pos + x.z - {CUSUM_K})"
+    raw_neg = f"greatest(CAST(0 AS DOUBLE), acc.s_neg - x.z - {CUSUM_K})"
+    return f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+      FROM events WHERE event_type IN ({types})
+    ),
+    lst AS (
+      SELECT event_type,
+             list(struct_pack(
+                    alerts := CAST(0 AS BIGINT),
+                    s_pos := CAST(0 AS DOUBLE), s_neg := CAST(0 AS DOUBLE),
+                    n := CAST(0 AS BIGINT),
+                    z := (value - CAST({_CUSUM_MEAN} AS DOUBLE))
+                         / CAST({_CUSUM_SD} AS DOUBLE))
+                  ORDER BY ts_us, event_id) AS xs
+      FROM ev GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type,
+             list_reduce(
+               list_prepend({zero}, xs),
+               (acc, x) -> struct_pack(
+                  alerts := acc.alerts
+                    + CASE WHEN {raw_pos} > {CUSUM_H} THEN 1 ELSE 0 END
+                    + CASE WHEN {raw_neg} > {CUSUM_H} THEN 1 ELSE 0 END,
+                  s_pos := CASE WHEN {raw_pos} > {CUSUM_H}
+                                THEN CAST(0 AS DOUBLE) ELSE {raw_pos} END,
+                  s_neg := CASE WHEN {raw_neg} > {CUSUM_H}
+                                THEN CAST(0 AS DOUBLE) ELSE {raw_neg} END,
+                  n := acc.n + 1,
+                  z := x.z
+               )) AS st
+      FROM lst
+    )
+    SELECT event_type, st.s_pos AS s_pos, st.s_neg AS s_neg,
+           st.n AS n_seen, st.alerts AS alerts_in_batch
+    FROM folded
+    """
+
+
+@register("stream_value_cusum", oracle=_cusum_oracle())
+def stream_value_cusum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful CUSUM drift detector (applyInPandasWithState,
+    streaming/stateful.py stream_value_cusum) run to completion under
+    AvailableNow — the last streaming operator without a driver row
+    (r6 verdict next-6). One micro-batch (single-file source), so the
+    output is one end-of-batch chart state per event type, and the
+    oracle replays the identical per-type fold in DuckDB: an explicit
+    left fold (list_reduce over a struct accumulator, the Spark
+    `aggregate` twin device from the cosine kernels) over z-scores in
+    the operator's own replay order (ts, then event_id). Every step is
+    IEEE-exact — subtract/divide/add/max with a pinned reference
+    distribution — so the float chart state hashes identically; a
+    data-derived mean/std would NOT be (double sums are
+    order-dependent), which is why the twin pins the moments."""
+    from lakeview_spark.streaming.stateful import stream_value_cusum
+
+    batch = t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = stream.filter(F.col("event_type").isin(*_CUSUM_TYPES)).select(
+        "event_id",
+        events_ts_us(stream).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    moments = {typ: (_CUSUM_MEAN, _CUSUM_SD) for typ in _CUSUM_TYPES}
+    out = stream_value_cusum(e, moments)
+    res = _run_available_now(out, "update")
+    return res.select(
+        "event_type",
+        "s_pos",
+        "s_neg",
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.col("alerts_in_batch").cast("bigint").alias("alerts_in_batch"),
+    )

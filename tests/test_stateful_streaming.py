@@ -168,3 +168,54 @@ def test_cusum_state_carries_across_micro_batches(spark, tmp_path):
     assert abs(final.s_neg - s_neg) < 1e-12
     assert [r.alerts_in_batch for r in rows] == alerts
     assert sum(alerts) >= 1, "the drift scenario must raise at least one alarm"
+
+
+def test_cusum_twin_matches_python_replay(spark):
+    """The registry twin (plans/streaming_twins.py stream_value_cusum)
+    must equal a plain-Python replay of the chart over the same rows in
+    the same (ts, event_id) order — the oracle-independent ground truth
+    for the AvailableNow single-batch run."""
+    from lakeview_spark.plans import QUERIES
+    from lakeview_spark.plans.registry import events_ts_us, t
+    from lakeview_spark.plans.streaming_twins import (
+        _CUSUM_MEAN,
+        _CUSUM_SD,
+        _CUSUM_TYPES,
+    )
+    from lakeview_spark.streaming.stateful import CUSUM_H, CUSUM_K
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r
+        for r in QUERIES["stream_value_cusum"](spark, sf).collect()
+    }
+    ev = t(spark, sf, "events")
+    rows = (
+        ev.filter(ev.event_type.isin(*_CUSUM_TYPES))
+        .select("event_type", events_ts_us(ev).alias("ts_us"), "event_id", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r.ts_us, r.event_id)):
+        by_type.setdefault(r.event_type, []).append(float(r.value))
+    assert set(got) == set(by_type)
+    for typ, values in by_type.items():
+        s_pos = s_neg = 0.0
+        alerts = 0
+        for v in values:
+            z = (v - _CUSUM_MEAN) / _CUSUM_SD
+            s_pos = max(0.0, s_pos + z - CUSUM_K)
+            s_neg = max(0.0, s_neg - z - CUSUM_K)
+            if s_pos > CUSUM_H:
+                alerts += 1
+                s_pos = 0.0
+            if s_neg > CUSUM_H:
+                alerts += 1
+                s_neg = 0.0
+        r = got[typ]
+        assert (r.s_pos, r.s_neg, r.n_seen, r.alerts_in_batch) == (
+            s_pos,
+            s_neg,
+            len(values),
+            alerts,
+        ), typ
