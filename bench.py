@@ -1,7 +1,20 @@
 """Engine benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "extended": {...}}.
+
+The `extended` section times the top-10 heaviest STEADY-STATE queries
+from the full-registry profile (scripts/profile_queries.py — regenerate
+EXTENDED_STEADY when plans change) after an untimed scratch prewarm, so
+plan regressions in the queries outside the 30-query headline set move
+a driver-tracked number (r6 verdict next-4).
+
+--split-files N (or SPARK_GRAFT_SPLIT_FILES=N): rewrite each table as N
+parquet files in a temp dir first (untimed) and bench against that.
+Each testdata table is ONE single-row-group file Spark cannot split
+(SCALE.md §6), so the default cold numbers under-report scan
+parallelism; the split mode measures what a real multi-file layout
+gets. BASELINE.md records both (r6 verdict next-7).
 """
 
 from __future__ import annotations
@@ -49,13 +62,59 @@ BENCH_QUERIES = [
     "events_funnel_conversion",  # added late r4 (3-stage user_id join chain)
 ]
 
+# Top-10 heaviest steady-state queries from the r7 full-registry profile
+# (python scripts/profile_queries.py /root/testdata/sf0.1 — regenerate
+# this list when plans change materially). Timed after an untimed
+# prewarm, so these numbers are pure plan+kernel cost with no
+# first-touch materialization noise.
+EXTENDED_STEADY = [
+    "kmeans_train",  # 9.7 s — iterative trainer (rows-only query)
+    "stream_value_cusum",  # 3.7 s — stateful AvailableNow twin
+    "checkpoint_lookback",  # 3.6 s — packing + lookback composition
+    "stream_event_sessions",  # 2.8 s — session_window twin
+    "active_batch_packing",  # 2.6 s — greedy packer UDF
+    "dedup_semdedup",  # 2.1 s — cluster-restricted cosine pairs
+    "stream_doc_dedup",  # 2.0 s — dropDuplicatesWithinWatermark twin
+    "stream_token_stats",  # 2.0 s — windowed token telemetry twin
+    "embedding_centroid_assign",  # 2.0 s — centroid assignment kernel
+    "eval_lsh_precision_recall",  # 1.8 s — LSH vs exact-Jaccard audit
+]
+
+
+def _split_copy(spark, sf_dir: str, n_files: int) -> str:
+    """Rewrite every table as n_files parquet parts under a temp dir —
+    the multi-file layout a real deployment scans — and return it.
+    Untimed: layout preparation is not query cost."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bench_split_")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in tables:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+    return out_dir
+
 
 def main() -> None:
     from lakeview_spark import get_spark
     from lakeview_spark.plans import QUERIES
 
+    split_files = int(os.environ.get("SPARK_GRAFT_SPLIT_FILES", "0"))
+    if "--split-files" in sys.argv:
+        split_files = int(sys.argv[sys.argv.index("--split-files") + 1])
+
     spark = get_spark("lakeview-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
+
+    global SF_DIR
+    sf_label = SF_DIR
+    if split_files > 1:
+        SF_DIR = _split_copy(spark, SF_DIR, split_files)
 
     # warm the JVM + parquet footers once (not timed)
     QUERIES["pricing_summary"](spark, SF_DIR).count()
@@ -85,14 +144,39 @@ def main() -> None:
             # died at query 8 and the round lost its headline entirely)
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    # extended section: steady-state cost of the registry's heaviest
+    # queries (prewarm untimed; include_clusters because dedup_semdedup
+    # and the graph queries ride the cluster/knn scratch tables)
+    from lakeview_spark.pipeline import prewarm_scratch
+
+    prewarm_scratch(spark, SF_DIR, include_clusters=True)
+    ext_timings: dict[str, float] = {}
+    for name in EXTENDED_STEADY:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, SF_DIR).count()
+            ext_timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — same containment as above
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    sf = os.path.basename(sf_label.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "lakeview_spark bench: headline query wall-clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "extended": {
+            "what": "top-10 heaviest steady-state queries, scratch prewarmed untimed",
+            "value": round(sum(ext_timings.values()), 3),
+            "queries": ext_timings,
+        },
     }
+    if split_files > 1:
+        payload["split_files"] = split_files
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
