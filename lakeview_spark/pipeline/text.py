@@ -183,3 +183,102 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint",
         F.array_min(F.transform("shingles", F.md5)).alias("min_shingle_hash"),
     )
+
+
+# PII scrubbing (the C4/Dolma-style redaction pass). The synthetic
+# corpus is PII-free word salad, so the query INJECTS deterministic
+# contact strings first (doc_id-derived, identical expression in both
+# engines — the same make-the-op-non-vacuous device the multimodal
+# queries use to synthesize BMP/WAV payloads) and then detects and
+# redacts them with conservative regexes that parse identically under
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition and \b only — no lookaround, no backreferences.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,4}"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_injected_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, {_pii_injected_sql()} AS body FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(body, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(body) AS BIGINT) AS raw_chars,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(body,
+                  '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE}', '<PHONE>', 'g'),
+                  '{_PII_IP}', '<IP>', 'g')) AS BIGINT) AS scrubbed_chars
+    FROM injected
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction telemetry: per document, how many
+    email / phone / IPv4 literals appear and how many characters the
+    redacted form has — the pre-training scrub pass (cf. the C4 and
+    Dolma cleanup stages) expressed as pure columnar regexp ops.
+
+    Scale shape: one narrow map over the documents scan (three
+    regexp_count + a three-stage regexp_replace chain, all inside
+    whole-stage codegen), no shuffle, no join — at 100 TB this is
+    scan-bound and embarrassingly parallel, the cheapest kind of
+    full-corpus pass. Redaction REPLACES rather than drops, so
+    downstream token counts shift but alignment-sensitive consumers
+    (span dedup, chunking) still see one coherent text column."""
+    mail = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise("")
+    body = F.concat(F.col("text"), mail, phone, ip)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(body, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.length(body).cast("bigint").alias("raw_chars"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_chars"),
+    )

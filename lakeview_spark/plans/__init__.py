@@ -87,12 +87,15 @@ _DRIVER_WINDOW = [
     # the multimodal_audio_energy sentinel — that query keeps its r06
     # row and the Arrow codec chain keeps multimodal_metadata in-window)
     "stream_value_cusum",
+    # NEW this round: PII detect/redact telemetry (displaced the
+    # shipping_priority sentinel — the star-join layer keeps its seven
+    # r06-green rows and the every-round sf0.01 sweep)
+    "text_pii_scrub",
     # permanent rows-only exemptions (documented; never turn green)
     "active_batch_packing",
     "checkpoint_lookback",
     "kmeans_train",
-    # r06-green sentinels (star-join layer; streaming layer)
-    "shipping_priority",
+    # r06-green sentinel (streaming layer continuity)
     "stream_event_sessions",
 ]
 

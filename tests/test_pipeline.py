@@ -426,3 +426,35 @@ def test_audio_energy_windows_tile_the_sample_stream(spark):
         # 8-bit samples: energy bounded by n_samples * 128^2
         for w in wins:
             assert 0 <= w.energy <= w.n_samples * 128 * 128
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """Every injected contact string is found and removed: counts match
+    the injection rule, and re-scanning the scrubbed text finds zero
+    remaining PII (the property a redaction pass actually promises)."""
+    from pyspark.sql import functions as F
+
+    from lakeview_spark.pipeline.text import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    rows = QUERIES["text_pii_scrub"](spark, SF_DIR)
+    got = rows.collect()
+    for r in got:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0)
+        assert r.n_ips == (1 if r.doc_id % 7 == 0 else 0)
+        hits = r.n_emails + r.n_phones + r.n_ips
+        assert (r.scrubbed_chars != r.raw_chars) == (hits > 0)
+    # zero residue after redaction (scrub the scrubbed text again)
+    residue = (
+        rows.withColumn(
+            "total",
+            F.col("n_emails") + F.col("n_phones") + F.col("n_ips"),
+        )
+        .agg(F.sum("total"))
+        .collect()[0][0]
+    )
+    assert residue == 167 + 100 + 72  # 500-doc corpus injection rule
