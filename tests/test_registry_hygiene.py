@@ -63,3 +63,16 @@ def test_driver_window_covers_every_query_without_a_green_row():
     unchecked = set(QUERIES) - green
     outside = unchecked - set(_DRIVER_WINDOW)
     assert not outside, f"queries with no driver row outside the first-50 window: {outside}"
+
+
+def test_bench_query_lists_are_registered():
+    """bench.py silently skips names missing from the registry, so a
+    rename would silently drop a tracked number — pin both lists."""
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing, f"headline bench names not registered: {missing}"
+    missing = [n for n in bench.EXTENDED_STEADY if n not in QUERIES]
+    assert not missing, f"extended bench names not registered: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+    assert len(set(bench.EXTENDED_STEADY)) == len(bench.EXTENDED_STEADY)

