@@ -147,20 +147,26 @@ def main() -> None:
 
     # extended section: steady-state cost of the registry's heaviest
     # queries (prewarm untimed; include_clusters because dedup_semdedup
-    # and the graph queries ride the cluster/knn scratch tables)
-    from lakeview_spark.pipeline import prewarm_scratch
-
-    prewarm_scratch(spark, SF_DIR, include_clusters=True)
+    # and the graph queries ride the cluster/knn scratch tables). A
+    # broken prewarm or extended query must never cost the HEADLINE
+    # numbers — the driver depends on the one JSON line printing.
     ext_timings: dict[str, float] = {}
-    for name in EXTENDED_STEADY:
-        if name not in QUERIES:
-            continue
-        t0 = time.time()
-        try:
-            QUERIES[name](spark, SF_DIR).count()
-            ext_timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — same containment as above
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    try:
+        from lakeview_spark.pipeline import prewarm_scratch
+
+        prewarm_scratch(spark, SF_DIR, include_clusters=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["extended_prewarm"] = f"{type(exc).__name__}: {exc}"[:200]
+    else:
+        for name in EXTENDED_STEADY:
+            if name not in QUERIES:
+                continue
+            t0 = time.time()
+            try:
+                QUERIES[name](spark, SF_DIR).count()
+                ext_timings[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — same containment
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = os.path.basename(sf_label.rstrip("/")).replace("sf", "")
     payload = {
