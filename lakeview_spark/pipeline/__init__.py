@@ -47,5 +47,12 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         from lakeview_spark.pipeline.clustering import clusters_materialized
 
         builders.append(clusters_materialized)
+        # the packed-batch table (the inherently-sequential per-table
+        # Python packer) backs active_batch_packing AND
+        # checkpoint_lookback — both in the extended steady set, and
+        # whichever runs first would otherwise pay the build
+        from lakeview_spark.plans.coverage import _continue_batches
+
+        builders.append(_continue_batches)
     for builder in builders:
         builder(spark, sf_dir).count()
