@@ -1,0 +1,80 @@
+"""Empty-input robustness guard: schema-correct, zero-row tables must
+not crash any query (divide-by-zero under ANSI, first()-of-nothing,
+min/max-derived ranges, empty broadcasts, iterative seeds...).
+
+The full 140-query audit ran clean in r7 (SCALE.md §4); this suite
+pins a representative per-edge-class subset so the property cannot
+silently regress without costing the full audit's runtime every run.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from lakeview_spark.plans import QUERIES
+
+SRC = "/root/testdata/sf0.001"
+
+# one or two queries per empty-input failure class
+GUARDED = [
+    # ratio/recall divisions over possibly-zero counts
+    "eval_simhash_band_quality",
+    "eval_lsh_precision_recall",
+    "eval_dedup_reduction",
+    "eval_ann_recall",
+    "quality_filter_funnel",
+    "corpus_token_concentration",
+    "brand_revenue_share",
+    # min/max-derived ranges and grids (sequence/gapfill over no rows)
+    "events_gapfill_locf",
+    "events_hourly_ohlc",
+    "events_sessionization",
+    "timeline_completeness",
+    # data-derived moments / thresholds (1-row aggregates over nothing)
+    "events_anomaly_zscore",
+    "important_parts",
+    "forecast_revenue",
+    # iterative / seeded algorithms (empty seed sets)
+    "kmeans_train",
+    "embedding_centroid_assign",
+    # corpus-derived sizing (planes/k/stride from n=0)
+    "similarity_lsh_buckets",
+    "dedup_minhash_lsh_pairs",
+    "similarity_knn_graph",
+    # sequential packing / prefix sums over nothing
+    "pack_training_sequences",
+    "active_batch_packing",
+    # streaming twins (AvailableNow over an empty file source)
+    "stream_token_stats",
+    "stream_value_cusum",
+    # Arrow codec kernels over zero media rows
+    "multimodal_audio_energy",
+    # narrow maps (regex, fingerprints) — the cheap sanity tier
+    "text_pii_scrub",
+    "text_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("empty_sf"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        stage = f"{work}/_stage_{f}"
+        spark.read.parquet(f"{SRC}/{f}").limit(0).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{work}/{f}")
+        shutil.rmtree(stage)
+    return work
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", GUARDED)
+def test_query_survives_empty_tables(spark, empty_sf, name):
+    n = QUERIES[name](spark, empty_sf).count()
+    assert n >= 0
