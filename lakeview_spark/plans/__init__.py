@@ -17,86 +17,79 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-7 window (VERDICT r06 next-1, the rotation COVERAGE.md planned
-# at r5 close): 41 slots go to the r03 cohort — the queries whose
-# newest green driver row is still CORRECTNESS_r03 (current-testdata
-# sweep-green every round since, but the driver's hard signal is two
-# rounds stale). 7 of the 48 r03-cohort queries defer to r8 because a
-# same-layer kin is in-window (text_language_id / text_quality_score /
-# text_repetition_score / text_tfidf_top_terms ride the pure-columnar
-# text layer with text_token_count + text_fingerprint in-window;
-# corpus_bigram_counts / corpus_bigram_cohesion ride the token-pair
-# layer with corpus_top_tokens; multimodal_decode_bmp rides the
-# mapInPandas codec chain with multimodal_metadata in-window and the
-# r06-green phash/audio rows). Then the 3 queries whose CODE changes
-# this round (64-bit simhash signature, important_parts DECIMAL
-# threshold, eval_ann_recall plan slim) so the rewrites earn fresh
-# driver rows; the 3 permanent rows-only exemptions (err=no_oracle
-# never turns green — in-window is the only driver exercise they get);
-# and 3 r06-green sentinels re-validating the shared layers that stay
-# out of the rotation (star joins, streaming twins, Arrow codecs).
+# Round-8 window (VERDICT r07 next-1 — the rotation COVERAGE.md wrote
+# down at r7 close, executed verbatim): the full 40-query r04 cohort
+# (every query whose newest green driver row is CORRECTNESS_r04 —
+# current-testdata sweep-green each round since, freshness hygiene not
+# repair), the 7 r03-cohort queries deferred from the r7 window
+# (pure-columnar text layer, token-pair corpus layer, mapInPandas codec
+# chain — each had a same-layer kin in-window at r7), and the batching
+# pair `active_batch_packing` / `checkpoint_lookback` — graduated THIS
+# round from rows-only to hash-checked via the ordered-struct-fold
+# oracle device r7 built for CUSUM (VERDICT r07 next-2), so their rows
+# can turn green for the first time — plus `kmeans_train`, the single
+# remaining rows-only exemption (iterative float-mean; err=no_oracle
+# never turns green, in-window is the only driver exercise it gets).
+# 40 + 7 + 3 = exactly 50 slots, no sentinels needed. After this window
+# lands green, no query's newest driver row is older than r07 and the
+# rotation returns to its ~4-sentinel steady state (COVERAGE.md r9
+# plan).
 _DRIVER_WINDOW = [
-    # r03 cohort (41 of 48; the other 7 defer to the r8 window)
-    "archived_batching",
-    "checkpoint_filter",
-    "contamination_ngram_overlap",
-    "corpus_cube_stats",
-    "corpus_distinct_kmv",
-    "corpus_top_tokens",
-    "dedup_apply",
-    "dedup_cluster_stats",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_lsh",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_hamming_pairs",
-    "embedding_centroid_assign",
-    "embedding_centroid_stats",
-    "eval_dedup_reduction",
-    "eval_embedding_bucket_health",
-    "eval_language_id_confusion",
-    "eval_lsh_bucket_health",
-    "eval_lsh_precision_recall",
-    "eval_simhash_band_quality",
-    "minhash_similarity_estimate",
-    "multimodal_metadata",
-    "partition_skew",
-    "pricing_summary",
-    "quality_filter_apply",
-    "quality_filter_funnel",
-    "sample_stratified",
-    "similarity_ann_ivf",
-    "similarity_ann_multiprobe",
-    "similarity_lsh_buckets",
-    "similarity_topk_cosine",
-    "table_health_summary",
-    "text_fingerprint",
-    "text_token_count",
-    "timeline_parse",
-    "timeline_search",
-    "uuid3_table_ids",
-    # code changed this round (r7) — re-prove under the driver
-    "dedup_simhash",
-    "important_parts",
-    "eval_ann_recall",
-    # NEW this round: the stateful CUSUM detector's AvailableNow twin
-    # (the last streaming op without a driver row; its slot displaced
-    # the multimodal_audio_energy sentinel — that query keeps its r06
-    # row and the Arrow codec chain keeps multimodal_metadata in-window)
-    "stream_value_cusum",
-    # NEW this round: PII detect/redact telemetry (displaced the
-    # shipping_priority sentinel — the star-join layer keeps its seven
-    # r06-green rows and the every-round sf0.01 sweep)
-    "text_pii_scrub",
-    # permanent rows-only exemptions (documented; never turn green)
+    # r04 cohort (40 queries)
+    "compaction_backlog",
+    "dedup_semdedup",
+    "duplicate_wins_join",
+    "events_asof_click_value",
+    "events_click_attribution",
+    "events_funnel_conversion",
+    "events_props_json_stats",
+    "events_rollup_cascade",
+    "events_sessionization",
+    "events_sliding_window_stats",
+    "events_user_retention",
+    "events_user_value_quartiles",
+    "exactly_one_guard",
+    "file_size_percentiles",
+    "first_incomplete_commit",
+    "instant_sort_order",
+    "manifest_diff",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "multimodal_patch_stats",
+    "multimodal_resize_bmp",
+    "new_table_detection",
+    "pack_sequence_stats",
+    "pack_training_sequences",
+    "partition_histogram",
+    "partition_size_distribution",
+    "recent_commit_groups",
+    "region_segment_profile",
+    "sample_temperature",
+    "stream_doc_dedup",
+    "stream_embedding_neardup",
+    "stream_quality_filter",
+    "stream_token_stats",
+    "table_counts_rollup",
+    "table_stats_daily",
+    "timeline_completeness",
+    "timeline_trends",
+    "top_partitions",
+    "top_revenue_supplier",
+    "union_dedup_discovery",
+    # r03 cohort, deferred from the r7 window (7 queries)
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "corpus_bigram_counts",
+    "corpus_bigram_cohesion",
+    "multimodal_decode_bmp",
+    # graduated from rows-only to hash-checked this round (r8) via the
+    # ordered-struct-fold oracle device (see plans/coverage.py)
     "active_batch_packing",
     "checkpoint_lookback",
+    # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
-    # r06-green sentinel (streaming layer continuity)
-    "stream_event_sessions",
 ]
 
 

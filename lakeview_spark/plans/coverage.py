@@ -1,9 +1,9 @@
 """Coverage queries for the remaining SURVEY §2 operator rows: A2
 (group-with-any-recent filter), J3 (duplicate-wins join), U1
-(union+dedup), O3 (exactly-one guard), and rows-only entries for the
-two genuinely sequential operators (W1 greedy packing, W2 checkpoint
-lookback) that the driver checks as rows-only (no SQL oracle exists
-for order-dependent greedy packing)."""
+(union+dedup), O3 (exactly-one guard), and the two sequential
+operators (W1 greedy packing, W2 checkpoint lookback) — hash-checked
+since r8 via a closed-form windowed replay of the greedy walk (see
+_BATCH_CTE below for the proof sketch)."""
 
 from __future__ import annotations
 
@@ -133,12 +133,97 @@ def _synthesized_multi_table_timeline(spark: SparkSession, sf_dir: str) -> DataF
     return files.join(o, "ts_str").select("table_id", "filename", "last_modified")
 
 
-@register("active_batch_packing")  # rows-only: greedy packing is order-dependent
+# Closed-form windowed replay of the greedy CONTINUE walk
+# (ActiveTimelineInstantBatcher.java:44-184) on the synthesized
+# timeline. The walk is sequential in general, but on THIS input its
+# outcome has a provable closed form, so the oracle needs windows, not
+# a fold (the fold device streaming_twins.py:341+ built for CUSUM
+# would also work but is O(n^2) when the accumulator must carry the
+# emitted assignments). Proof sketch, verified against create_batches
+# on randomized inputs by tests/test_dataflow.py::
+# test_closed_form_batching_replay_matches_packer:
+#
+#  * every file parses to action 'commit' (whitelisted; no
+#    hoodie.properties, no rollback/savepoint in the synthesized set),
+#    so only the general triple branch of the walk runs, and the
+#    CONTINUE recency filter passes everything (all last_modified >
+#    EPOCH);
+#  * a commit ts owns <= 3 files, and a related triple requires equal
+#    ts, so taken triples never overlap; skips advance the walk by
+#    exactly 1 — hence the walk lands on the FIRST position of every
+#    ts whose 3 files are CONTIGUOUS in the per-table lexicographic
+#    order, and takes it ('F'-status completed files `k_k+1.commit`
+#    sort after any order whose key has `k` as a string prefix, which
+#    is what makes contiguity a real predicate, not a tautology);
+#  * every non-taken position p <= n-3 is skipped with candidate
+#    str(ts-1), and first_incomplete is the lexicographic STRING min
+#    of the candidates (the Java compares strings); positions n-2/n-1
+#    hit the stop branch and contribute nothing;
+#  * groups are atomic and capacity is 20, so batches hold exactly 6
+#    triples: batch_id = tidx // 6 + 1, seq_in_batch = (tidx % 6) * 3
+#    + offset, with tidx the per-table take order (= min_pos order).
+_BATCH_CTE = f"""
+    tf AS ({_TF_SQL}),
+    f AS (
+      SELECT tf.filename,
+             string_split(string_split(tf.filename, '.')[1], '_')[1] AS ts_str
+      FROM tf
+    ),
+    files AS (
+      SELECT 'tbl_' || CAST(o.o_custkey % 5 AS VARCHAR) AS table_id,
+             f.filename, f.ts_str
+      FROM f JOIN orders o ON f.ts_str = CAST(o.o_orderkey AS VARCHAR)
+    ),
+    ranked AS (
+      SELECT table_id, filename, ts_str,
+             row_number() OVER (PARTITION BY table_id ORDER BY filename) - 1 AS pos,
+             count(*) OVER (PARTITION BY table_id) AS n
+      FROM files
+    ),
+    grp AS (
+      SELECT table_id, ts_str, count(*) AS cnt,
+             min(pos) AS min_pos, max(pos) AS max_pos
+      FROM ranked GROUP BY table_id, ts_str
+    ),
+    taken AS (
+      SELECT table_id, ts_str, min_pos,
+             row_number() OVER (PARTITION BY table_id ORDER BY min_pos) - 1 AS tidx
+      FROM grp WHERE cnt = 3 AND max_pos - min_pos = 2
+    ),
+    fi AS (
+      SELECT r.table_id,
+             min(CAST(CAST(r.ts_str AS BIGINT) - 1 AS VARCHAR)) AS first_incomplete
+      FROM ranked r
+      LEFT JOIN taken tk ON r.table_id = tk.table_id AND r.ts_str = tk.ts_str
+      WHERE tk.ts_str IS NULL AND r.pos <= r.n - 3
+      GROUP BY r.table_id
+    )
+"""
+
+
+@register(
+    "active_batch_packing",
+    oracle=f"""
+    WITH {_BATCH_CTE}
+    SELECT r.table_id,
+           CAST(tk.tidx // 6 + 1 AS INT) AS batch_id,
+           CAST((tk.tidx % 6) * 3 + (r.pos - tk.min_pos) AS INT) AS seq_in_batch,
+           r.filename,
+           coalesce(fi.first_incomplete, '') AS first_incomplete
+    FROM ranked r
+    JOIN taken tk ON r.table_id = tk.table_id AND r.ts_str = tk.ts_str
+    LEFT JOIN fi ON r.table_id = fi.table_id
+    """,
+)
 def active_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 (active): exact greedy commit-group packing per table via the
-    batch engine (applyInPandas). No SQL oracle exists — the packing is
-    inherently sequential — so the driver records the rows-only check;
-    semantic parity is covered by the table-driven batcher tests.
+    batch engine (applyInPandas). Hash-checked since r8: the walk is
+    sequential, but on the synthesized timeline its outcome has a
+    closed form (contiguous complete triples in lexicographic position
+    order, capacity 20 => 6 triples per batch) — see _BATCH_CTE for
+    the proof sketch; the general algorithm stays covered by the
+    golden-file + table-driven batcher tests and the randomized
+    replay-equivalence property test.
 
     CONTINUE strategy: the synthesized timeline has incomplete commits
     (status-'O' orders) scattered from the earliest ids, so BLOCK would
@@ -163,10 +248,35 @@ def _continue_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized(spark, "active_batches", sf_dir, build)
 
 
-@register("checkpoint_lookback")  # rows-only: case-ladder over batch tails
+@register(
+    "checkpoint_lookback",
+    oracle=f"""
+    WITH {_BATCH_CTE},
+    last_t AS (
+      SELECT table_id, ts_str, min_pos, tidx,
+             row_number() OVER (PARTITION BY table_id ORDER BY tidx DESC) AS rk
+      FROM taken
+    )
+    SELECT lt.table_id,
+           CAST(lt.tidx // 6 + 1 AS INT) AS batch_id,
+           r.filename AS last_uploaded_file,
+           coalesce(fi.first_incomplete, '') AS first_incomplete_commit_file
+    FROM last_t lt
+    JOIN ranked r ON r.table_id = lt.table_id AND r.pos = lt.min_pos
+    LEFT JOIN fi ON fi.table_id = lt.table_id
+    WHERE lt.rk = 1
+    """,
+)
 def checkpoint_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: per-table checkpoint advance after batching — last-uploaded
-    file via the savepoint/rollback lookback rules + watermark."""
+    file via the savepoint/rollback lookback rules + watermark.
+
+    Hash-checked since r8, riding the _BATCH_CTE closed form: batch_id
+    = the max batch id; the last batch ends in a commit-action triple,
+    so getLastUploadedFileFromBatch
+    (TimelineCommitInstantsUploader.java:982-1026) returns batch[-3] =
+    the FIRST file of the last-taken triple (pos == its min_pos);
+    first_incomplete is the same string-min the packer recorded."""
     from lakeview_spark.runner import compute_checkpoint_updates
     from lakeview_spark.schemas import CHECKPOINTS_SCHEMA
 

@@ -609,3 +609,60 @@ def test_continue_strategy_checkpoint_sequence_reference_scenario(spark):
     assert update.last_uploaded_file == "777.rollback"
     assert update.first_incomplete_commit_file == "221"
     assert update.checkpoint_ts == fresh
+
+
+def test_closed_form_batching_replay_matches_packer():
+    """Validates the theorem behind the r8 active_batch_packing /
+    checkpoint_lookback oracles (plans/coverage.py _BATCH_CTE): on a
+    synthesized-timeline-shaped input (per order: .commit.requested +
+    .inflight, plus a completed .commit — `k_k+1.commit` when status
+    'F' — for non-'O' statuses), the greedy CONTINUE walk reduces to:
+    take every ts whose 3 files are contiguous in lexicographic order,
+    6 triples per batch (capacity 20), skip candidates = str(ts-1) for
+    every non-taken position <= n-3, first_incomplete = STRING min."""
+    import random
+
+    from lakeview_spark.operators.batcher import CONTINUE, create_batches
+
+    rng = random.Random(8)
+    for trial in range(200):
+        n_orders = rng.randint(1, 40)
+        keys = rng.sample(range(1, 2000), n_orders)
+        files = []
+        for k in keys:
+            status = rng.choice("OOFP")  # skew toward incomplete
+            files.append((f"{k}.commit.requested", None))
+            files.append((f"{k}.inflight", None))
+            if status == "F":
+                files.append((f"{k}_{k + 1}.commit", None))
+            elif status == "P":
+                files.append((f"{k}.commit", None))
+        first_inc, batches = create_batches(files, 20, CONTINUE)
+
+        # closed-form replay
+        names = sorted(fn for fn, _ in files)
+        n = len(names)
+        ts_of = lambda fn: fn.split(".", 1)[0].split("_", 1)[0]  # noqa: E731
+        by_ts: dict[str, list[int]] = {}
+        for pos, fn in enumerate(names):
+            by_ts.setdefault(ts_of(fn), []).append(pos)
+        taken = {
+            ts: ps
+            for ts, ps in by_ts.items()
+            if len(ps) == 3 and max(ps) - min(ps) == 2
+        }
+        triples = sorted(taken.values(), key=min)
+        want_batches = [
+            [names[p] for ps in triples[i : i + 6] for p in sorted(ps)]
+            for i in range(0, len(triples), 6)
+        ]
+        taken_pos = {p for ps in triples for p in ps}
+        candidates = [
+            str(int(ts_of(names[p])) - 1)
+            for p in range(n)
+            if p not in taken_pos and p <= n - 3
+        ]
+        want_first = min(candidates) if candidates else ""
+
+        assert batches == want_batches, (trial, keys)
+        assert first_inc == want_first, (trial, keys)

@@ -16,14 +16,12 @@ def test_every_oracle_has_a_query():
 
 
 def test_rows_only_queries_are_exactly_the_documented_set():
-    """Order-dependent greedy packing, checkpoint lookback, and the
-    iterative float-mean k-means trainer (pipeline/iterative.py
-    docstring) — every other query must carry an oracle."""
-    assert set(QUERIES) - set(ORACLES) == {
-        "active_batch_packing",
-        "checkpoint_lookback",
-        "kmeans_train",
-    }
+    """Only the iterative float-mean k-means trainer
+    (pipeline/iterative.py docstring) lacks an oracle — the packing
+    pair graduated to hash-checked in r8 via the closed-form windowed
+    replay (plans/coverage.py _BATCH_CTE). Every other query must
+    carry an oracle."""
+    assert set(QUERIES) - set(ORACLES) == {"kmeans_train"}
 
 
 def test_every_registered_query_is_mentioned_in_coverage_md():
@@ -34,7 +32,7 @@ def test_every_registered_query_is_mentioned_in_coverage_md():
 
 def test_coverage_md_counts_match_registry():
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
-    assert f"({len(QUERIES)} registered; {len(ORACLES)} oracle-exact, 3" in text, (
+    assert f"({len(QUERIES)} registered; {len(ORACLES)} oracle-exact, 1" in text, (
         f"COVERAGE.md header count stale: registry has {len(QUERIES)}/{len(ORACLES)}"
     )
 
