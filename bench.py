@@ -163,8 +163,16 @@ def main() -> None:
                 continue
             t0 = time.time()
             try:
-                QUERIES[name](spark, SF_DIR).count()
-                ext_timings[name] = round(time.time() - t0, 3)
+                n = QUERIES[name](spark, SF_DIR).count()
+                # a silently-empty result under a rewritten layout is a
+                # broken measurement, not a fast one (r7 ADVICE: the
+                # stream twins' pathGlobFilter matched zero part files
+                # under --split-files and timed empty streams; the
+                # sources now dispatch on layout — keep the tripwire)
+                if split_files > 1 and n == 0:
+                    errors[name] = "empty result under split layout"
+                else:
+                    ext_timings[name] = round(time.time() - t0, 3)
             except Exception as exc:  # noqa: BLE001 — same containment
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -36,7 +36,12 @@ class Constraint:
     """One declarative expectation. `kind` selects the metric:
 
     - not_null(col, min_rate): non-null share >= min_rate
-    - unique(col): exact distinct count == row count
+    - unique(col): exact distinct count == row count. NULLs are
+      violations: countDistinct ignores them, so any NULL (or a
+      duplicated NULL) makes distinct < rows and the gate fails —
+      a key column must be both present and unique (r7 ADVICE: the
+      old verdict compared against the NON-NULL count, so an
+      all-NULL column passed silently)
     - in_range(col, lo, hi): every non-null value within [lo, hi]
     - accepted_values(col, values): every non-null value in the set
     - row_count(lo, hi): table row count within [lo, hi]
@@ -112,8 +117,9 @@ def _verdict(c: Constraint, observed: float, n_rows: int, n_nonnull: dict) -> tu
         rate = observed / n_rows if n_rows else 1.0
         return rate >= c.min_rate, rate, c.min_rate
     if c.kind == "unique":
-        nn = n_nonnull.get(c.col, n_rows)
-        return observed == nn, observed, nn
+        # distinct NON-NULL count must cover every row: a NULL key (or
+        # a duplicate) leaves observed < n_rows and fails the gate
+        return observed == n_rows, observed, n_rows
     if c.kind in ("in_range", "accepted_values"):
         return observed == 0, observed, 0
     if c.kind == "row_count":
@@ -133,11 +139,10 @@ def check(df: DataFrame, constraints: Sequence[Constraint]) -> DataFrame:
     collect is bounded by the suite size, never the data."""
     spark = df.sparkSession
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    # uniqueness/matches verdicts compare against the column's non-null
-    # count; gather those alongside in the same pass
-    need_nn = {
-        c.col for c in constraints if c.kind in ("unique", "matches") and c.col
-    }
+    # the matches verdict rates against the column's non-null count;
+    # gather those alongside in the same pass (unique compares against
+    # n_rows so NULL keys fail — no extra aggregate needed)
+    need_nn = {c.col for c in constraints if c.kind == "matches" and c.col}
     for col in sorted(need_nn):
         aggs.append(F.count(F.col(col)).alias(f"__nn_{col}"))
     for i, c in enumerate(constraints):

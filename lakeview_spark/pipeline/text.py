@@ -238,6 +238,22 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus pass. Redaction REPLACES rather than drops, so
     downstream token counts shift but alignment-sensitive consumers
     (span dedup, chunking) still see one coherent text column."""
+    body = _pii_body_col()
+    scrubbed = _pii_scrub_col(body)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(body, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.length(body).cast("bigint").alias("raw_chars"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_chars"),
+    )
+
+
+def _pii_body_col() -> F.Column:
+    """documents.text with the deterministic doc_id-derived contact
+    strings appended — the Spark twin of _pii_injected_sql (tests reuse
+    it to re-scan the SCRUBBED text for residue)."""
     mail = F.when(
         F.col("doc_id") % 3 == 0,
         F.concat(
@@ -264,8 +280,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 100).cast("string"),
         ),
     ).otherwise("")
-    body = F.concat(F.col("text"), mail, phone, ip)
-    scrubbed = F.regexp_replace(
+    return F.concat(F.col("text"), mail, phone, ip)
+
+
+def _pii_scrub_col(body: F.Column) -> F.Column:
+    """The three-stage redaction chain over a text column."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(body, _PII_EMAIL, "<EMAIL>"),
             _PII_PHONE,
@@ -273,12 +293,4 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _PII_IP,
         "<IP>",
-    )
-    return t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_count(body, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(body, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
-        F.regexp_count(body, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
-        F.length(body).cast("bigint").alias("raw_chars"),
-        F.length(scrubbed).cast("bigint").alias("scrubbed_chars"),
     )

@@ -11,6 +11,11 @@ can hash-compare them against a DuckDB oracle like any other query.
 Determinism notes (why these are oracle-exact):
 - each testdata table is ONE parquet file, so AvailableNow processes it
   as ONE micro-batch: no cross-batch watermark races, no late drops.
+  (Under a multi-file layout — bench --split-files — the source streams
+  the table DIRECTORY via _table_stream; all parts still land in one
+  micro-batch because AvailableNow takes every available file when no
+  maxFilesPerTrigger is set. Correctness rows always run the
+  single-file driver layout.)
 - session_window emission under AvailableNow is deterministic: the
   post-data no-data batch advances the watermark to max(ts) - delay and
   flushes every session with end <= watermark (verified empirically,
@@ -64,16 +69,36 @@ def _run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     return result.sparkSession.table(name)
 
 
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``<name>.parquet`` as a file-source stream (schema borrowed from
+    the batch read). The file source wants a DIRECTORY, and the table
+    ships in two layouts:
+
+    - single file ``<sf_dir>/<name>.parquet`` (driver testdata):
+      stream ``sf_dir`` with a pathGlobFilter on the leaf name;
+    - directory of part files (bench --split-files rewrites, real
+      deployments): stream the directory itself — pathGlobFilter
+      matches LEAF file names only, so the single-file glob would
+      match ZERO part files and silently time an empty stream
+      (r7 ADVICE, verified empirically).
+
+    The dispatch is a local os.path check because the testdata/bench
+    layouts are local; on an object store a deployment streams the
+    table directory directly (the second branch)."""
+    import os
+
+    schema = t(spark, sf_dir, name).schema
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a file-source stream with synthesized
-    event time (schema borrowed from the batch read; pathGlobFilter
-    because the file source wants a directory)."""
-    schema = t(spark, sf_dir, "documents").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    event time."""
+    stream = _table_stream(spark, sf_dir, "documents")
     return stream.withColumn(
         "ingest_ts",
         F.timestamp_micros(
@@ -117,12 +142,7 @@ def stream_event_sessions_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     final watermark (max ts - 1 h) — the oracle derives the same
     sessions with lag + running sum, which is also how the batch twin
     `events_sessionization` works (plans/tpch_extra.py)."""
-    batch = t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "events")
     e = stream.select(
         "user_id", F.timestamp_micros(events_ts_us(stream)).alias("ts")
     )
@@ -250,12 +270,8 @@ def stream_embedding_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         _plane_vectors,
     )
 
-    batch = t(spark, sf_dir, "embeddings")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("vec_id") % _DELTA_MOD == 0)
+    stream = _table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _DELTA_MOD == 0
     )
     indexed = _lsh_bucketed(spark, sf_dir)
     planes = _plane_vectors(spark, sf_dir)
@@ -286,11 +302,7 @@ def stream_error_proximity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeview_spark.plans.tpch_extra import _PROX_US
 
     batch = t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "events")
     err_stream = stream.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
         "user_id",
@@ -421,12 +433,7 @@ def stream_value_cusum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent), which is why the twin pins the moments."""
     from lakeview_spark.streaming.stateful import stream_value_cusum
 
-    batch = t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "events")
     e = stream.filter(F.col("event_type").isin(*_CUSUM_TYPES)).select(
         "event_id",
         events_ts_us(stream).alias("ts_us"),

@@ -177,7 +177,9 @@ def test_simhash_band_blocking_is_lossless(spark):
     from lakeview_spark.plans import QUERIES
 
     row = QUERIES["eval_simhash_band_quality"](spark, "/root/testdata/sf0.001").collect()[0]
-    assert row.sample_docs == 250
+    # r8: the eval mod is corpus-derived (max(1, n // 1000)) — at 500
+    # docs that is 1, so the sample is the WHOLE corpus
+    assert row.sample_docs == 500
     assert row.true_pairs > 0  # non-vacuous truth set
     # pigeonhole: 4x16-bit bands over 64 bits catch every hamming<=3 pair
     assert row.true_positives == row.true_pairs

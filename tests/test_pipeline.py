@@ -448,8 +448,8 @@ def test_pii_scrub_redacts_everything(spark):
         assert r.n_ips == (1 if r.doc_id % 7 == 0 else 0)
         hits = r.n_emails + r.n_phones + r.n_ips
         assert (r.scrubbed_chars != r.raw_chars) == (hits > 0)
-    # zero residue after redaction (scrub the scrubbed text again)
-    residue = (
+    # the detection totals match the 500-doc corpus injection rule
+    total = (
         rows.withColumn(
             "total",
             F.col("n_emails") + F.col("n_phones") + F.col("n_ips"),
@@ -457,4 +457,19 @@ def test_pii_scrub_redacts_everything(spark):
         .agg(F.sum("total"))
         .collect()[0][0]
     )
-    assert residue == 167 + 100 + 72  # 500-doc corpus injection rule
+    assert total == 167 + 100 + 72
+    # zero residue after redaction: re-apply all three detectors to the
+    # SCRUBBED text and demand nothing is found (r7 ADVICE: the old
+    # assertion summed the pre-redaction counts and never re-scanned)
+    from lakeview_spark.pipeline.text import _pii_body_col, _pii_scrub_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scrubbed = _pii_scrub_col(_pii_body_col())
+    residue = docs.select(
+        (
+            F.regexp_count(scrubbed, F.lit(_PII_EMAIL))
+            + F.regexp_count(scrubbed, F.lit(_PII_PHONE))
+            + F.regexp_count(scrubbed, F.lit(_PII_IP))
+        ).alias("residue")
+    ).agg(F.sum("residue")).collect()[0][0]
+    assert residue == 0

@@ -118,3 +118,21 @@ def test_containment_gate(spark):
     n = bad2.count()
     assert n > 0
     assert bad2.filter(F.col("o_custkey") % 2 == 0).count() == 0
+
+
+def test_unique_counts_nulls_as_violations(spark):
+    """r7 ADVICE: the old unique verdict compared countDistinct against
+    the NON-NULL count, so an all-NULL (or duplicated-NULL) key column
+    passed the uniqueness gate silently. It must fail: a key column
+    has to be present AND unique."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (3,)], "id long"
+    )
+    rows = {r.constraint: r for r in check(df, [unique("id")]).collect()}
+    assert not rows["unique(id)"].passed
+    assert rows["unique(id)"].observed == 1.0  # one distinct non-null
+    assert rows["unique(id)"].expected == 3.0  # vs 3 rows
+
+    clean = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rows = {r.constraint: r for r in check(clean, [unique("id")]).collect()}
+    assert rows["unique(id)"].passed
