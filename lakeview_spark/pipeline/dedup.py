@@ -368,6 +368,86 @@ def jaccard_index_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# asymmetric-containment threshold: inter / |smaller set| — Broder's
+# containment coefficient. A truncated copy of a long document scores
+# ~1.0 here while its symmetric Jaccard can sit BELOW the 0.1 near-dup
+# threshold (inter/min = 1 but inter/union ~ |short|/|long|), so the
+# symmetric pass structurally misses truncation/quotation pairs.
+CONTAINMENT_MIN = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
+    e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
+    p AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2, inter,
+           CASE WHEN sa.n <= sb.n THEN doc1 ELSE doc2 END AS contained_doc,
+           CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM p
+    JOIN sizes sa ON sa.doc_id = doc1
+    JOIN sizes sb ON sb.doc_id = doc2
+    WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_MIN}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder 1997's containment
+    coefficient next to the resemblance/Jaccard the other pair queries
+    use): pairs where the SMALLER document's shingle set is >= 80%
+    inside the other's — the truncation / quoted-excerpt / superset
+    signal that symmetric Jaccard structurally underweights (a 10-line
+    excerpt of a 300-line doc has Jaccard ~0.03 but containment 1.0).
+    `contained_doc` names the smaller side (ties -> doc1, identical
+    CASE in both engines) — the candidate the keep-longest policy
+    (dedup_apply_quality) would drop.
+
+    Scale shape: identical to dedup_ngram_jaccard — both self-join
+    sides are co-located scans of the persisted shingle-bucketed
+    inverted index (df-capped, so no hot-shingle quadratics), one
+    pair-keyed aggregation, set sizes broadcast. The df cap makes the
+    intersection conservative for pairs relying on hot shingles, same
+    caveat as the Jaccard pass."""
+    e = jaccard_index_materialized(spark, sf_dir)
+    s = _doc_shingles(spark, sf_dir)
+    sizes = s.select("doc_id", F.size("shingles").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
+    containment = F.col("inter").cast("double") / F.least("na", "nb")
+    return (
+        pairs.join(F.broadcast(sa), "doc1")
+        .join(F.broadcast(sb), "doc2")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+        .select(
+            "doc1",
+            "doc2",
+            "inter",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .alias("contained_doc"),
+            "containment",
+        )
+    )
+
+
 # shared-span window width (tokens): between the 3-token shingle (pair
 # candidates) and the 64-token chunk (RAG blocks) — wide enough that a
 # match means copied text, not shared phrasing
@@ -439,4 +519,129 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_spans"),
         F.sum(shared_cnt).cast("bigint").alias("n_shared"),
         (F.sum(shared_cnt).cast("double") / F.sum("cnt")).alias("shared_share"),
+    )
+
+
+@register(
+    "dedup_span_apply",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(toks, i, i + {SPAN_WIDTH} - 1), ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(toks) - {SPAN_WIDTH} + 2, 1))) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    starts AS (
+      SELECT w.doc_id, w.i,
+             CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM w LEFT JOIN dup ON w.h = dup.h
+    ),
+    tokrows AS (
+      SELECT doc_id, i AS ti, toks[i] AS tok
+      FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    cov AS (
+      SELECT t.doc_id, t.ti, t.tok,
+             max(coalesce(s.is_dup, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.ti
+               ROWS BETWEEN {SPAN_WIDTH - 1} PRECEDING AND CURRENT ROW) AS covered
+      FROM tokrows t LEFT JOIN starts s ON t.doc_id = s.doc_id AND t.ti = s.i
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(1 - covered) AS BIGINT) AS kept_tokens,
+           CAST(sum(covered) AS BIGINT) AS removed_tokens,
+           coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+                               ORDER BY ti), '') AS cleaned_text
+    FROM cov GROUP BY doc_id
+    """,
+)
+def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup APPLY — the output half of the Lee et al.
+    exact-substring pass (dedup_shared_spans is the scan): every token
+    covered by an 8-token window whose hash occurs in >= 2 distinct
+    documents is REMOVED, and the surviving tokens are reassembled in
+    position order into the cleaned (lowercased) text — what actually
+    ships to training, next to boilerplate_apply and
+    quality_filter_apply for their passes. A token at position ti is
+    covered iff some duplicated window starts in [ti-7, ti], which is
+    exactly a running max over the last 8 start flags.
+
+    Scale shape, all linear in corpus tokens: the window kernel runs
+    once; duplicated hashes come from one (h, doc)-combined groupBy and
+    only the df>=2 TAIL is a join side (AQE broadcasts it — the
+    boilerplate-lines device); the start flags meet the token stream on
+    a (doc_id, ti) equi join; coverage is one per-doc ordered window
+    (ROWS 7 PRECEDING) and the reassembly rides the same doc_id
+    partitioning. No pair join — cost mirrors dedup_shared_spans.
+    Reassembly is engine-identical: Spark sort_array over (ti, tok)
+    structs == SQL string_agg ORDER BY ti (the events_session_paths
+    precedent)."""
+    from pyspark.sql import Window
+
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    w = (
+        tk.filter(n >= SPAN_WIDTH)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n - SPAN_WIDTH + 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.array_join(F.expr(f"slice(toks, i, {SPAN_WIDTH})"), " ")).alias("h"),
+        )
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    starts = w.join(dup, "h", "left").select(
+        F.col("doc_id").alias("s_doc"),
+        F.col("i").alias("s_i"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    tokrows = tk.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("ti"), "tok")
+    joined = tokrows.join(
+        starts,
+        (tokrows.doc_id == starts.s_doc) & (tokrows.ti == starts.s_i),
+        "left",
+    )
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("ti")
+        .rowsBetween(-(SPAN_WIDTH - 1), 0)
+    )
+    covered = joined.select(
+        "doc_id",
+        "ti",
+        "tok",
+        F.max(F.coalesce(F.col("is_dup"), F.lit(0))).over(wcov).alias("covered"),
+    )
+    kept_struct = F.when(
+        F.col("covered") == 0, F.struct(F.col("ti"), F.col("tok"))
+    )
+    return covered.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.lit(1) - F.col("covered")).cast("bigint").alias("kept_tokens"),
+        F.sum("covered").cast("bigint").alias("removed_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )

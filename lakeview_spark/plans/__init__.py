@@ -30,12 +30,17 @@ from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline:
 # can turn green for the first time — plus `kmeans_train`, the single
 # remaining rows-only exemption (iterative float-mean; err=no_oracle
 # never turns green, in-window is the only driver exercise it gets).
-# 40 + 7 + 3 = exactly 50 slots, no sentinels needed. After this window
-# lands green, no query's newest driver row is older than r07 and the
-# rotation returns to its ~4-sentinel steady state (COVERAGE.md r9
-# plan).
+# 40 + 7 + 3 = exactly 50 slots — amended late-r8: the two NEW queries
+# (`dedup_containment`, `dedup_span_apply`) have no green row anywhere,
+# so the hygiene rule forces them in-window; they displace
+# `multimodal_frame_sample` (the codec chain keeps FOUR in-window kins:
+# decode_bmp/decode_wav/resize_bmp/patch_stats) and
+# `events_sliding_window_stats` (the events layer keeps EIGHT in-window
+# kins) — both displaced queries keep their r04 green rows and the
+# every-round sf0.01 sweep, the same device the r7 window used.
 _DRIVER_WINDOW = [
-    # r04 cohort (40 queries)
+    # r04 cohort (38 of 40; frame_sample + sliding_window_stats
+    # displaced by the two new queries, r04 rows stand)
     "compaction_backlog",
     "dedup_semdedup",
     "duplicate_wins_join",
@@ -45,7 +50,6 @@ _DRIVER_WINDOW = [
     "events_props_json_stats",
     "events_rollup_cascade",
     "events_sessionization",
-    "events_sliding_window_stats",
     "events_user_retention",
     "events_user_value_quartiles",
     "exactly_one_guard",
@@ -54,7 +58,6 @@ _DRIVER_WINDOW = [
     "instant_sort_order",
     "manifest_diff",
     "multimodal_decode_wav",
-    "multimodal_frame_sample",
     "multimodal_patch_stats",
     "multimodal_resize_bmp",
     "new_table_detection",
@@ -84,8 +87,14 @@ _DRIVER_WINDOW = [
     "corpus_bigram_counts",
     "corpus_bigram_cohesion",
     "multimodal_decode_bmp",
+    # NEW in r8: asymmetric containment dedup (Broder's containment
+    # coefficient — the truncation/excerpt pairs symmetric Jaccard
+    # misses) and the span-level dedup APPLY (Lee-et-al exact-substring
+    # removal output, the missing half of dedup_shared_spans)
+    "dedup_containment",
+    "dedup_span_apply",
     # graduated from rows-only to hash-checked this round (r8) via the
-    # ordered-struct-fold oracle device (see plans/coverage.py)
+    # closed-form windowed replay oracle (see plans/coverage.py)
     "active_batch_packing",
     "checkpoint_lookback",
     # the single permanent rows-only exemption (iterative float-mean)

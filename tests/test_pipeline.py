@@ -473,3 +473,63 @@ def test_pii_scrub_redacts_everything(spark):
         ).alias("residue")
     ).agg(F.sum("residue")).collect()[0][0]
     assert residue == 0
+
+
+def test_containment_python_reference(spark):
+    """dedup_containment == a pure-Python replay at sf0.001: pairwise
+    |A∩B| / min(|A|, |B|) >= 0.8 over distinct 3-gram shingle sets
+    (the df cap is a no-op at this SF), contained_doc = smaller side."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    sets = {}
+    for d in docs:
+        toks = d.text.lower().split(" ")
+        sets[d.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(sets)
+    expected = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(sets[d1] & sets[d2])
+            if not inter:
+                continue
+            m = min(len(sets[d1]), len(sets[d2]))
+            if inter / m >= 0.8:
+                contained = d1 if len(sets[d1]) <= len(sets[d2]) else d2
+                expected[(d1, d2)] = (inter, contained)
+
+    got = QUERIES["dedup_containment"](spark, SF_DIR).collect()
+    assert {(r.doc1, r.doc2) for r in got} == set(expected)
+    for r in got:
+        inter, contained = expected[(r.doc1, r.doc2)]
+        assert r.inter == inter
+        assert r.contained_doc == contained
+        assert r.containment >= 0.8
+
+
+def test_span_apply_python_reference(spark):
+    """dedup_span_apply == a pure-Python replay at sf0.001: a token is
+    removed iff covered by an 8-token window whose text occurs in >= 2
+    distinct documents; survivors reassemble in order."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    toks = {d.doc_id: d.text.lower().split(" ") for d in docs}
+    span_docs: dict[str, set] = {}
+    for did, tk in toks.items():
+        for i in range(len(tk) - 7):
+            span_docs.setdefault(" ".join(tk[i : i + 8]), set()).add(did)
+    dup = {s for s, ds in span_docs.items() if len(ds) >= 2}
+
+    got = {r.doc_id: r for r in QUERIES["dedup_span_apply"](spark, SF_DIR).collect()}
+    assert set(got) == set(toks)
+    for did, tk in toks.items():
+        covered = [False] * len(tk)
+        for i in range(len(tk) - 7):
+            if " ".join(tk[i : i + 8]) in dup:
+                for j in range(i, i + 8):
+                    covered[j] = True
+        kept = [t for t, c in zip(tk, covered) if not c]
+        r = got[did]
+        assert r.n_tokens == len(tk)
+        assert r.kept_tokens == len(kept)
+        assert r.removed_tokens == len(tk) - len(kept)
+        assert r.cleaned_text == " ".join(kept)
