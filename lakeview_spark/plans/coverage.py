@@ -119,15 +119,26 @@ def exactly_one_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# table count for the synthesized multi-table timeline. Was 5 through
+# r7 — which serialized the benched applyInPandas packer on 5 of 32
+# local cores and made each per-table walk 10x longer than it needed
+# to be (a local-bench artifact: real active timelines are O(100)
+# files across MANY tables; the parallel-across-tables axis is the one
+# that scales). 50 = the reference's own tables-per-batch hard cap
+# (MetadataExtractorConstants.java:42-46).
+_N_TABLES = 50
+
+
 def _synthesized_multi_table_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-table timelines from orders: table = o_custkey % 5, commit ts
-    = o_orderkey; incomplete when status 'O' (no completed file)."""
+    """Per-table timelines from orders: table = o_custkey % _N_TABLES,
+    commit ts = o_orderkey; incomplete when status 'O' (no completed
+    file)."""
     files = _timeline_files(spark, sf_dir).withColumn(
         "ts_str", F.split(F.split("filename", r"\.", 2)[0], "_", 2)[0]
     )
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("ts_str"),
-        F.concat(F.lit("tbl_"), (F.col("o_custkey") % 5).cast("string")).alias("table_id"),
+        F.concat(F.lit("tbl_"), (F.col("o_custkey") % _N_TABLES).cast("string")).alias("table_id"),
         F.col("o_orderdate").alias("last_modified"),
     )
     return files.join(o, "ts_str").select("table_id", "filename", "last_modified")
@@ -170,7 +181,7 @@ _BATCH_CTE = f"""
       FROM tf
     ),
     files AS (
-      SELECT 'tbl_' || CAST(o.o_custkey % 5 AS VARCHAR) AS table_id,
+      SELECT 'tbl_' || CAST(o.o_custkey % {_N_TABLES} AS VARCHAR) AS table_id,
              f.filename, f.ts_str
       FROM f JOIN orders o ON f.ts_str = CAST(o.o_orderkey AS VARCHAR)
     ),
