@@ -56,6 +56,10 @@ GUARDED = [
     # narrow maps (regex, fingerprints) — the cheap sanity tier
     "text_pii_scrub",
     "text_fingerprint",
+    # r8 additions: containment division over zero-size sets; token
+    # coverage window + reassembly over zero docs
+    "dedup_containment",
+    "dedup_span_apply",
 ]
 
 
