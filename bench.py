@@ -164,13 +164,15 @@ def main() -> None:
             t0 = time.time()
             try:
                 n = QUERIES[name](spark, SF_DIR).count()
-                # a silently-empty result under a rewritten layout is a
-                # broken measurement, not a fast one (r7 ADVICE: the
-                # stream twins' pathGlobFilter matched zero part files
-                # under --split-files and timed empty streams; the
-                # sources now dispatch on layout — keep the tripwire)
-                if split_files > 1 and n == 0:
-                    errors[name] = "empty result under split layout"
+                # a silently-empty STREAM result under a rewritten
+                # layout is a broken measurement, not a fast one (r7
+                # ADVICE: the stream twins' pathGlobFilter matched zero
+                # part files under --split-files and timed empty
+                # streams; the sources now dispatch on layout — keep
+                # the tripwire). Scoped to stream_* names: a batch
+                # guard-style query could legitimately return 0 rows.
+                if split_files > 1 and n == 0 and name.startswith("stream_"):
+                    errors[name] = "empty stream under split layout"
                 else:
                     ext_timings[name] = round(time.time() - t0, 3)
             except Exception as exc:  # noqa: BLE001 — same containment

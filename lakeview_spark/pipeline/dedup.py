@@ -68,6 +68,51 @@ _SHINGLES_SQL = """
     FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
 """
 
+# The ONE definition of the df-capped pair-intersection machinery
+# (capped inverted index -> self-join -> per-pair intersection counts
+# `p(doc1, doc2, inter)` + per-doc set sizes `sizes(doc_id, n)`) —
+# shared by the Jaccard pass, the containment pass, and the
+# eval-truth CTEs (evaluation.py) so the three can never drift
+# (the cluster oracles' shared-CTE convention).
+_CAPPED_PAIRS_SQL = f"""
+    s AS ({_SHINGLES_SQL}),
+    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
+    e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
+    p AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+def capped_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the `p` CTE: (doc1, doc2, inter) — one pair-keyed
+    aggregation over the persisted shingle-bucketed df-capped inverted
+    index (both self-join sides are co-located scans)."""
+    e = jaccard_index_materialized(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+
+
+def shingle_set_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the `sizes` CTE: (doc_id, n) — full UNCAPPED
+    shingle-set sizes (denominators stay exact even when hot shingles
+    were dropped from the index)."""
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n")
+    )
+
 
 def _doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition the raw scan before the shingle map: the local
@@ -114,19 +159,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH s AS ({_SHINGLES_SQL}),
-    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
-    live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
-    e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
-    pairs AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    WITH {_CAPPED_PAIRS_SQL}
     SELECT doc1, doc2, inter,
            CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-    FROM pairs
+    FROM p
     JOIN sizes sa ON sa.doc_id = doc1
     JOIN sizes sb ON sb.doc_id = doc2
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1
@@ -148,16 +184,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage executes once per self-join side plus once for the df
     count; with it both pair-join sides are co-located parquet scans
     with no exchange before the pair groupBy."""
-    s = _doc_shingles(spark, sf_dir)
-    e = jaccard_index_materialized(spark, sf_dir)
-    sizes = s.select("doc_id", F.size("shingles").alias("n"))
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count("*").alias("inter"))
-    )
+    pairs = capped_pair_intersections(spark, sf_dir)
+    sizes = shingle_set_sizes(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -379,16 +407,7 @@ CONTAINMENT_MIN = 0.8
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH s AS ({_SHINGLES_SQL}),
-    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
-    live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
-    e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
-    p AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    WITH {_CAPPED_PAIRS_SQL}
     SELECT doc1, doc2, inter,
            CASE WHEN sa.n <= sb.n THEN doc1 ELSE doc2 END AS contained_doc,
            CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
@@ -414,20 +433,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index (df-capped, so no hot-shingle quadratics), one
     pair-keyed aggregation, set sizes broadcast. The df cap makes the
     intersection conservative for pairs relying on hot shingles, same
-    caveat as the Jaccard pass."""
-    e = jaccard_index_materialized(spark, sf_dir)
-    s = _doc_shingles(spark, sf_dir)
-    sizes = s.select("doc_id", F.size("shingles").alias("n"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count("*").alias("inter"))
-    )
+    caveat as the Jaccard pass. Pair machinery shared with that pass
+    via capped_pair_intersections / _CAPPED_PAIRS_SQL."""
+    pairs = capped_pair_intersections(spark, sf_dir)
+    sizes = shingle_set_sizes(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
     containment = F.col("inter").cast("double") / F.least("na", "nb")
@@ -498,7 +507,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tk = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        "doc_id", _tokens(F.col("text")).alias("toks")
     )
     n = F.size("toks")
     # docs shorter than one span emit no windows (the oracle's range()
@@ -585,7 +594,7 @@ def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tk = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        "doc_id", _tokens(F.col("text")).alias("toks")
     )
     n = F.size("toks")
     w = (

@@ -22,9 +22,8 @@ from lakeview_spark.pipeline.curation import (
     simhash64_materialized,
 )
 from lakeview_spark.pipeline.dedup import (
+    _CAPPED_PAIRS_SQL,
     _MINHASH_SIG_SQL,
-    JACCARD_DF_CAP,
-    _SHINGLES_SQL,
     dedup_ngram_jaccard,
     minhash_signatures_materialized,
 )
@@ -53,17 +52,9 @@ def eval_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-Jaccard truth threshold shared with dedup_ngram_jaccard
 _JACCARD_TRUTH = 0.1
 
+# rides the ONE capped-pair-machinery definition (dedup._CAPPED_PAIRS_SQL)
 _TRUE_PAIRS_SQL = f"""
-      WITH s AS ({_SHINGLES_SQL}),
-      e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
-      live AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
-      e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN live USING (shingle)),
-      sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
-      p AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-      )
+      WITH {_CAPPED_PAIRS_SQL}
       SELECT doc1, doc2 FROM p
       JOIN sizes sa ON sa.doc_id = doc1
       JOIN sizes sb ON sb.doc_id = doc2
@@ -112,8 +103,8 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1) is byte-identical to dedup_ngram_jaccard's output, so the
     oracle is unchanged."""
     from lakeview_spark.pipeline.dedup import (
-        _doc_shingles,
         jaccard_index_materialized,
+        shingle_set_sizes,
     )
 
     e = jaccard_index_materialized(spark, sf_dir)
@@ -155,9 +146,7 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("is_band").alias("in_pred"),
         )
     )
-    sizes = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("n")
-    )
+    sizes = shingle_set_sizes(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -298,38 +287,17 @@ def eval_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # advice flagged the pinned MOD=2 as a quadratic blowup on any larger
 # corpus): mod = max(1, n // TARGET) keeps the sample ~TARGET docs and
 # the truth join ~TARGET²/2 pairs at ANY corpus size. TARGET=1000 takes
-# the WHOLE corpus at the driver scales (sf0.001/sf0.01: 50/500 docs —
-# strictly more true pairs than the old MOD=2 half-sample, so the
-# audit stays non-vacuous where MOD=5 once sampled zero) and caps
-# sf0.1 at 1000 of 5000 docs (~500k truth pairs instead of 3.1M).
+# the WHOLE corpus at the driver scales (documents = 500 rows at BOTH
+# sf0.001 and sf0.01 — strictly more true pairs than the old MOD=2
+# half-sample, so the audit stays non-vacuous where MOD=5 once sampled
+# zero) and caps sf0.1 at 1000 of 5000 docs (~500k truth pairs instead
+# of 3.1M). The doc count comes from similarity.corpus_n (the shared
+# cached-count device), never a second cache.
 _SIMHASH_EVAL_TARGET = 1000
 
 
 def _simhash_eval_mod_for_n(n: int) -> int:
     return max(1, n // _SIMHASH_EVAL_TARGET)
-
-
-_DOCS_N_CACHE: dict[tuple[str, str, str], int] = {}
-
-
-def _docs_n(spark: SparkSession, sf_dir: str) -> int:
-    """Documents corpus size; one cached metadata-only count job per
-    (session, dataset) — the similarity.py corpus_n device for the
-    documents table."""
-    import os
-
-    from lakeview_spark.operators.materialize import _dataset_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.realpath(sf_dir),
-        _dataset_fingerprint(sf_dir),
-    )
-    n = _DOCS_N_CACHE.get(key)
-    if n is None:
-        n = t(spark, sf_dir, "documents").count()
-        _DOCS_N_CACHE[key] = n
-    return n
 
 
 # both engines derive the SAME mod from the same count, so the sampled
@@ -382,8 +350,12 @@ def eval_simhash_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded ~1000 docs at any corpus size; the whole corpus at driver
     scales). The candidate side reuses the same banding as the
     production pair query, restricted to the sample."""
+    from lakeview_spark.pipeline.similarity import corpus_n
+
     sig = simhash64_materialized(spark, sf_dir).filter(
-        F.col("doc_id") % _simhash_eval_mod_for_n(_docs_n(spark, sf_dir)) == 0
+        F.col("doc_id")
+        % _simhash_eval_mod_for_n(corpus_n(spark, sf_dir, table="documents"))
+        == 0
     )
     a, b = sig.alias("a"), sig.alias("b")
     truth = (

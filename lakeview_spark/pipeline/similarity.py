@@ -98,22 +98,26 @@ def _k_for_n(n: int) -> int:
 # (application id, dataset path, dataset fingerprint) -> embeddings row
 # count; bounded cache keyed like _PLANE_CACHE. Every corpus-derived
 # knob (cluster count, recall-probe stride) shares this one count job.
-_N_CACHE: dict[tuple[str, str, str], int] = {}
+_N_CACHE: dict[tuple[str, str, str, str], int] = {}
 
 
-def corpus_n(spark: SparkSession, sf_dir: str) -> int:
-    """Embeddings corpus size; one cached metadata-only count job per
-    (session, dataset)."""
+def corpus_n(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> int:
+    """Corpus size of `table`; one cached metadata-only count job per
+    (session, dataset, table). The single counting device behind every
+    corpus-derived constant (LSH planes, k-means k, probe strides, the
+    simhash eval mod) — r8 review: evaluation.py briefly grew its own
+    copy for the documents table; one cache, one invalidation rule."""
     from lakeview_spark.operators.materialize import _dataset_fingerprint
 
     key = (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
         _dataset_fingerprint(sf_dir),
+        table,
     )
     n = _N_CACHE.get(key)
     if n is None:
-        n = t(spark, sf_dir, "embeddings").count()
+        n = t(spark, sf_dir, table).count()
         _N_CACHE[key] = n
     return n
 

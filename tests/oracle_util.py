@@ -23,10 +23,16 @@ TABLES = [
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for tbl in TABLES:
+        path = f"{sf_dir}/{tbl}.parquet"
+        # tables ship either as a single file (driver testdata) or as a
+        # directory of part files (make_sf1 / --split-files layouts)
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{pattern}')"
         )
     return con
 
