@@ -530,8 +530,8 @@ def top_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -539,7 +539,17 @@ def top_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: wide partial-aggregable scan (the bench headline)."""
+    """TPC-H Q1 shape: wide partial-aggregable scan (the bench headline).
+
+    The 2^53 edge rule (found by the r8 sf1 oracle sweep): the
+    DECIMAL-exact sums agreed bit-for-bit across engines at 10x, but
+    the scale-6 charge sum's UNSCALED value (4.4e16) exceeds 2^53, and
+    DuckDB's int128-decimal -> double conversion double-rounds there
+    while Spark's BigDecimal path rounds correctly — a genuine 1-ulp
+    cross-engine divergence. Money sums therefore ROUND to their
+    natural scale 2 BEFORE the double edge cast (identical ROUND in
+    both engines), keeping the unscaled value single-rounding-safe up
+    to ~$90T per group."""
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
     )
@@ -548,8 +558,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
 
