@@ -607,7 +607,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
     SELECT n_name AS nation,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS lineitem_count
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -647,7 +647,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         F.count("*").alias("lineitem_count"),
     )
 

@@ -20,7 +20,7 @@ from lakeview_spark.plans.registry import events_ts_us, register, t
 @register(
     "forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS qualifying_lineitems
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -39,7 +39,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2).cast("double").alias("revenue"),
         F.count("*").alias("qualifying_lineitems"),
     )
 
@@ -112,7 +112,7 @@ def priority_by_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue_share",
     oracle="""
     SELECT p_brand,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS brand_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS brand_revenue,
            count(*) AS lineitems
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -128,7 +128,7 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(rev).cast("double").alias("brand_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("brand_revenue"),
             F.count("*").alias("lineitems"),
         )
     )
@@ -869,8 +869,8 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_trade_volume",
     oracle="""
     SELECT supp_nation, cust_nation, yr,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS lineitems
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -930,7 +930,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
     ).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         F.count("*").alias("lineitems"),
     )
 
@@ -1384,8 +1384,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_disjunctive_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
              AS revenue,
            count(*) AS qualifying
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1429,7 +1429,7 @@ def promo_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return j.filter(cond).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         F.count("*").alias("qualifying"),
     )
 
@@ -1479,7 +1479,7 @@ def flagged_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
       FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT CAST(sum(val) AS DOUBLE) * 0.0007 AS thr FROM pr)
+    tot AS (SELECT CAST(ROUND(sum(val), 2) AS DOUBLE) * 0.0007 AS thr FROM pr)
     SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
     FROM pr, tot WHERE CAST(val AS DOUBLE) > thr
     """,
@@ -1496,14 +1496,18 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles. The earlier form compared Spark-side in double (sum *
     lit(0.0007) promotes) but DuckDB-side in DECIMAL(38,8) — a latent
     cross-engine divergence whenever a part lands within an ulp of the
-    threshold (r5 ADVICE finding).
+    threshold (r5 ADVICE finding). The GLOBAL total additionally rounds
+    to scale 2 before its double cast (the r8 2^53 edge rule,
+    pricing_summary docstring): past 2^53 unscaled, the two engines'
+    decimal->double conversions round differently, which would shift
+    the threshold by an ulp and flip borderline parts.
 
     Scale shape: one partial-aggregable groupBy on l_partkey, one
     scalar broadcast, one columnar filter."""
     li = t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
-    thr = pr.agg((F.sum("val").cast("double") * F.lit(0.0007)).alias("thr"))
+    thr = pr.agg((F.round(F.sum("val"), 2).cast("double") * F.lit(0.0007)).alias("thr"))
     return (
         pr.crossJoin(F.broadcast(thr))
         .filter(F.col("val").cast("double") > F.col("thr"))
