@@ -22,10 +22,17 @@ assignment math it iterates stays oracle-checked via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakeview_spark.pipeline.similarity import centroid_seed_predicate, _dot, _norm
+from lakeview_spark.pipeline.similarity import (
+    _CLUSTER_TARGET,
+    _K_MAX,
+    _K_MIN,
+    _dot,
+    _norm,
+    centroid_seed_predicate,
+)
 from lakeview_spark.plans.registry import register, t
 
 _ITERATIONS = 3
@@ -97,4 +104,197 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("label").alias("n_labels"),
         F.min("cosine").alias("min_cosine"),
         F.max("cosine").alias("max_cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized (integer-domain) Lloyd's — the hash-checkable twin
+# ---------------------------------------------------------------------------
+#
+# The float trainer above is rows-only because distributed float MEANS
+# have no deterministic summation order. This twin removes floats from
+# the loop entirely: coordinates are quantized once to 2^-20 grid cells
+# (floor(x * 2^20) — float->double cast, power-of-two multiply, and
+# floor are all IEEE-exact, so BOTH engines derive identical integers
+# from the same parquet floats), and every step after that is integer
+# arithmetic:
+#
+#   distance   sum((q_i - c_i)^2)          BIGINT, exact, order-free
+#   update     floor(sum(q_i) / n)         sums are exact integers
+#                                          < 2^39 << 2^53, so the one
+#                                          double division is correctly
+#                                          rounded to the SAME value in
+#                                          both engines, and floor of it
+#                                          is engine-identical
+#
+# Exact integer aggregation is commutative, so the shuffle order that
+# blocks the float twin from ever hashing stably is irrelevant here —
+# the full 3-iteration trainer replays bit-for-bit in DuckDB (unrolled
+# CTEs below). Quantized training is also the honest 100 TB design:
+# run-to-run reproducibility of a distributed trainer is a feature, and
+# a 2^-20 grid on unit-scale embeddings is far below the noise floor of
+# any downstream consumer.
+_QUANT = 1 << 20
+
+_KQ_K_SQL = (
+    f"SELECT GREATEST({_K_MIN}, LEAST({_K_MAX}, count(*) // {_CLUSTER_TARGET})) "
+    "FROM embeddings"
+)
+
+# squared L2 between the row vector e.qv and centroid c.cv (BIGINT lists)
+_KQ_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(e.qv)+1), "
+    "i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i])))"
+)
+
+
+def _kq_iter_sql(prev: str, n: int) -> str:
+    """One unrolled Lloyd's round: assign to nearest centroid (ties to
+    the lower cluster_id), then per-(cluster, dimension) floored integer
+    mean; clusters that captured no vectors keep their previous centroid
+    (the same guard the Spark loop applies)."""
+    return f"""
+    a{n} AS (
+      SELECT vec_id, label, qv, cluster_id FROM (
+        SELECT e.vec_id, e.label, e.qv, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_KQ_DIST_SQL} ASC, c.cluster_id) AS rn
+        FROM q e, {prev} c) WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT cluster_id, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS m
+      FROM (SELECT cluster_id, unnest(qv) AS v,
+                   unnest(range(1, len(qv)+1)) AS pos FROM a{n})
+      GROUP BY cluster_id, pos
+    ),
+    cl{n} AS (
+      SELECT cluster_id, list(m ORDER BY pos) AS cv FROM m{n}
+      GROUP BY cluster_id
+    ),
+    c{n} AS (
+      SELECT p.cluster_id, coalesce(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN cl{n} u USING (cluster_id)
+    )"""
+
+
+_KMEANS_QUANTIZED_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster_id, qv AS cv FROM q
+  WHERE vec_id BETWEEN 1 AND ({_KQ_K_SQL})
+),{_kq_iter_sql('c0', 1)},{_kq_iter_sql('c1', 2)},{_kq_iter_sql('c2', 3)},
+fin AS (
+  SELECT vec_id, label, cluster_id, CAST(sqdist AS BIGINT) AS sqdist FROM (
+    SELECT e.vec_id, e.label, c.cluster_id, {_KQ_DIST_SQL} AS sqdist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_KQ_DIST_SQL} ASC, c.cluster_id) AS rn
+    FROM q e, c3 c) WHERE rn = 1
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       CAST(min(sqdist) AS BIGINT) AS min_sqdist,
+       CAST(max(sqdist) AS BIGINT) AS max_sqdist
+FROM fin GROUP BY cluster_id
+"""
+
+
+def _kq_quantize(col: str) -> Column:
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT))).cast("long"),
+    )
+
+
+def _kq_sqdist(a: str, b: str) -> Column:
+    """Exact integer squared-L2: zip_with difference products folded
+    into a long accumulator — commutative, so partition order is moot."""
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _kq_assign(emb: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment in the quantized domain: broadcast k
+    literal integer centroids, one narrow map for the distance fold, a
+    per-vector window for the argmin (same plan shape as the float
+    _assign / embedding_centroid_assign)."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, [int(v) for v in vec]) for cid, vec in centroids],
+        "cluster_id int, cv array<bigint>",
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "label",
+        "qv",
+        "cluster_id",
+        _kq_sqdist("qv", "cv").alias("sqdist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqdist", "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register("kmeans_train_quantized", oracle=_KMEANS_QUANTIZED_SQL)
+def kmeans_train_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on 2^-20-quantized integer coordinates: the
+    hash-checked twin of `kmeans_train` (module header explains why the
+    integer domain makes the FULL iterative loop — not just one assign
+    step — replayable bit-for-bit in DuckDB).
+
+    Identical distributed shape to the float trainer: per round, one
+    broadcast-assign job and one posexplode/groupBy update whose partial
+    aggregation collapses each partition to <= k*dim rows before a tiny
+    (k*dim keys) shuffle; the driver holds only the k*dim centroid
+    matrix. Empty clusters keep their previous centroid. Output is the
+    final assignment's per-cluster report, all-integer (sizes, label
+    breadth, squared-distance spread)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _kq_quantize("embedding").alias("qv")
+    )
+    centroids = [
+        (int(r.vec_id), [int(v) for v in r.qv])
+        for r in emb.filter(centroid_seed_predicate(spark, sf_dir))
+        .select("vec_id", "qv")
+        .collect()
+    ]
+    for _ in range(_ITERATIONS):
+        assign = _kq_assign(emb, centroids)
+        upd = (
+            assign.select("cluster_id", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.m
+        centroids = [
+            (
+                cid,
+                [comp[i] for i in sorted(comp)] if (comp := by_cluster.get(cid)) else vec,
+            )
+            for cid, vec in centroids
+        ]
+    final = _kq_assign(emb, centroids)
+    return final.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("sqdist").alias("min_sqdist"),
+        F.max("sqdist").alias("max_sqdist"),
     )

@@ -50,7 +50,6 @@ _DRIVER_WINDOW = [
     "events_props_json_stats",
     "events_rollup_cascade",
     "events_sessionization",
-    "events_user_retention",
     "events_user_value_quartiles",
     "exactly_one_guard",
     "file_size_percentiles",
@@ -99,6 +98,13 @@ _DRIVER_WINDOW = [
     "checkpoint_lookback",
     # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
+    # NEW in late r8: the hash-checked integer-domain twin of the float
+    # trainer — the full 3-iteration Lloyd's loop replayed bit-for-bit
+    # by a DuckDB unrolled-CTE oracle (pipeline/iterative.py). No green
+    # row exists, so the hygiene rule forces it in-window; it displaces
+    # `events_user_retention` (the events layer keeps SEVEN in-window
+    # kins), which keeps its r04 green row and the every-round sweep.
+    "kmeans_train_quantized",
 ]
 
 

@@ -40,6 +40,7 @@ GUARDED = [
     "forecast_revenue",
     # iterative / seeded algorithms (empty seed sets)
     "kmeans_train",
+    "kmeans_train_quantized",
     "embedding_centroid_assign",
     # corpus-derived sizing (planes/k/stride from n=0)
     "similarity_lsh_buckets",

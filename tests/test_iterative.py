@@ -52,3 +52,68 @@ def test_kmeans_iteration_does_not_decrease_objective(spark):
         for cid, vec in seeds
     ]
     assert objective(updated) >= objective(seeds) - 1e-9
+
+
+def test_kmeans_quantized_matches_pure_python_replay(spark):
+    """kmeans_train_quantized == an independent pure-Python replay of
+    the integer-domain Lloyd's at sf0.001: the oracle proves Spark and
+    DuckDB agree, this proves they both compute THE algorithm (quantize
+    -> 3x (argmin-assign, floored-integer-mean update) -> report)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.iterative import _ITERATIONS, _QUANT
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    vecs = {}
+    labels = {}
+    for vid, emb, lab in zip(tbl["vec_id"], tbl["embedding"], tbl["label"]):
+        # float32 -> python float is the same widening cast both engines do
+        vecs[vid] = [math.floor(float(x) * _QUANT) for x in emb]
+        labels[vid] = lab
+    n = len(vecs)
+    k = max(4, min(4096, n // 128))
+    centroids = {cid: list(vecs[cid]) for cid in range(1, k + 1)}
+
+    def nearest(qv):
+        best = None
+        for cid in sorted(centroids):
+            d = sum((a - b) * (a - b) for a, b in zip(qv, centroids[cid]))
+            if best is None or d < best[1]:
+                best = (cid, d)
+        return best
+
+    for _ in range(_ITERATIONS):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid, qv in vecs.items():
+            cid, _d = nearest(qv)
+            counts[cid] = counts.get(cid, 0) + 1
+            acc = sums.setdefault(cid, [0] * len(qv))
+            for i, v in enumerate(qv):
+                acc[i] += v
+        for cid, acc in sums.items():
+            # exact int sums < 2^53: the double division below is the
+            # same correctly-rounded value both engines floor
+            centroids[cid] = [math.floor(s / counts[cid]) for s in acc]
+
+    expected: dict[int, list] = {}
+    for vid, qv in vecs.items():
+        cid, d = nearest(qv)
+        row = expected.setdefault(cid, [0, set(), None, None])
+        row[0] += 1
+        row[1].add(labels[vid])
+        row[2] = d if row[2] is None else min(row[2], d)
+        row[3] = d if row[3] is None else max(row[3], d)
+
+    got = QUERIES["kmeans_train_quantized"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        exp = expected[r.cluster_id]
+        assert (r.n_vectors, r.n_labels, r.min_sqdist, r.max_sqdist) == (
+            exp[0],
+            len(exp[1]),
+            exp[2],
+            exp[3],
+        )
