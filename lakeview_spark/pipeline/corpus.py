@@ -538,3 +538,75 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+_BPE_TOP = 32
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    w AS (
+      SELECT word, count(*) AS wcount FROM toks
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    p AS (
+      SELECT word, wcount,
+             unnest(list_transform(range(1, length(word)),
+                    i -> substr(word, i, 2))) AS pair
+      FROM w
+    )
+    SELECT pair,
+           CAST(sum(wcount) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT {_BPE_TOP}
+    """,
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, round one: the top adjacent
+    character-pair merge candidates, weighted by word frequency.
+
+    Runs the counting job the way production BPE trainers do at corpus
+    scale: token occurrences collapse to DISTINCT words first (one
+    shuffle keyed on the word), then the per-character work — exploding
+    each word into its length-1 adjacent pairs — happens once per
+    distinct word and is weighted by the word count, not once per
+    occurrence. At 100 TB that turns character-level work proportional
+    to corpus size into work proportional to vocabulary size; both
+    aggregations are partial-aggregable, and the result is a TakeOrdered
+    top-{_BPE_TOP} (tiebroken on the pair string), never a global sort.
+    Spark `sequence(1, 0)` DESCENDS, so single-character words are
+    guarded out before the pair explode (length >= 2 filter AND the
+    CASE arm — belt and suspenders, the filter is the contract and the
+    CASE keeps the expression total)."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+    pairs = words.select(
+        "word",
+        "wcount",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) < 2 THEN array() ELSE "
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2)) END"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wcount").alias("pair_count"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(_BPE_TOP)
+    )

@@ -48,7 +48,6 @@ _DRIVER_WINDOW = [
     "events_click_attribution",
     "events_funnel_conversion",
     "events_props_json_stats",
-    "events_rollup_cascade",
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
@@ -105,6 +104,11 @@ _DRIVER_WINDOW = [
     # `events_user_retention` (the events layer keeps SEVEN in-window
     # kins), which keeps its r04 green row and the every-round sweep.
     "kmeans_train_quantized",
+    # NEW in late r8: BPE merge-candidate counting (vocab induction,
+    # distinct-word weighted — pipeline/corpus.py); displaces
+    # `events_rollup_cascade` (events layer keeps SIX in-window kins,
+    # r04 green row + sweep stand).
+    "corpus_bpe_merges",
 ]
 
 

@@ -533,3 +533,35 @@ def test_span_apply_python_reference(spark):
         assert r.kept_tokens == len(kept)
         assert r.removed_tokens == len(tk) - len(kept)
         assert r.cleaned_text == " ".join(kept)
+
+
+def test_bpe_merges_matches_pure_python_replay(spark):
+    """corpus_bpe_merges == an independent Python replay at sf0.001:
+    distinct-word weighting, adjacent char pairs, top-32 with the
+    (count desc, pair asc) total order."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    wcount = Counter()
+    for text in docs["text"]:
+        for w in text.lower().split(" "):
+            if len(w) >= 2:
+                wcount[w] += 1
+    pair_count = Counter()
+    pair_words = {}
+    for w, c in wcount.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_count[p] += c
+            pair_words.setdefault(p, set()).add(w)
+    expected = sorted(
+        ((p, c, len(pair_words[p])) for p, c in pair_count.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:32]
+    got = [
+        (r.pair, r.pair_count, r.n_words)
+        for r in QUERIES["corpus_bpe_merges"](spark, SF_DIR).collect()
+    ]
+    assert got == expected
