@@ -1186,3 +1186,119 @@ def graph_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(mutual).cast("bigint").alias("mutual_degree"),
         (F.sum(mutual).cast("double") / F.count("*")).alias("reciprocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph (integer-quantized, fixed iterations)
+# ---------------------------------------------------------------------------
+#
+# Document centrality for curation: a vector whose kNN in-edges come
+# from many well-connected neighbors sits in the semantic core of the
+# corpus (template/boilerplate cliques rank high too — the same signal
+# the dedup family consumes from the other side). Classic distributed
+# PageRank is iterative float message passing — which would be
+# rows-only here for the same reason as the float k-means trainer. The
+# kmeans_train_quantized device applies unchanged: hold rank mass as
+# integer micro-units (_PR_SCALE = 10^12 total mass), make every step
+# floor/div/multiply on BIGINTs, and all three unrolled iterations
+# replay bit-for-bit in DuckDB and in a pure-Python pytest.
+#
+#   r0(v)    = S // N
+#   contrib  = r(u) // outdeg(u)            per out-edge of u
+#   r'(v)    = (15*S) // (100*N)  +  (85 * sum_in(v)) // 100
+#
+# Dangling nodes (no same-bucket neighbor -> no out-edges) leak their
+# mass — the standard simplification; determinism is unaffected. Every
+# value is non-negative, so floor-div == truncating div in Spark,
+# DuckDB, and Python alike.
+_PR_SCALE = 10**12
+_PR_ITERATIONS = 3
+_PR_TOP = 20
+
+
+def _pr_iter_sql(prev: str, n: int) -> str:
+    return f"""
+    s{n} AS (
+      SELECT k.dst AS vec_id, sum(r.r // d.outdeg) AS m
+      FROM knn k
+      JOIN {prev} r ON r.vec_id = k.src
+      JOIN deg d ON d.src = k.src
+      GROUP BY k.dst
+    ),
+    r{n} AS (
+      SELECT nd.vec_id,
+             (15 * {_PR_SCALE} // (100 * c.n))
+               + (85 * coalesce(s.m, 0)) // 100 AS r
+      FROM nodes nd CROSS JOIN consts c LEFT JOIN s{n} s USING (vec_id)
+    )"""
+
+
+_PAGERANK_SQL = f"""
+    {_KNN_GRAPH_CTE},
+    deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src),
+    indeg AS (SELECT dst, count(*) AS n_in FROM knn GROUP BY dst),
+    nodes AS (SELECT vec_id FROM embeddings),
+    consts AS (SELECT count(*) AS n FROM embeddings),
+    r0 AS (SELECT vec_id, {_PR_SCALE} // c.n AS r FROM nodes CROSS JOIN consts c),
+    {_pr_iter_sql('r0', 1)},
+    {_pr_iter_sql('r1', 2)},
+    {_pr_iter_sql('r2', 3)}
+    SELECT r3.vec_id, CAST(r3.r AS BIGINT) AS pagerank,
+           CAST(coalesce(d.outdeg, 0) AS BIGINT) AS out_degree,
+           CAST(coalesce(i.n_in, 0) AS BIGINT) AS in_degree
+    FROM r3
+    LEFT JOIN deg d ON d.src = r3.vec_id
+    LEFT JOIN indeg i ON i.dst = r3.vec_id
+    ORDER BY pagerank DESC, vec_id LIMIT {_PR_TOP}
+"""
+
+
+@register("graph_pagerank", oracle=_PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (3 unrolled iterations, damping 0.85)
+    over the materialized kNN graph: top-{_PR_TOP} central vectors with
+    their degrees (section comment above: why integer mass units make
+    the whole iterative walk hash-checkable, unlike float PageRank).
+
+    Scale shape: per iteration, ONE join of the rank table (n rows,
+    narrow) against the materialized edge scratch (n*k rows, parquet
+    scan — built once per run) and one partial-aggregable sum keyed on
+    dst. Rank state never leaves the cluster; nothing collects to the
+    driver; at 100 TB the edge scratch would be bucketed on src so the
+    per-iteration join co-locates (the SCALE.md §6 device). The final
+    top-{_PR_TOP} is a TakeOrdered, not a global sort."""
+    # `or 1` guards the zero-row corpus (empty-input suite): the mass
+    # constants divide by n, and with no nodes the output is empty anyway
+    n = corpus_n(spark, sf_dir) or 1
+    edges = similarity_knn_graph(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("n_in"))
+    nodes = t(spark, sf_dir, "embeddings").select("vec_id")
+    base = (15 * _PR_SCALE) // (100 * n)
+    rank = nodes.withColumn("r", F.lit(_PR_SCALE // n).cast("long"))
+    contrib_edges = edges.join(deg, "src")
+    for _ in range(_PR_ITERATIONS):
+        msgs = (
+            contrib_edges.join(rank.withColumnRenamed("vec_id", "src"), "src")
+            .select("dst", F.expr("r div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("m"))
+        )
+        rank = nodes.join(msgs, nodes.vec_id == msgs.dst, "left").select(
+            nodes.vec_id,
+            (F.lit(base) + F.expr("(85 * coalesce(m, 0)) div 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    return (
+        rank.join(deg, rank.vec_id == deg.src, "left")
+        .join(indeg, rank.vec_id == indeg.dst, "left")
+        .select(
+            rank.vec_id,
+            F.col("r").alias("pagerank"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("in_degree"),
+        )
+        .orderBy(F.desc("pagerank"), "vec_id")
+        .limit(_PR_TOP)
+    )

@@ -69,7 +69,6 @@ _DRIVER_WINDOW = [
     "stream_doc_dedup",
     "stream_embedding_neardup",
     "stream_quality_filter",
-    "stream_token_stats",
     "table_counts_rollup",
     "table_stats_daily",
     "timeline_completeness",
@@ -109,6 +108,12 @@ _DRIVER_WINDOW = [
     # `events_rollup_cascade` (events layer keeps SIX in-window kins,
     # r04 green row + sweep stand).
     "corpus_bpe_merges",
+    # NEW in late r8: integer-quantized fixed-iteration PageRank over
+    # the kNN graph (pipeline/similarity.py — the kmeans_train_quantized
+    # exact-integer device applied to message passing); displaces
+    # `stream_token_stats` (stream layer keeps THREE in-window kins,
+    # r04 green row + sweep stand).
+    "graph_pagerank",
 ]
 
 

@@ -43,6 +43,7 @@ GUARDED = [
     "kmeans_train_quantized",
     "embedding_centroid_assign",
     # corpus-derived sizing (planes/k/stride from n=0)
+    "graph_pagerank",
     "similarity_lsh_buckets",
     "dedup_minhash_lsh_pairs",
     "similarity_knn_graph",

@@ -500,3 +500,47 @@ def test_graph_invariants(spark):
         similarity_knn_graph(spark, SF_DIR).select("src").distinct().count()
     )
     assert mut.count() == n_sources
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    """graph_pagerank == an independent Python replay of the integer
+    mass walk at sf0.001, seeded from the (separately oracle-proven)
+    materialized kNN edge list. Also pins conservation: total final
+    mass <= S (damping leaks are floor-truncation and dangling mass,
+    never creation)."""
+    from lakeview_spark.pipeline.similarity import (
+        _PR_ITERATIONS,
+        _PR_SCALE,
+        _PR_TOP,
+        similarity_knn_graph,
+    )
+    from lakeview_spark.plans.registry import t as _t
+
+    edges = [
+        (r.src, r.dst) for r in similarity_knn_graph(spark, SF_DIR).collect()
+    ]
+    nodes = [r.vec_id for r in _t(spark, SF_DIR, "embeddings").select("vec_id").collect()]
+    n = len(nodes)
+    outdeg = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    indeg = {}
+    for _s, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    base = (15 * _PR_SCALE) // (100 * n)
+    rank = {v: _PR_SCALE // n for v in nodes}
+    for _ in range(_PR_ITERATIONS):
+        msgs = {}
+        for s, d in edges:
+            msgs[d] = msgs.get(d, 0) + rank[s] // outdeg[s]
+        rank = {v: base + (85 * msgs.get(v, 0)) // 100 for v in nodes}
+    assert sum(rank.values()) <= _PR_SCALE
+    expected = sorted(
+        ((v, r, outdeg.get(v, 0), indeg.get(v, 0)) for v, r in rank.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:_PR_TOP]
+    got = [
+        (r.vec_id, r.pagerank, r.out_degree, r.in_degree)
+        for r in QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    ]
+    assert got == expected
