@@ -472,3 +472,133 @@ def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection distortion audit
+# ---------------------------------------------------------------------------
+#
+# Before shipping a dimensionality-reduced ANN index (64 -> 8 dims is an
+# 8x index-size cut), measure what the projection does to the distances
+# the index will rank by. The projection matrix is ±1 (Achlioptas'
+# database-friendly JL variant) seeded from md5 of the (row, col)
+# coordinates — a pure function of indices, derived once in Python and
+# embedded as LITERALS in both the Spark expression and the oracle SQL,
+# so there is no cross-engine randomness to reconcile and the matrix is
+# reproducible from the source alone. Distances use the difference
+# vector w = u - v and linearity (P(u)-P(v) = P(w)): one shared strict
+# left fold per projected coordinate, so both engines round identically
+# at every step.
+_JL_D_OUT = 8
+_JL_D_IN = 64  # testdata embedding width (same convention as _DOT_SQL)
+_JL_PAIR_TARGET = 200  # sampled pair count, corpus-derived stride
+
+
+def _jl_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(_JL_D_IN)
+        ]
+        for j in range(_JL_D_OUT)
+    ]
+
+
+def _jl_fold_spark(vals: list[float]) -> str:
+    arr = "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+    return (
+        f"aggregate(zip_with(w, {arr}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _jl_fold_sql(vals: list[float]) -> str:
+    arr = "[" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {_JL_D_IN} + 1), "
+        f"i -> w[i] * {arr}[i]), (x, y) -> x + y)"
+    )
+
+
+_JL_STRIDE_SQL = (
+    f"SELECT GREATEST(1, count(*) // {_JL_PAIR_TARGET}) FROM embeddings"
+)
+
+_JL_DISTORTION_SQL = f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_transform(range(1, {_JL_D_IN} + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    - CAST(b.embedding[i] AS DOUBLE)) AS w
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % ({_JL_STRIDE_SQL}) = 0
+    ),
+    scored AS (
+      SELECT src, dst,
+             list_reduce(list_transform(range(1, {_JL_D_IN} + 1),
+               i -> w[i] * w[i]), (x, y) -> x + y) AS d_orig,
+             {" + ".join(f"({_jl_fold_sql(row)} * {_jl_fold_sql(row)})" for row in _jl_signs())} AS d_proj
+      FROM pairs
+    )
+    SELECT src, dst, d_orig, d_proj,
+           d_proj / ({_JL_D_OUT} * d_orig) AS distortion
+    FROM scored WHERE d_orig > 0
+"""
+
+
+@register("eval_jl_distortion", oracle=_JL_DISTORTION_SQL)
+def eval_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair JL distance distortion: squared L2 before vs after the
+    ±1 random projection to {_JL_D_OUT} dims, with the unbiased-estimator
+    normalization E[||Pw||^2] = d_out * ||w||^2 (section comment above).
+    distortion ~ 1 means the reduced index preserves the metric.
+
+    One narrow broadcast join builds the deterministic pair sample
+    (every stride-th vector with its successor — stride corpus-derived,
+    so the audit is ~{_JL_PAIR_TARGET} pairs at ANY scale), then a
+    single map computes all {_JL_D_OUT} projected coordinates from the
+    shared difference vector. No shuffle after the sample join; the
+    projection work is d_in * d_out multiplies per audited pair, never
+    per corpus row."""
+    from lakeview_spark.pipeline.similarity import corpus_n
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _JL_PAIR_TARGET)
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    # broadcast the SAMPLED side (~_JL_PAIR_TARGET rows) into the corpus
+    # scan — the corpus side must never be the build side at scale
+    pairs = b.join(F.broadcast(a), F.expr("dst = src + 1")).select(
+        "src",
+        "dst",
+        F.expr(
+            "zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        ).alias("w"),
+    )
+    proj_sq = " + ".join(
+        f"({_jl_fold_spark(row)} * {_jl_fold_spark(row)})" for row in _jl_signs()
+    )
+    scored = pairs.select(
+        "src",
+        "dst",
+        F.expr(
+            "aggregate(transform(w, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("d_orig"),
+        F.expr(proj_sq).alias("d_proj"),
+    )
+    return scored.filter(F.col("d_orig") > 0).select(
+        "src",
+        "dst",
+        "d_orig",
+        "d_proj",
+        (F.col("d_proj") / (F.lit(float(_JL_D_OUT)) * F.col("d_orig"))).alias(
+            "distortion"
+        ),
+    )

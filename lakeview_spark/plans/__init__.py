@@ -57,7 +57,6 @@ _DRIVER_WINDOW = [
     "manifest_diff",
     "multimodal_decode_wav",
     "multimodal_patch_stats",
-    "multimodal_resize_bmp",
     "new_table_detection",
     "pack_sequence_stats",
     "pack_training_sequences",
@@ -114,6 +113,11 @@ _DRIVER_WINDOW = [
     # `stream_token_stats` (stream layer keeps THREE in-window kins,
     # r04 green row + sweep stand).
     "graph_pagerank",
+    # NEW in late r8: JL projection distortion audit (literal md5-seeded
+    # ±1 matrix, shared left folds — pipeline/evaluation.py); displaces
+    # `multimodal_resize_bmp` (codec chain keeps THREE in-window kins,
+    # r04 green row + sweep stand).
+    "eval_jl_distortion",
 ]
 
 

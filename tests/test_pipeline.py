@@ -565,3 +565,46 @@ def test_bpe_merges_matches_pure_python_replay(spark):
         for r in QUERIES["corpus_bpe_merges"](spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def test_jl_distortion_matches_pure_python_replay(spark):
+    """eval_jl_distortion == an independent Python replay (same literal
+    ±1 matrix, same left-fold order, IEEE doubles both sides) at
+    sf0.001; and the estimator is unbiased enough that the mean
+    distortion over the sample sits near 1."""
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.evaluation import (
+        _JL_D_OUT,
+        _JL_PAIR_TARGET,
+        _jl_signs,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    emb = {v: [float(x) for x in e] for v, e in zip(tbl["vec_id"], tbl["embedding"])}
+    n = len(emb)
+    stride = max(1, n // _JL_PAIR_TARGET)
+    signs = _jl_signs()
+    expected = {}
+    for src in sorted(emb):
+        if src % stride != 0 or src + 1 not in emb:
+            continue
+        w = [a - b for a, b in zip(emb[src], emb[src + 1])]
+        d_orig = 0.0
+        for x in w:
+            d_orig += x * x
+        d_proj = 0.0
+        for row in signs:
+            p = 0.0
+            for x, s in zip(w, row):
+                p += x * s
+            d_proj += p * p
+        if d_orig > 0:
+            expected[(src, src + 1)] = (d_orig, d_proj, d_proj / (_JL_D_OUT * d_orig))
+    rows = QUERIES["eval_jl_distortion"](spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[(r.src, r.dst)]
+        assert (r.d_orig, r.d_proj, r.distortion) == exp
+    mean = sum(v[2] for v in expected.values()) / len(expected)
+    assert 0.7 < mean < 1.3
