@@ -47,7 +47,6 @@ _DRIVER_WINDOW = [
     "events_asof_click_value",
     "events_click_attribution",
     "events_funnel_conversion",
-    "events_props_json_stats",
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
@@ -118,6 +117,11 @@ _DRIVER_WINDOW = [
     # `multimodal_resize_bmp` (codec chain keeps THREE in-window kins,
     # r04 green row + sweep stand).
     "eval_jl_distortion",
+    # NEW in late r8: mergeable 128-bin histogram quantile sketch
+    # (plans/tpch_extra.py — completes the CMS/KMV sketch family);
+    # displaces `events_props_json_stats` (events layer keeps FIVE
+    # in-window kins, r04 green row + sweep stand).
+    "events_quantile_sketch",
 ]
 
 

@@ -1513,3 +1513,122 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val").cast("double") > F.col("thr"))
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (equi-width histogram)
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch family (CMS heavy hitters, KMV distinct): a
+# 128-bin equi-width histogram per event type is the simplest MERGEABLE
+# quantile structure — per-partition counter grids combine by
+# element-wise add (Spark's partial aggregation does exactly this
+# map-side), so quantile estimation over 100 TB costs one narrow scan
+# plus a types x 128 shuffle, never a global sort. The estimate is the
+# lower edge of the first bin whose cumulative count reaches q*n; its
+# error is bounded by one bin width (reported alongside). t-digest/KLL
+# would tighten tails at the same mergeability — the histogram variant
+# keeps every step floor/div exact so both engines agree bit-for-bit.
+_QSK_BINS = 128
+_QSK_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "events_quantile_sketch",
+    oracle=f"""
+    WITH mom AS (
+      SELECT event_type, count(*) AS n_events,
+             min(value) AS mn, max(value) AS mx,
+             (max(value) - min(value)) / {_QSK_BINS} AS width
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN m.width = 0 THEN 0
+                  ELSE LEAST({_QSK_BINS - 1},
+                             CAST(floor((e.value - m.mn) / m.width) AS INT))
+             END AS bin
+      FROM events e JOIN mom m USING (event_type)
+    ),
+    counts AS (
+      SELECT event_type, bin, count(*) AS bin_count
+      FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, bin_count,
+             sum(bin_count) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum_count
+      FROM counts
+    ),
+    hits AS (
+      SELECT c.event_type, q.q, c.bin, c.bin_count,
+             CAST(c.cum_count AS BIGINT) AS cum_count,
+             m.n_events, m.mn + c.bin * m.width AS est_value,
+             m.width AS err_bound,
+             row_number() OVER (PARTITION BY c.event_type, q.q
+                                ORDER BY c.bin) AS rn
+      FROM cum c
+      JOIN mom m USING (event_type)
+      CROSS JOIN (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QSK_QS)}]) AS q) q
+      WHERE c.cum_count >= q.q * m.n_events
+    )
+    SELECT event_type, q, est_value, err_bound, bin, bin_count, cum_count,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM hits WHERE rn = 1
+    """,
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type from a {_QSK_BINS}-bin
+    mergeable histogram sketch (section comment above: why the
+    counter-grid shape, not a global sort, is the 100 TB quantile
+    design). Every arithmetic step — bin = floor((v - min)/width),
+    estimate = min + bin*width, threshold cum >= q*n — is the same
+    correctly-rounded double op in both engines, so the sketch
+    hash-checks exactly; `err_bound` (one bin width) states the
+    estimator's guarantee next to its answer."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).withColumn("width", (F.col("mx") - F.col("mn")) / F.lit(_QSK_BINS))
+    binned = ev.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        F.when(F.col("width") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_QSK_BINS - 1),
+                F.floor((F.col("value") - F.col("mn")) / F.col("width")).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("bin_count")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum_count", F.sum("bin_count").over(w))
+    qdf = spark.createDataFrame([(float(q),) for q in _QSK_QS], "q double")
+    hits = (
+        cum.join(F.broadcast(mom.select("event_type", "n_events", "mn", "width")), "event_type")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum_count") >= F.col("q") * F.col("n_events"))
+        .select(
+            "event_type",
+            "q",
+            (F.col("mn") + F.col("bin") * F.col("width")).alias("est_value"),
+            F.col("width").alias("err_bound"),
+            "bin",
+            "bin_count",
+            F.col("cum_count").cast("long").alias("cum_count"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    wq = Window.partitionBy("event_type", "q").orderBy("bin")
+    return (
+        hits.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -317,3 +317,29 @@ def test_boilerplate_apply_removes_lines_in_position_order(spark):
     # non-vacuous: something was cleaned, something dropped entirely
     assert any(r.boilerplate_ratio > 0 for r in out.values())
     assert len(out) < docs.count()
+
+
+def test_quantile_sketch_guarantee_holds(spark):
+    """events_quantile_sketch: the exact q-quantile (smallest v with
+    count(<= v) >= q*n) must land inside the chosen bin — est <= exact
+    <= est + err_bound — and cumulative counts must be consistent."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet").to_pydict()
+    by_type: dict[str, list[float]] = {}
+    for et, v in zip(tbl["event_type"], tbl["value"]):
+        by_type.setdefault(et, []).append(v)
+    for vs in by_type.values():
+        vs.sort()
+
+    rows = QUERIES["events_quantile_sketch"](spark, SF_DIR).collect()
+    assert len(rows) == 3 * len(by_type)
+    for r in rows:
+        vs = by_type[r.event_type]
+        assert r.n_events == len(vs)
+        import math
+
+        exact = vs[math.ceil(r.q * len(vs)) - 1]
+        assert r.est_value <= exact <= r.est_value + r.err_bound + 1e-9
+        assert r.bin_count <= r.cum_count <= r.n_events
+        assert r.cum_count >= r.q * r.n_events
