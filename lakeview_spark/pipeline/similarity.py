@@ -1302,3 +1302,132 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "vec_id")
         .limit(_PR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) codebook audit
+# ---------------------------------------------------------------------------
+#
+# The compression half of an IVF-PQ index: split the 64-dim vector into
+# _PQ_M contiguous 8-dim subvectors, encode each against a 16-codeword
+# per-subspace codebook, and the vector becomes _PQ_M bytes (16x smaller
+# than float32, 64x smaller than the raw doubles). Codebooks here are
+# data-derived seeds (the quantized subvectors of vec_id 1.._PQ_K — the
+# same seeding rule as the k-means family; a trained codebook would run
+# kmeans_train_quantized per subspace, whose loop is already
+# hash-proven). All arithmetic rides the kmeans_train_quantized integer
+# device: 2^-20 quantization then BIGINT squared-L2, so the encode
+# decision (argmin, ties to the lower codeword) and the reconstruction
+# error are bit-identical in both engines. The per-(subspace, codeword)
+# report is the codebook-balance audit: a dead codeword wastes 1/16th
+# of a subspace's code space, a hot one inflates reconstruction error.
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (_PQ_M * _PQ_SUB = embedding width)
+_PQ_K = 16  # codewords per subspace
+
+_PQ_QUANT_SQL = (
+    "list_transform(embedding, "
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * {1 << 20}.0) AS BIGINT))"
+)
+
+# subvector m (0-based) of a quantized list: 1-based inclusive slice
+_PQ_SUB_SQL = f"qv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}]"
+
+_PQ_DIST_SQL = (
+    f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+    "i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])))"
+)
+
+_PQ_STATS_SQL = f"""
+    WITH q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
+    subs AS (
+      SELECT vec_id, m, {_PQ_SUB_SQL} AS sv
+      FROM q, (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    codebook AS (
+      SELECT vec_id AS codeword, m, {_PQ_SUB_SQL} AS cv
+      FROM q, (SELECT unnest(range(0, {_PQ_M})) AS m)
+      WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    assigned AS (
+      SELECT vec_id, m, codeword, sqerr FROM (
+        SELECT v.vec_id, v.m, c.codeword,
+               CAST({_PQ_DIST_SQL} AS BIGINT) AS sqerr,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_PQ_DIST_SQL} ASC, c.codeword) AS rn
+        FROM subs v JOIN codebook c ON c.m = v.m) WHERE rn = 1
+    )
+    SELECT m AS subspace, codeword,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(sqerr) AS BIGINT) AS total_sqerr,
+           CAST(max(sqerr) AS BIGINT) AS max_sqerr
+    FROM assigned GROUP BY m, codeword
+"""
+
+
+@register("embedding_pq_codebook_stats", oracle=_PQ_STATS_SQL)
+def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + codebook balance report: per
+    (subspace, codeword) assignment counts and exact integer
+    reconstruction error (section comment above — the 16x index
+    compression audit).
+
+    Scale shape: the codebook is {_PQ_M}x{_PQ_K} rows — broadcast
+    metadata — so encoding is a narrow map over the corpus (explode to
+    {_PQ_M} subvector rows, broadcast-join the codebook, one per-(vec,
+    subspace) window over {_PQ_K} candidates); the only shuffle is the
+    final {_PQ_M}x{_PQ_K}-key aggregation, which partial-aggregates
+    map-side. Payload vectors never shuffle."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _kq_quantize_col("embedding").alias("qv")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(qv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    codebook = (
+        emb.filter(F.col("vec_id").between(1, _PQ_K))
+        .select(
+            F.col("vec_id").alias("codeword"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), "
+                    f"m -> struct(m AS m, slice(qv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS cv))"
+                )
+            ).alias("c"),
+        )
+        .select("codeword", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
+    )
+    scored = subs.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "codeword",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sqerr"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("vec_id", "m").orderBy("sqerr", "codeword")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy(F.col("m").alias("subspace"), "codeword").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("sqerr").alias("total_sqerr"),
+        F.max("sqerr").alias("max_sqerr"),
+    )
+
+
+def _kq_quantize_col(col: str):
+    from lakeview_spark.pipeline.iterative import _kq_quantize
+
+    return _kq_quantize(col)

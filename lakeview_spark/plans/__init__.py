@@ -45,7 +45,6 @@ _DRIVER_WINDOW = [
     "dedup_semdedup",
     "duplicate_wins_join",
     "events_asof_click_value",
-    "events_click_attribution",
     "events_funnel_conversion",
     "events_sessionization",
     "events_user_value_quartiles",
@@ -122,6 +121,12 @@ _DRIVER_WINDOW = [
     # displaces `events_props_json_stats` (events layer keeps FIVE
     # in-window kins, r04 green row + sweep stand).
     "events_quantile_sketch",
+    # NEW in late r8: product-quantization encode + codebook balance
+    # (pipeline/similarity.py — the IVF-PQ compression audit on the
+    # exact-integer device); displaces `events_click_attribution`
+    # (events layer keeps FOUR in-window kins, r04 green row + sweep
+    # stand).
+    "embedding_pq_codebook_stats",
 ]
 
 

@@ -608,3 +608,46 @@ def test_jl_distortion_matches_pure_python_replay(spark):
         assert (r.d_orig, r.d_proj, r.distortion) == exp
     mean = sum(v[2] for v in expected.values()) / len(expected)
     assert 0.7 < mean < 1.3
+
+
+def test_pq_codebook_stats_matches_pure_python_replay(spark):
+    """embedding_pq_codebook_stats == an independent Python replay at
+    sf0.001 (quantize, slice, argmin with codeword tiebreak, exact
+    integer error sums); every subspace covers the whole corpus."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.similarity import _PQ_K, _PQ_M, _PQ_SUB
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    qv = {
+        v: [math.floor(float(x) * (1 << 20)) for x in e]
+        for v, e in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    books = {
+        m: {c: qv[c][m * _PQ_SUB : (m + 1) * _PQ_SUB] for c in range(1, _PQ_K + 1)}
+        for m in range(_PQ_M)
+    }
+    expected = {}
+    for v, vec in qv.items():
+        for m in range(_PQ_M):
+            sv = vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            best = None
+            for c in sorted(books[m]):
+                d = sum((a - b) * (a - b) for a, b in zip(sv, books[m][c]))
+                if best is None or d < best[1]:
+                    best = (c, d)
+            key = (m, best[0])
+            row = expected.setdefault(key, [0, 0, 0])
+            row[0] += 1
+            row[1] += best[1]
+            row[2] = max(row[2], best[1])
+    got = QUERIES["embedding_pq_codebook_stats"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    per_sub = {}
+    for r in got:
+        exp = expected[(r.subspace, r.codeword)]
+        assert (r.n_vectors, r.total_sqerr, r.max_sqerr) == tuple(exp)
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
+    assert set(per_sub.values()) == {len(qv)}
