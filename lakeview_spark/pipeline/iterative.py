@@ -40,8 +40,14 @@ _ITERATIONS = 3
 
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest-centroid assignment against literal centroid vectors:
-    broadcast k rows, score columnar, argmax per vector — the same plan
-    shape as embedding_centroid_assign (similarity.py:360-392)."""
+    broadcast k rows, score columnar, then argmax per vector as
+    min(struct(-cosine, cluster_id)) — negating the score turns the
+    (cosine DESC, cluster_id ASC) total order into a struct-min, which
+    is PARTIAL-AGGREGABLE: each partition collapses its n*k scored rows
+    to n best-so-far rows map-side instead of sorting the full pair set
+    through a row_number window (same upgrade as _kq_assign; double
+    negation is an exact sign flip, so the emitted cosine is
+    bit-identical)."""
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
         [(cid, [float(v) for v in vec]) for cid, vec in centroids],
@@ -50,14 +56,22 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     scored = emb.crossJoin(F.broadcast(cdf)).select(
         "vec_id",
         "embedding",
-        "cluster_id",
-        (_dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))).alias("cosine"),
+        F.struct(
+            (
+                -(_dot("embedding", "ce") / (_norm("embedding") * _norm("ce")))
+            ).alias("neg_cosine"),
+            "cluster_id",
+        ).alias("sc"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cluster_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("vec_id")
+        .agg(F.min("sc").alias("best"), F.any_value("embedding").alias("embedding"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.cluster_id").alias("cluster_id"),
+            (-F.col("best.neg_cosine")).alias("cosine"),
+        )
     )
 
 
@@ -223,9 +237,13 @@ def _kq_sqdist(a: str, b: str) -> Column:
 
 def _kq_assign(emb: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest-centroid assignment in the quantized domain: broadcast k
-    literal integer centroids, one narrow map for the distance fold, a
-    per-vector window for the argmin (same plan shape as the float
-    _assign / embedding_centroid_assign)."""
+    literal integer centroids, one narrow map for the distance fold,
+    then argmin as min(struct(sqdist, cluster_id)) — a PARTIAL-
+    AGGREGABLE agg, so each partition collapses its n*k scored rows to
+    n best-so-far rows map-side before any shuffle. (The row_number
+    window this replaced sorted the full n*k pair set through one
+    exchange — the sf1 probe showed that cost; struct-min is the same
+    total order: sqdist ASC, ties to the lower cluster_id.)"""
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
         [(cid, [int(v) for v in vec]) for cid, vec in centroids],
@@ -235,14 +253,22 @@ def _kq_assign(emb: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFr
         "vec_id",
         "label",
         "qv",
-        "cluster_id",
-        _kq_sqdist("qv", "cv").alias("sqdist"),
+        F.struct(_kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id").alias("sc"),
     )
-    w = Window.partitionBy("vec_id").orderBy("sqdist", "cluster_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min("sc").alias("best"),
+            F.any_value("label").alias("label"),
+            F.any_value("qv").alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "qv",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.sqdist").alias("sqdist"),
+        )
     )
 
 

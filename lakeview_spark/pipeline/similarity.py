@@ -432,23 +432,35 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _centroid_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = t(spark, sf_dir, "embeddings")
     cent = emb.filter(centroid_seed_predicate(spark, sf_dir)).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce")
     )
+    # argmax as min(struct(-cosine, cluster_id)): the (cosine DESC,
+    # cluster_id ASC) total order as a PARTIAL-AGGREGABLE struct-min —
+    # n*k scored rows collapse to n map-side instead of sorting through
+    # a row_number window (late-r8 upgrade shared with the k-means
+    # assigns; double negation is exact, output bit-identical and the
+    # oracle unchanged)
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
-        "cluster_id",
-        (_dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))).alias("cosine"),
+        F.struct(
+            (
+                -(_dot("embedding", "ce") / (_norm("embedding") * _norm("ce")))
+            ).alias("neg_cosine"),
+            "cluster_id",
+        ).alias("sc"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "cluster_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "cluster_id", "cosine")
+        scored.groupBy("vec_id")
+        .agg(F.min("sc").alias("best"), F.any_value("label").alias("label"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("best.cluster_id").alias("cluster_id"),
+            (-F.col("best.neg_cosine")).alias("cosine"),
+        )
     )
 
 
@@ -1406,24 +1418,25 @@ def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = subs.join(F.broadcast(codebook), "m").select(
         "vec_id",
         "m",
-        "codeword",
-        F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("sqerr"),
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("sqerr"),
+            "codeword",
+        ).alias("sc"),
     )
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("vec_id", "m").orderBy("sqerr", "codeword")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    return assigned.groupBy(F.col("m").alias("subspace"), "codeword").agg(
+    # encode = min(struct(sqerr, codeword)): partial-aggregable argmin
+    # (ties to the lower codeword), so the n*_PQ_K scored rows collapse
+    # map-side — no window sort of the candidate set
+    assigned = scored.groupBy("vec_id", "m").agg(F.min("sc").alias("best"))
+    return assigned.groupBy(
+        F.col("m").alias("subspace"), F.col("best.codeword").alias("codeword")
+    ).agg(
         F.count("*").alias("n_vectors"),
-        F.sum("sqerr").alias("total_sqerr"),
-        F.max("sqerr").alias("max_sqerr"),
+        F.sum("best.sqerr").alias("total_sqerr"),
+        F.max("best.sqerr").alias("max_sqerr"),
     )
 
 
