@@ -58,7 +58,6 @@ _DRIVER_WINDOW = [
     "new_table_detection",
     "pack_sequence_stats",
     "pack_training_sequences",
-    "partition_histogram",
     "partition_size_distribution",
     "recent_commit_groups",
     "region_segment_profile",
@@ -127,6 +126,11 @@ _DRIVER_WINDOW = [
     # (events layer keeps FOUR in-window kins, r04 green row + sweep
     # stand).
     "embedding_pq_codebook_stats",
+    # NEW in late r8: Bloom-filter ingest prune with measured FP audit
+    # (pipeline/sketch.py — the broadcast pre-join membership sketch);
+    # displaces `partition_histogram` (table-stats layer keeps SIX
+    # in-window kins, r04 green row + sweep stand).
+    "dedup_bloom_prune",
 ]
 
 

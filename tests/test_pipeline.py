@@ -651,3 +651,63 @@ def test_pq_codebook_stats_matches_pure_python_replay(spark):
         assert (r.n_vectors, r.total_sqerr, r.max_sqerr) == tuple(exp)
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
     assert set(per_sub.values()) == {len(qv)}
+
+
+def test_bloom_prune_matches_pure_python_replay(spark):
+    """dedup_bloom_prune == an independent Python Bloom replay at
+    sf0.001, and the no-false-negative law holds: every actually-seen
+    incoming doc is maybe_seen (n_actually_seen rows are never counted
+    definitely-new)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.sketch import (
+        _BLOOM_BITS_PER_DOC,
+        _BLOOM_K,
+        _BLOOM_MIN_BITS,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    docs = sorted(zip(tbl["doc_id"], tbl["lang"], tbl["text"]))
+    n = len(docs)
+    half = n // 2
+    m = max(_BLOOM_MIN_BITS, _BLOOM_BITS_PER_DOC * half)
+
+    def fp(text):
+        return hashlib.md5(text.encode()).hexdigest()
+
+    def positions(f):
+        return [
+            int(hashlib.md5(f"{i}:{f}".encode()).hexdigest()[:8], 16) % m
+            for i in range(_BLOOM_K)
+        ]
+
+    seen_fps = {fp(t) for d, _l, t in docs if d < half}
+    bits = set()
+    for f in seen_fps:
+        bits.update(positions(f))
+    expected = {}
+    for d, lang, text in docs:
+        if d < half:
+            continue
+        f = fp(text)
+        maybe = all(p in bits for p in positions(f))
+        actually = f in seen_fps
+        assert not (actually and not maybe)  # Bloom law
+        row = expected.setdefault(lang, [0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += maybe
+        row[2] += actually
+        row[3] += maybe and not actually
+        row[4] += not maybe
+    got = QUERIES["dedup_bloom_prune"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (
+            r.n_incoming,
+            r.n_maybe_seen,
+            r.n_actually_seen,
+            r.n_false_positives,
+            r.n_definitely_new,
+        ) == tuple(expected[r.lang])
