@@ -63,7 +63,6 @@ _DRIVER_WINDOW = [
     "region_segment_profile",
     "sample_temperature",
     "stream_doc_dedup",
-    "stream_embedding_neardup",
     "stream_quality_filter",
     "table_counts_rollup",
     "table_stats_daily",
@@ -131,6 +130,12 @@ _DRIVER_WINDOW = [
     # displaces `partition_histogram` (table-stats layer keeps SIX
     # in-window kins, r04 green row + sweep stand).
     "dedup_bloom_prune",
+    # NEW in late r8: the quantile sketch kept live on the events
+    # stream (real stream_value_histogram op run to completion + p50
+    # readout, plans/streaming_twins.py); displaces
+    # `stream_embedding_neardup` (stream layer keeps THREE in-window
+    # kins incl. this one, r04 green row + sweep stand).
+    "stream_quantile_sketch",
 ]
 
 

@@ -450,3 +450,94 @@ def stream_value_cusum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_seen").cast("bigint").alias("n_seen"),
         F.col("alerts_in_batch").cast("bigint").alias("alerts_in_batch"),
     )
+
+
+# pinned sketch geometry for the streaming histogram (see
+# stream_value_histogram: a one-pass stream cannot derive min/max
+# before binning, so edges are versioned constants — [0, 512) in
+# width-4 bins covers the synthetic value range with clamp headroom)
+_SVH_WIDTH = 4.0
+_SVH_BINS = 128
+_SVH_WIN_US = 6 * 3600 * 1000000  # 6-hour tumbling windows
+
+
+@register(
+    "stream_quantile_sketch",
+    oracle=f"""
+    WITH binned AS (
+      SELECT epoch_us(ts) // {_SVH_WIN_US} * {_SVH_WIN_US} AS window_start_us,
+             event_type,
+             LEAST({_SVH_BINS - 1},
+                   CAST(floor(value / {_SVH_WIDTH!r}) AS INT)) AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT window_start_us, event_type, bin, count(*) AS bin_count
+      FROM binned GROUP BY window_start_us, event_type, bin
+    ),
+    cum AS (
+      SELECT window_start_us, event_type, bin,
+             sum(bin_count) OVER (PARTITION BY window_start_us, event_type
+                                  ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS cum_count,
+             sum(bin_count) OVER (PARTITION BY window_start_us, event_type)
+               AS n_events
+      FROM counts
+    ),
+    hit AS (
+      SELECT window_start_us, event_type, bin, n_events,
+             row_number() OVER (PARTITION BY window_start_us, event_type
+                                ORDER BY bin) AS rn
+      FROM cum WHERE cum_count * 2 >= n_events
+    )
+    SELECT window_start_us, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           bin AS p50_bin,
+           bin * {_SVH_WIDTH!r} AS p50_est
+    FROM hit WHERE rn = 1
+    """,
+)
+def stream_quantile_sketch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming histogram sketch run to completion (update mode:
+    one micro-batch -> every open window emits once), then the p50
+    readout as a batch post-pass over the sink — exactly how a live
+    dashboard consumes the sketch table. The median rule is the
+    integer-exact `2 * cum >= n` form (no doubles in the threshold), so
+    the chosen bin is engine-identical; the estimate is the bin's lower
+    edge on the PINNED grid."""
+    from lakeview_spark.streaming.pipeline_stream import stream_value_histogram
+
+    stream = _table_stream(spark, sf_dir, "events")
+    e = stream.select(
+        "event_type",
+        "value",
+        F.timestamp_micros(events_ts_us(stream)).alias("ts"),
+    )
+    hist = stream_value_histogram(
+        e, "6 hours", "1 hour", bin_width=_SVH_WIDTH, n_bins=_SVH_BINS
+    )
+    out = _run_available_now(hist, "update")
+    from pyspark.sql import Window as _W
+
+    wcum = (
+        _W.partitionBy("window_start", "event_type")
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    wall = _W.partitionBy("window_start", "event_type")
+    cum = out.withColumn("cum_count", F.sum("bin_count").over(wcum)).withColumn(
+        "n_events", F.sum("bin_count").over(wall)
+    )
+    hit = cum.filter(F.col("cum_count") * 2 >= F.col("n_events"))
+    wpick = _W.partitionBy("window_start", "event_type").orderBy("bin")
+    return (
+        hit.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("bin").alias("p50_bin"),
+            (F.col("bin") * F.lit(_SVH_WIDTH)).alias("p50_est"),
+        )
+    )

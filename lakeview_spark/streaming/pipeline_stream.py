@@ -292,3 +292,39 @@ def stream_error_proximity(
     return probed.join(candidates, ["user_id", "band"]).filter(
         F.abs(F.col("cand_us") - F.col("err_us")) <= width_us
     )
+
+
+def stream_value_histogram(
+    stream: DataFrame,
+    window_duration: str = "6 hours",
+    watermark_delay: str = "1 hour",
+    bin_width: float = 4.0,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per (tumbling window, event type) equi-width value histogram —
+    the MERGEABLE quantile sketch (events_quantile_sketch) kept live on
+    a stream. Bin edges are PINNED constants (like the CUSUM detector's
+    pinned moments): a one-pass stream cannot derive min/max before
+    binning, and production monitors version their edges with the
+    dashboard. State per key is one counter; the watermark closes
+    windows, so state is proportional to open windows x types x bins,
+    never stream length."""
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.floor(F.col("value") / F.lit(bin_width)).cast("int"),
+    )
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"),
+            "event_type",
+            bin_col.alias("bin"),
+        )
+        .agg(F.count("*").alias("bin_count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "bin",
+            "bin_count",
+        )
+    )

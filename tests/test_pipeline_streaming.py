@@ -323,3 +323,57 @@ def test_stream_dedup_checkpoint_restart_is_exactly_once(spark, tmp_path):
     # exactly-once: batch-1 rows not re-emitted, duplicate state survived
     # the restart (doc 4 dropped because doc 1 is in checkpointed state)
     assert ids == [1, 3], ids
+
+
+def test_stream_quantile_sketch_matches_pure_python_replay(spark):
+    """stream_quantile_sketch (the live histogram run to completion +
+    p50 readout) == a pure-Python replay of the pinned-grid sketch over
+    the raw events at sf0.001, and the p50 estimate brackets the exact
+    per-(window, type) median within one bin width."""
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.plans import QUERIES
+    from lakeview_spark.plans.streaming_twins import (
+        _SVH_BINS,
+        _SVH_WIDTH,
+        _SVH_WIN_US,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+
+    def to_us(ts):
+        # physical type has shipped as both nanos-int and timestamp
+        if isinstance(ts, int):
+            return ts // 1000
+        import calendar
+
+        return (
+            calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        )
+
+    groups: dict[tuple, list[float]] = {}
+    for ts, et, v in zip(tbl["ts"], tbl["event_type"], tbl["value"]):
+        win = to_us(ts) // _SVH_WIN_US * _SVH_WIN_US
+        groups.setdefault((win, et), []).append(v)
+    expected = {}
+    for key, vs in groups.items():
+        bins = [0] * _SVH_BINS
+        for v in vs:
+            bins[min(_SVH_BINS - 1, int(v // _SVH_WIDTH))] += 1
+        cum = 0
+        for b, c in enumerate(bins):
+            cum += c
+            if cum * 2 >= len(vs):
+                expected[key] = (len(vs), b, b * _SVH_WIDTH)
+                break
+        vs.sort()
+        exact_median = vs[(len(vs) - 1) // 2]
+        assert expected[key][2] <= exact_median <= expected[key][2] + _SVH_WIDTH
+
+    rows = QUERIES["stream_quantile_sketch"](spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (r.n_events, r.p50_bin, r.p50_est) == expected[
+            (r.window_start_us, r.event_type)
+        ]
