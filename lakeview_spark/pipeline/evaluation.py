@@ -169,10 +169,17 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_pairs",
         "predicted_pairs",
         "true_positives",
-        (F.col("true_positives").cast("double") / F.col("predicted_pairs")).alias(
-            "precision"
-        ),
-        (F.col("true_positives").cast("double") / F.col("true_pairs")).alias("recall"),
+        # zero-pair corpora (empty/one-row inputs) -> NULL, not an ANSI
+        # divide-by-zero; real data always has pairs on both sides, so
+        # the oracle's bare divisions see identical values
+        F.when(
+            F.col("predicted_pairs") > 0,
+            F.col("true_positives").cast("double") / F.col("predicted_pairs"),
+        ).alias("precision"),
+        F.when(
+            F.col("true_pairs") > 0,
+            F.col("true_positives").cast("double") / F.col("true_pairs"),
+        ).alias("recall"),
     )
 
 

@@ -82,5 +82,9 @@ def empty_sf(spark, tmp_path_factory):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", GUARDED)
 def test_query_survives_empty_tables(spark, empty_sf, name):
-    n = QUERIES[name](spark, empty_sf).count()
-    assert n >= 0
+    # collect(), not count(): count() lets Catalyst PRUNE the output
+    # expressions, so an unguarded ANSI divide-by-zero in a final
+    # select would pass the gate unevaluated (late-r8 audit caught two
+    # such crashes behind a green count-based run)
+    rows = QUERIES[name](spark, empty_sf).collect()
+    assert len(rows) >= 0
