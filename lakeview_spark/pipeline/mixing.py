@@ -255,3 +255,98 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("ntok").cast("bigint").alias("n_tokens"),
     )
+
+
+# per-lang selection budget: keep the best quarter of each language's
+# character mass (integer floor-div, corpus-derived like every other
+# sizing constant)
+_BUDGET_DIV = 4
+
+# ranking stop list — MUST stay the text_quality_score 10-word list so
+# the two quality surfaces agree (text.py _STOPWORDS["en"])
+_BUDGET_STOP_SQL = "('the','and','of','to','a','in','is','it','for','on')"
+
+
+@register(
+    "sample_char_budget",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN {_BUDGET_STOP_SQL})) AS n_stop,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) // {_BUDGET_DIV} AS budget_chars
+      FROM m GROUP BY lang
+    ),
+    ranked AS (
+      SELECT m.lang, m.n_chars, b.budget_chars,
+             sum(m.n_chars) OVER (PARTITION BY m.lang
+                                  ORDER BY m.n_stop DESC, m.n_tokens DESC,
+                                           m.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM m JOIN b USING (lang)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(any_value(budget_chars) AS BIGINT) AS budget_chars,
+           CAST(sum(CASE WHEN cum_chars <= budget_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN cum_chars <= budget_chars THEN n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_selected
+    FROM ranked GROUP BY lang
+    """,
+)
+def sample_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data selection: per language, keep the highest-quality
+    documents until a character budget (1/{_BUDGET_DIV} of that
+    language's total mass, corpus-derived) is exhausted — the
+    "N-token training budget" selection every curation pipeline ends
+    with. Quality rank is the all-integer total order (stopword count
+    DESC, token count DESC, doc_id) over text_quality_score's exact
+    counting signals, and the running character sum is exact BIGINT, so
+    the kept set — not just its size — is engine-identical.
+
+    Scale shape: budgets are one partial-aggregable groupBy (lang-count
+    rows, broadcast back); the prefix sum is a per-lang ordered window —
+    budgeted selection is inherently a ranking problem, and THIS form is
+    the exact one; at 100 TB the standard approximation replaces the
+    global per-lang sort with a quantile-sketch cutoff (the
+    events_quantile_sketch device) and a threshold filter, trading
+    exactness at the boundary for two narrow passes."""
+    from lakeview_spark.pipeline.text import _STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    m = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(
+            F.expr(f"filter(split(lower(text), ' '), x -> x IN ({stop_list}))")
+        ).alias("n_stop"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    b = m.groupBy("lang").agg(
+        (F.sum("n_chars").cast("bigint") / _BUDGET_DIV)
+        .cast("bigint")
+        .alias("budget_chars")
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("lang")
+        .orderBy(F.desc("n_stop"), F.desc("n_tokens"), "doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    ranked = m.join(F.broadcast(b), "lang").withColumn(
+        "cum_chars", F.sum("n_chars").over(w)
+    )
+    kept = F.col("cum_chars") <= F.col("budget_chars")
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.any_value("budget_chars").alias("budget_chars"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_selected"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_selected"),
+    )

@@ -61,7 +61,6 @@ _DRIVER_WINDOW = [
     "partition_size_distribution",
     "recent_commit_groups",
     "region_segment_profile",
-    "sample_temperature",
     "stream_doc_dedup",
     "stream_quality_filter",
     "table_counts_rollup",
@@ -136,6 +135,12 @@ _DRIVER_WINDOW = [
     # `stream_embedding_neardup` (stream layer keeps THREE in-window
     # kins incl. this one, r04 green row + sweep stand).
     "stream_quantile_sketch",
+    # NEW in late r8: per-lang character-budget data selection
+    # (pipeline/mixing.py — the N-token training-budget cut); displaces
+    # its own sampling-layer kin `sample_temperature`, which keeps its
+    # r04 green row + sweep while the layer keeps this in-window
+    # representative.
+    "sample_char_budget",
 ]
 
 

@@ -168,3 +168,46 @@ def test_upsample_exactness_property(spark):
             assert m * base <= c <= m * (base + 1), (i, m, c, base)
 
     check()
+
+
+def test_char_budget_matches_pure_python_replay(spark):
+    """sample_char_budget == an independent Python replay of the
+    budgeted greedy selection at sf0.001, plus the budget laws:
+    chars_selected <= budget_chars < chars_selected + next doc."""
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.mixing import _BUDGET_DIV
+    from lakeview_spark.pipeline.text import _STOPWORDS
+    from lakeview_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    stops = set(_STOPWORDS["en"])
+    per_lang = {}
+    for d, lang, text, n_chars in zip(
+        tbl["doc_id"], tbl["lang"], tbl["text"], tbl["n_chars"]
+    ):
+        toks = text.lower().split(" ")
+        n_stop = sum(1 for x in toks if x in stops)
+        per_lang.setdefault(lang, []).append(
+            (-n_stop, -len(text.split(" ")), d, n_chars)
+        )
+    expected = {}
+    for lang, rows in per_lang.items():
+        rows.sort()
+        total = sum(r[3] for r in rows)
+        budget = total // _BUDGET_DIV
+        cum = n_sel = chars_sel = 0
+        for r in rows:
+            cum += r[3]
+            if cum <= budget:
+                n_sel += 1
+                chars_sel += r[3]
+        expected[lang] = (len(rows), budget, n_sel, chars_sel)
+    got = QUERIES["sample_char_budget"](spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.n_docs, r.budget_chars, r.n_selected, r.chars_selected) == expected[
+            r.lang
+        ]
+        assert r.chars_selected <= r.budget_chars
