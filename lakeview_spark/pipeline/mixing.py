@@ -350,3 +350,61 @@ def sample_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_selected"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_selected"),
     )
+
+
+# priority sampling (Duffield/Lund/Thorup): with u ~ U(0,1) from the
+# doc's md5 and weight w, the key u/w ranks docs so that keeping the k
+# SMALLEST keys includes each doc with probability ~ proportional to w
+# — the one-pass distributed weighted sample WITHOUT replacement. The
+# uniform is the 15-hex md5 prefix over 2^60 (the KMV device), the
+# weight is n_chars, and the single division is the same
+# correctly-rounded double op in both engines, so the SAMPLE ITSELF is
+# engine-identical, not just its size.
+_PRIORITY_K = 200
+
+_PRIORITY_HEX_FOLD_SQL = (
+    "list_reduce(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('prio:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(acc, x) -> acc * 16 + x)"
+)
+
+
+@register(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST({_PRIORITY_HEX_FOLD_SQL} AS DOUBLE)
+               / ({(1 << 60)}.0 * n_chars) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, priority
+    FROM keyed ORDER BY priority, doc_id LIMIT {_PRIORITY_K}
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted priority sample of {_PRIORITY_K} documents
+    (section comment above: u/w keys, smallest-k = without-replacement
+    inclusion ~ proportional to n_chars) — the deterministic one-pass
+    weighted sampler a mixture builder uses to audit or seed a blend.
+
+    Scale shape: one narrow map (md5 fold + one division) and a
+    TakeOrderedAndProject — no shuffle of the corpus, no RNG state; the
+    same doc is picked no matter the partitioning or cluster size, and
+    reruns are bit-identical (partition-independence-checked like every
+    registered query)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("prio:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (hv.cast("double") / (F.lit(float(1 << 60)) * F.col("n_chars"))).alias(
+            "priority"
+        ),
+    )
+    return keyed.orderBy("priority", "doc_id").limit(_PRIORITY_K)

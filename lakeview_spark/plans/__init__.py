@@ -43,7 +43,6 @@ _DRIVER_WINDOW = [
     # displaced by the two new queries, r04 rows stand)
     "compaction_backlog",
     "dedup_semdedup",
-    "duplicate_wins_join",
     "events_asof_click_value",
     "events_funnel_conversion",
     "events_sessionization",
@@ -141,6 +140,12 @@ _DRIVER_WINDOW = [
     # r04 green row + sweep while the layer keeps this in-window
     # representative.
     "sample_char_budget",
+    # NEW in late r8: one-pass weighted without-replacement priority
+    # sample (pipeline/mixing.py); displaces `duplicate_wins_join`
+    # (the join layer keeps manifest_diff, new_table_detection,
+    # union_dedup_discovery, exactly_one_guard in-window; r04 green row
+    # + sweep stand).
+    "sample_priority_weighted",
 ]
 
 

@@ -211,3 +211,33 @@ def test_char_budget_matches_pure_python_replay(spark):
             r.lang
         ]
         assert r.chars_selected <= r.budget_chars
+
+
+def test_priority_sample_matches_pure_python_replay(spark):
+    """sample_priority_weighted == a Python replay of the u/w priority
+    keys at sf0.001, and the sample skews long: mean sampled weight
+    exceeds the corpus mean (the point of length-weighting)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.mixing import _PRIORITY_K
+    from lakeview_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    keyed = []
+    for d, lang, n_chars in zip(tbl["doc_id"], tbl["lang"], tbl["n_chars"]):
+        if n_chars <= 0:
+            continue
+        hv = int(hashlib.md5(f"prio:{d}".encode()).hexdigest()[:15], 16)
+        keyed.append((float(hv) / ((1 << 60) * n_chars), d, lang, n_chars))
+    keyed.sort()
+    expected = keyed[:_PRIORITY_K]
+    got = QUERIES["sample_priority_weighted"](spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r, (prio, d, lang, n_chars) in zip(got, expected):
+        assert (r.doc_id, r.lang, r.weight, r.priority) == (d, lang, n_chars, prio)
+    corpus_mean = sum(k[3] for k in keyed) / len(keyed)
+    sample_mean = sum(k[3] for k in expected) / len(expected)
+    assert sample_mean > corpus_mean
