@@ -654,3 +654,143 @@ def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+#
+# The third candidate-generation strategy in the dedup family, next to
+# the df-capped inverted index (dedup_ngram_jaccard) and MinHash
+# banding: for Jaccard >= t, two sets must share at least one token in
+# their RAREST n - ceil(t*n) + 1 tokens (prefix under a global
+# rare-first order) — so only the prefix is indexed, and candidate
+# volume collapses from "any shared token" to "shared rare-prefix
+# token". Chaudhuri/Ganti/Kaushik's SSJoin / Xiao et al.'s PPJoin
+# device, the standard high-threshold exact set-similarity join.
+#
+# No global vocabulary rank is materialized: each doc orders its OWN
+# tokens by (df, shingle) — a per-doc window over the posting rows —
+# which realizes the same global rare-first prefix without the
+# single-partition sort a dense vocab rank would cost. The threshold
+# t = 4/5 stays integer end-to-end: prefix_len = n - ceil(4n/5) + 1
+# with ceil(4n/5) = (4n+4)//5, the size filter is 4*max <= 5*min, and
+# the verify is 5*inter >= 4*union — no float threshold edges anywhere.
+_PREFIX_T_NUM = 4
+_PREFIX_T_DEN = 5
+
+_PREFIX_PAIRS_SQL = f"""
+    WITH s AS ({{shingles}}),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+    df AS (SELECT shingle, count(*) AS df FROM e GROUP BY shingle),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM s),
+    pos AS (
+      SELECT e.doc_id, e.shingle,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY df.df, e.shingle) AS pos,
+             z.n
+      FROM e JOIN df USING (shingle) JOIN sizes z ON z.doc_id = e.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, shingle, n FROM pos
+      WHERE pos <= n - ({_PREFIX_T_NUM} * n + {_PREFIX_T_NUM}) // {_PREFIX_T_DEN} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE {_PREFIX_T_NUM} * GREATEST(a.n, b.n)
+              <= {_PREFIX_T_DEN} * LEAST(a.n, b.n)
+    ),
+    verified AS (
+      SELECT c.doc1, c.doc2,
+             len(list_intersect(s1.shingles, s2.shingles)) AS inter,
+             len(s1.shingles) AS n1, len(s2.shingles) AS n2
+      FROM cand c
+      JOIN s s1 ON s1.doc_id = c.doc1
+      JOIN s s2 ON s2.doc_id = c.doc2
+    )
+    SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+    FROM verified
+    WHERE {_PREFIX_T_DEN} * inter >= {_PREFIX_T_NUM} * (n1 + n2 - inter)
+"""
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=_PREFIX_PAIRS_SQL.format(shingles="{}".format(_SHINGLES_SQL)),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold (Jaccard >= {_PREFIX_T_NUM}/{_PREFIX_T_DEN})
+    near-dup pairs via prefix filtering (section comment above) —
+    candidates must share a RARE-prefix token and pass the integer size
+    filter before the exact verify touches the shingle arrays.
+
+    Scale shape: df is one partial-aggregable groupBy; prefix
+    positions are per-doc windows (state = one doc's tokens); the
+    candidate join is equi on the prefix token whose df is by
+    construction the smallest in its doc — the quadratic bucket blowup
+    the df-cap guards against cannot arise because hot tokens sit at
+    the END of the rare-first order, outside every prefix. The verify
+    is per-candidate array intersection, columnar, no further
+    shuffle beyond the two array lookups."""
+    s = _doc_shingles(spark, sf_dir)
+    e = s.select("doc_id", F.explode("shingles").alias("shingle"))
+    df_tab = e.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = s.select("doc_id", F.size("shingles").alias("n"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("df", "shingle")
+    pos = (
+        e.join(df_tab, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = pos.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"({_PREFIX_T_NUM} * n + {_PREFIX_T_NUM}) div {_PREFIX_T_DEN}")
+        + 1
+    ).select("doc_id", "shingle", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            _PREFIX_T_NUM * F.greatest("a.n", "b.n")
+            <= _PREFIX_T_DEN * F.least("a.n", "b.n")
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = s.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = s.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    verified = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("sh1", "sh2")).cast("bigint").alias("inter"),
+            F.size("sh1").cast("bigint").alias("n1"),
+            F.size("sh2").cast("bigint").alias("n2"),
+        )
+    )
+    return verified.filter(
+        _PREFIX_T_DEN * F.col("inter")
+        >= _PREFIX_T_NUM * (F.col("n1") + F.col("n2") - F.col("inter"))
+    ).select(
+        "doc1",
+        "doc2",
+        "inter",
+        "n1",
+        "n2",
+        (F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    )

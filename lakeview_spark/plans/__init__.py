@@ -42,7 +42,6 @@ _DRIVER_WINDOW = [
     # r04 cohort (38 of 40; frame_sample + sliding_window_stats
     # displaced by the two new queries, r04 rows stand)
     "compaction_backlog",
-    "dedup_semdedup",
     "events_asof_click_value",
     "events_funnel_conversion",
     "events_sessionization",
@@ -146,6 +145,13 @@ _DRIVER_WINDOW = [
     # union_dedup_discovery, exactly_one_guard in-window; r04 green row
     # + sweep stand).
     "sample_priority_weighted",
+    # NEW in late r8: PPJoin-style prefix-filtering set-similarity join
+    # (pipeline/dedup.py — the third candidate-generation strategy next
+    # to the df-capped index and MinHash banding, lossless at its
+    # threshold); displaces `dedup_semdedup` (dedup layer keeps
+    # dedup_containment, dedup_span_apply, and this one in-window; r04
+    # green row + sweep stand).
+    "dedup_prefix_filter_pairs",
 ]
 
 

@@ -711,3 +711,31 @@ def test_bloom_prune_matches_pure_python_replay(spark):
             r.n_false_positives,
             r.n_definitely_new,
         ) == tuple(expected[r.lang])
+
+
+def test_prefix_filter_finds_exactly_the_brute_force_pairs(spark):
+    """dedup_prefix_filter_pairs == the O(n^2) brute-force truth at
+    sf0.001: prefix filtering is LOSSLESS at its threshold (the prefix
+    theorem — two sets with Jaccard >= 4/5 must share a rare-prefix
+    token), and the verify step removes every false candidate."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    sets = {}
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.lower().split(" ")
+        sets[d] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    ids = sorted(sets)
+    expected = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(sets[d1] & sets[d2])
+            union = len(sets[d1]) + len(sets[d2]) - inter
+            if union and 5 * inter >= 4 * union:
+                expected[(d1, d2)] = (inter, len(sets[d1]), len(sets[d2]))
+    got = QUERIES["dedup_prefix_filter_pairs"](spark, SF_DIR).collect()
+    assert {(r.doc1, r.doc2) for r in got} == set(expected)
+    for r in got:
+        exp = expected[(r.doc1, r.doc2)]
+        assert (r.inter, r.n1, r.n2) == exp
+        assert abs(r.jaccard - exp[0] / (exp[1] + exp[2] - exp[0])) < 1e-12
