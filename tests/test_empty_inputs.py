@@ -62,6 +62,12 @@ GUARDED = [
     # coverage window + reassembly over zero docs
     "dedup_containment",
     "dedup_span_apply",
+    # late-r8 additions: prefix lengths / budgets / priorities derived
+    # from empty corpora (full-audit-verified; pinned here so the
+    # property can't silently regress)
+    "dedup_prefix_filter_pairs",
+    "sample_char_budget",
+    "events_quantile_sketch",
 ]
 
 
