@@ -1350,8 +1350,10 @@ _PQ_DIST_SQL = (
     "i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])))"
 )
 
-_PQ_STATS_SQL = f"""
-    WITH q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
+# the shared PQ derivation (quantize -> subvectors -> codebook ->
+# encode) as one CTE block, so the stats and recall oracles cannot
+# drift (the _KNN_GRAPH_CTE no-drift device)
+_PQ_BASE_CTES = f"""q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
     subs AS (
       SELECT vec_id, m, {_PQ_SUB_SQL} AS sv
       FROM q, (SELECT unnest(range(0, {_PQ_M})) AS m)
@@ -1368,7 +1370,10 @@ _PQ_STATS_SQL = f"""
                row_number() OVER (PARTITION BY v.vec_id, v.m
                                   ORDER BY {_PQ_DIST_SQL} ASC, c.codeword) AS rn
         FROM subs v JOIN codebook c ON c.m = v.m) WHERE rn = 1
-    )
+    )"""
+
+_PQ_STATS_SQL = f"""
+    WITH {_PQ_BASE_CTES}
     SELECT m AS subspace, codeword,
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(sum(sqerr) AS BIGINT) AS total_sqerr,
@@ -1393,6 +1398,180 @@ def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", _kq_quantize_col("embedding").alias("qv")
     )
+    # encode = min(struct(sqerr, codeword)) inside _pq_parts:
+    # partial-aggregable argmin (ties to the lower codeword), so the
+    # n*_PQ_K scored rows collapse map-side — no window sort
+    _subs, _codebook, assigned = _pq_parts(emb)
+    return assigned.groupBy(
+        F.col("m").alias("subspace"), F.col("best.codeword").alias("codeword")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("best.sqerr").alias("total_sqerr"),
+        F.max("best.sqerr").alias("max_sqerr"),
+    )
+
+
+def _kq_quantize_col(col: str):
+    from lakeview_spark.pipeline.iterative import _kq_quantize
+
+    return _kq_quantize(col)
+
+
+# ---------------------------------------------------------------------------
+# PQ search-quality audit (recall of ADC search vs exact)
+# ---------------------------------------------------------------------------
+#
+# The codebook-stats query above audits the COMPRESSION; this audits
+# what the compression does to SEARCH: for a deterministic probe
+# sample, rank the whole corpus by asymmetric distance (ADC — the
+# query's exact subvectors against each doc's CODEWORD vectors, the
+# flat-PQ search a scan over 8-byte codes supports) and measure
+# recall@10 against the exact quantized-domain top-10. Every distance
+# on both sides is BIGINT (the same 2^-20 grid), so ranks, tiebreaks,
+# and the recall fractions are engine-identical. An IVF-PQ deployment
+# composes this with the bucket restriction (similarity_ann_ivf);
+# flat ADC is the recall ceiling for the codebook itself.
+_PQ_RECALL_TOP = 10
+_PQ_PROBE_TARGET = 10  # probes = every (n // target)-th vector
+
+_PQ_STRIDE_SQL = f"SELECT GREATEST(1, count(*) // {_PQ_PROBE_TARGET}) FROM embeddings"
+
+_PQ_FULL_DIST_SQL = (
+    f"list_sum(list_transform(range(1, {_PQ_M * _PQ_SUB} + 1), "
+    "i -> (e.qv[i] - p.pqv[i]) * (e.qv[i] - p.pqv[i])))"
+)
+
+_PQ_ADC_PART_SQL = (
+    f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+    "i -> (ps.sv[i] - cb.cv[i]) * (ps.sv[i] - cb.cv[i])))"
+)
+
+_PQ_RECALL_SQL = f"""
+    WITH {{base}},
+    probes AS (
+      SELECT vec_id AS probe_id, qv AS pqv FROM q
+      WHERE vec_id % ({_PQ_STRIDE_SQL}) = 0
+    ),
+    truth AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_PQ_FULL_DIST_SQL} ASC, e.vec_id) AS rn
+        FROM probes p, q e WHERE e.vec_id <> p.probe_id)
+      WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    psubs AS (
+      SELECT p.probe_id, g.m, list_slice(p.pqv, g.m * {_PQ_SUB} + 1, g.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM probes p, (SELECT unnest(range(0, {_PQ_M})) AS m) g
+    ),
+    adc_parts AS (
+      SELECT ps.probe_id, a.vec_id, CAST({_PQ_ADC_PART_SQL} AS BIGINT) AS part
+      FROM psubs ps
+      JOIN assigned a ON a.m = ps.m
+      JOIN codebook cb ON cb.m = a.m AND cb.codeword = a.codeword
+      WHERE a.vec_id <> ps.probe_id
+    ),
+    adc AS (
+      SELECT probe_id, vec_id, sum(part) AS adc_dist
+      FROM adc_parts GROUP BY probe_id, vec_id
+    ),
+    pq_top AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= {_PQ_RECALL_TOP}
+    )
+    SELECT t.probe_id,
+           CAST(count(pq.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(pq.vec_id) AS DOUBLE) / {_PQ_RECALL_TOP} AS recall
+    FROM truth t LEFT JOIN pq_top pq
+      ON pq.probe_id = t.probe_id AND pq.vec_id = t.vec_id
+    GROUP BY t.probe_id
+"""
+
+
+@register("eval_pq_recall", oracle=_PQ_RECALL_SQL.format(base=_PQ_BASE_CTES))
+def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{_PQ_RECALL_TOP} of flat-PQ asymmetric-distance search vs
+    the exact quantized-domain top-{_PQ_RECALL_TOP}, per probe (section
+    comment above). All-integer distances end-to-end, so this is a
+    hash-exact audit of a lossy index — the same pattern as
+    eval_ann_recall for the LSH index.
+
+    Scale shape: probes are a corpus-derived-stride broadcast (~
+    {_PQ_PROBE_TARGET} rows of subvectors); the ADC side joins the
+    per-doc CODE table (n*{_PQ_M} rows of small ints — the compressed
+    index, not the vectors) against the broadcast codebook and probe
+    subvectors, then one partial-aggregable (probe, doc) sum; the
+    per-probe rankings are windows bounded by corpus-per-probe, the
+    flat-scan cost this audit exists to measure."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _kq_quantize_col("embedding").alias("qv")
+    )
+    subs, codebook, assigned = _pq_parts(emb)
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    scored = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
+    truth = (
+        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select("probe_id", "vec_id")
+    )
+    psubs = probes.select(
+        "probe_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("probe_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    adc = (
+        assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword"))
+        .join(F.broadcast(codebook), ["m", "codeword"])
+        .join(F.broadcast(psubs), "m")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    wa = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    pq_top = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select(F.col("probe_id").alias("pq_probe"), F.col("vec_id").alias("pq_vec"))
+    )
+    return (
+        truth.join(
+            pq_top,
+            (F.col("probe_id") == F.col("pq_probe"))
+            & (F.col("vec_id") == F.col("pq_vec")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("pq_vec").alias("n_hits"),
+            (F.count("pq_vec").cast("double") / _PQ_RECALL_TOP).alias("recall"),
+        )
+    )
+
+
+def _pq_parts(emb):
+    """(subs, codebook, assigned) for the PQ family — the Spark twin of
+    _PQ_BASE_CTES, shared by the stats and recall queries."""
     subs = emb.select(
         "vec_id",
         F.explode(
@@ -1427,20 +1606,5 @@ def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codeword",
         ).alias("sc"),
     )
-    # encode = min(struct(sqerr, codeword)): partial-aggregable argmin
-    # (ties to the lower codeword), so the n*_PQ_K scored rows collapse
-    # map-side — no window sort of the candidate set
     assigned = scored.groupBy("vec_id", "m").agg(F.min("sc").alias("best"))
-    return assigned.groupBy(
-        F.col("m").alias("subspace"), F.col("best.codeword").alias("codeword")
-    ).agg(
-        F.count("*").alias("n_vectors"),
-        F.sum("best.sqerr").alias("total_sqerr"),
-        F.max("best.sqerr").alias("max_sqerr"),
-    )
-
-
-def _kq_quantize_col(col: str):
-    from lakeview_spark.pipeline.iterative import _kq_quantize
-
-    return _kq_quantize(col)
+    return subs, codebook, assigned

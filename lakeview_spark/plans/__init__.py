@@ -43,7 +43,6 @@ _DRIVER_WINDOW = [
     # displaced by the two new queries, r04 rows stand)
     "compaction_backlog",
     "events_asof_click_value",
-    "events_funnel_conversion",
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
@@ -152,6 +151,13 @@ _DRIVER_WINDOW = [
     # dedup_containment, dedup_span_apply, and this one in-window; r04
     # green row + sweep stand).
     "dedup_prefix_filter_pairs",
+    # NEW in late r8: PQ search-quality audit — recall@10 of flat-ADC
+    # search vs the exact quantized top-10, all-integer distances
+    # (pipeline/similarity.py, rides the shared _PQ_BASE_CTES /
+    # _pq_parts derivation); displaces `events_funnel_conversion`
+    # (events layer keeps THREE in-window kins, r04 green row + sweep
+    # stand).
+    "eval_pq_recall",
 ]
 
 

@@ -739,3 +739,72 @@ def test_prefix_filter_finds_exactly_the_brute_force_pairs(spark):
         exp = expected[(r.doc1, r.doc2)]
         assert (r.inter, r.n1, r.n2) == exp
         assert abs(r.jaccard - exp[0] / (exp[1] + exp[2] - exp[0])) < 1e-12
+
+
+def test_pq_recall_matches_pure_python_replay(spark):
+    """eval_pq_recall == an independent Python replay at sf0.001:
+    exact quantized top-10, flat-ADC top-10 from codeword vectors, and
+    recall per probe; also the self-consistency law recall == n_hits/10."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_PROBE_TARGET,
+        _PQ_RECALL_TOP,
+        _PQ_SUB,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    qv = {
+        v: [math.floor(float(x) * (1 << 20)) for x in e]
+        for v, e in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    n = len(qv)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    books = {
+        m: {c: qv[c][m * _PQ_SUB : (m + 1) * _PQ_SUB] for c in range(1, _PQ_K + 1)}
+        for m in range(_PQ_M)
+    }
+
+    def sub_d(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    codes = {
+        v: [
+            min(
+                ((sub_d(vec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][c]), c)
+                 for c in sorted(books[m])),
+            )[1]
+            for m in range(_PQ_M)
+        ]
+        for v, vec in qv.items()
+    }
+    expected = {}
+    for p in sorted(qv):
+        if p % stride != 0:
+            continue
+        pvec = qv[p]
+        truth = sorted(
+            (sub_d(pvec, vec), v) for v, vec in qv.items() if v != p
+        )[:_PQ_RECALL_TOP]
+        adc = sorted(
+            (
+                sum(
+                    sub_d(pvec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][codes[v][m]])
+                    for m in range(_PQ_M)
+                ),
+                v,
+            )
+            for v in qv
+            if v != p
+        )[:_PQ_RECALL_TOP]
+        hits = {v for _d, v in truth} & {v for _d, v in adc}
+        expected[p] = len(hits)
+    got = QUERIES["eval_pq_recall"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert r.n_hits == expected[r.probe_id]
+        assert r.recall == r.n_hits / _PQ_RECALL_TOP
