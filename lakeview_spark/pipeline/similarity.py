@@ -1391,10 +1391,10 @@ def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the codebook is {_PQ_M}x{_PQ_K} rows — broadcast
     metadata — so encoding is a narrow map over the corpus (explode to
-    {_PQ_M} subvector rows, broadcast-join the codebook, one per-(vec,
-    subspace) window over {_PQ_K} candidates); the only shuffle is the
-    final {_PQ_M}x{_PQ_K}-key aggregation, which partial-aggregates
-    map-side. Payload vectors never shuffle."""
+    {_PQ_M} subvector rows, broadcast-join the codebook, then a
+    partial-aggregable struct-min argmin per (vec, subspace)); the only
+    other shuffle is the final {_PQ_M}x{_PQ_K}-key aggregation, which
+    also partial-aggregates map-side. Payload vectors never shuffle."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", _kq_quantize_col("embedding").alias("qv")
     )

@@ -140,6 +140,7 @@ _TINY_BROADCAST_OK = {
     "eval_embedding_bucket_health",  # 1-row total-count broadcast
     "eval_simhash_band_quality",  # bounded-sample all-pairs truth + scalar counts
     "eval_ann_recall",  # fixed-size probe sample broadcast for the exact-top-k truth
+    "eval_pq_recall",  # same probe-sample broadcast for the ADC-vs-exact truth
     "cold_customers",  # 1-row avg-balance threshold broadcast (Q22 decorrelation)
     "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
 }
