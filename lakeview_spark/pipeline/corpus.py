@@ -610,3 +610,191 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: dense + sparse with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+#
+# The production RAG retrieval shape: run BOTH retrievers — dense
+# (bucket-restricted embedding cosine, the retrieval_semantic_docs
+# path) and sparse (shared-characteristic-term integer tf-idf dot over
+# the capped posting table) — then fuse with reciprocal rank fusion
+# (Cormack et al. 2009): score(d) = Σ_systems 1/(60 + rank_sys(d)).
+# Ranks, not scores, cross the system boundary, so the incomparable
+# cosine and tf-idf scales never mix; RRF is computed in scaled
+# integers (floor(2^40 / (60 + rank)) — exact in both engines), so the
+# fused ranking hash-checks. vec_id v is the embedding of doc_id v
+# (the retrieval_semantic_docs linkage).
+_HYBRID_K = 10  # per-system candidate depth
+_HYBRID_FINAL = 5  # fused results per probe
+_RRF_BASE = 60  # the standard RRF smoothing constant
+_RRF_SCALE = 1 << 40
+
+
+def _hybrid_oracle() -> str:
+    from lakeview_spark.pipeline.similarity import (
+        ANN_RECALL_PROBES,
+        _ANN_BUCKETED_SQL,
+        _DOT_SQL,
+        _PLANES_SQL,
+    )
+
+    return f"""
+    {_TFIDF_TOP5_SQL},
+    live AS (
+      SELECT token FROM top5 GROUP BY token
+      HAVING count(*) <= {TFIDF_POSTING_CAP}
+    ),
+    top5c AS (SELECT top5.* FROM top5 JOIN live USING (token)),
+    planes AS ({_PLANES_SQL}),
+    bucketed AS ({_ANN_BUCKETED_SQL}),
+    q AS (
+      SELECT vec_id AS probe_id, embedding AS qe, norm AS qn, bucket AS qbucket
+      FROM bucketed WHERE vec_id %
+        (SELECT GREATEST(count(*) // {ANN_RECALL_PROBES}, 1) FROM embeddings) = 0
+    ),
+    dense AS (
+      SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        SELECT q.probe_id, b.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.probe_id
+                 ORDER BY {_DOT_SQL.format(a="b.embedding", b="q.qe")}
+                          / (b.norm * q.qn) DESC, b.vec_id) AS rn
+        FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.probe_id)
+      WHERE rn <= {_HYBRID_K}
+    ),
+    pq AS (
+      SELECT c.doc_id AS probe_id, c.token, c.score
+      FROM top5c c JOIN q ON c.doc_id = q.probe_id
+    ),
+    sdots AS (
+      SELECT p.probe_id, c.doc_id, CAST(sum(p.score * c.score) AS BIGINT) AS dot
+      FROM pq p JOIN top5c c ON c.token = p.token AND c.doc_id <> p.probe_id
+      GROUP BY p.probe_id, c.doc_id
+    ),
+    sparse AS (
+      SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS sparse_rank FROM (
+        SELECT probe_id, doc_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, doc_id) AS rn
+        FROM sdots) WHERE rn <= {_HYBRID_K}
+    ),
+    fused AS (
+      SELECT probe_id, doc_id,
+             min(dense_rank) AS dense_rank, min(sparse_rank) AS sparse_rank
+      FROM (
+        SELECT probe_id, doc_id, dense_rank,
+               CAST(NULL AS BIGINT) AS sparse_rank FROM dense
+        UNION ALL
+        SELECT probe_id, doc_id, CAST(NULL AS BIGINT) AS dense_rank,
+               sparse_rank FROM sparse)
+      GROUP BY probe_id, doc_id
+    ),
+    rrf AS (
+      SELECT probe_id, doc_id, dense_rank, sparse_rank,
+             CAST(coalesce({_RRF_SCALE} // ({_RRF_BASE} + dense_rank), 0)
+                + coalesce({_RRF_SCALE} // ({_RRF_BASE} + sparse_rank), 0)
+               AS BIGINT) AS rrf_score
+      FROM fused
+    )
+    SELECT probe_id, doc_id, dense_rank, sparse_rank, rrf_score,
+           CAST(rn AS BIGINT) AS hybrid_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY rrf_score DESC, doc_id) AS rn
+          FROM rrf) WHERE rn <= {_HYBRID_FINAL}
+"""
+
+
+@register("retrieval_hybrid_rrf", oracle=_hybrid_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused by reciprocal rank fusion:
+    per deterministic-stride probe, the top-{_HYBRID_K} bucket-
+    restricted cosine neighbors and the top-{_HYBRID_K} shared-term
+    integer tf-idf neighbors, fused as exact scaled-integer RRF and cut
+    to the top-{_HYBRID_FINAL} (section comment above — why rank-space
+    fusion makes the mixed-modality ranking hash-checkable).
+
+    Scale shape: the dense side rides the persisted bucketed LSH index
+    (broadcast probe rows, bounded bucket occupancy); the sparse side
+    broadcasts the probes' ~5-term posting slices into one BHJ against
+    the token-bucketed posting scratch, then one (probe, doc)-keyed
+    partial-aggregable sum; fusion is a union of two {_HYBRID_K}x
+    probes-row rank lists — driver-scale — through one aggregation and
+    one bounded per-probe window. Neither corpus is ever joined
+    all-pairs; payloads never shuffle."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.similarity import (
+        _dot,
+        _lsh_bucketed,
+        _recall_mod_for_n,
+        corpus_n,
+    )
+
+    idx = _lsh_bucketed(spark, sf_dir)
+    mod = _recall_mod_for_n(corpus_n(spark, sf_dir))
+    q = idx.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    wd = _W.partitionBy("probe_id").orderBy(F.desc("cosine"), "doc_id")
+    dense = (
+        idx.join(F.broadcast(q), idx.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            (_dot("embedding", "qe") / (F.col("norm") * F.col("qn"))).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _HYBRID_K)
+        .select("probe_id", "doc_id", F.col("rn").cast("long").alias("dense_rank"))
+    )
+    top5 = tfidf_top5_materialized(spark, sf_dir)
+    pq = top5.join(
+        F.broadcast(q.select(F.col("probe_id"))),
+        top5.doc_id == F.col("probe_id"),
+    ).select("probe_id", "token", F.col("score").alias("pscore"))
+    ws = _W.partitionBy("probe_id").orderBy(F.desc("dot"), "doc_id")
+    sparse = (
+        top5.join(F.broadcast(pq), "token")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum(F.col("pscore") * F.col("score")).cast("bigint").alias("dot"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _HYBRID_K)
+        .select("probe_id", "doc_id", F.col("rn").cast("long").alias("sparse_rank"))
+    )
+    fused = (
+        dense.withColumn("sparse_rank", F.lit(None).cast("long"))
+        .unionByName(sparse.withColumn("dense_rank", F.lit(None).cast("long")))
+        .groupBy("probe_id", "doc_id")
+        .agg(
+            F.min("dense_rank").alias("dense_rank"),
+            F.min("sparse_rank").alias("sparse_rank"),
+        )
+    )
+    rrf = fused.withColumn(
+        "rrf_score",
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_BASE} + dense_rank)"), F.lit(0))
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_BASE} + sparse_rank)"), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    wf = _W.partitionBy("probe_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        rrf.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _HYBRID_FINAL)
+        .select(
+            "probe_id",
+            "doc_id",
+            "dense_rank",
+            "sparse_rank",
+            "rrf_score",
+            F.col("rn").cast("long").alias("hybrid_rank"),
+        )
+    )

@@ -1317,6 +1317,108 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Label-propagation communities (LPA) over the kNN graph
+# ---------------------------------------------------------------------------
+#
+# The community-detection complement of the components/PageRank pair:
+# connected components (dedup_clusters) over-merges through single
+# bridge edges and PageRank ranks nodes without grouping them; LPA
+# (Raghavan et al. 2007) finds DENSE neighborhoods — each node
+# repeatedly adopts the most frequent label among its neighbors. Three
+# synchronous unrolled iterations from lbl=vec_id seeds; the vote
+# argmax is all-integer (count DESC, ties to the smallest label =
+# min(struct(-cnt, lbl))), so — like PageRank and the quantized
+# trainer — the FULL iterative walk is deterministic and replays
+# bit-for-bit in a DuckDB unrolled-CTE oracle. Synchronous updates can
+# oscillate on bipartite subgraphs; a fixed iteration count makes that
+# a defined (and engine-identical) outcome, not a convergence hazard.
+_LPA_ITERATIONS = 3
+
+
+def _lpa_iter_sql(prev: str, n: int) -> str:
+    """One synchronous LPA round: per node, the modal neighbor label
+    over the symmetrized edge set (ties to the smallest label);
+    isolated nodes keep their previous label."""
+    return f"""
+    v{n} AS (
+      SELECT e.dst AS vec_id, l.lbl, count(*) AS cnt
+      FROM und e JOIN {prev} l ON l.vec_id = e.src
+      GROUP BY e.dst, l.lbl
+    ),
+    b{n} AS (
+      SELECT vec_id, lbl FROM (
+        SELECT vec_id, lbl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM v{n}) WHERE rn = 1
+    ),
+    l{n} AS (
+      SELECT p.vec_id, coalesce(b.lbl, p.lbl) AS lbl
+      FROM {prev} p LEFT JOIN b{n} b USING (vec_id)
+    )"""
+
+
+_LPA_SQL = f"""
+    {_KNN_GRAPH_CTE},
+    und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings),
+    {_lpa_iter_sql('l0', 1)},
+    {_lpa_iter_sql('l1', 2)},
+    {_lpa_iter_sql('l2', 3)}
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS min_member,
+           CAST(max(vec_id) AS BIGINT) AS max_member
+    FROM l{_LPA_ITERATIONS} GROUP BY lbl
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_SQL)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the materialized kNN graph:
+    {_LPA_ITERATIONS} synchronous rounds of adopt-the-modal-neighbor-
+    label from lbl=vec_id seeds, then the community census (section
+    comment above — why the integer vote argmax makes the whole
+    iterative walk hash-checkable).
+
+    Scale shape: per round, ONE join of the n-row label table against
+    the materialized edge scratch (built once per run, symmetrized by a
+    cheap union+distinct) and two partial-aggregable aggregations — the
+    (dst, lbl) vote count collapses map-side, and the per-node argmax
+    is min(struct(-cnt, lbl)), so no window sort anywhere in the loop.
+    Label state never leaves the cluster; at 100 TB the edge scratch
+    would be bucketed on src so every round's join co-locates (the
+    SCALE.md §6 device)."""
+    edges = similarity_knn_graph(spark, sf_dir).select("src", "dst")
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("vec_id").alias("lbl")
+    )
+    for _ in range(_LPA_ITERATIONS):
+        votes = (
+            und.join(labels.select(F.col("vec_id").alias("src"), "lbl"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "dst",
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("lbl")).alias("sc"),
+            )
+            .groupBy("dst")
+            .agg(F.min("sc").alias("best"))
+        )
+        labels = labels.join(
+            votes, labels.vec_id == votes.dst, "left"
+        ).select(labels.vec_id, F.coalesce(F.col("best.lbl"), labels.lbl).alias("lbl"))
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) codebook audit
 # ---------------------------------------------------------------------------
 #
@@ -1608,3 +1710,175 @@ def _pq_parts(emb):
     )
     assigned = scored.groupBy("vec_id", "m").agg(F.min("sc").alias("best"))
     return subs, codebook, assigned
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed search (coarse quantizer + asymmetric-distance ranking)
+# ---------------------------------------------------------------------------
+#
+# The production ANN composition the two audits above promise: an
+# IVF-PQ index stores, per vector, (a) its coarse cluster id — nearest
+# of the k corpus-sized k-means seeds — and (b) its _PQ_M-byte PQ code.
+# A search then visits ONLY the probe's coarse cluster and ranks its
+# members by asymmetric distance (the probe's exact subvectors against
+# each member's codeword vectors), never touching stored payloads.
+# Everything rides the established integer devices: coarse assignment
+# is the kmeans_train_quantized BIGINT squared-L2 argmin (ties to the
+# lower cluster), codes come from the shared _pq_parts/_PQ_BASE_CTES
+# derivation (so this query cannot drift from the stats/recall audits),
+# and ADC sums are exact BIGINTs — the whole composed search
+# hash-checks. Recall of the composition = eval_pq_recall's codebook
+# ceiling restricted by similarity_ann_ivf's bucket-miss rate; both
+# knobs are audited separately, this query is the shipped search path.
+_IVFPQ_TOP = 10
+
+# the corpus-sized coarse-centroid count, identical to _k_for_n (the
+# kmeans/SemDeDup sizing rule — constants live in this module)
+_IVFPQ_K_SQL = (
+    f"SELECT GREATEST({_K_MIN}, LEAST({_K_MAX}, count(*) // {_CLUSTER_TARGET})) "
+    "FROM embeddings"
+)
+
+# BIGINT squared-L2 between full quantized vectors e.qv and c.cv
+_IVFPQ_COARSE_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(e.qv)+1), "
+    "i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i])))"
+)
+
+_IVFPQ_SQL = f"""
+    WITH {{base}},
+    cents AS (
+      SELECT vec_id AS cluster_id, qv AS cv FROM q
+      WHERE vec_id BETWEEN 1 AND ({_IVFPQ_K_SQL})
+    ),
+    coarse AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVFPQ_COARSE_DIST_SQL} ASC, c.cluster_id) AS rn
+        FROM q e, cents c) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT co.vec_id AS probe_id, q.qv AS pqv, co.cluster_id AS pcluster
+      FROM coarse co JOIN q ON q.vec_id = co.vec_id
+      WHERE co.vec_id % ({_PQ_STRIDE_SQL}) = 0
+    ),
+    psubs AS (
+      SELECT p.probe_id, p.pcluster, g.m,
+             list_slice(p.pqv, g.m * {_PQ_SUB} + 1, g.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM probes p, (SELECT unnest(range(0, {_PQ_M})) AS m) g
+    ),
+    adc_parts AS (
+      SELECT ps.probe_id, a.vec_id, CAST({_PQ_ADC_PART_SQL} AS BIGINT) AS part
+      FROM psubs ps
+      JOIN assigned a ON a.m = ps.m
+      JOIN coarse ca ON ca.vec_id = a.vec_id AND ca.cluster_id = ps.pcluster
+      JOIN codebook cb ON cb.m = a.m AND cb.codeword = a.codeword
+      WHERE a.vec_id <> ps.probe_id
+    ),
+    adc AS (
+      SELECT probe_id, vec_id, CAST(sum(part) AS BIGINT) AS adc_dist
+      FROM adc_parts GROUP BY probe_id, vec_id
+    )
+    SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_dist FROM (
+      SELECT probe_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adc_dist ASC, vec_id) AS rn
+      FROM adc) WHERE rn <= {_IVFPQ_TOP}
+"""
+
+
+@register("similarity_ann_ivf_pq", oracle=_IVFPQ_SQL.format(base=_PQ_BASE_CTES))
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN search: for each deterministic-stride probe,
+    rank ONLY its coarse cluster's members by exact-BIGINT asymmetric
+    distance over their {_PQ_M}-byte PQ codes; top-{_IVFPQ_TOP} per
+    probe (section comment above — the shipped search path the PQ/IVF
+    audits bound).
+
+    Scale shape: the index (coarse id + code per vector) is built by
+    narrow maps — coarse assignment broadcasts k centroids and
+    collapses its n*k scored rows map-side via the partial-aggregable
+    struct-min argmin, codes broadcast the {_PQ_M}x{_PQ_K}-row
+    codebook; the code⋈coarse join is one vec_id-keyed equi shuffle (at
+    100 TB both live in ONE index table written together, so it
+    disappears); probes and their subvectors are ~{_PQ_PROBE_TARGET}
+    broadcast rows, so candidate selection is a broadcast-hash filter
+    on (m, cluster) — never all-pairs — and the per-probe ranking
+    windows are bounded by one coarse cluster's occupancy. Payload
+    vectors never shuffle; repartitions the unsplittable single-file
+    local scan before the n*k fold (the trainers' documented
+    exception)."""
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    cents = spark.createDataFrame(
+        [
+            (int(r.vec_id), [int(v) for v in r.qv])
+            for r in emb.filter(centroid_seed_predicate(spark, sf_dir)).collect()
+        ],
+        "cluster_id int, cv array<bigint>",
+    )
+    coarse = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(_kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id").alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("best"))
+        .select("vec_id", F.col("best.cluster_id").alias("cluster_id"))
+    )
+    probes = (
+        coarse.filter((F.col("vec_id") % stride) == 0)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qv").alias("pqv"),
+            F.col("cluster_id").alias("pcluster"),
+        )
+    )
+    psubs = probes.select(
+        "probe_id",
+        "pcluster",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("probe_id", "pcluster", F.col("s.m").alias("pm"), F.col("s.sv").alias("sv"))
+    _subs, codebook, assigned = _pq_parts(emb)
+    cand = assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword")).join(
+        coarse, "vec_id"
+    )
+    adc = (
+        cand.join(F.broadcast(codebook), ["m", "codeword"])
+        .join(
+            F.broadcast(psubs),
+            (F.col("m") == F.col("pm")) & (F.col("cluster_id") == F.col("pcluster")),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_TOP)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rn").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )

@@ -39,14 +39,15 @@ from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline:
 # kins) — both displaced queries keep their r04 green rows and the
 # every-round sf0.01 sweep, the same device the r7 window used.
 _DRIVER_WINDOW = [
-    # r04 cohort (38 of 40; frame_sample + sliding_window_stats
-    # displaced by the two new queries, r04 rows stand)
-    "compaction_backlog",
-    "events_asof_click_value",
+    # r04 cohort (35 of 40; frame_sample + sliding_window_stats
+    # displaced by the containment/span-apply pair, and
+    # compaction_backlog + events_asof_click_value +
+    # file_size_percentiles displaced by the three late-r8 additions
+    # at the tail — all five keep their r04 green rows and the
+    # every-round sf0.01 sweep)
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
-    "file_size_percentiles",
     "first_incomplete_commit",
     "instant_sort_order",
     "manifest_diff",
@@ -158,6 +159,24 @@ _DRIVER_WINDOW = [
     # (events layer keeps THREE in-window kins, r04 green row + sweep
     # stand).
     "eval_pq_recall",
+    # NEW in late r8: the IVF-PQ composed search path — coarse-cluster
+    # restriction + exact-BIGINT asymmetric-distance top-10 per probe
+    # (pipeline/similarity.py, rides _pq_parts + the quantized-centroid
+    # argmin); displaces `compaction_backlog` (table-stats layer keeps
+    # FIVE in-window kins, r04 green row + sweep stand).
+    "similarity_ann_ivf_pq",
+    # NEW in late r8: label-propagation communities over the kNN graph
+    # (pipeline/similarity.py — the integer modal-vote walk, unrolled
+    # 3 rounds, completing the components/PageRank/LPA graph family);
+    # displaces `events_asof_click_value` (events layer keeps THREE
+    # in-window kins, r04 green row + sweep stand).
+    "graph_label_propagation",
+    # NEW in late r8: hybrid dense+sparse retrieval fused by exact
+    # scaled-integer reciprocal rank fusion (pipeline/corpus.py — rank-
+    # space fusion over the persisted LSH index and the token-bucketed
+    # posting scratch); displaces `file_size_percentiles` (table-stats
+    # layer keeps FIVE in-window kins, r04 green row + sweep stand).
+    "retrieval_hybrid_rrf",
 ]
 
 

@@ -68,6 +68,12 @@ GUARDED = [
     "dedup_prefix_filter_pairs",
     "sample_char_budget",
     "events_quantile_sketch",
+    # late-r8 composed/iterative additions: empty seed centroid set +
+    # empty probe set (IVF-PQ), empty edge set through 3 label rounds,
+    # rank fusion over two empty retrieval lists
+    "similarity_ann_ivf_pq",
+    "graph_label_propagation",
+    "retrieval_hybrid_rrf",
 ]
 
 

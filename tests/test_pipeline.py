@@ -808,3 +808,160 @@ def test_pq_recall_matches_pure_python_replay(spark):
     for r in got:
         assert r.n_hits == expected[r.probe_id]
         assert r.recall == r.n_hits / _PQ_RECALL_TOP
+
+
+def test_ivf_pq_search_matches_pure_python_replay(spark):
+    """similarity_ann_ivf_pq == an independent Python replay at
+    sf0.001: quantize, coarse-assign to the corpus-sized seed
+    centroids, PQ-encode, then per-probe ADC ranking restricted to the
+    probe's coarse cluster with (dist, vec_id) total-order top-10."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.similarity import (
+        _IVFPQ_TOP,
+        _PQ_K,
+        _PQ_M,
+        _PQ_PROBE_TARGET,
+        _PQ_SUB,
+        _k_for_n,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    qv = {
+        v: [math.floor(float(x) * (1 << 20)) for x in e]
+        for v, e in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    n = len(qv)
+    k = _k_for_n(n)
+    cents = {c: qv[c] for c in range(1, k + 1) if c in qv}
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    coarse = {
+        v: min((sqd(vec, cv), c) for c, cv in cents.items())[1]
+        for v, vec in qv.items()
+    }
+    books = {
+        m: {c: qv[c][m * _PQ_SUB : (m + 1) * _PQ_SUB] for c in range(1, _PQ_K + 1)}
+        for m in range(_PQ_M)
+    }
+    codes = {
+        v: [
+            min(
+                (sqd(vec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][c]), c)
+                for c in sorted(books[m])
+            )[1]
+            for m in range(_PQ_M)
+        ]
+        for v, vec in qv.items()
+    }
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    expected = {}
+    for p in sorted(qv):
+        if p % stride != 0:
+            continue
+        pvec = qv[p]
+        ranked = sorted(
+            (
+                sum(
+                    sqd(pvec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][codes[v][m]])
+                    for m in range(_PQ_M)
+                ),
+                v,
+            )
+            for v in qv
+            if v != p and coarse[v] == coarse[p]
+        )[:_IVFPQ_TOP]
+        for rank, (d, v) in enumerate(ranked, start=1):
+            expected[(p, v)] = (rank, d)
+    got = QUERIES["similarity_ann_ivf_pq"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.rank, r.adc_dist) == expected[(r.probe_id, r.vec_id)]
+
+
+def test_label_propagation_matches_pure_python_replay(spark):
+    """graph_label_propagation == an independent Python replay of the
+    synchronous modal-label walk at sf0.001, seeded from the
+    (separately oracle-proven) materialized kNN edge list; labels are
+    a partition (every node counted exactly once). Note a community's
+    label is a SEED id that need not remain one of its own members
+    under synchronous updates — the label's own node can adopt a
+    different majority."""
+    from lakeview_spark.pipeline.similarity import (
+        _LPA_ITERATIONS,
+        similarity_knn_graph,
+    )
+    from lakeview_spark.plans.registry import t as _t
+
+    knn = [(r.src, r.dst) for r in similarity_knn_graph(spark, SF_DIR).collect()]
+    und = set(knn) | {(d, s) for s, d in knn}
+    nodes = [
+        r.vec_id for r in _t(spark, SF_DIR, "embeddings").select("vec_id").collect()
+    ]
+    lbl = {v: v for v in nodes}
+    for _ in range(_LPA_ITERATIONS):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d in und:
+            votes.setdefault(d, {})[lbl[s]] = votes.get(d, {}).get(lbl[s], 0) + 1
+        lbl = {
+            v: (
+                min((-c, lab) for lab, c in votes[v].items())[1]
+                if v in votes
+                else lbl[v]
+            )
+            for v in nodes
+        }
+    expected: dict[int, list[int]] = {}
+    for v, lab in lbl.items():
+        expected.setdefault(lab, []).append(v)
+    got = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    assert sum(r.n_members for r in got) == len(nodes)
+    for r in got:
+        members = expected[r.community]
+        assert r.n_members == len(members)
+        assert r.min_member == min(members)
+        assert r.max_member == max(members)
+        assert r.community in lbl  # the label is a real node id
+
+
+def test_hybrid_rrf_fusion_arithmetic_and_agreement(spark):
+    """retrieval_hybrid_rrf internal consistency at sf0.001: the RRF
+    score is exactly the scaled-integer function of the two ranks, the
+    hybrid rank is the (rrf_score DESC, doc_id) total order, per-probe
+    result counts are bounded, and a doc present in BOTH systems
+    outranks the same doc if it had appeared in one system at the same
+    ranks alone (fusion monotonicity)."""
+    from lakeview_spark.pipeline.corpus import (
+        _HYBRID_FINAL,
+        _HYBRID_K,
+        _RRF_BASE,
+        _RRF_SCALE,
+    )
+
+    rows = QUERIES["retrieval_hybrid_rrf"](spark, SF_DIR).collect()
+    assert rows
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r.dense_rank is not None or r.sparse_rank is not None
+        expected = 0
+        if r.dense_rank is not None:
+            assert 1 <= r.dense_rank <= _HYBRID_K
+            expected += _RRF_SCALE // (_RRF_BASE + r.dense_rank)
+        if r.sparse_rank is not None:
+            assert 1 <= r.sparse_rank <= _HYBRID_K
+            expected += _RRF_SCALE // (_RRF_BASE + r.sparse_rank)
+        assert r.rrf_score == expected
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r.hybrid_rank)
+        assert len(rs) <= _HYBRID_FINAL
+        assert [r.hybrid_rank for r in rs] == list(range(1, len(rs) + 1))
+        # hybrid_rank must equal the (rrf_score DESC, doc_id) order
+        assert [(r.rrf_score, r.doc_id) for r in rs] == sorted(
+            ((r.rrf_score, r.doc_id) for r in rs), key=lambda x: (-x[0], x[1])
+        )

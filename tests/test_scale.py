@@ -124,6 +124,7 @@ _TINY_BROADCAST_OK = {
     "embedding_centroid_stats",
     "kmeans_train",  # same 4-row centroid broadcast as centroid_assign
     "kmeans_train_quantized",  # same k-row centroid broadcast, integer domain
+    "similarity_ann_ivf_pq",  # same k-row coarse-centroid broadcast, integer domain
     "events_quantile_sketch",  # 3-row quantile-grid broadcast onto the bin table
 
     "forecast_revenue",
