@@ -39,12 +39,12 @@ from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline:
 # kins) — both displaced queries keep their r04 green rows and the
 # every-round sf0.01 sweep, the same device the r7 window used.
 _DRIVER_WINDOW = [
-    # r04 cohort (35 of 40; frame_sample + sliding_window_stats
+    # r04 cohort (34 of 40; frame_sample + sliding_window_stats
     # displaced by the containment/span-apply pair, and
     # compaction_backlog + events_asof_click_value +
-    # file_size_percentiles displaced by the three late-r8 additions
-    # at the tail — all five keep their r04 green rows and the
-    # every-round sf0.01 sweep)
+    # file_size_percentiles + partition_size_distribution displaced by
+    # the four late-r8 additions at the tail — all six keep their r04
+    # green rows and the every-round sf0.01 sweep)
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
@@ -56,7 +56,6 @@ _DRIVER_WINDOW = [
     "new_table_detection",
     "pack_sequence_stats",
     "pack_training_sequences",
-    "partition_size_distribution",
     "recent_commit_groups",
     "region_segment_profile",
     "stream_doc_dedup",
@@ -177,6 +176,13 @@ _DRIVER_WINDOW = [
     # posting scratch); displaces `file_size_percentiles` (table-stats
     # layer keeps FIVE in-window kins, r04 green row + sweep stand).
     "retrieval_hybrid_rrf",
+    # NEW in late r8: Newman-Girvan modularity audit of the LPA
+    # partition in exact integer numerators (pipeline/similarity.py —
+    # rides the shared _LPA_CTES/_lpa_labels walk, the graph family's
+    # quality gate); displaces `partition_size_distribution`
+    # (table-stats layer keeps FOUR in-window kins, r04 green row +
+    # sweep stand).
+    "eval_community_modularity",
 ]
 
 

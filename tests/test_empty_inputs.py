@@ -74,6 +74,9 @@ GUARDED = [
     "similarity_ann_ivf_pq",
     "graph_label_propagation",
     "retrieval_hybrid_rrf",
+    # modularity over an empty partition: m = 0, no division anywhere
+    # (the Q readout stays in integer numerators)
+    "eval_community_modularity",
 ]
 
 

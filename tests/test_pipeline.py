@@ -965,3 +965,58 @@ def test_hybrid_rrf_fusion_arithmetic_and_agreement(spark):
         assert [(r.rrf_score, r.doc_id) for r in rs] == sorted(
             ((r.rrf_score, r.doc_id) for r in rs), key=lambda x: (-x[0], x[1])
         )
+
+
+def test_community_modularity_matches_pure_python_replay(spark):
+    """eval_community_modularity == a Python recomputation from the
+    collected symmetrized edge list and a replayed LPA walk at
+    sf0.001; global laws: Σ degree_sum = 2m, Σ intra_edges <= m, and
+    Σ q_numerator / (4m²) is a valid modularity (<= 1)."""
+    from lakeview_spark.pipeline.similarity import (
+        _LPA_ITERATIONS,
+        similarity_knn_graph,
+    )
+    from lakeview_spark.plans.registry import t as _t
+
+    knn = [(r.src, r.dst) for r in similarity_knn_graph(spark, SF_DIR).collect()]
+    und = set(knn) | {(d, s) for s, d in knn}
+    nodes = [
+        r.vec_id for r in _t(spark, SF_DIR, "embeddings").select("vec_id").collect()
+    ]
+    lbl = {v: v for v in nodes}
+    for _ in range(_LPA_ITERATIONS):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d in und:
+            votes.setdefault(d, {})[lbl[s]] = votes.get(d, {}).get(lbl[s], 0) + 1
+        lbl = {
+            v: (
+                min((-c, lab) for lab, c in votes[v].items())[1]
+                if v in votes
+                else lbl[v]
+            )
+            for v in nodes
+        }
+    m = len(und) // 2
+    deg: dict[int, int] = {}
+    for s, _d in und:
+        deg[s] = deg.get(s, 0) + 1
+    exp: dict[int, list[int]] = {}  # community -> [n, intra, dsum]
+    for v, lab in lbl.items():
+        row = exp.setdefault(lab, [0, 0, 0])
+        row[0] += 1
+        row[2] += deg.get(v, 0)
+    for s, d in und:
+        if lbl[s] == lbl[d]:
+            exp[lbl[s]][1] += 1  # counts each undirected edge twice
+    got = QUERIES["eval_community_modularity"](spark, SF_DIR).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        n, intra2, dsum = exp[r.community]
+        assert r.n_members == n
+        assert r.intra_edges == intra2 // 2
+        assert r.degree_sum == dsum
+        assert r.q_numerator == 4 * m * (intra2 // 2) - dsum * dsum
+    assert sum(r.degree_sum for r in got) == 2 * m
+    assert sum(r.intra_edges for r in got) <= m
+    q = sum(r.q_numerator for r in got) / (4 * m * m)
+    assert q <= 1.0

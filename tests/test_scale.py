@@ -143,6 +143,7 @@ _TINY_BROADCAST_OK = {
     "eval_ann_recall",  # fixed-size probe sample broadcast for the exact-top-k truth
     "eval_pq_recall",  # same probe-sample broadcast for the ADC-vs-exact truth
     "cold_customers",  # 1-row avg-balance threshold broadcast (Q22 decorrelation)
+    "eval_community_modularity",  # 1-row edge-count broadcast attaches m
     "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
 }
 
