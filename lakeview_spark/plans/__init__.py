@@ -61,11 +61,9 @@ _DRIVER_WINDOW = [
     "stream_doc_dedup",
     "stream_quality_filter",
     "table_counts_rollup",
-    "table_stats_daily",
     "timeline_completeness",
     "timeline_trends",
     "top_partitions",
-    "top_revenue_supplier",
     "union_dedup_discovery",
     # r03 cohort, deferred from the r7 window (7 queries)
     "text_language_id",
@@ -183,6 +181,19 @@ _DRIVER_WINDOW = [
     # (table-stats layer keeps FOUR in-window kins, r04 green row +
     # sweep stand).
     "eval_community_modularity",
+    # NEW in late r8: SCD2 dimension history over the events change log
+    # (plans/tpch_extra.py — the lakehouse MERGE/upsert read shape:
+    # no-change suppression + versioned validity intervals, two
+    # user-partitioned windows, integer-microsecond arithmetic);
+    # displaces `top_revenue_supplier` (star-join layer keeps
+    # region_segment_profile in-window; r04 green row + sweep stand).
+    "events_user_scd2",
+    # NEW in late r8: integer-exact EWMA smoothing (plans/tpch_extra.py
+    # — the ordered-fold oracle device extended to a multiplicative
+    # recurrence, alpha=1/8 in exact cents, per-(type, hour) bounded
+    # state); displaces `table_stats_daily` (table-stats layer keeps
+    # FOUR in-window kins, r04 green row + sweep stand).
+    "events_ewma_quantized",
 ]
 
 

@@ -1632,3 +1632,182 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (the lakehouse MERGE/upsert read shape)
+# ---------------------------------------------------------------------------
+#
+# Slowly-changing-dimension type 2 build over a change log: collapse
+# each user's event stream to its CHANGE records (an event whose
+# event_type differs from the user's previous event — classic SCD2
+# no-change suppression), then version them with [valid_from, valid_to)
+# intervals and an is_current flag. This is the batch read-side of the
+# upsert/merge machinery the reference's Hudi tables exist to support
+# (timeline commits materialize exactly such versioned row histories;
+# reference: TimelineCommitInstantsUploader's commit ordering), and the
+# standard dimension-table shape every warehouse downstream of a lake
+# expects. All engine-shared arithmetic is integer microseconds
+# (events_ts_us == epoch_us) with (ts_us, event_id) total-order
+# tiebreaks; change detection is IS DISTINCT FROM on the attribute.
+@register(
+    "events_user_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             (event_type IS DISTINCT FROM
+              lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id)) AS is_change
+      FROM e
+    ),
+    changes AS (SELECT * FROM flagged WHERE is_change),
+    versioned AS (
+      SELECT user_id, event_type, ts_us AS valid_from_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS version,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS valid_to_us
+      FROM changes
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us, valid_to_us,
+           CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM versioned
+    """,
+)
+def events_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history per user from the events change log:
+    no-change records suppressed, each surviving version carrying
+    [valid_from_us, valid_to_us) and an is_current flag (section
+    comment above — the lakehouse upsert/merge read shape).
+
+    Scale shape: two windows and nothing else, both partitioned by
+    user_id (state = one user's events, never global); at 100 TB the
+    change log would arrive time-partitioned and the merge would
+    restrict to users present in the delta — the incremental form of
+    the same two windows. No joins, no driver state; the scan prunes
+    to the four referenced columns."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", events_ts_us(ev).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = e.withColumn(
+        "is_change",
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)),
+    ).filter(F.col("is_change"))
+    wv = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wv).cast("long").alias("version"),
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wv).alias("valid_to_us"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized EWMA smoothing (integer-exact exponential moving average)
+# ---------------------------------------------------------------------------
+#
+# Exponential smoothing is THE streaming-telemetry primitive Spark has
+# no builtin for (a multiplicative recurrence is not a prefix sum, so
+# no window frame expresses it). The CUSUM twin proved ordered folds
+# replay across engines; this op extends the device to a MULTIPLICATIVE
+# recurrence: values move to exact integer cents (DECIMAL(18,2) * 100),
+# alpha is pinned at 1/8, and each step is
+#     s_t = floor((x_t + 7 * s_{t-1}) / 8)
+# where the divide-by-8 happens in DOUBLE: x + 7s < 2^53 makes the sum
+# exact, division by a power of two is exact, so floor() is the true
+# floored quotient in BOTH engines — no integer-division rounding-mode
+# hazard (Spark `div` truncates toward zero, DuckDB `//` floors; on
+# negatives they disagree, floor(x/8.0) cannot). State is per
+# (event_type, hour bucket) with s_1 = x_1, so partitions are bounded
+# and the fold is the same bounded-array aggregate() the session-path
+# and CUSUM oracles already pay. DuckDB list_reduce rebinding rule:
+# maxdev is packed BEFORE s so it reads the pre-rebind acc.s (CLAUDE.md
+# sequential-rebinding hazard).
+@register(
+    "events_ewma_quantized",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    groups AS (
+      SELECT event_type, (ts_us // {_HOUR_US}) * {_HOUR_US} AS bucket_us,
+             list(struct_pack(maxdev := CAST(0 AS BIGINT), s := x)
+                  ORDER BY ts_us, event_id) AS xs
+      FROM e GROUP BY event_type, (ts_us // {_HOUR_US}) * {_HOUR_US}
+    ),
+    folded AS (
+      SELECT event_type, bucket_us,
+             CAST(len(xs) AS BIGINT) AS n_events,
+             list_reduce(xs, (acc, it) -> struct_pack(
+               maxdev := greatest(acc.maxdev,
+                 abs(CAST(floor((it.s + 7 * acc.s) / 8.0) AS BIGINT) - it.s)),
+               s := CAST(floor((it.s + 7 * acc.s) / 8.0) AS BIGINT)
+             )) AS r
+      FROM groups
+    )
+    SELECT event_type, bucket_us, n_events,
+           r.s AS ewma_cents, r.maxdev AS max_abs_dev_cents
+    FROM folded
+    """,
+)
+def events_ewma_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA (alpha=1/8) per (event_type, hour): final
+    smoothed value and the max absolute deviation of any observation
+    from the running smooth — the telemetry-drift primitive (section
+    comment above: why the floor((x+7s)/8.0) form is engine-identical
+    and why a recurrence needs an ordered fold, not a window frame).
+
+    Scale shape: one groupBy keyed (type, hour) — bounded partitions —
+    then a per-group sort_array + aggregate() fold entirely inside the
+    aggregation; no window over the full stream, no second shuffle. At
+    100 TB hour-bucket state is the same boundedness argument as the
+    session/CUSUM folds; a cross-bucket carryover would chain bucket
+    results on the driver (hours x types rows, broadcast scale)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        events_ts_us(ev).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    grouped = (
+        e.withColumn(
+            "bucket_us", F.expr(f"(ts_us div {_HOUR_US}) * {_HOUR_US}")
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "x"))).alias(
+                "xs"
+            )
+        )
+    )
+    step_s = "CAST(floor((it.x + 7 * acc.s) / 8.0) AS BIGINT)"
+    fold = F.expr(
+        "aggregate("
+        "  slice(xs, 2, greatest(size(xs) - 1, 0)),"
+        "  named_struct('maxdev', CAST(0 AS BIGINT), 's', xs[0].x),"
+        f" (acc, it) -> named_struct("
+        f"   'maxdev', greatest(acc.maxdev, abs({step_s} - it.x)),"
+        f"   's', {step_s}))"
+    )
+    return grouped.select(
+        "event_type",
+        "bucket_us",
+        F.size("xs").cast("long").alias("n_events"),
+        fold.getField("s").alias("ewma_cents"),
+        fold.getField("maxdev").alias("max_abs_dev_cents"),
+    )

@@ -77,6 +77,10 @@ GUARDED = [
     # modularity over an empty partition: m = 0, no division anywhere
     # (the Q readout stays in integer numerators)
     "eval_community_modularity",
+    # SCD2 windows (lag/lead/row_number) over zero change records
+    "events_user_scd2",
+    # ordered aggregate() fold over zero groups / 1-element arrays
+    "events_ewma_quantized",
 ]
 
 

@@ -1020,3 +1020,98 @@ def test_community_modularity_matches_pure_python_replay(spark):
     assert sum(r.intra_edges for r in got) <= m
     q = sum(r.q_numerator for r in got) / (4 * m * m)
     assert q <= 1.0
+
+
+def test_scd2_invariants_and_python_replay(spark):
+    """events_user_scd2 == a Python replay from the raw events at
+    sf0.001, plus the SCD2 laws: versions contiguous from 1, validity
+    intervals ascending and non-overlapping, exactly one current
+    version per user, and no consecutive versions sharing the
+    attribute (no-change suppression actually suppressed)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_id", "event_type", "ts"]
+    ).to_pydict()
+
+    def us(ts):
+        # physical type dispatch mirrors events_ts_us: ints are nanos
+        if isinstance(ts, int):
+            return ts // 1000
+        epoch = __import__("datetime").datetime(1970, 1, 1)
+        return int((ts - epoch).total_seconds() * 1_000_000)
+
+    evs: dict[int, list] = {}
+    for u, e, ty, ts in zip(
+        tbl["user_id"], tbl["event_id"], tbl["event_type"], tbl["ts"]
+    ):
+        evs.setdefault(u, []).append((us(ts), e, ty))
+    expected = {}
+    for u, rows in evs.items():
+        rows.sort()
+        changes, prev = [], None
+        for t_, e, ty in rows:
+            if prev is None or ty != prev:
+                changes.append((t_, e, ty))
+            prev = ty
+        for i, (t_, _e, ty) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            expected[(u, i + 1)] = (ty, t_, nxt)
+    got = QUERIES["events_user_scd2"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    by_user: dict[int, list] = {}
+    for r in got:
+        assert (r.event_type, r.valid_from_us, r.valid_to_us) == expected[
+            (r.user_id, r.version)
+        ]
+        assert r.is_current == (1 if r.valid_to_us is None else 0)
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us  # contiguous, non-overlap
+            assert a.event_type != b.event_type  # suppression held
+
+
+def test_ewma_quantized_matches_pure_python_replay(spark):
+    """events_ewma_quantized == a Python replay of the floored-cents
+    recurrence at sf0.001 (s1 = x1, s_t = floor((x_t + 7*s)/8), maxdev
+    over post-init steps), grouped per (event_type, hour bucket) with
+    (ts_us, event_id) ordering."""
+    import pyarrow.parquet as pq
+
+    HOUR = 3_600_000_000
+    tbl = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_type", "event_id", "ts", "value"],
+    ).to_pydict()
+
+    def us(ts):
+        if isinstance(ts, int):
+            return ts // 1000
+        epoch = __import__("datetime").datetime(1970, 1, 1)
+        return int((ts - epoch).total_seconds() * 1_000_000)
+
+    groups: dict[tuple, list] = {}
+    for ty, e, ts, v in zip(
+        tbl["event_type"], tbl["event_id"], tbl["ts"], tbl["value"]
+    ):
+        t_ = us(ts)
+        x = round(v * 100)  # testdata values are exact 2-decimal money
+        groups.setdefault((ty, (t_ // HOUR) * HOUR), []).append((t_, e, x))
+    expected = {}
+    for key, rows in groups.items():
+        rows.sort()
+        s, maxdev = rows[0][2], 0
+        for _t, _e, x in rows[1:]:
+            s = (x + 7 * s) // 8  # non-negative: floor == //
+            maxdev = max(maxdev, abs(s - x))
+        expected[key] = (len(rows), s, maxdev)
+    got = QUERIES["events_ewma_quantized"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.n_events, r.ewma_cents, r.max_abs_dev_cents) == expected[
+            (r.event_type, r.bucket_us)
+        ]
