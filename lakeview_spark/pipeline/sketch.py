@@ -345,3 +345,107 @@ def dedup_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_false_positives"),
         F.sum(F.when(F.col("maybe_seen") == 0, 1).otherwise(0)).alias("n_definitely_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (integer-exact registers)
+# ---------------------------------------------------------------------------
+#
+# The KMV sketch above still pays a DISTINCT shuffle before ranking the
+# k minima. HLL is the sketch that doesn't: registers are max(rank) per
+# bucket over the RAW token stream — max is duplicate-insensitive, so
+# the whole build is one partial-aggregable groupBy into _HLL_M groups
+# with no vocabulary shuffle at all (the shape Spark's own
+# approx_count_distinct uses; reimplemented on md5 so the registers,
+# the harmonic sum, and the estimate are bit-identical cross-engine —
+# HLL++ register hashing is JVM-private and NOT reproducible in DuckDB).
+#
+# Exact-integer device: bucket = low 8 bits of the 60-bit md5 fold,
+# w = the remaining 52 bits, rank = 53 - bitlength(w) (w = 0 -> 53).
+# The harmonic sum  sum(2^-r) over all m registers (zeros contribute
+# 2^0) is kept EXACT by scaling with 2^53:
+#   Z = sum_hit 2^(53 - r_j) + (m - n_hit) * 2^53   (BIGINT, <= 2^61)
+# so the only float op is the final  est = alpha*m^2*2^53 / Z  — one
+# correctly-rounded int64 cast + one division, identical both engines.
+# Raw Flajolet estimator only (no small-range linear counting: that
+# needs ln(), which is not correctly rounded cross-engine — the bias
+# regime n < 5m/2 is visible from n_hit_buckets instead).
+_HLL_M = 256  # 8 bucket bits
+# alpha_256 * m^2 * 2^53, round-tripped through repr so both engines
+# parse the identical double literal
+_HLL_SCALE = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53)
+
+
+@register(
+    "corpus_distinct_hll",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    hashed AS (SELECT {_HEX_FOLD_SQL} AS hv FROM tok),
+    reg AS (
+      SELECT hv % {_HLL_M} AS bucket,
+             max(CASE WHEN hv // {_HLL_M} = 0 THEN 53
+                      ELSE 53 - length(bin(hv // {_HLL_M})) END) AS r
+      FROM hashed GROUP BY hv % {_HLL_M}
+    ),
+    s AS (
+      SELECT count(*) AS n_hit, max(r) AS max_rank,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT) AS hit_sum
+      FROM reg
+    )
+    SELECT CAST(n_hit AS BIGINT) AS n_hit_buckets,
+           CAST(max_rank AS BIGINT) AS max_rank,
+           hit_sum + ({_HLL_M} - n_hit) * (CAST(1 AS BIGINT) << 53) AS harmonic_scaled,
+           {_HLL_SCALE} / CAST(hit_sum + ({_HLL_M} - n_hit) * (CAST(1 AS BIGINT) << 53)
+                               AS DOUBLE) AS est_distinct,
+           (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM tok) AS exact_distinct
+    FROM s
+    """,
+)
+def corpus_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimate next to the exact count (section
+    comment above: integer-exact registers, one float op at the edge).
+
+    Scale shape: register build is ONE groupBy into {_HLL_M} groups
+    over the raw token stream — max() is duplicate-insensitive, so
+    map-side combine collapses every partition to <= {_HLL_M} rows and
+    NO distinct/vocabulary shuffle happens (the KMV sketch above pays
+    one; this is the cheaper sketch when only cardinality is needed).
+    Registers merge by element-wise max, so per-shard sketches roll up
+    to any grain for free. The exact count alongside is the accuracy
+    audit and is itself the expensive path a production report would
+    drop."""
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    hv = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    w = F.shiftright(hv, 8)
+    rank = F.when(w == 0, 53).otherwise(F.lit(53) - F.length(F.bin(w)))
+    reg = (
+        tok.select((hv % _HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    s = reg.agg(
+        F.count("*").alias("n_hit"),
+        F.max("r").alias("max_rank"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+        ).alias("hit_sum"),
+    )
+    zeros = (F.lit(_HLL_M) - F.col("n_hit")) * F.shiftleft(
+        F.lit(1).cast("bigint"), 53
+    )
+    exact = (
+        tok.distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    )
+    return s.select(
+        F.col("n_hit").cast("bigint").alias("n_hit_buckets"),
+        F.col("max_rank").cast("bigint").alias("max_rank"),
+        (F.col("hit_sum") + zeros).alias("harmonic_scaled"),
+        (
+            F.lit(float(_HLL_SCALE)) / (F.col("hit_sum") + zeros).cast("double")
+        ).alias("est_distinct"),
+    ).crossJoin(F.broadcast(exact))
