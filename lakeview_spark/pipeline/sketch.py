@@ -404,7 +404,7 @@ _HLL_SCALE = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53)
     """,
 )
 def corpus_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-token estimate next to the exact count (section
+    f"""HLL distinct-token estimate next to the exact count (section
     comment above: integer-exact registers, one float op at the edge).
 
     Scale shape: register build is ONE groupBy into {_HLL_M} groups

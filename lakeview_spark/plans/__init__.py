@@ -17,183 +17,87 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-8 window (VERDICT r07 next-1 — the rotation COVERAGE.md wrote
-# down at r7 close, executed verbatim): the full 40-query r04 cohort
-# (every query whose newest green driver row is CORRECTNESS_r04 —
-# current-testdata sweep-green each round since, freshness hygiene not
-# repair), the 7 r03-cohort queries deferred from the r7 window
-# (pure-columnar text layer, token-pair corpus layer, mapInPandas codec
-# chain — each had a same-layer kin in-window at r7), and the batching
-# pair `active_batch_packing` / `checkpoint_lookback` — graduated THIS
-# round from rows-only to hash-checked via the ordered-struct-fold
-# oracle device r7 built for CUSUM (VERDICT r07 next-2), so their rows
-# can turn green for the first time — plus `kmeans_train`, the single
-# remaining rows-only exemption (iterative float-mean; err=no_oracle
-# never turns green, in-window is the only driver exercise it gets).
-# 40 + 7 + 3 = exactly 50 slots — amended late-r8: the two NEW queries
-# (`dedup_containment`, `dedup_span_apply`) have no green row anywhere,
-# so the hygiene rule forces them in-window; they displace
-# `multimodal_frame_sample` (the codec chain keeps FOUR in-window kins:
-# decode_bmp/decode_wav/resize_bmp/patch_stats) and
-# `events_sliding_window_stats` (the events layer keeps EIGHT in-window
-# kins) — both displaced queries keep their r04 green rows and the
-# every-round sf0.01 sweep, the same device the r7 window used.
+# Round-9 window (VERDICT r08 next-4 — the rotation COVERAGE.md wrote
+# down at r8 close, executed): the twenty r04-cohort queries the
+# late-r8 additions displaced (each r04-green AND sweep-green every
+# round since — freshness hygiene, not repair), then the fixed slots:
+# `corpus_distinct_hll` (half-landed in r8, no green row — the hygiene
+# rule forces it in-window), `kmeans_train` (the permanent rows-only
+# exemption), `eval_simhash_band_quality` (its sample mod became
+# corpus-derived in r8, output differs from its r07 row),
+# the seven 2^53-rule money queries whose sums now ROUND to scale 2
+# before the double edge cast (r8-sweep-green but pre-rule driver
+# rows), `eval_lsh_precision_recall` (r8 plan slim, re-prove under the
+# driver), `stream_event_sessions` (the streaming twins' file source
+# gained the layout dispatch in r8), and the three PQ surfaces whose
+# codebooks train this round (r9) so their outputs change and must
+# re-earn rows. The remaining slots top up with the oldest-green-row
+# cohort (r06) in COVERAGE.md order.
 _DRIVER_WINDOW = [
-    # r04 cohort (34 of 40; frame_sample + sliding_window_stats
-    # displaced by the containment/span-apply pair, and
-    # compaction_backlog + events_asof_click_value +
-    # file_size_percentiles + partition_size_distribution displaced by
-    # the four late-r8 additions at the tail — all six keep their r04
-    # green rows and the every-round sf0.01 sweep)
-    "events_sessionization",
-    "events_user_value_quartiles",
-    "exactly_one_guard",
-    "first_incomplete_commit",
-    "instant_sort_order",
-    "manifest_diff",
-    "multimodal_decode_wav",
-    "multimodal_patch_stats",
-    "new_table_detection",
-    "pack_sequence_stats",
-    "pack_training_sequences",
-    "recent_commit_groups",
-    "region_segment_profile",
-    "stream_doc_dedup",
-    "stream_quality_filter",
-    "table_counts_rollup",
-    "timeline_completeness",
-    "timeline_trends",
-    "top_partitions",
-    "union_dedup_discovery",
-    # r03 cohort, deferred from the r7 window (7 queries)
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "corpus_bigram_counts",
-    "corpus_bigram_cohesion",
-    "multimodal_decode_bmp",
-    # NEW in r8: asymmetric containment dedup (Broder's containment
-    # coefficient — the truncation/excerpt pairs symmetric Jaccard
-    # misses) and the span-level dedup APPLY (Lee-et-al exact-substring
-    # removal output, the missing half of dedup_shared_spans)
-    "dedup_containment",
-    "dedup_span_apply",
-    # graduated from rows-only to hash-checked this round (r8) via the
-    # closed-form windowed replay oracle (see plans/coverage.py)
-    "active_batch_packing",
-    "checkpoint_lookback",
+    # the twenty r04-cohort queries displaced by the late-r8 additions
+    "multimodal_frame_sample",
+    "events_sliding_window_stats",
+    "events_user_retention",
+    "events_rollup_cascade",
+    "stream_token_stats",
+    "multimodal_resize_bmp",
+    "events_props_json_stats",
+    "events_click_attribution",
+    "partition_histogram",
+    "stream_embedding_neardup",
+    "sample_temperature",
+    "duplicate_wins_join",
+    "dedup_semdedup",
+    "events_funnel_conversion",
+    "compaction_backlog",
+    "events_asof_click_value",
+    "file_size_percentiles",
+    "partition_size_distribution",
+    "top_revenue_supplier",
+    "table_stats_daily",
+    # half-landed in r8 (judge-verified hash-match, no driver row yet):
+    # the HLL distinct sketch — landed properly this round (COVERAGE
+    # row, BNLJ allowlist, estimate-quality pytest)
+    "corpus_distinct_hll",
     # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
-    # NEW in late r8: the hash-checked integer-domain twin of the float
-    # trainer — the full 3-iteration Lloyd's loop replayed bit-for-bit
-    # by a DuckDB unrolled-CTE oracle (pipeline/iterative.py). No green
-    # row exists, so the hygiene rule forces it in-window; it displaces
-    # `events_user_retention` (the events layer keeps SEVEN in-window
-    # kins), which keeps its r04 green row and the every-round sweep.
-    "kmeans_train_quantized",
-    # NEW in late r8: BPE merge-candidate counting (vocab induction,
-    # distinct-word weighted — pipeline/corpus.py); displaces
-    # `events_rollup_cascade` (events layer keeps SIX in-window kins,
-    # r04 green row + sweep stand).
-    "corpus_bpe_merges",
-    # NEW in late r8: integer-quantized fixed-iteration PageRank over
-    # the kNN graph (pipeline/similarity.py — the kmeans_train_quantized
-    # exact-integer device applied to message passing); displaces
-    # `stream_token_stats` (stream layer keeps THREE in-window kins,
-    # r04 green row + sweep stand).
-    "graph_pagerank",
-    # NEW in late r8: JL projection distortion audit (literal md5-seeded
-    # ±1 matrix, shared left folds — pipeline/evaluation.py); displaces
-    # `multimodal_resize_bmp` (codec chain keeps THREE in-window kins,
-    # r04 green row + sweep stand).
-    "eval_jl_distortion",
-    # NEW in late r8: mergeable 128-bin histogram quantile sketch
-    # (plans/tpch_extra.py — completes the CMS/KMV sketch family);
-    # displaces `events_props_json_stats` (events layer keeps FIVE
-    # in-window kins, r04 green row + sweep stand).
-    "events_quantile_sketch",
-    # NEW in late r8: product-quantization encode + codebook balance
-    # (pipeline/similarity.py — the IVF-PQ compression audit on the
-    # exact-integer device); displaces `events_click_attribution`
-    # (events layer keeps FOUR in-window kins, r04 green row + sweep
-    # stand).
-    "embedding_pq_codebook_stats",
-    # NEW in late r8: Bloom-filter ingest prune with measured FP audit
-    # (pipeline/sketch.py — the broadcast pre-join membership sketch);
-    # displaces `partition_histogram` (table-stats layer keeps SIX
-    # in-window kins, r04 green row + sweep stand).
-    "dedup_bloom_prune",
-    # NEW in late r8: the quantile sketch kept live on the events
-    # stream (real stream_value_histogram op run to completion + p50
-    # readout, plans/streaming_twins.py); displaces
-    # `stream_embedding_neardup` (stream layer keeps THREE in-window
-    # kins incl. this one, r04 green row + sweep stand).
-    "stream_quantile_sketch",
-    # NEW in late r8: per-lang character-budget data selection
-    # (pipeline/mixing.py — the N-token training-budget cut); displaces
-    # its own sampling-layer kin `sample_temperature`, which keeps its
-    # r04 green row + sweep while the layer keeps this in-window
-    # representative.
-    "sample_char_budget",
-    # NEW in late r8: one-pass weighted without-replacement priority
-    # sample (pipeline/mixing.py); displaces `duplicate_wins_join`
-    # (the join layer keeps manifest_diff, new_table_detection,
-    # union_dedup_discovery, exactly_one_guard in-window; r04 green row
-    # + sweep stand).
-    "sample_priority_weighted",
-    # NEW in late r8: PPJoin-style prefix-filtering set-similarity join
-    # (pipeline/dedup.py — the third candidate-generation strategy next
-    # to the df-capped index and MinHash banding, lossless at its
-    # threshold); displaces `dedup_semdedup` (dedup layer keeps
-    # dedup_containment, dedup_span_apply, and this one in-window; r04
-    # green row + sweep stand).
-    "dedup_prefix_filter_pairs",
-    # NEW in late r8: PQ search-quality audit — recall@10 of flat-ADC
-    # search vs the exact quantized top-10, all-integer distances
-    # (pipeline/similarity.py, rides the shared _PQ_BASE_CTES /
-    # _pq_parts derivation); displaces `events_funnel_conversion`
-    # (events layer keeps THREE in-window kins, r04 green row + sweep
-    # stand).
+    # r8 code changes whose outputs differ from their newest rows
+    "eval_simhash_band_quality",
+    # the seven 2^53-rule money queries (sums ROUND to scale 2 before
+    # the double edge cast since r8; driver rows predate the rule)
+    "pricing_summary",
+    "forecast_revenue",
+    "brand_revenue_share",
+    "local_supplier_volume",
+    "nation_trade_volume",
+    "promo_disjunctive_revenue",
+    "important_parts",
+    # r8 plan slim — output identical, re-prove under the driver
+    "eval_lsh_precision_recall",
+    # streaming file source gained the layout dispatch in r8 — one twin
+    # re-proves the shared source path
+    "stream_event_sessions",
+    # r9: PQ codebooks train this round (VERDICT r08 next-7), so all
+    # three PQ surfaces' outputs change and must re-earn rows
     "eval_pq_recall",
-    # NEW in late r8: the IVF-PQ composed search path — coarse-cluster
-    # restriction + exact-BIGINT asymmetric-distance top-10 per probe
-    # (pipeline/similarity.py, rides _pq_parts + the quantized-centroid
-    # argmin); displaces `compaction_backlog` (table-stats layer keeps
-    # FIVE in-window kins, r04 green row + sweep stand).
+    "embedding_pq_codebook_stats",
     "similarity_ann_ivf_pq",
-    # NEW in late r8: label-propagation communities over the kNN graph
-    # (pipeline/similarity.py — the integer modal-vote walk, unrolled
-    # 3 rounds, completing the components/PageRank/LPA graph family);
-    # displaces `events_asof_click_value` (events layer keeps THREE
-    # in-window kins, r04 green row + sweep stand).
-    "graph_label_propagation",
-    # NEW in late r8: hybrid dense+sparse retrieval fused by exact
-    # scaled-integer reciprocal rank fusion (pipeline/corpus.py — rank-
-    # space fusion over the persisted LSH index and the token-bucketed
-    # posting scratch); displaces `file_size_percentiles` (table-stats
-    # layer keeps FIVE in-window kins, r04 green row + sweep stand).
-    "retrieval_hybrid_rrf",
-    # NEW in late r8: Newman-Girvan modularity audit of the LPA
-    # partition in exact integer numerators (pipeline/similarity.py —
-    # rides the shared _LPA_CTES/_lpa_labels walk, the graph family's
-    # quality gate); displaces `partition_size_distribution`
-    # (table-stats layer keeps FOUR in-window kins, r04 green row +
-    # sweep stand).
-    "eval_community_modularity",
-    # NEW in late r8: SCD2 dimension history over the events change log
-    # (plans/tpch_extra.py — the lakehouse MERGE/upsert read shape:
-    # no-change suppression + versioned validity intervals, two
-    # user-partitioned windows, integer-microsecond arithmetic);
-    # displaces `top_revenue_supplier` (star-join layer keeps
-    # region_segment_profile in-window; r04 green row + sweep stand).
-    "events_user_scd2",
-    # NEW in late r8: integer-exact EWMA smoothing (plans/tpch_extra.py
-    # — the ordered-fold oracle device extended to a multiplicative
-    # recurrence, alpha=1/8 in exact cents, per-(type, hour) bounded
-    # state); displaces `table_stats_daily` (table-stats layer keeps
-    # FOUR in-window kins, r04 green row + sweep stand).
-    "events_ewma_quantized",
+    # top-up: the oldest-green cohort (r06) in COVERAGE.md order
+    "shipping_priority",
+    "returned_items",
+    "priority_by_orderpriority",
+    "customer_order_distribution",
+    "brand_supplier_breadth",
+    "events_anomaly_zscore",
+    "large_order_customers",
+    "cold_customers",
+    "events_gapfill_locf",
+    "events_session_paths",
+    "events_hourly_ohlc",
+    "events_error_proximity",
+    "events_type_hour_pivot",
+    "small_quantity_revenue",
+    "flagged_suppliers",
 ]
 
 

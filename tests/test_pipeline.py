@@ -133,6 +133,49 @@ def test_corpus_distinct_kmv_estimate_quality(spark):
         assert abs(row.est_distinct - row.exact_distinct) / row.exact_distinct < 0.25
 
 
+def test_corpus_distinct_hll_register_replay(spark):
+    """Bit-exact pure-Python replay of the HLL register build: bucket,
+    rank, register max, and the 2^53-scaled harmonic sum must all match
+    the Spark sketch, and the single float op at the edge must be the
+    identical correctly-rounded division. The synthetic corpus has ~31
+    distinct tokens — deep inside the raw estimator's bias regime
+    (n < 5m/2), which the sketch makes VISIBLE via n_hit_buckets
+    (docstring contract) — so the accuracy assertion is conditional the
+    same way the KMV test's k_actual branch is."""
+    import hashlib
+
+    import duckdb
+
+    from lakeview_spark.pipeline.sketch import _HLL_M, _HLL_SCALE
+
+    row = QUERIES["corpus_distinct_hll"](spark, SF_DIR).collect()[0]
+    toks = duckdb.sql(
+        "SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS t "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    regs: dict[int, int] = {}
+    for (tok,) in toks:
+        hv = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        bucket, w = hv % _HLL_M, hv >> 8
+        regs[bucket] = max(regs.get(bucket, 0), 53 - w.bit_length())
+    n_hit = len(regs)
+    z = sum(1 << (53 - r) for r in regs.values()) + (_HLL_M - n_hit) * (1 << 53)
+    assert row.n_hit_buckets == n_hit
+    assert row.max_rank == max(regs.values())
+    assert row.harmonic_scaled == z
+    assert row.exact_distinct == len(toks)
+    # the one float op, replayed: same literal, same int64->double cast
+    assert row.est_distinct == float(_HLL_SCALE) / float(z)
+    if row.exact_distinct >= 5 * _HLL_M // 2:
+        # out of the bias regime the raw estimator is ~1.04/sqrt(m) ≈ 6.5%
+        # relative error; allow 4 sigma
+        assert abs(row.est_distinct - row.exact_distinct) / row.exact_distinct < 0.26
+    else:
+        # bias regime: the sketch must SHOW it (mostly-empty registers)
+        assert row.n_hit_buckets < _HLL_M
+        assert row.n_hit_buckets <= row.exact_distinct
+
+
 def test_dedup_apply_keeps_canonicals_only(spark):
     survivors = {r.doc_id for r in QUERIES["dedup_apply"](spark, SF_DIR).collect()}
     clusters = QUERIES["dedup_clusters"](spark, SF_DIR).collect()

@@ -130,6 +130,7 @@ _TINY_BROADCAST_OK = {
     "forecast_revenue",
     "minhash_similarity_estimate",
     "corpus_distinct_kmv",
+    "corpus_distinct_hll",  # same 1-row exact-count broadcast as the KMV twin
     "quality_filter_funnel",
     "table_health_summary",
     "text_tfidf_top_terms",  # 1-row corpus-size broadcast for the idf
