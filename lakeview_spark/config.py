@@ -29,6 +29,13 @@ class EngineConfig:
     cron_schedule_for_pull_model: str = "0 */1 * * *"
     max_run_count_for_pull_model: int = 5
     min_interval_minutes: float = 10.0
+    # CONTINUOUS dual-cadence intervals (MetadataExtractorConstants.java:
+    # 37-48 defaults): discovery re-runs every 30 min; the upload POLL
+    # fires every 30 s but only uploads if >=5 min passed since the
+    # previous upload run started
+    table_discovery_interval_minutes: float = 30.0
+    process_table_metadata_sync_duration_seconds: float = 30.0
+    table_metadata_upload_interval_minutes: float = 5.0
 
 
 def load_config(source) -> EngineConfig:
@@ -232,4 +239,13 @@ def _validate(raw: dict) -> EngineConfig:
         cron_schedule_for_pull_model=cron,
         max_run_count_for_pull_model=int(mec.get("maxRunCountForPullModel", 5)),
         min_interval_minutes=float(mec.get("minIntervalMinutes", 10)),
+        table_discovery_interval_minutes=float(
+            mec.get("tableDiscoveryIntervalMinutes", 30)
+        ),
+        process_table_metadata_sync_duration_seconds=float(
+            mec.get("processTableMetadataSyncDurationSeconds", 30)
+        ),
+        table_metadata_upload_interval_minutes=float(
+            mec.get("tableMetadataUploadIntervalMinutes", 5)
+        ),
     )

@@ -249,17 +249,16 @@ def process_archived_v2(
     return {"v2_tables": len(v2_tables), "v2_files_uploaded": uploaded}
 
 
-def run_once(
+def discover_round(
     spark: SparkSession,
     config: EngineConfig,
-    state_dir: str,
-    mirror_dir: str | None = None,
     lister: Lister = list_dir_local,
-) -> dict:
-    """One extractor round. Returns a metrics dict (SURVEY §2.4 A5)."""
+) -> tuple[list[dict], dict]:
+    """Discovery phase of one extractor round: BFS table discovery plus
+    the one distributed hoodie.properties read. Returns the enriched
+    table list (the `tablesToProcess` snapshot of
+    TableDiscoveryAndUploadJob.java:43,150-156) and its metrics."""
     metrics: dict = {}
-    t0 = time.time()
-
     tables_df = discover_tables(
         spark, config.parser_config, config.path_exclusion_patterns, lister
     )
@@ -290,9 +289,27 @@ def run_once(
         t["table_version"] = (p or {}).get("table_version", 6)
         t["timeline_layout_version"] = (p or {}).get("timeline_layout_version", 1)
         t["failure_reason"] = (p or {}).get("failure_reason")
+    return tables, metrics
 
+
+def upload_round(
+    spark: SparkSession,
+    config: EngineConfig,
+    tables: list[dict],
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lister: Lister = list_dir_local,
+) -> dict:
+    """Upload phase of one extractor round, over an already-discovered
+    table snapshot (uploadInstantsInTables,
+    TableMetadataUploaderService.java). Separated from discovery so
+    CONTINUOUS mode can run the two on independent cadences."""
+    metrics: dict = {}
     store = CheckpointStore(spark, os.path.join(state_dir, "checkpoints"))
-    metrics["tables_initialized"] = store.initialize_tables(tables_df)
+    tables_id_df = spark.createDataFrame(
+        [(t["table_id"],) for t in tables], "table_id string"
+    )
+    metrics["tables_initialized"] = store.initialize_tables(tables_id_df)
 
     # tables whose properties read/parse failed are SKIPPED from timeline
     # processing — uploading against a guessed timeline layout version
@@ -377,8 +394,109 @@ def run_once(
         store.upsert(updates)
         batches.unpersist()
 
+    return metrics
+
+
+def run_once(
+    spark: SparkSession,
+    config: EngineConfig,
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lister: Lister = list_dir_local,
+) -> dict:
+    """One extractor round (ONCE mode): discovery then upload, fused
+    (runOnce, TableDiscoveryAndUploadJob.java:88-101). Returns a metrics
+    dict (SURVEY §2.4 A5)."""
+    t0 = time.time()
+    tables, metrics = discover_round(spark, config, lister)
+    metrics.update(
+        upload_round(spark, config, tables, state_dir, mirror_dir, lister)
+    )
     metrics["elapsed_s"] = round(time.time() - t0, 3)
     return metrics
+
+
+def run_continuous_dual(
+    spark: SparkSession,
+    config: EngineConfig,
+    state_dir: str,
+    mirror_dir: str | None = None,
+    lister: Lister = list_dir_local,
+    max_events: int = 20,
+    sleep_fn=time.sleep,
+) -> list[dict]:
+    """CONTINUOUS mode on the reference's TWO independent cadences
+    (TableDiscoveryAndUploadJob.java:66-82 runInContinuousMode):
+
+    - discovery re-runs every ``tableDiscoveryIntervalMinutes`` (30 min
+      default) and replaces the shared ``tablesToProcess`` snapshot
+      (:146-156); a FAILED discovery keeps the previous snapshot and the
+      schedule (:158-166);
+    - the upload POLL fires every
+      ``processTableMetadataSyncDurationSeconds`` (30 s default) but
+      only uploads if >= ``tableMetadataUploadIntervalMinutes`` (5 min)
+      passed since the PREVIOUS upload run START and the snapshot is
+      non-empty (:169-205); the gate clock advances whenever an upload
+      runs, even a failed one (:203 sits outside the error callback).
+
+    The reference interleaves the two schedules on a 2-thread executor
+    sharing the snapshot under a lock; on Spark the driver is the
+    scheduler, so this is a single-threaded event loop over the same
+    two clocks — at equal fire times discovery runs first (both are
+    scheduled with initialDelay=0, discovery registered first). Sleeps
+    go through ``sleep_fn`` so tests drive virtual time; each emitted
+    event carries its virtual timestamp ``t``. ``max_events`` bounds the
+    loop (the reference runs until shutdown())."""
+    events: list[dict] = []
+    tables_snapshot: list[dict] | None = None
+    prev_upload_start = float("-inf")  # Instant.EPOCH (:44)
+    disc_every = config.table_discovery_interval_minutes * 60.0
+    poll_every = config.process_table_metadata_sync_duration_seconds
+    upload_gate = config.table_metadata_upload_interval_minutes * 60.0
+    now = 0.0
+    next_disc = 0.0
+    next_poll = 0.0
+    while len(events) < max_events:
+        due = min(next_disc, next_poll)
+        if due > now:
+            sleep_fn(due - now)
+            now = due
+        if next_disc <= now:
+            ev: dict = {"kind": "discovery", "t": now}
+            try:
+                tables_snapshot, m = discover_round(spark, config, lister)
+                ev.update(m)
+                ev["succeeded"] = True
+            except Exception as ex:  # noqa: BLE001 — keep last good snapshot
+                ev["succeeded"] = False
+                ev["error"] = repr(ex)
+            events.append(ev)
+            next_disc = now + disc_every
+            continue
+        ev = {"kind": "upload_poll", "t": now}
+        if now - prev_upload_start < upload_gate:
+            ev["uploaded"] = False
+            ev["skipped_reason"] = "upload_interval_gate"
+        elif not tables_snapshot:
+            ev["uploaded"] = False
+            ev["skipped_reason"] = "no_tables_discovered"
+        else:
+            ev["uploaded"] = True
+            ev["tables_in_snapshot"] = len(tables_snapshot)
+            try:
+                ev.update(
+                    upload_round(
+                        spark, config, tables_snapshot, state_dir, mirror_dir, lister
+                    )
+                )
+                ev["succeeded"] = True
+            except Exception as ex:  # noqa: BLE001 — poll schedule survives
+                ev["succeeded"] = False
+                ev["error"] = repr(ex)
+            prev_upload_start = now
+        events.append(ev)
+        next_poll = now + poll_every
+    return events
 
 
 def sync_table(
