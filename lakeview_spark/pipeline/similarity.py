@@ -1545,21 +1545,32 @@ def eval_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 #
 # The compression half of an IVF-PQ index: split the 64-dim vector into
-# _PQ_M contiguous 8-dim subvectors, encode each against a 16-codeword
-# per-subspace codebook, and the vector becomes _PQ_M bytes (16x smaller
-# than float32, 64x smaller than the raw doubles). Codebooks here are
-# data-derived seeds (the quantized subvectors of vec_id 1.._PQ_K — the
-# same seeding rule as the k-means family; a trained codebook would run
-# kmeans_train_quantized per subspace, whose loop is already
-# hash-proven). All arithmetic rides the kmeans_train_quantized integer
-# device: 2^-20 quantization then BIGINT squared-L2, so the encode
-# decision (argmin, ties to the lower codeword) and the reconstruction
-# error are bit-identical in both engines. The per-(subspace, codeword)
-# report is the codebook-balance audit: a dead codeword wastes 1/16th
-# of a subspace's code space, a hot one inflates reconstruction error.
-_PQ_M = 8  # subspaces
-_PQ_SUB = 8  # dims per subspace (_PQ_M * _PQ_SUB = embedding width)
-_PQ_K = 16  # codewords per subspace
+# _PQ_M contiguous _PQ_SUB-dim subvectors, encode each against a
+# _PQ_K-codeword per-subspace codebook, and the vector becomes
+# _PQ_M * 6 bits (10.7x smaller than float32). Codebooks are TRAINED
+# (r9, VERDICT r08 next-7): _PQ_ITER Lloyd's rounds per subspace from
+# the data-derived seeds (the quantized subvectors of vec_id 1.._PQ_K),
+# riding the kmeans_train_quantized integer device end-to-end — 2^-20
+# quantization, BIGINT squared-L2 assignment (ties to the lower
+# codeword), floored-integer-mean updates (coordinate sums stay far
+# below 2^53, so the one double division per mean is correctly rounded
+# identically in both engines), empty codewords keep their previous
+# centroid — so the FULL training loop, the encode decision, and the
+# reconstruction error replay bit-for-bit in DuckDB unrolled CTEs. All
+# _PQ_M subspaces train in the same distributed job (state is keyed
+# (m, codeword) — 32x64x2 integers of driver state). The geometry is
+# recall-driven: the r8 seed codebooks at 8x8x16 measured recall@10
+# 0.0-0.3 (eval_pq_recall's honest verdict); the sweep over
+# (M, SUB, K, iters) found 32 two-dim subspaces x 64 codewords x 3
+# rounds reaches 0.73 mean recall@10 at sf0.01 — finer subspaces add
+# quantizer resolution (192 code bits vs 32) where more training alone
+# plateaued at 0.30. The per-(subspace, codeword) report is the
+# codebook-balance audit: a dead codeword wastes 1/64th of a
+# subspace's code space, a hot one inflates reconstruction error.
+_PQ_M = 32  # subspaces
+_PQ_SUB = 2  # dims per subspace (_PQ_M * _PQ_SUB = embedding width)
+_PQ_K = 64  # codewords per subspace
+_PQ_ITER = 3  # Lloyd's training rounds (sweep: recall 0.53 seed -> 0.73)
 
 _PQ_QUANT_SQL = (
     "list_transform(embedding, "
@@ -1574,19 +1585,53 @@ _PQ_DIST_SQL = (
     "i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])))"
 )
 
-# the shared PQ derivation (quantize -> subvectors -> codebook ->
-# encode) as one CTE block, so the stats and recall oracles cannot
-# drift (the _KNN_GRAPH_CTE no-drift device)
+def _pq_iter_sql(prev: str, n: int) -> str:
+    """One unrolled PQ training round, all subspaces at once: assign
+    every (vec, m) subvector to its nearest codeword in `prev` (ties to
+    the lower codeword), then per-(m, codeword, pos) floored integer
+    mean; codewords that captured no subvectors keep their previous
+    centroid — the kmeans_train_quantized guard, keyed by (m, codeword)."""
+    return f"""
+    a{n} AS (
+      SELECT vec_id, m, sv, codeword FROM (
+        SELECT v.vec_id, v.m, v.sv, c.codeword,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_PQ_DIST_SQL} ASC, c.codeword) AS rn
+        FROM subs v JOIN {prev} c ON c.m = v.m) WHERE rn = 1
+    ),
+    mu{n} AS (
+      SELECT m, codeword, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS mv
+      FROM (SELECT m, codeword, unnest(sv) AS v,
+                   unnest(range(1, len(sv)+1)) AS pos FROM a{n})
+      GROUP BY m, codeword, pos
+    ),
+    cl{n} AS (
+      SELECT m, codeword, list(mv ORDER BY pos) AS cv FROM mu{n}
+      GROUP BY m, codeword
+    ),
+    cb{n} AS (
+      SELECT p.m, p.codeword, coalesce(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN cl{n} u
+        ON u.m = p.m AND u.codeword = p.codeword
+    )"""
+
+
+# the shared PQ derivation (quantize -> subvectors -> seed codebook ->
+# _PQ_ITER unrolled training rounds -> trained codebook -> encode) as
+# one CTE block, so the stats, recall, and IVF-PQ oracles cannot drift
+# (the _KNN_GRAPH_CTE no-drift device)
 _PQ_BASE_CTES = f"""q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
     subs AS (
       SELECT vec_id, m, {_PQ_SUB_SQL} AS sv
       FROM q, (SELECT unnest(range(0, {_PQ_M})) AS m)
     ),
-    codebook AS (
+    cb0 AS (
       SELECT vec_id AS codeword, m, {_PQ_SUB_SQL} AS cv
       FROM q, (SELECT unnest(range(0, {_PQ_M})) AS m)
       WHERE vec_id BETWEEN 1 AND {_PQ_K}
-    ),
+    ),{_pq_iter_sql('cb0', 1)},{_pq_iter_sql('cb1', 2)},{_pq_iter_sql('cb2', 3)},
+    codebook AS (SELECT codeword, m, cv FROM cb{_PQ_ITER}),
     assigned AS (
       SELECT vec_id, m, codeword, sqerr FROM (
         SELECT v.vec_id, v.m, c.codeword,
@@ -1618,9 +1663,15 @@ def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_M} subvector rows, broadcast-join the codebook, then a
     partial-aggregable struct-min argmin per (vec, subspace)); the only
     other shuffle is the final {_PQ_M}x{_PQ_K}-key aggregation, which
-    also partial-aggregates map-side. Payload vectors never shuffle."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _kq_quantize_col("embedding").alias("qv")
+    also partial-aggregates map-side. Payload vectors never shuffle.
+    Repartitions the unsplittable single-file local scan before the
+    n*_PQ_M*_PQ_K training folds (the trainers' documented exception —
+    measured 20 -> ~4 s at sf0.1 when the codebooks began training
+    here in r9)."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     # encode = min(struct(sqerr, codeword)) inside _pq_parts:
     # partial-aggregable argmin (ties to the lower codeword), so the
@@ -1737,8 +1788,12 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = corpus_n(spark, sf_dir)
     stride = max(1, n // _PQ_PROBE_TARGET)
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _kq_quantize_col("embedding").alias("qv")
+    # repartition the unsplittable single-file local scan before the
+    # training + truth folds (the trainers' documented exception)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     subs, codebook, assigned = _pq_parts(emb)
     probes = emb.filter((F.col("vec_id") % stride) == 0).select(
@@ -1793,9 +1848,29 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_subvector_sqerr() -> Column:
+    """BIGINT squared-L2 between subvector columns sv and cv."""
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def _pq_parts(emb):
     """(subs, codebook, assigned) for the PQ family — the Spark twin of
-    _PQ_BASE_CTES, shared by the stats and recall queries."""
+    _PQ_BASE_CTES, shared by the stats, recall, and IVF-PQ queries.
+
+    The codebook is TRAINED here (section comment above): _PQ_ITER
+    Lloyd's rounds over all _PQ_M subspaces in one distributed job per
+    round — broadcast the (m, codeword) centroid table, struct-min
+    argmin per (vec, m) (partial-aggregable, collapses the
+    n*_PQ_M*_PQ_K scored rows map-side), then one
+    (m, codeword, pos)-keyed floored-integer-mean update whose partial
+    aggregation bounds the shuffle at _PQ_M*_PQ_K*_PQ_SUB keys. Driver
+    state between rounds is the 32x64x2-integer codebook — broadcast-
+    scale metadata, the kmeans trainers' device."""
+    spark = emb.sparkSession
     subs = emb.select(
         "vec_id",
         F.explode(
@@ -1805,32 +1880,57 @@ def _pq_parts(emb):
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    codebook = (
-        emb.filter(F.col("vec_id").between(1, _PQ_K))
-        .select(
-            F.col("vec_id").alias("codeword"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {_PQ_M - 1}), "
-                    f"m -> struct(m AS m, slice(qv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS cv))"
-                )
-            ).alias("c"),
+    # seed: the quantized subvectors of vec_id 1.._PQ_K (cb0)
+    cb: dict[tuple[int, int], list[int]] = {}
+    for r in (
+        emb.filter(F.col("vec_id").between(1, _PQ_K)).select("vec_id", "qv").collect()
+    ):
+        for m in range(_PQ_M):
+            cb[(m, int(r.vec_id))] = [
+                int(v) for v in r.qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            ]
+
+    def _cb_df(codebook_state):
+        return spark.createDataFrame(
+            [(m, c, list(v)) for (m, c), v in sorted(codebook_state.items())],
+            "m int, codeword int, cv array<bigint>",
         )
-        .select("codeword", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
-    )
-    scored = subs.join(F.broadcast(codebook), "m").select(
-        "vec_id",
-        "m",
-        F.struct(
-            F.aggregate(
-                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("sqerr"),
-            "codeword",
-        ).alias("sc"),
-    )
-    assigned = scored.groupBy("vec_id", "m").agg(F.min("sc").alias("best"))
+
+    def _assign(codebook_df):
+        scored = subs.join(F.broadcast(codebook_df), "m").select(
+            "vec_id",
+            "m",
+            "sv",
+            F.struct(_pq_subvector_sqerr().alias("sqerr"), "codeword").alias("sc"),
+        )
+        return scored.groupBy("vec_id", "m").agg(
+            F.min("sc").alias("best"), F.any_value("sv").alias("sv")
+        )
+
+    for _ in range(_PQ_ITER):
+        upd = (
+            _assign(_cb_df(cb))
+            .select(
+                "m",
+                F.col("best.codeword").alias("codeword"),
+                F.posexplode("sv").alias("pos", "v"),
+            )
+            .groupBy("m", "codeword", "pos")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("mv")
+            )
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd:
+            by_key.setdefault((r.m, r.codeword), {})[r.pos] = r.mv
+        for key, comp in by_key.items():
+            cb[key] = [comp[i] for i in sorted(comp)]
+        # codewords absent from by_key captured nothing: keep previous
+    codebook = F.broadcast(_cb_df(cb))
+    assigned = _assign(codebook).select("vec_id", "m", "best")
     return subs, codebook, assigned
 
 
