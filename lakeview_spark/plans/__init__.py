@@ -97,7 +97,12 @@ _DRIVER_WINDOW = [
     "events_error_proximity",
     "events_type_hour_pivot",
     "small_quantity_revenue",
-    "flagged_suppliers",
+    # NEW in r9 (no green row, hygiene rule forces it in-window):
+    # the mergeable-sketch stream-static composition — displaces
+    # `flagged_suppliers`, which keeps its r06 green row, the
+    # every-round sweep, and 5+ star-join kins in-window (the r7
+    # displacement device)
+    "stream_bloom_prune",
 ]
 
 

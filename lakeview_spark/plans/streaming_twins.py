@@ -218,6 +218,122 @@ def stream_quality_filter_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _bloom_prune_stream_oracle() -> str:
+    """DuckDB replay of the streaming Bloom prune: the
+    dedup_bloom_prune filter build + membership verdicts (same md5 +
+    integer bit math), binned on the stream_token_stats window grid."""
+    from lakeview_spark.pipeline.sketch import (
+        _BLOOM_BITS_PER_DOC,
+        _BLOOM_K,
+        _BLOOM_MIN_BITS,
+        _BLOOM_WORD,
+    )
+
+    half = "(SELECT count(*) // 2 FROM documents)"
+    m = (
+        f"(SELECT GREATEST({_BLOOM_MIN_BITS}, "
+        f"{_BLOOM_BITS_PER_DOC} * (count(*) // 2)) FROM documents)"
+    )
+    pos = f"(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 8))::BIGINT % {m})"
+    return f"""
+    WITH d AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+    seen AS (SELECT fp FROM d WHERE doc_id < {half}),
+    positions AS (
+      SELECT {pos} AS pos
+      FROM seen, (SELECT unnest(range(0, {_BLOOM_K})) AS i)
+    ),
+    bits AS (
+      SELECT pos // {_BLOOM_WORD} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT)) AS bset
+      FROM positions GROUP BY pos // {_BLOOM_WORD}
+    ),
+    inc AS (SELECT doc_id, lang, fp FROM d WHERE doc_id >= {half}),
+    probes AS (
+      SELECT doc_id, {pos} AS pos
+      FROM inc, (SELECT unnest(range(0, {_BLOOM_K})) AS i)
+    ),
+    hits AS (
+      SELECT p.doc_id, count(*) AS n_hit
+      FROM probes p JOIN bits b ON b.word = p.pos // {_BLOOM_WORD}
+      WHERE (b.bset & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_WORD} AS INT))) <> 0
+      GROUP BY p.doc_id
+    ),
+    verdicts AS (
+      SELECT i.doc_id, i.lang,
+             CASE WHEN coalesce(h.n_hit, 0) = {_BLOOM_K} THEN 1 ELSE 0 END
+               AS maybe_seen
+      FROM inc i LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT lang,
+           {_BASE_SQL} + ((doc_id % {_SPREAD_MIN}) * 60000000 // 600000000)
+             * 600000000 AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(maybe_seen) AS BIGINT) AS n_maybe_seen,
+           CAST(count(*) - sum(maybe_seen) AS BIGINT) AS n_definitely_new
+    FROM verdicts GROUP BY lang, window_start_us
+    """
+
+
+@register("stream_bloom_prune", oracle=_bloom_prune_stream_oracle())
+def stream_bloom_prune_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch stream-static composition (r9): batch-build
+    the Bloom filter over the already-ingested half of the corpus
+    (doc_id < n/2 — the dedup_bloom_prune framing), collect its m/32
+    bit_or-packed words (sketch-sized driver state: 2 bytes per seen
+    doc), then run the REAL streaming operator over the arriving half —
+    per-row membership verdicts against the broadcast word array, live
+    (window, lang) bins of maybe-seen vs definitely-new in update mode
+    (one batch -> every open window emits exactly once; integer counts
+    are order-independent)."""
+    from lakeview_spark.pipeline.similarity import corpus_n
+    from lakeview_spark.pipeline.sketch import (
+        _BLOOM_BITS_PER_DOC,
+        _BLOOM_K,
+        _BLOOM_MIN_BITS,
+        _BLOOM_WORD,
+        _bloom_pos_spark,
+    )
+    from lakeview_spark.streaming.pipeline_stream import stream_bloom_prune
+
+    n = corpus_n(spark, sf_dir, "documents")
+    half = n // 2
+    m = max(_BLOOM_MIN_BITS, _BLOOM_BITS_PER_DOC * half)
+    seen = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < half)
+        .select(F.md5("text").alias("fp"))
+    )
+    rows = (
+        seen.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_spark(i, F.col("fp"), m) for i in range(_BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .groupBy(F.expr(f"pos div {_BLOOM_WORD}").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT)))"
+            ).alias("bset")
+        )
+        .collect()
+    )
+    words = [0] * ((m + _BLOOM_WORD - 1) // _BLOOM_WORD)
+    for r in rows:
+        words[r.word] = r.bset
+    inc = _doc_stream(spark, sf_dir).filter(F.col("doc_id") >= half)
+    binned = stream_bloom_prune(inc, words, m)
+    out = _run_available_now(binned, "update")
+    return out.select(
+        "lang",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_incoming",
+        "n_maybe_seen",
+        "n_definitely_new",
+    )
+
+
 # the streaming delta: every 20th vector "re-arrives" and is checked
 # against the full persisted index
 _DELTA_MOD = 20

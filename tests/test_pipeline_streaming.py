@@ -377,3 +377,33 @@ def test_stream_quantile_sketch_matches_pure_python_replay(spark):
         assert (r.n_events, r.p50_bin, r.p50_est) == expected[
             (r.window_start_us, r.event_type)
         ]
+
+
+def test_stream_bloom_prune_bins_match_batch_audit(spark):
+    """The streaming Bloom prune's (window, lang) bins, summed per
+    lang, equal the batch dedup_bloom_prune audit's per-lang verdicts
+    (same filter, same md5 bit math — the stream just bins them live),
+    and the no-false-negative law carries over: per lang,
+    n_maybe_seen >= the batch audit's n_actually_seen."""
+    from lakeview_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        r.lang: r for r in QUERIES["dedup_bloom_prune"](spark, sf_dir).collect()
+    }
+    by_lang: dict[str, list[int]] = {}
+    for r in QUERIES["stream_bloom_prune"](spark, sf_dir).collect():
+        agg = by_lang.setdefault(r.lang, [0, 0, 0])
+        agg[0] += r.n_incoming
+        agg[1] += r.n_maybe_seen
+        agg[2] += r.n_definitely_new
+        assert r.n_definitely_new == r.n_incoming - r.n_maybe_seen
+    assert set(by_lang) == set(batch)
+    for lang, (inc, maybe, new) in by_lang.items():
+        b = batch[lang]
+        assert (inc, maybe, new) == (
+            b.n_incoming,
+            b.n_maybe_seen,
+            b.n_definitely_new,
+        )
+        assert maybe >= b.n_actually_seen  # Bloom law, binned live
