@@ -613,6 +613,163 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full multi-round BPE trainer (unrolled iterative merges)
+# ---------------------------------------------------------------------------
+#
+# corpus_bpe_merges above is round ONE of BPE; this is the real trainer
+# loop: _BPE_ROUNDS greedy merge rounds, each picking THE most frequent
+# adjacent symbol pair (ties (count DESC, left ASC, right ASC)) and
+# rewriting every word's symbol sequence before the next count — the
+# canonical tokenizer-training algorithm (Sennrich et al.), the same
+# unrolled-iteration device as kmeans_train_quantized / graph_pagerank.
+#
+# Determinism device: a word's symbol sequence is an encoded string —
+# every symbol wrapped as \x01 sym \x02 and concatenated — so the merge
+# step is ONE plain (non-regex) replace() of
+# \x01 left \x02 \x01 right \x02 with \x01 left||right \x02: the
+# wrappers make cross-symbol-boundary false matches impossible, and
+# leftmost-non-overlapping global replacement (verified identical in
+# Spark and DuckDB, including the aaa/(a,a) overlap case) IS standard
+# BPE's greedy left-to-right application. Pair counts are exact
+# integers; both the chosen pair and the rewritten corpus replay
+# bit-for-bit in the unrolled-CTE oracle.
+_BPE_ROUNDS = 8
+_BPE_S1 = "\x01"
+_BPE_S2 = "\x02"
+
+# per-character encode of a word into the wrapped-symbol string
+_BPE_ENC_SPARK = (
+    "concat_ws('', transform(sequence(1, length(word)), "
+    "i -> concat(chr(1), substring(word, i, 1), chr(2))))"
+)
+# split an encoded sequence back into its symbol array (strip the outer
+# \x01/\x02, split on the \x02\x01 joints)
+_BPE_SYMS_SPARK = (
+    "split(substring(seq, 2, length(seq) - 2), concat(chr(2), chr(1)))"
+)
+
+
+def _bpe_train_oracle() -> str:
+    enc = (
+        "list_aggregate(list_transform(range(1, length(word) + 1), "
+        "i -> chr(1) || substr(word, i, 1) || chr(2)), 'string_agg', '')"
+    )
+    rounds = []
+    prev = "s0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+    t{r} AS (
+      SELECT wcount,
+             string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS syms
+      FROM {prev}
+    ),
+    p{r} AS (
+      SELECT pr.l AS ml, pr.r AS mr, wcount FROM (
+        SELECT wcount,
+               unnest(list_transform(range(1, len(syms)),
+                      i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+        FROM t{r})
+    ),
+    b{r} AS (
+      SELECT ml, mr, CAST(sum(wcount) AS BIGINT) AS c
+      FROM p{r} GROUP BY ml, mr ORDER BY c DESC, ml, mr LIMIT 1
+    ),
+    s{r} AS (
+      SELECT word, wcount,
+             CASE WHEN b.ml IS NULL THEN seq
+                  ELSE replace(seq,
+                               chr(1) || b.ml || chr(2) || chr(1) || b.mr || chr(2),
+                               chr(1) || b.ml || b.mr || chr(2)) END AS seq
+      FROM {prev} LEFT JOIN b{r} b ON TRUE
+    )""")
+        prev = f"s{r}"
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, ml AS merge_left, "
+        f"mr AS merge_right, ml || mr AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    w AS (
+      SELECT word, count(*) AS wcount FROM toks
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    s0 AS (SELECT word, wcount, {enc} AS seq FROM w),{','.join(rounds)}
+    {union}
+    """
+
+
+@register("corpus_bpe_train", oracle=_bpe_train_oracle())
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE trainer: {_BPE_ROUNDS} unrolled greedy merge rounds
+    over the distinct-word vocabulary (section comment above), emitting
+    the merge table (round, left, right, merged symbol, pair count) —
+    the artifact a tokenizer ships.
+
+    Scale shape: like corpus_bpe_merges, all per-character work is
+    proportional to VOCABULARY size, not corpus size (token occurrences
+    collapse to distinct words once, up front); each round is one
+    partial-aggregable pair-count shuffle + a TakeOrdered(1), and the
+    driver state between rounds is literally one (left, right) pair —
+    the kmeans trainers' driver-loop shape with a 2-string centroid
+    matrix. The merge rewrite is a narrow map (one literal replace).
+    Rounds after the pair supply dries (tiny corpora) emit nothing, in
+    both engines.
+
+    No scan repartition (measured: the trainers' single-file exception
+    does NOT pay off here — 4.7 s steady without vs 5.7 s with at
+    sf0.1, because the cost is the 8 sequential pair-count jobs, each
+    already parallel after the word-count shuffle, not the one-core
+    tokenize; adding the exchange just re-pays it every round)."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+    seqs = words.withColumn("seq", F.expr(_BPE_ENC_SPARK))
+    merges: list[tuple] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = seqs.select("wcount", F.expr(_BPE_SYMS_SPARK).alias("s")).select(
+            "wcount",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(s) < 2 THEN array() ELSE "
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r)) END"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("ml"), F.col("p.r").alias("mr"))
+            .agg(F.sum("wcount").alias("c"))
+            .orderBy(F.desc("c"), "ml", "mr")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        ml, mr, c = best[0].ml, best[0].mr, int(best[0].c)
+        merges.append((rnd, ml, mr, ml + mr, c))
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(
+                "seq",
+                F.lit(_BPE_S1 + ml + _BPE_S2 + _BPE_S1 + mr + _BPE_S2),
+                F.lit(_BPE_S1 + ml + mr + _BPE_S2),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, merge_left string, merge_right string, "
+        "merged string, pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: dense + sparse with reciprocal-rank fusion
 # ---------------------------------------------------------------------------
 #

@@ -96,13 +96,14 @@ _DRIVER_WINDOW = [
     "events_hourly_ohlc",
     "events_error_proximity",
     "events_type_hour_pivot",
-    "small_quantity_revenue",
-    # NEW in r9 (no green row, hygiene rule forces it in-window):
-    # the mergeable-sketch stream-static composition — displaces
-    # `flagged_suppliers`, which keeps its r06 green row, the
-    # every-round sweep, and 5+ star-join kins in-window (the r7
+    # NEW in r9 (no green rows, hygiene rule forces them in-window):
+    # the mergeable-sketch stream-static composition and the full BPE
+    # trainer — they displace `flagged_suppliers` and
+    # `small_quantity_revenue`, each of which keeps its r06 green row,
+    # the every-round sweep, and 4+ star-join kins in-window (the r7
     # displacement device)
     "stream_bloom_prune",
+    "corpus_bpe_train",
 ]
 
 

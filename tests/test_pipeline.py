@@ -610,6 +610,59 @@ def test_bpe_merges_matches_pure_python_replay(spark):
     assert got == expected
 
 
+def test_bpe_train_matches_pure_python_replay(spark):
+    """corpus_bpe_train == an independent Python replay of the FULL
+    greedy BPE loop at sf0.001: per round, count adjacent symbol pairs
+    weighted by word frequency, pick the (count desc, left asc,
+    right asc) winner, and apply it left-to-right non-overlapping to
+    every word's symbol sequence — the merged symbol participates in
+    later rounds (the iterative part corpus_bpe_merges stops short of)
+    — pinned by asserting some merged symbol is 3+ chars."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.corpus import _BPE_ROUNDS
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    wcount = Counter()
+    for text in docs["text"]:
+        for w in text.lower().split(" "):
+            if len(w) >= 2:
+                wcount[w] += 1
+    seqs = {w: list(w) for w in wcount}
+    expected = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pair_count = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pair_count[(syms[i], syms[i + 1])] += wcount[w]
+        if not pair_count:
+            break
+        (ml, mr), c = min(
+            pair_count.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, ml, mr, ml + mr, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == ml and syms[i + 1] == mr:
+                    out.append(ml + mr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    got = sorted(
+        (r.merge_round, r.merge_left, r.merge_right, r.merged, r.pair_count)
+        for r in QUERIES["corpus_bpe_train"](spark, SF_DIR).collect()
+    )
+    assert got == expected
+    # the loop is genuinely iterative: some later merge builds ON an
+    # earlier merged symbol (a 3+-char merged token)
+    assert any(len(merged) > 2 for _r, _l, _rr, merged, _c in expected)
+
+
 def test_jl_distortion_matches_pure_python_replay(spark):
     """eval_jl_distortion == an independent Python replay (same literal
     ±1 matrix, same left-fold order, IEEE doubles both sides) at
