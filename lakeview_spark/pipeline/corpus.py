@@ -649,7 +649,12 @@ _BPE_SYMS_SPARK = (
 )
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_cte_block() -> str:
+    """The shared trainer derivation (words -> encoded seqs -> _BPE_ROUNDS
+    unrolled merge rounds) as one CTE block, so the train and apply
+    oracles cannot drift (the _PQ_BASE_CTES no-drift device). Exposes
+    b1..b{{R}} (the per-round winning pair + count) and s{{R}} (the
+    final merged vocabulary)."""
     enc = (
         "list_aggregate(list_transform(range(1, length(word) + 1), "
         "i -> chr(1) || substr(word, i, 1) || chr(2)), 'string_agg', '')"
@@ -683,20 +688,24 @@ def _bpe_train_oracle() -> str:
       FROM {prev} LEFT JOIN b{r} b ON TRUE
     )""")
         prev = f"s{r}"
-    union = "\n    UNION ALL\n    ".join(
-        f"SELECT CAST({r} AS INT) AS merge_round, ml AS merge_left, "
-        f"mr AS merge_right, ml || mr AS merged, c AS pair_count FROM b{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
     ),
     w AS (
       SELECT word, count(*) AS wcount FROM toks
       WHERE length(word) >= 2 GROUP BY word
     ),
-    s0 AS (SELECT word, wcount, {enc} AS seq FROM w),{','.join(rounds)}
+    s0 AS (SELECT word, wcount, {enc} AS seq FROM w),{','.join(rounds)}"""
+
+
+def _bpe_train_oracle() -> str:
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, ml AS merge_left, "
+        f"mr AS merge_right, ml || mr AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_bpe_cte_block()}
     {union}
     """
 
@@ -723,14 +732,31 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, because the cost is the 8 sequential pair-count jobs, each
     already parallel after the word-count shuffle, not the one-core
     tokenize; adding the exchange just re-pays it every round)."""
-    words = (
+    merges, _seqs = _bpe_run_trainer(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, merge_left string, merge_right string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wcount) over the trainable vocabulary — the exact `w`
+    CTE of the shared oracle block."""
+    return (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count("*").alias("wcount"))
     )
-    seqs = words.withColumn("seq", F.expr(_BPE_ENC_SPARK))
+
+
+def _bpe_run_trainer(spark: SparkSession, sf_dir: str):
+    """Run the greedy merge loop; returns (merge rows, final seqs DF) —
+    shared by the train query (which emits the merges) and the apply
+    query (which tokenizes with the final vocabulary)."""
+    seqs = _bpe_words(spark, sf_dir).withColumn("seq", F.expr(_BPE_ENC_SPARK))
     merges: list[tuple] = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         pairs = seqs.select("wcount", F.expr(_BPE_SYMS_SPARK).alias("s")).select(
@@ -762,10 +788,73 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_BPE_S1 + ml + mr + _BPE_S2),
             ),
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, merge_left string, merge_right string, "
-        "merged string, pair_count bigint",
+    return merges, seqs
+
+
+_BPE_APPLY_SQL = f"""
+    WITH {{block}},
+    vt AS (
+      SELECT word,
+             CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+                                   chr(2) || chr(1))) AS BIGINT) AS n_tokens
+      FROM s{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    j AS (
+      SELECT dw.lang, length(dw.word) AS n_chars, vt.n_tokens
+      FROM dw JOIN vt ON vt.word = dw.word
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN sum(n_tokens) > 0
+                THEN CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+           END AS chars_per_token
+    FROM j GROUP BY lang
+"""
+
+
+@register("corpus_bpe_apply", oracle=_BPE_APPLY_SQL.format(block=_bpe_cte_block()))
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE vocabulary — the apply
+    half of corpus_bpe_train (the merge table is only useful if you can
+    measure what it buys): per language, word/char/BPE-token totals and
+    the chars-per-token compression the {_BPE_ROUNDS}-round vocabulary
+    achieves. Both sums are exact integers and the one double division
+    is of two exact ints, so the report hash-checks; the compression
+    ratio is the tokenizer-efficiency telemetry a vocab-size decision
+    reads (more merge rounds -> higher chars/token at larger vocab).
+
+    Scale shape: tokenization happens on the DISTINCT-word vocabulary
+    (the trainer's own final seq table — one symbol-count map over it),
+    then one word-keyed equi join carries the per-word token count back
+    to the (lang, word) occurrence stream — the corpus-scale side never
+    carries strings through more than that single keyed shuffle, and
+    the final agg is a partial-aggregable per-lang rollup. Words under
+    2 chars are outside the trainable vocabulary (inner join drops
+    them, same as the oracle's w CTE filter)."""
+    _merges, seqs = _bpe_run_trainer(spark, sf_dir)
+    vt = seqs.select(
+        "word", F.size(F.expr(_BPE_SYMS_SPARK)).cast("long").alias("n_tokens")
+    )
+    dw = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    j = dw.join(vt, "word").select(
+        "lang", F.length("word").cast("long").alias("n_chars"), "n_tokens"
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_bpe_tokens"),
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.sum("n_chars").cast("double") / F.sum("n_tokens").cast("double"),
+        ).alias("chars_per_token"),
     )
 
 

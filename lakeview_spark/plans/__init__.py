@@ -90,7 +90,6 @@ _DRIVER_WINDOW = [
     "brand_supplier_breadth",
     "events_anomaly_zscore",
     "large_order_customers",
-    "cold_customers",
     "events_gapfill_locf",
     "events_session_paths",
     "events_hourly_ohlc",
@@ -98,12 +97,13 @@ _DRIVER_WINDOW = [
     "events_type_hour_pivot",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
-    # trainer — they displace `flagged_suppliers` and
-    # `small_quantity_revenue`, each of which keeps its r06 green row,
-    # the every-round sweep, and 4+ star-join kins in-window (the r7
-    # displacement device)
+    # trainer + its tokenize-apply — they displace `flagged_suppliers`,
+    # `small_quantity_revenue`, and `cold_customers`, each of which
+    # keeps its r06 green row, the every-round sweep, and 4+ star-join
+    # kins in-window (the r7 displacement device)
     "stream_bloom_prune",
     "corpus_bpe_train",
+    "corpus_bpe_apply",
 ]
 
 

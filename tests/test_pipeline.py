@@ -662,6 +662,23 @@ def test_bpe_train_matches_pure_python_replay(spark):
     # earlier merged symbol (a 3+-char merged token)
     assert any(len(merged) > 2 for _r, _l, _rr, merged, _c in expected)
 
+    # the apply half: per-lang totals from the SAME replayed vocabulary
+    lang_tot = {}
+    for text, lang in zip(docs["text"], docs["lang"]):
+        for w in text.lower().split(" "):
+            if w in seqs:
+                tot = lang_tot.setdefault(lang, [0, 0, 0])
+                tot[0] += 1
+                tot[1] += len(w)
+                tot[2] += len(seqs[w])
+    got_apply = {
+        r.lang: (r.n_words, r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+        for r in QUERIES["corpus_bpe_apply"](spark, SF_DIR).collect()
+    }
+    assert set(got_apply) == set(lang_tot)
+    for lang, (nw, nc, nt) in lang_tot.items():
+        assert got_apply[lang] == (nw, nc, nt, nc / nt)
+
 
 def test_jl_distortion_matches_pure_python_replay(spark):
     """eval_jl_distortion == an independent Python replay (same literal
