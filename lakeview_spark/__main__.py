@@ -5,8 +5,11 @@ Mirrors the reference's launch surface — cli_parser/CliParser.java:19-63
 ``-h``/``--help``) and Main.java:45-69 (parse args -> load config ->
 run the job). Mode routing follows ``jobRunMode``: ONCE -> run_once,
 CONTINUOUS -> run_continuous (with per-round config re-read from the
-original source, the ConfigRefresher equivalent), ONCE_WITH_RETRY ->
-run_once_with_retry. The run's metrics print as one JSON line.
+original source, the ConfigRefresher equivalent) or, with
+``--dual-cadence``, run_continuous_dual (the reference's two
+independent discovery/upload schedules, TableDiscoveryAndUploadJob
+.java:66-82), ONCE_WITH_RETRY -> run_once_with_retry. The run's
+metrics print as one JSON line.
 """
 
 from __future__ import annotations
@@ -42,6 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="CONTINUOUS mode: stop after N rounds (default: run forever)",
     )
+    ap.add_argument(
+        "--dual-cadence",
+        action="store_true",
+        help=(
+            "CONTINUOUS mode: run discovery and the upload poll on the "
+            "reference's two independent schedules "
+            "(tableDiscoveryIntervalMinutes / "
+            "processTableMetadataSyncDurationSeconds gated to "
+            "tableMetadataUploadIntervalMinutes) instead of one fused "
+            "round per --interval; --max-rounds bounds emitted events"
+        ),
+    )
     ap.add_argument("--master", default=None, help="Spark master override")
     return ap
 
@@ -62,7 +77,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if spark is None:
         spark = get_spark("lakeview-spark", master=args.master)
 
-    if config.job_run_mode == "CONTINUOUS":
+    if config.job_run_mode == "CONTINUOUS" and args.dual_cadence:
+        out = runner.run_continuous_dual(
+            spark,
+            config,
+            args.state_dir,
+            args.mirror_dir,
+            max_events=args.max_rounds if args.max_rounds is not None else 20,
+            base_config_source=source,
+        )
+    elif config.job_run_mode == "CONTINUOUS":
         out = runner.run_continuous(
             spark,
             config,

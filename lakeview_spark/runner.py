@@ -424,6 +424,9 @@ def run_continuous_dual(
     lister: Lister = list_dir_local,
     max_events: int = 20,
     sleep_fn=time.sleep,
+    base_config_source=None,
+    override_source=None,
+    refresh_interval_s: float = 120.0,
 ) -> list[dict]:
     """CONTINUOUS mode on the reference's TWO independent cadences
     (TableDiscoveryAndUploadJob.java:66-82 runInContinuousMode):
@@ -446,21 +449,60 @@ def run_continuous_dual(
     scheduled with initialDelay=0, discovery registered first). Sleeps
     go through ``sleep_fn`` so tests drive virtual time; each emitted
     event carries its virtual timestamp ``t``. ``max_events`` bounds the
-    loop (the reference runs until shutdown())."""
+    loop (the reference runs until shutdown()).
+
+    When ``base_config_source`` is given, a THIRD clock re-merges the
+    config (plus ``override_source``) every ``refresh_interval_s`` —
+    the ConfigRefresher's own schedule (ConfigRefresher.java:17,39-52),
+    exactly as in the fused ``run_continuous``; refreshes emit no event
+    (their running attempt/failure counters ride the next one) and a
+    failed re-merge keeps the last good config."""
+    import logging
+
+    from lakeview_spark.config import load_config_with_override
+
+    log = logging.getLogger(__name__)
     events: list[dict] = []
     tables_snapshot: list[dict] | None = None
     prev_upload_start = float("-inf")  # Instant.EPOCH (:44)
     disc_every = config.table_discovery_interval_minutes * 60.0
     poll_every = config.process_table_metadata_sync_duration_seconds
     upload_gate = config.table_metadata_upload_interval_minutes * 60.0
+    refresh_failures = 0
+    refresh_attempts = 0
+
+    def refresh():
+        nonlocal config, refresh_failures, refresh_attempts
+        if base_config_source is None:
+            return
+        refresh_attempts += 1
+        try:
+            config = load_config_with_override(base_config_source, override_source)
+        except Exception as ex:  # noqa: BLE001 — keep last good config
+            refresh_failures += 1
+            log.warning("config refresh failed, keeping last good config: %r", ex)
+
+    refresh()
     now = 0.0
     next_disc = 0.0
     next_poll = 0.0
+    next_refresh = refresh_interval_s if base_config_source is not None else None
     while len(events) < max_events:
         due = min(next_disc, next_poll)
+        if next_refresh is not None:
+            due = min(due, next_refresh)
         if due > now:
             sleep_fn(due - now)
             now = due
+        if next_refresh is not None and next_refresh <= now:
+            if now < next_disc and now < next_poll:
+                # pure refresh tick: re-merge and carry on, no event
+                refresh()
+                next_refresh = now + refresh_interval_s
+                continue
+            # coincides with a scheduled round: refresh first, then run it
+            refresh()
+            next_refresh = now + refresh_interval_s
         if next_disc <= now:
             ev: dict = {"kind": "discovery", "t": now}
             try:
@@ -470,6 +512,9 @@ def run_continuous_dual(
             except Exception as ex:  # noqa: BLE001 — keep last good snapshot
                 ev["succeeded"] = False
                 ev["error"] = repr(ex)
+            if base_config_source is not None:
+                ev["config_refresh_attempts"] = refresh_attempts
+                ev["config_refresh_failures"] = refresh_failures
             events.append(ev)
             next_disc = now + disc_every
             continue
@@ -494,6 +539,9 @@ def run_continuous_dual(
                 ev["succeeded"] = False
                 ev["error"] = repr(ex)
             prev_upload_start = now
+        if base_config_source is not None:
+            ev["config_refresh_attempts"] = refresh_attempts
+            ev["config_refresh_failures"] = refresh_failures
         events.append(ev)
         next_poll = now + poll_every
     return events

@@ -154,3 +154,100 @@ def test_dual_cadence_end_to_end_sees_new_table_only_after_discovery(
     # new table is initialized only by the post-discovery upload
     assert after[0]["tables_initialized"] == 1
     assert os.path.isdir(os.path.join(state, "checkpoints"))
+
+
+def test_cli_dual_cadence_bounded_events(spark, lake, tmp_path, capsys):
+    """--dual-cadence routes CONTINUOUS to the two-schedule loop; the
+    first discovery and the first (immediately-gated-open) upload poll
+    both fire at t=0, so --max-rounds 2 completes without sleeping."""
+    from lakeview_spark.__main__ import main
+
+    cfg = tmp_path / "conf.yml"
+    cfg.write_text(
+        "version: V1\n"
+        "metadataExtractorConfig:\n"
+        "  jobRunMode: CONTINUOUS\n"
+        "  parserConfig:\n"
+        "    - lake: l\n"
+        "      databases:\n"
+        "        - name: d\n"
+        f"          basePaths: [{lake}]\n"
+    )
+    rc = main(
+        [
+            "-p",
+            str(cfg),
+            "--state-dir",
+            str(tmp_path / "s"),
+            "--max-rounds",
+            "2",
+            "--dual-cadence",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    import json as _json
+
+    events = _json.loads(capsys.readouterr().out)
+    assert [e["kind"] for e in events] == ["discovery", "upload_poll"]
+    assert events[0]["t"] == 0.0 and events[1]["t"] == 0.0
+    assert events[1]["uploaded"] is True
+    # the CLI passes the config source, so refresh counters ride along
+    assert events[0]["config_refresh_attempts"] >= 1
+
+
+def test_dual_cadence_refresh_clock_flips_override(monkeypatch, tmp_path):
+    """The third (refresh) clock re-merges the override on its own
+    cadence between poll ticks: a strategy flip written mid-run is in
+    force at the next upload, and refresh ticks emit no events."""
+    strategies = []
+    monkeypatch.setattr(
+        runner_mod,
+        "discover_round",
+        lambda spark, config, lister: ([{"table_id": "a"}], {"tables_discovered": 1}),
+    )
+
+    def fake_upload(spark, config, tables, state_dir, mirror_dir, lister):
+        strategies.append(config.upload_strategy)
+        return {}
+
+    monkeypatch.setattr(runner_mod, "upload_round", fake_upload)
+    base = {
+        "version": "V1",
+        "metadataExtractorConfig": {
+            "jobRunMode": "CONTINUOUS",
+            "tableDiscoveryIntervalMinutes": 60,
+            "processTableMetadataSyncDurationSeconds": 120,
+            "tableMetadataUploadIntervalMinutes": 2,
+            "parserConfig": [
+                {"lake": "l", "databases": [{"name": "d", "basePaths": ["/x"]}]}
+            ],
+        },
+    }
+    override = tmp_path / "override.yml"
+    override.write_text(
+        "metadataExtractorConfig:\n  uploadStrategy: BLOCK_ON_INCOMPLETE_COMMIT\n"
+    )
+
+    def flip(_seconds):
+        override.write_text(
+            "metadataExtractorConfig:\n  uploadStrategy: CONTINUE_ON_INCOMPLETE_COMMIT\n"
+        )
+
+    # refresh every 90 s; polls at t=0 (BLOCK) and t=120 (after the
+    # t=90 refresh saw the flip -> CONTINUE)
+    events = run_continuous_dual(
+        None,
+        load_config(base),
+        "/tmp/unused",
+        max_events=4,
+        sleep_fn=flip,
+        base_config_source=base,
+        override_source=str(override),
+        refresh_interval_s=90.0,
+    )
+    assert strategies[:2] == [
+        "BLOCK_ON_INCOMPLETE_COMMIT",
+        "CONTINUE_ON_INCOMPLETE_COMMIT",
+    ]
+    assert all(e["kind"] in ("discovery", "upload_poll") for e in events)
