@@ -404,12 +404,12 @@ _HLL_SCALE = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53)
     """,
 )
 def corpus_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""HLL distinct-token estimate next to the exact count (section
+    """HLL distinct-token estimate next to the exact count (section
     comment above: integer-exact registers, one float op at the edge).
 
-    Scale shape: register build is ONE groupBy into {_HLL_M} groups
+    Scale shape: register build is ONE groupBy into m=256 groups
     over the raw token stream — max() is duplicate-insensitive, so
-    map-side combine collapses every partition to <= {_HLL_M} rows and
+    map-side combine collapses every partition to <= 256 rows and
     NO distinct/vocabulary shuffle happens (the KMV sketch above pays
     one; this is the cheaper sketch when only cardinality is needed).
     Registers merge by element-wise max, so per-shard sketches roll up
@@ -449,3 +449,243 @@ def corpus_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(_HLL_SCALE)) / (F.col("hit_sum") + zeros).cast("double")
         ).alias("est_distinct"),
     ).crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch SET ALGEBRA: cross-source overlap estimation.
+#
+# KMV/HLL answer "how many distinct"; the question a crawl-curation
+# pipeline actually asks across dumps is "how much of source A is
+# already in source B" — distinct-set UNION / INTERSECTION / Jaccard
+# between shards, without ever joining the raw sets. The theta-sketch
+# construction (Dasgupta et al., "Theta-Sketch Framework", 2016; the
+# DataSketches production design) does exactly that: keep the K
+# smallest hashes per set; for any pair, theta = min(theta_A, theta_B)
+# and every retained hash below theta is a uniform sample of the union,
+# so |{retained < theta, in both}| / theta estimates the intersection.
+#
+# Determinism: hashes are the same 15-hex md5 fold as the KMV sketch
+# (exact BIGINT in both engines); theta / retained counts are exact
+# integers; the ONLY float ops are the three edge divisions (cnt *
+# 2^60 / theta and the Jaccard ratio), each a single correctly-rounded
+# double op on identical operands. Small-set convention: a source with
+# fewer than K distinct shingles has theta = 2^60 (the whole hash
+# space) and its sketch IS the set — the estimator then returns the
+# retained count exactly (cnt * 2^60 / 2^60, both ops exact in
+# doubles because cnt <= 2*K < 2^10).
+_THETA_K = 256
+_THETA_SPACE = 1 << 60
+_THETA_FOLD_SQL = (
+    "list_reduce(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)), "
+    "(acc, x) -> acc * 16 + x)"
+)
+
+
+@register(
+    "corpus_source_overlap_theta",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT source, string_split(lower(text), ' ') AS toks FROM documents)
+    ),
+    hashed AS (SELECT DISTINCT source, {_THETA_FOLD_SQL} AS hv FROM sh0),
+    sk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM hashed
+      ) WHERE rn <= {_THETA_K}
+    ),
+    stats AS (
+      SELECT source,
+             CASE WHEN count(*) < {_THETA_K}
+                  THEN (CAST(1 AS BIGINT) << 60) ELSE max(hv) END AS theta_s,
+             count(*) AS k_actual
+      FROM sk GROUP BY source
+    ),
+    nex AS (SELECT source, count(*) AS n FROM hashed GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             least(a.theta_s, b.theta_s) AS theta
+      FROM stats a JOIN stats b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT p.source_a, p.source_b, count(*) AS cnt
+      FROM pairs p
+      JOIN sk a ON a.source = p.source_a AND a.hv < p.theta
+      JOIN sk b ON b.source = p.source_b AND b.hv = a.hv
+      GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT source_a, source_b, count(DISTINCT hv) AS cnt FROM (
+        SELECT p.source_a, p.source_b, s.hv
+        FROM pairs p JOIN sk s ON s.source = p.source_a AND s.hv < p.theta
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.hv
+        FROM pairs p JOIN sk s ON s.source = p.source_b AND s.hv < p.theta
+      ) GROUP BY 1, 2
+    ),
+    xinter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS cnt
+      FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.theta,
+           CAST(coalesce(i.cnt, 0) AS BIGINT) AS inter_retained,
+           CAST(coalesce(u.cnt, 0) AS BIGINT) AS union_retained,
+           CAST(coalesce(i.cnt, 0) AS DOUBLE) * {float(_THETA_SPACE)!r}
+             / CAST(p.theta AS DOUBLE) AS est_inter,
+           CAST(coalesce(u.cnt, 0) AS DOUBLE) * {float(_THETA_SPACE)!r}
+             / CAST(p.theta AS DOUBLE) AS est_union,
+           CASE WHEN coalesce(u.cnt, 0) > 0
+                THEN CAST(coalesce(i.cnt, 0) AS DOUBLE) / CAST(u.cnt AS DOUBLE) END
+             AS est_jaccard,
+           CAST(coalesce(x.cnt, 0) AS BIGINT) AS exact_inter,
+           CAST(na.n + nb.n - coalesce(x.cnt, 0) AS BIGINT) AS exact_union
+    FROM pairs p
+    LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+    LEFT JOIN uni u ON u.source_a = p.source_a AND u.source_b = p.source_b
+    LEFT JOIN xinter x ON x.source_a = p.source_a AND x.source_b = p.source_b
+    JOIN nex na ON na.source = p.source_a
+    JOIN nex nb ON nb.source = p.source_b
+    """,
+)
+def corpus_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch union/intersection/Jaccard estimates for every
+    source pair's word-3-gram shingle sets, next to the exact counts.
+
+    Scale shape: the per-source K-min selection is TWO-PHASE — first
+    the K smallest per (source, hv%64) salt group, then the K smallest
+    of the <=64*K survivors per source — so no task ever sorts a whole
+    source's shingle set (the k smallest of a union are always within
+    the union of per-salt k smallest, so the retained set is IDENTICAL
+    to the oracle's direct row_number form). After that everything is
+    sketch-sized: 20 sketches x 256 hashes; the pair joins run on
+    broadcastable frames. The exact intersection alongside is the
+    accuracy audit and is itself the one corpus-scale equi-join
+    (shingle-keyed, the same inverted-index bound as dedup_ngram_jaccard)
+    a production report would drop.
+    """
+    from pyspark.sql import Window
+
+    # function-level import: dedup is mid-initialization when the
+    # pipeline package imports this module, so a top-level import is a
+    # cycle (same device as streaming/pipeline_stream.py's sketch use)
+    from lakeview_spark.pipeline.dedup import _shingles_expr, _tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", _tokens(F.col("text")).alias("toks")
+    )
+    sh = (
+        docs.select("source", F.expr(_shingles_expr()).alias("shs"))
+        .select("source", F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    hashed = sh.select(
+        "source",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    ).distinct()
+    # two-phase per-source K-min (see docstring)
+    w_salt = Window.partitionBy("source", F.col("hv") % 64).orderBy("hv")
+    w_src = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= _THETA_K)
+        .withColumn("rn2", F.row_number().over(w_src))
+        .filter(F.col("rn2") <= _THETA_K)
+        .select("source", "hv")
+    )
+    stats = sk.groupBy("source").agg(
+        F.when(F.count("*") < _THETA_K, F.lit(_THETA_SPACE).cast("bigint"))
+        .otherwise(F.max("hv"))
+        .alias("theta_s"),
+    )
+    nex = hashed.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.least("a.theta_s", "b.theta_s").alias("theta"),
+    )
+    ska, skb = sk.alias("ska"), sk.alias("skb")
+    inter = (
+        pairs.join(
+            F.broadcast(ska),
+            (F.col("ska.source") == F.col("source_a"))
+            & (F.col("ska.hv") < F.col("theta")),
+        )
+        .join(
+            F.broadcast(skb),
+            (F.col("skb.source") == F.col("source_b"))
+            & (F.col("skb.hv") == F.col("ska.hv")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("icnt"))
+    )
+    uni_a = pairs.join(
+        F.broadcast(sk.alias("s")),
+        (F.col("s.source") == F.col("source_a")) & (F.col("s.hv") < F.col("theta")),
+    ).select("source_a", "source_b", "hv")
+    uni_b = pairs.join(
+        F.broadcast(sk.alias("s")),
+        (F.col("s.source") == F.col("source_b")) & (F.col("s.hv") < F.col("theta")),
+    ).select("source_a", "source_b", "hv")
+    uni = (
+        uni_a.unionByName(uni_b)
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("hv").alias("ucnt"))
+    )
+    sha, shb = sh.alias("sha"), sh.alias("shb")
+    xinter = (
+        sha.join(
+            shb,
+            (F.col("sha.sh") == F.col("shb.sh"))
+            & (F.col("sha.source") < F.col("shb.source")),
+        )
+        .groupBy(
+            F.col("sha.source").alias("source_a"),
+            F.col("shb.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("xcnt"))
+    )
+    icnt = F.coalesce("icnt", F.lit(0)).cast("bigint")
+    ucnt = F.coalesce("ucnt", F.lit(0)).cast("bigint")
+    xcnt = F.coalesce("xcnt", F.lit(0)).cast("bigint")
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .join(F.broadcast(uni), ["source_a", "source_b"], "left")
+        .join(F.broadcast(xinter), ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(nex.alias("na")),
+            F.col("na.source") == F.col("source_a"),
+        )
+        .join(
+            F.broadcast(nex.alias("nb")),
+            F.col("nb.source") == F.col("source_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "theta",
+            icnt.alias("inter_retained"),
+            ucnt.alias("union_retained"),
+            (
+                icnt.cast("double")
+                * F.lit(float(_THETA_SPACE))
+                / F.col("theta").cast("double")
+            ).alias("est_inter"),
+            (
+                ucnt.cast("double")
+                * F.lit(float(_THETA_SPACE))
+                / F.col("theta").cast("double")
+            ).alias("est_union"),
+            F.when(
+                ucnt > 0, icnt.cast("double") / F.col("ucnt").cast("double")
+            ).alias("est_jaccard"),
+            xcnt.alias("exact_inter"),
+            (F.col("na.n") + F.col("nb.n") - xcnt).cast("bigint").alias("exact_union"),
+        )
+    )

@@ -94,7 +94,6 @@ _DRIVER_WINDOW = [
     "events_session_paths",
     "events_hourly_ohlc",
     "events_error_proximity",
-    "events_type_hour_pivot",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -104,6 +103,10 @@ _DRIVER_WINDOW = [
     "stream_bloom_prune",
     "corpus_bpe_train",
     "corpus_bpe_apply",
+    # NEW in r9: theta-sketch set algebra (cross-source overlap) — it
+    # displaces `events_type_hour_pivot`, which keeps its r06 green
+    # row, the every-round sweep, and 10+ events-layer kins in-window
+    "corpus_source_overlap_theta",
 ]
 
 

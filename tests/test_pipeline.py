@@ -1251,3 +1251,51 @@ def test_ewma_quantized_matches_pure_python_replay(spark):
         assert (r.n_events, r.ewma_cents, r.max_abs_dev_cents) == expected[
             (r.event_type, r.bucket_us)
         ]
+
+
+def test_corpus_source_overlap_theta_replay(spark):
+    """Bit-exact pure-Python replay of the theta-sketch set algebra:
+    per-source K-min sketches, pairwise theta = min(theta_a, theta_b),
+    retained intersection/union counts, and the exact-set audit columns
+    must all match, pair by pair. Also pins the small-set convention
+    (theta = 2^60 when a source has < K distinct shingles => estimates
+    are EXACT on the retained sets) and the set-algebra law
+    exact_union = n_a + n_b - exact_inter."""
+    import hashlib
+
+    import duckdb
+
+    from lakeview_spark.pipeline.sketch import _THETA_K, _THETA_SPACE
+
+    rows = QUERIES["corpus_source_overlap_theta"](spark, SF_DIR).collect()
+    docs = duckdb.sql(
+        f"SELECT source, lower(text) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    sets: dict[str, set] = {}
+    for source, text in docs:
+        toks = text.split(" ")
+        sets.setdefault(source, set()).update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    hv = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    hsets = {src: {hv(s) for s in shs} for src, shs in sets.items()}
+    sk = {src: set(sorted(hs)[:_THETA_K]) for src, hs in hsets.items()}
+    theta = {
+        src: _THETA_SPACE if len(hs) < _THETA_K else max(sk[src])
+        for src, hs in hsets.items()
+    }
+    assert len(rows) == len(sets) * (len(sets) - 1) // 2
+    for r in rows:
+        th = min(theta[r.source_a], theta[r.source_b])
+        ra = {h for h in sk[r.source_a] if h < th}
+        rb = {h for h in sk[r.source_b] if h < th}
+        assert r.theta == th
+        assert r.inter_retained == len(ra & rb)
+        assert r.union_retained == len(ra | rb)
+        assert r.exact_inter == len(sets[r.source_a] & sets[r.source_b])
+        assert r.exact_union == len(sets[r.source_a] | sets[r.source_b])
+        # the three edge divisions, replayed as the same double ops
+        assert r.est_inter == float(len(ra & rb)) * float(_THETA_SPACE) / float(th)
+        assert r.est_union == float(len(ra | rb)) * float(_THETA_SPACE) / float(th)
+        if len(ra | rb) > 0:
+            assert r.est_jaccard == float(len(ra & rb)) / float(len(ra | rb))

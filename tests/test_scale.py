@@ -146,6 +146,7 @@ _TINY_BROADCAST_OK = {
     "cold_customers",  # 1-row avg-balance threshold broadcast (Q22 decorrelation)
     "eval_community_modularity",  # 1-row edge-count broadcast attaches m
     "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
+    "corpus_source_overlap_theta",  # 20-row per-source sketch-stats pair join
 }
 
 
