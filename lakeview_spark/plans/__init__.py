@@ -92,7 +92,6 @@ _DRIVER_WINDOW = [
     "large_order_customers",
     "events_gapfill_locf",
     "events_session_paths",
-    "events_hourly_ohlc",
     "events_error_proximity",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
@@ -107,6 +106,11 @@ _DRIVER_WINDOW = [
     # displaces `events_type_hour_pivot`, which keeps its r06 green
     # row, the every-round sweep, and 10+ events-layer kins in-window
     "corpus_source_overlap_theta",
+    # NEW in r9: the stream-STREAM interval join (view->click
+    # attribution with join state on both sides) — displaces
+    # `events_hourly_ohlc` under the same device (r06 green row,
+    # every-round sweep, 9+ events-layer kins in-window)
+    "stream_interval_join",
 ]
 
 

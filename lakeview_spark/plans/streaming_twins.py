@@ -38,6 +38,7 @@ from lakeview_spark.streaming.pipeline_stream import (
     stream_document_dedup,
     stream_event_sessions,
     stream_embedding_neardup,
+    stream_interval_join,
     stream_quality_filter,
     stream_token_stats,
 )
@@ -656,4 +657,56 @@ def stream_quantile_sketch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bin").alias("p50_bin"),
             (F.col("bin") * F.lit(_SVH_WIDTH)).alias("p50_est"),
         )
+    )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    )
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id, c.ts_us - v.ts_us AS gap_us
+    FROM e v JOIN e c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts_us >= v.ts_us
+     AND c.ts_us <= v.ts_us + CAST(21600000000 AS BIGINT)
+    """,
+)
+def stream_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real STREAM-STREAM interval join (view->click attribution
+    within 6 h, watermarks on both sides) run to completion under
+    AvailableNow. Both sides read the same events file stream; inner
+    join in append mode emits every matched pair exactly once, and with
+    the whole table in one micro-batch no pair is watermark-dropped, so
+    the emitted set equals the batch interval join — which is exactly
+    the oracle. gap_us is integer micros (exact in both engines)."""
+    stream = _table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(events_ts_us(stream)).alias("ts"),
+        "event_type",
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = stream_interval_join(
+        views, clicks, max_gap="6 hours", watermark_delay="1 hour"
+    )
+    out = _run_available_now(joined, "append")
+    return out.select(
+        "view_id",
+        "click_id",
+        F.col("view_user").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )

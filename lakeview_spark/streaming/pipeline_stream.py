@@ -384,3 +384,40 @@ def stream_value_histogram(
             "bin_count",
         )
     )
+
+
+def stream_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "6 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM inner interval join: arriving clicks match arriving
+    views of the same user within (view_ts, view_ts + max_gap] — the
+    attribution join, with BOTH sides unbounded.
+
+    This is the one Structured Streaming operator class the stream-static
+    joins above can't express: each side buffers rows in join state and
+    the event-time range condition plus the two watermarks BOUND that
+    state — a view can stop waiting for clicks once the click-side
+    watermark passes view_ts + max_gap, and a click can stop waiting for
+    views once the view-side watermark passes click_ts. Without the
+    range condition the state grows forever; with it, state is
+    O(traffic within max_gap + delay) per side regardless of stream age
+    (the reference's reconciliation loop never re-reads history for
+    this; see SURVEY §2.9). Inner join in append mode emits each
+    matched pair exactly once, as soon as both sides have arrived.
+
+    Column contract: `views` has (view_id, view_user, view_ts),
+    `clicks` has (click_id, click_user, click_ts) — pre-renamed so the
+    self-join of one source stream carries no ambiguous names."""
+    v = views.withWatermark("view_ts", watermark_delay)
+    c = clicks.withWatermark("click_ts", watermark_delay)
+    return v.join(
+        c,
+        F.expr(
+            f"view_user = click_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {max_gap}"
+        ),
+        "inner",
+    )

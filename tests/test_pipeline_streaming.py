@@ -407,3 +407,65 @@ def test_stream_bloom_prune_bins_match_batch_audit(spark):
             b.n_definitely_new,
         )
         assert maybe >= b.n_actually_seen  # Bloom law, binned live
+
+
+def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Stream-STREAM interval join: a view arriving in micro-batch 1
+    must match a click arriving in micro-batch 2 — the pair can only
+    come from buffered join STATE, which is what separates a
+    stream-stream join from the stream-static joins elsewhere in this
+    layer. Also pins the inner-join emission set: exactly the pairs
+    with 0 <= click_ts - view_ts <= max_gap and the same user."""
+    import time
+
+    from lakeview_spark.streaming.pipeline_stream import stream_interval_join
+
+    indir = str(tmp_path / "events")
+    os.makedirs(indir)
+    b1 = f"{indir}/batch1.json"
+    b2 = f"{indir}/batch2.json"
+    with open(b1, "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 1, "ts": "2026-03-01T10:00:00.000Z", "event_type": "view"}) + "\n")
+        f.write(json.dumps({"event_id": 2, "user_id": 1, "ts": "2026-03-01T10:05:00.000Z", "event_type": "click"}) + "\n")
+        f.write(json.dumps({"event_id": 3, "user_id": 2, "ts": "2026-03-01T10:10:00.000Z", "event_type": "click"}) + "\n")
+    with open(b2, "w") as f:
+        f.write(json.dumps({"event_id": 4, "user_id": 1, "ts": "2026-03-01T11:00:00.000Z", "event_type": "click"}) + "\n")
+        f.write(json.dumps({"event_id": 5, "user_id": 3, "ts": "2026-03-01T12:00:00.000Z", "event_type": "view"}) + "\n")
+    # file source orders micro-batches by modification time — force it
+    now = time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = stream_interval_join(views, clicks, "6 hours", "1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    pairs = {
+        (r.view_id, r.click_id)
+        for r in spark.table("interval_join_sink").collect()
+    }
+    # view 1 matches click 2 (same batch) AND click 4 (NEXT batch, via
+    # join state); click 3 is another user, view 5 has no click after it
+    assert pairs == {(1, 2), (1, 4)}
