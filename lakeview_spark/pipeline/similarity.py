@@ -2104,3 +2104,178 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the third index compression next to the LSH
+# buckets and the PQ codebooks — per-DIMENSION trained min/max, one
+# uint8 code per dimension (faiss's ScalarQuantizer QT_8bit). 4x
+# smaller vectors AND integer distance arithmetic; the standard cheap
+# compression when PQ's codebook training isn't worth it.
+_SQ8_LEVELS = 255
+_SQ8_RADIUS = 1 << 16  # neighborhood-crowding radius (integer dist units)
+
+
+@register(
+    "similarity_ann_sq8",
+    oracle=f"""
+    WITH dims AS (
+      SELECT i,
+             min(CAST(embedding[i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      GROUP BY i
+    ),
+    darr AS (
+      SELECT list(mn ORDER BY i) AS mns,
+             list(CASE WHEN mx = mn THEN 1.0
+                       ELSE (mx - mn) / {float(_SQ8_LEVELS)!r} END ORDER BY i) AS ss
+      FROM dims
+    ),
+    coded AS (
+      SELECT vec_id, embedding,
+             list_transform(range(1, 65), i ->
+               least({_SQ8_LEVELS}, greatest(0, CAST(floor(
+                 (CAST(embedding[i] AS DOUBLE) - mns[i]) / ss[i]) AS BIGINT)))) AS code
+      FROM embeddings, darr
+    ),
+    stride AS (
+      SELECT greatest(count(*) // {ANN_RECALL_PROBES}, 1) AS s FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe, code AS pc
+      FROM coded, stride WHERE vec_id % s = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             list_reduce(list_transform(range(1, 65), i ->
+               (p.pc[i] - c.code[i]) * (p.pc[i] - c.code[i])),
+               (a, b) -> a + b) AS dist,
+             list_reduce(list_transform(range(1, 65), i ->
+               (CAST(p.pe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(p.pe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+               (a, b) -> a + b) AS l2
+      FROM probes p, coded c WHERE c.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, dist, l2,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rn_i,
+             row_number() OVER (PARTITION BY probe_id ORDER BY l2, vec_id) AS rn_f
+      FROM scored
+    ),
+    crowd AS (
+      SELECT probe_id, CAST(count(*) FILTER (dist <= {_SQ8_RADIUS}) AS BIGINT) AS n_within_r
+      FROM scored GROUP BY probe_id
+    )
+    SELECT i.probe_id, i.vec_id AS nn_id, i.dist AS nn_dist,
+           f.vec_id AS exact_nn_id,
+           CAST(CASE WHEN i.vec_id = f.vec_id THEN 1 ELSE 0 END AS BIGINT)
+             AS top1_match,
+           c.n_within_r
+    FROM ranked i
+    JOIN ranked f ON f.probe_id = i.probe_id AND f.rn_f = 1
+    JOIN crowd c ON c.probe_id = i.probe_id
+    WHERE i.rn_i = 1
+    """,
+)
+def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized nearest neighbor with an honest recall@1
+    audit: per-dimension min/max trained over the corpus, every vector
+    coded to 64 uint8 levels, probe queries scan the CODED corpus with
+    EXACT INTEGER squared distances, and the float-exact L2 top-1 runs
+    alongside so `top1_match` reports whether 8-bit quantization kept
+    the answer. `n_within_r` is the integer-radius neighborhood count —
+    the crowding telemetry that says whether recall losses are tie
+    collapses (dense ball) or real.
+
+    Determinism: dimension min/max of float32 values are exact doubles;
+    scale/code are one division + one floor each (correctly rounded,
+    identical both engines; a flat dimension gets scale 1.0 and code
+    0); code distances are pure BIGINT; the float L2 is the same
+    explicit left fold as every other embedding kernel here. Both
+    argmins are partial-aggregable struct-mins with vec_id tiebreaks.
+
+    Scale shape: the trainer is one posexplode + 64-group partial agg
+    collapsed to a 1-row broadcast of two 64-float arrays; coding is a
+    narrow map; the probe scan is the fixed-size probe broadcast (same
+    device as eval_ann_recall) against a single pass over the coded
+    corpus — map-side struct-min argmins, no sort, no exchange of
+    scored rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x")).groupBy(
+        "pos"
+    ).agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    darr = dims.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mn", "mx"))).alias("d")
+    ).select(
+        F.transform("d", lambda s: s.mn).alias("mns"),
+        F.transform(
+            "d",
+            lambda s: F.when(s.mx == s.mn, F.lit(1.0)).otherwise(
+                (s.mx - s.mn) / F.lit(float(_SQ8_LEVELS))
+            ),
+        ).alias("ss"),
+    )
+    coded = emb.crossJoin(F.broadcast(darr)).select(
+        "vec_id",
+        "embedding",
+        F.zip_with(
+            F.zip_with(
+                F.col("embedding"), F.col("mns"), lambda x, m: x.cast("double") - m
+            ),
+            F.col("ss"),
+            lambda v, s: F.least(
+                F.lit(_SQ8_LEVELS).cast("bigint"),
+                F.greatest(F.lit(0).cast("bigint"), F.floor(v / s)),
+            ),
+        ).alias("code"),
+    )
+    stride = max(1, corpus_n(spark, sf_dir) // ANN_RECALL_PROBES)
+    probes = coded.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("code").alias("pc"),
+    )
+    idist = F.aggregate(
+        F.zip_with("pc", "code", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    fd = F.zip_with(
+        "pe",
+        "embedding",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    l2 = F.aggregate(fd, F.lit(0.0), lambda acc, v: acc + v)
+    scored = (
+        coded.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            idist.alias("dist"),
+            l2.alias("l2"),
+        )
+    )
+    agg = scored.groupBy("probe_id").agg(
+        F.min(F.struct("dist", "vec_id")).alias("si"),
+        F.min(F.struct("l2", "vec_id")).alias("sf"),
+        F.sum(
+            F.when(F.col("dist") <= _SQ8_RADIUS, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_within_r"),
+    )
+    return agg.select(
+        "probe_id",
+        F.col("si.vec_id").alias("nn_id"),
+        F.col("si.dist").alias("nn_dist"),
+        F.col("sf.vec_id").alias("exact_nn_id"),
+        F.when(F.col("si.vec_id") == F.col("sf.vec_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top1_match"),
+        "n_within_r",
+    )

@@ -91,7 +91,6 @@ _DRIVER_WINDOW = [
     "events_anomaly_zscore",
     "large_order_customers",
     "events_gapfill_locf",
-    "events_session_paths",
     "events_error_proximity",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
@@ -111,6 +110,10 @@ _DRIVER_WINDOW = [
     # `events_hourly_ohlc` under the same device (r06 green row,
     # every-round sweep, 9+ events-layer kins in-window)
     "stream_interval_join",
+    # NEW in r9: SQ8 scalar-quantized ANN with recall@1 audit —
+    # displaces `events_session_paths` (r06 green row, every-round
+    # sweep, 8+ events-layer kins in-window)
+    "similarity_ann_sq8",
 ]
 
 

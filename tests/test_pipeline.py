@@ -1299,3 +1299,61 @@ def test_corpus_source_overlap_theta_replay(spark):
         assert r.est_union == float(len(ra | rb)) * float(_THETA_SPACE) / float(th)
         if len(ra | rb) > 0:
             assert r.est_jaccard == float(len(ra & rb)) / float(len(ra | rb))
+
+
+def test_similarity_ann_sq8_replay(spark):
+    """Pure-Python replay of the SQ8 index: per-dim min/max training,
+    uint8 coding, integer code distances, both argmins, and the
+    crowding count must match row-for-row; also pins that the coding
+    really uses the full range (some code hits 0 and some hits 255 —
+    a trained quantizer, not a degenerate one)."""
+    import duckdb
+
+    from lakeview_spark.pipeline.similarity import (
+        ANN_RECALL_PROBES,
+        _SQ8_LEVELS,
+        _SQ8_RADIUS,
+    )
+
+    rows = {r.probe_id: r for r in QUERIES["similarity_ann_sq8"](spark, SF_DIR).collect()}
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchall()
+    )
+    dims = len(next(iter(vecs.values())))
+    mns = [min(float(v[i]) for v in vecs.values()) for i in range(dims)]
+    mxs = [max(float(v[i]) for v in vecs.values()) for i in range(dims)]
+    ss = [1.0 if mxs[i] == mns[i] else (mxs[i] - mns[i]) / float(_SQ8_LEVELS) for i in range(dims)]
+
+    def code(v):
+        import math
+
+        return [
+            min(_SQ8_LEVELS, max(0, math.floor((float(v[i]) - mns[i]) / ss[i])))
+            for i in range(dims)
+        ]
+
+    codes = {vid: code(v) for vid, v in vecs.items()}
+    assert any(c == 0 for cs in codes.values() for c in cs)
+    assert any(c == _SQ8_LEVELS for cs in codes.values() for c in cs)
+    stride = max(1, len(vecs) // ANN_RECALL_PROBES)
+    probe_ids = [vid for vid in vecs if vid % stride == 0]
+    assert set(rows) == set(probe_ids)
+    for pid in probe_ids:
+        scored = []
+        for vid, v in vecs.items():
+            if vid == pid:
+                continue
+            di = sum((a - b) * (a - b) for a, b in zip(codes[pid], codes[vid]))
+            lf = 0.0
+            for a, b in zip(vecs[pid], v):
+                d = float(a) - float(b)
+                lf = lf + d * d
+            scored.append((vid, di, lf))
+        nn_id, nn_dist, _ = min(scored, key=lambda s: (s[1], s[0]))
+        exact_id = min(scored, key=lambda s: (s[2], s[0]))[0]
+        r = rows[pid]
+        assert (r.nn_id, r.nn_dist, r.exact_nn_id) == (nn_id, nn_dist, exact_id)
+        assert r.top1_match == int(nn_id == exact_id)
+        assert r.n_within_r == sum(1 for s in scored if s[1] <= _SQ8_RADIUS)
