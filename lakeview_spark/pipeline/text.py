@@ -294,3 +294,79 @@ def _pii_scrub_col(body: F.Column) -> F.Column:
         _PII_IP,
         "<IP>",
     )
+
+
+@register(
+    "text_surprisal_bits",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (
+      SELECT CAST(length(printf('%b', count(*))) AS BIGINT) AS bln FROM tok
+    ),
+    perdoc AS (
+      SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+             CAST(sum(length(printf('%b', v.c))) AS BIGINT) AS sum_blc
+      FROM tok t JOIN vocab v USING (token)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens * bln - sum_blc AS BIGINT) AS total_bits,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(n_tokens * bln - sum_blc AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS mean_bits
+    FROM perdoc, tot
+    """,
+)
+def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring in exact INTEGER bit-length space —
+    the perplexity-proxy quality filter (low mean surprisal = stock
+    phrasing / boilerplate-heavy, high = rare-token-dense or noise)
+    without touching log()/exp(), which are not correctly rounded and
+    so can never be oracle-exact. Device: floor(log2(x)) ==
+    bitlength(x) - 1 exactly, so token surprisal -log2(c/N) is
+    approximated by bitlength(N) - bitlength(c) (within 1 bit), and a
+    document's total stays in BIGINT: total_bits = n_tokens *
+    bitlength(N) - sum(bitlength(c)). One guarded double division at
+    the edge for the per-token mean.
+
+    Scale shape: vocabulary count is one partial-aggregable groupBy;
+    the count join back to the occurrence stream is token-keyed equi
+    (vocabulary-sized build side); the corpus total enters as a 1-row
+    broadcast AFTER the per-doc aggregation, so the big stream crosses
+    one shuffle (doc grouping) total."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tok.agg(
+        F.length(F.bin(F.count("*"))).cast("bigint").alias("bln")
+    )
+    perdoc = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.length(F.bin("c"))).cast("bigint").alias("sum_blc"),
+        )
+    )
+    total_bits = (F.col("n_tokens") * F.col("bln") - F.col("sum_blc")).cast(
+        "bigint"
+    )
+    return perdoc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        total_bits.alias("total_bits"),
+        F.when(
+            F.col("n_tokens") > 0,
+            total_bits.cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("mean_bits"),
+    )

@@ -91,7 +91,6 @@ _DRIVER_WINDOW = [
     "events_anomaly_zscore",
     "large_order_customers",
     "events_gapfill_locf",
-    "events_error_proximity",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -114,6 +113,10 @@ _DRIVER_WINDOW = [
     # displaces `events_session_paths` (r06 green row, every-round
     # sweep, 8+ events-layer kins in-window)
     "similarity_ann_sq8",
+    # NEW in r9: integer bit-length surprisal scoring — displaces
+    # `events_error_proximity` (r06 green row, every-round sweep, 7+
+    # events-layer kins in-window)
+    "text_surprisal_bits",
 ]
 
 

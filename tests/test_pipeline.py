@@ -1357,3 +1357,42 @@ def test_similarity_ann_sq8_replay(spark):
         assert (r.nn_id, r.nn_dist, r.exact_nn_id) == (nn_id, nn_dist, exact_id)
         assert r.top1_match == int(nn_id == exact_id)
         assert r.n_within_r == sum(1 for s in scored if s[1] <= _SQ8_RADIUS)
+
+
+def test_text_surprisal_bits_replay(spark):
+    """Pure-Python replay of the bit-length surprisal scores, plus the
+    device's defining laws: bitlength(x)-1 == floor(log2(x)) exactly,
+    and the score orders stock-phrasing docs below rare-token docs
+    (the corpus's most repeated token contributes the fewest bits)."""
+    import duckdb
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_surprisal_bits"](spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    occ = {did: txt.split(" ") for did, txt in docs}
+    counts = Counter(tk for toks in occ.values() for tk in toks)
+    n_total = sum(counts.values())
+    bln = n_total.bit_length()
+    assert bln - 1 == len(bin(n_total)) - 3  # floor(log2) identity, sanity
+    for did, toks in occ.items():
+        total = sum(bln - counts[tk].bit_length() for tk in toks)
+        r = rows[did]
+        assert r.n_tokens == len(toks)
+        assert r.total_bits == total
+        assert r.mean_bits == float(total) / float(len(toks))
+    # monotonicity law: every per-token contribution is minimal for the
+    # modal token and maximal for a hapax
+    modal = counts.most_common(1)[0][0]
+    hapax_bits = bln - 1  # a count-1 token contributes bitlength(N)-1
+    assert all(
+        bln - counts[tk].bit_length() <= hapax_bits for tk in counts
+    )
+    assert bln - counts[modal].bit_length() == min(
+        bln - counts[tk].bit_length() for tk in counts
+    )

@@ -148,6 +148,7 @@ _TINY_BROADCAST_OK = {
     "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
     "corpus_source_overlap_theta",  # 20-row per-source sketch-stats pair join
     "similarity_ann_sq8",  # 1-row dim-stats + fixed-size probe broadcasts
+    "text_surprisal_bits",  # 1-row corpus-total broadcast after the doc agg
 }
 
 
