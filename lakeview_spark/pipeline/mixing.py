@@ -13,7 +13,7 @@ shuffle — the only exchange here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeview_spark.plans.registry import register, t
@@ -408,3 +408,157 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return keyed.orderBy("priority", "doc_id").limit(_PRIORITY_K)
+
+
+@register(
+    "mix_curriculum_schedule",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (
+      SELECT CAST(length(printf('%b', count(*))) AS BIGINT) AS bln FROM tok
+    ),
+    perdoc AS (
+      SELECT t.doc_id, t.source, count(*) AS n_tokens,
+             CAST(sum(length(printf('%b', v.c))) AS BIGINT) AS sum_blc
+      FROM tok t JOIN vocab v USING (token)
+      GROUP BY 1, 2
+    ),
+    diff AS (
+      SELECT doc_id, source, n_tokens * bln - sum_blc AS dkey
+      FROM perdoc, tot
+    ),
+    rng AS (SELECT min(dkey) AS mn, max(dkey) AS mx, count(*) AS nd FROM diff),
+    binned AS (
+      SELECT d.doc_id, d.source, d.dkey,
+             ((d.dkey - mn) * 255) // greatest(mx - mn, 1) AS bin
+      FROM diff d, rng
+    ),
+    bins AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bins
+    ),
+    thr AS (
+      SELECT min(CASE WHEN 4 * cum >= 1 * nd THEN bin END) AS t1,
+             min(CASE WHEN 4 * cum >= 2 * nd THEN bin END) AS t2,
+             min(CASE WHEN 4 * cum >= 3 * nd THEN bin END) AS t3
+      FROM cum, rng
+    ),
+    staged AS (
+      SELECT b.doc_id, b.source, b.dkey,
+             CAST(CASE WHEN b.bin > t1 THEN 1 ELSE 0 END
+                + CASE WHEN b.bin > t2 THEN 1 ELSE 0 END
+                + CASE WHEN b.bin > t3 THEN 1 ELSE 0 END AS BIGINT) AS stage
+      FROM binned b, thr
+    ),
+    sched AS (
+      SELECT doc_id, source, dkey, stage,
+             CAST(row_number() OVER (PARTITION BY stage, source
+                                     ORDER BY dkey, doc_id) AS BIGINT) AS ris
+      FROM staged
+    )
+    SELECT doc_id, source, stage, dkey AS difficulty_key,
+           ris AS round_in_stage,
+           (stage << 60) + (ris << 10)
+             + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+             AS position_key
+    FROM sched
+    """,
+)
+def mix_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: every document gets a strictly
+    ordering BIGINT `position_key` that sequences the corpus
+    easiest -> hardest in four difficulty stages, round-robin
+    interleaved across sources within each stage (so no stage opens
+    with a single-source run — the mixing requirement curriculum
+    papers and practice share).
+
+    Difficulty is the document's TOTAL bit-length surprisal
+    (text_surprisal_bits's device, un-normalized) — rarity-weighted
+    length, i.e. the short-and-stock -> long-and-rare axis
+    length-curriculum training uses; pure BIGINT. Stages are
+    QUARTILES WITHOUT A GLOBAL SORT: difficulty maps to a 256-bin
+    integer histogram (1-row min/max broadcast), the 256-row cumulative
+    bin table yields the three thresholds by the exact integer compare
+    4*cum >= q*n (no division), and each doc's stage is two broadcast
+    compares. Interleaving is row_number per (stage, source) — window
+    partitions are per-source-per-stage, never global — and the final
+    key is closed-form arithmetic (stage<<60 | round<<10 | source id),
+    so NO operator ever total-orders the corpus; a trainer materializes
+    the schedule with a range sort on position_key (or writes it
+    bucketed by stage) as the one optional edge exchange.
+
+    Approximation note: stage boundaries land on histogram-bin edges,
+    not exact quartile ranks — the standard trade (documented, exact in
+    both engines) that keeps stage assignment one pass."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.length(F.bin(F.count("*"))).cast("bigint").alias("bln"))
+    perdoc = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.length(F.bin("c"))).cast("bigint").alias("sum_blc"),
+        )
+    )
+    diff = perdoc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        (F.col("n_tokens") * F.col("bln") - F.col("sum_blc")).alias("dkey"),
+    )
+    rng = diff.agg(
+        F.min("dkey").alias("mn"),
+        F.max("dkey").alias("mx"),
+        F.count("*").alias("nd"),
+    )
+    binned = diff.crossJoin(F.broadcast(rng)).withColumn(
+        "bin", F.expr("((dkey - mn) * 255) div greatest(mx - mn, 1)")
+    )
+    bins = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w_cum))
+    thr = cum.crossJoin(F.broadcast(rng)).agg(
+        F.min(F.when(4 * F.col("cum") >= 1 * F.col("nd"), F.col("bin"))).alias("t1"),
+        F.min(F.when(4 * F.col("cum") >= 2 * F.col("nd"), F.col("bin"))).alias("t2"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("nd"), F.col("bin"))).alias("t3"),
+    )
+    staged = binned.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "source",
+        "dkey",
+        (
+            (F.col("bin") > F.col("t1")).cast("bigint")
+            + (F.col("bin") > F.col("t2")).cast("bigint")
+            + (F.col("bin") > F.col("t3")).cast("bigint")
+        ).alias("stage"),
+    )
+    w_rr = Window.partitionBy("stage", "source").orderBy("dkey", "doc_id")
+    sched = staged.withColumn(
+        "ris", F.row_number().over(w_rr).cast("bigint")
+    )
+    src_num = F.expr(
+        "try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)"
+    )
+    return sched.select(
+        "doc_id",
+        "source",
+        "stage",
+        F.col("dkey").alias("difficulty_key"),
+        F.col("ris").alias("round_in_stage"),
+        (
+            F.shiftleft(F.col("stage"), 60)
+            + F.shiftleft(F.col("ris"), 10)
+            + src_num
+        ).alias("position_key"),
+    )

@@ -90,7 +90,6 @@ _DRIVER_WINDOW = [
     "brand_supplier_breadth",
     "events_anomaly_zscore",
     "large_order_customers",
-    "events_gapfill_locf",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -117,6 +116,11 @@ _DRIVER_WINDOW = [
     # `events_error_proximity` (r06 green row, every-round sweep, 7+
     # events-layer kins in-window)
     "text_surprisal_bits",
+    # NEW in r9: curriculum training order (histogram-quartile stages,
+    # source round-robin, closed-form position key) — displaces
+    # `events_gapfill_locf` (r06 green row, every-round sweep, 6+
+    # events-layer kins in-window)
+    "mix_curriculum_schedule",
 ]
 
 

@@ -241,3 +241,71 @@ def test_priority_sample_matches_pure_python_replay(spark):
     corpus_mean = sum(k[3] for k in keyed) / len(keyed)
     sample_mean = sum(k[3] for k in expected) / len(expected)
     assert sample_mean > corpus_mean
+
+
+def test_mix_curriculum_schedule_replay_and_laws(spark):
+    """Full pure-Python replay of the curriculum (surprisal difficulty,
+    histogram-quartile stages, per-(stage, source) round-robin ranks,
+    closed-form position key), plus the laws that make it a curriculum:
+    position_key is unique and orders exactly by (stage, round, source
+    id); difficulty is strictly non-decreasing across stage boundaries;
+    and within a stage every source's round r precedes every source's
+    round r+1 (the interleave guarantee)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from lakeview_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["mix_curriculum_schedule"](spark, sf).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, lower(text) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    occ = {did: (src, txt.split(" ")) for did, src, txt in docs}
+    counts = Counter(tk for _, toks in occ.values() for tk in toks)
+    n_total = sum(counts.values())
+    bln = n_total.bit_length()
+    dkey = {
+        did: sum(bln - counts[tk].bit_length() for tk in toks)
+        for did, (_, toks) in occ.items()
+    }
+    mn, mx, nd = min(dkey.values()), max(dkey.values()), len(dkey)
+    bins = {did: ((k - mn) * 255) // max(mx - mn, 1) for did, k in dkey.items()}
+    cum, thr, c = 0, [], Counter(bins.values())
+    want = [1, 2, 3]
+    for b in sorted(set(bins.values())):
+        cum += c[b]
+        while want and 4 * cum >= want[0] * nd:
+            thr.append(b)
+            want.pop(0)
+    stage = {did: sum(b > t for t in thr) for did, b in bins.items()}
+    ris = {}
+    for (st, src), group in __import__("itertools").groupby(
+        sorted(occ, key=lambda d: (stage[d], occ[d][0], dkey[d], d)),
+        key=lambda d: (stage[d], occ[d][0]),
+    ):
+        for i, did in enumerate(group, 1):
+            ris[did] = i
+    byid = {r.doc_id: r for r in rows}
+    assert set(byid) == set(occ)
+    for did, r in byid.items():
+        src_num = int(re.search(r"[0-9]+", occ[did][0]).group())
+        assert r.stage == stage[did]
+        assert r.difficulty_key == dkey[did]
+        assert r.round_in_stage == ris[did]
+        assert r.position_key == (stage[did] << 60) + (ris[did] << 10) + src_num
+    # laws
+    keys = [r.position_key for r in rows]
+    assert len(set(keys)) == len(keys)
+    order = sorted(rows, key=lambda r: r.position_key)
+    assert [(r.stage, r.round_in_stage) for r in order] == sorted(
+        (r.stage, r.round_in_stage) for r in rows
+    )
+    stages_present = {r.stage for r in rows}
+    assert stages_present == {0, 1, 2, 3}
+    for s in range(3):
+        lo = [r.difficulty_key for r in rows if r.stage == s]
+        hi = [r.difficulty_key for r in rows if r.stage == s + 1]
+        assert max(lo) < min(hi)

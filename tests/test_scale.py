@@ -149,6 +149,7 @@ _TINY_BROADCAST_OK = {
     "corpus_source_overlap_theta",  # 20-row per-source sketch-stats pair join
     "similarity_ann_sq8",  # 1-row dim-stats + fixed-size probe broadcasts
     "text_surprisal_bits",  # 1-row corpus-total broadcast after the doc agg
+    "mix_curriculum_schedule",  # 1-row total/range/threshold broadcasts
 }
 
 
