@@ -89,7 +89,6 @@ _DRIVER_WINDOW = [
     "customer_order_distribution",
     "brand_supplier_breadth",
     "events_anomaly_zscore",
-    "large_order_customers",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -121,6 +120,11 @@ _DRIVER_WINDOW = [
     # `events_gapfill_locf` (r06 green row, every-round sweep, 6+
     # events-layer kins in-window)
     "mix_curriculum_schedule",
+    # NEW in r9: z-order layout telemetry (the registered twin of the
+    # fs-based zorder_write/file_pruning_stats pair) — displaces
+    # `large_order_customers` (r06 green row, every-round sweep, 5+
+    # star-join kins in-window)
+    "layout_zorder_stats",
 ]
 
 

@@ -99,3 +99,66 @@ def test_zorder_four_dims_fits_signed_long(spark, tmp_path):
     out = str(tmp_path / "z4")
     zorder_write(df, ["c0", "c1", "c2", "c3"], out, n_files=4)
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_layout_zorder_stats_replay_and_pruning_win(spark):
+    """Pure-Python replay of the z-order telemetry query (range
+    normalization, Morton interleave, both bucketings, exact spans) and
+    the claim it exists to measure: mean bounding-box area per bucket
+    is materially smaller under z-order than under time-linear
+    bucketing, while linear keeps near-full user spans."""
+    import duckdb
+
+    from lakeview_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["layout_zorder_stats"](spark, sf).collect()
+    evs = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    umn, umx = min(u for u, _ in evs), max(u for u, _ in evs)
+    vmn, vmx = min(v for _, v in evs), max(v for _, v in evs)
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    boxes: dict = {}
+    for u, v in evs:
+        nu = ((u - umn) * 65535) // max(umx - umn, 1)
+        nv = ((v - vmn) * 65535) // max(vmx - vmn, 1)
+        z = interleave(nu, nv)
+        for key in (("zorder", z // 4194304), ("linear", nv // 64)):
+            st = boxes.setdefault(key, [0, nu, nu, nv, nv])
+            st[0] += 1
+            st[1], st[2] = min(st[1], nu), max(st[2], nu)
+            st[3], st[4] = min(st[3], nv), max(st[4], nv)
+    assert {(r.layout, r.bucket) for r in rows} == set(boxes)
+    for r in rows:
+        n, numn, numx, nvmn, nvmx = boxes[(r.layout, r.bucket)]
+        assert (r.n_rows, r.u_span, r.v_span) == (n, numx - numn, nvmx - nvmn)
+    # the pruning win. NOT mean box area — 1024 buckets partition the
+    # same 65536^2 space under either layout, so mean area is
+    # layout-invariant. The win is the SHAPE: z-order bounds the user
+    # span per bucket (linear buckets span every user), so a query box
+    # constrained in BOTH dimensions intersects far fewer buckets.
+    def mean_span(layout, field):
+        sel = [getattr(r, field) for r in rows if r.layout == layout]
+        return sum(sel) / len(sel)
+
+    assert mean_span("zorder", "u_span") < 0.1 * mean_span("linear", "u_span")
+    # a centered 4096x4096 query box under min/max pruning
+    lo, hi = 30720, 34816
+    def buckets_hit(layout):
+        # replay per-bucket boxes (exact), count intersecting buckets
+        return sum(
+            1
+            for (lay, _), (_, numn, numx, nvmn, nvmx) in boxes.items()
+            if lay == layout and numx >= lo and numn <= hi
+            and nvmx >= lo and nvmn <= hi
+        )
+
+    assert buckets_hit("zorder") < buckets_hit("linear")

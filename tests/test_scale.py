@@ -150,6 +150,7 @@ _TINY_BROADCAST_OK = {
     "similarity_ann_sq8",  # 1-row dim-stats + fixed-size probe broadcasts
     "text_surprisal_bits",  # 1-row corpus-total broadcast after the doc agg
     "mix_curriculum_schedule",  # 1-row total/range/threshold broadcasts
+    "layout_zorder_stats",  # 1-row min/max range broadcast for normalization
 }
 
 
