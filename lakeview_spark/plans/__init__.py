@@ -88,7 +88,6 @@ _DRIVER_WINDOW = [
     "priority_by_orderpriority",
     "customer_order_distribution",
     "brand_supplier_breadth",
-    "events_anomaly_zscore",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -125,6 +124,11 @@ _DRIVER_WINDOW = [
     # `large_order_customers` (r06 green row, every-round sweep, 5+
     # star-join kins in-window)
     "layout_zorder_stats",
+    # NEW in r9: LEFT OUTER stream-stream interval join (watermark-timed
+    # NULL emission, the tie rule pinned empirically) — displaces
+    # `events_anomaly_zscore` (r06 green row, every-round sweep, 6+
+    # events-layer kins in-window)
+    "stream_interval_join_outer",
 ]
 
 

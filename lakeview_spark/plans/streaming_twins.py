@@ -710,3 +710,69 @@ def stream_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_user").alias("user_id"),
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ),
+    v AS (SELECT event_id AS view_id, user_id, ts_us FROM e WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+    wm AS (
+      SELECT least((SELECT max(ts_us) FROM v), (SELECT max(ts_us) FROM c))
+             - CAST(3600000000 AS BIGINT) AS w
+    ),
+    m AS (
+      SELECT v.view_id, v.user_id, c.click_id, c.ts_us - v.ts_us AS gap_us
+      FROM v JOIN c
+        ON v.user_id = c.user_id
+       AND c.ts_us >= v.ts_us
+       AND c.ts_us <= v.ts_us + CAST(21600000000 AS BIGINT)
+    )
+    SELECT view_id, user_id, click_id, gap_us FROM m
+    UNION ALL
+    SELECT v.view_id, v.user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM v, wm
+    WHERE v.ts_us + CAST(21600000000 AS BIGINT) < w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+    """,
+)
+def stream_interval_join_outer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: everything the inner twin
+    emits PLUS one NULL-click row per never-clicked view whose join
+    state expired — the outer results are WATERMARK-TIMED, the distinct
+    semantics this twin exists to prove. The oracle encodes the
+    empirically pinned emission rule (see stream_interval_join's
+    docstring): NULL rows are exactly the unmatched views with
+    view_ts + 6h strictly below the final watermark (min of the two
+    sides' max event time, minus the 1 h delay); unmatched views whose
+    window is still open at query end never emit."""
+    stream = _table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(events_ts_us(stream)).alias("ts"),
+        "event_type",
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = stream_interval_join(
+        views, clicks, max_gap="6 hours", watermark_delay="1 hour", how="leftOuter"
+    )
+    out = _run_available_now(joined, "append")
+    return out.select(
+        "view_id",
+        F.col("view_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )

@@ -391,6 +391,7 @@ def stream_interval_join(
     clicks: DataFrame,
     max_gap: str = "6 hours",
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner interval join: arriving clicks match arriving
     views of the same user within (view_ts, view_ts + max_gap] — the
@@ -410,7 +411,16 @@ def stream_interval_join(
 
     Column contract: `views` has (view_id, view_user, view_ts),
     `clicks` has (click_id, click_user, click_ts) — pre-renamed so the
-    self-join of one source stream carries no ambiguous names."""
+    self-join of one source stream carries no ambiguous names.
+
+    `how="leftOuter"` adds the never-clicked audit rows: a view whose
+    state EXPIRES unmatched emits once with NULL click columns. The
+    emission rule, pinned empirically (r9 probe): NULL emits iff
+    view_ts + max_gap < watermark STRICTLY (the == tie stays in state
+    and never emits), where the global watermark is min over both
+    sides' max event time minus the delay — outer results are
+    watermark-timed, which is exactly why the range condition is
+    mandatory for outer stream-stream joins."""
     v = views.withWatermark("view_ts", watermark_delay)
     c = clicks.withWatermark("click_ts", watermark_delay)
     return v.join(
@@ -419,5 +429,5 @@ def stream_interval_join(
             f"view_user = click_user AND click_ts >= view_ts "
             f"AND click_ts <= view_ts + interval {max_gap}"
         ),
-        "inner",
+        how,
     )

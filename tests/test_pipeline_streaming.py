@@ -469,3 +469,61 @@ def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
     # view 1 matches click 2 (same batch) AND click 4 (NEXT batch, via
     # join state); click 3 is another user, view 5 has no click after it
     assert pairs == {(1, 2), (1, 4)}
+
+
+def test_stream_interval_join_outer_emission_rule(spark, tmp_path):
+    """Pins the watermark-timed outer-emission semantics the
+    stream_interval_join_outer oracle encodes: an unmatched view emits
+    a NULL-click row iff view_ts + max_gap < final watermark STRICTLY
+    (the == tie stays in state and never emits; an unmatched view whose
+    window is still open never emits; matches emit normally, including
+    the click_ts == view_ts boundary)."""
+    from lakeview_spark.streaming.pipeline_stream import stream_interval_join
+
+    indir = str(tmp_path / "events")
+    os.makedirs(indir)
+    rows = [
+        # window [00:00, 06:00] closes before watermark 11:00 -> NULL row
+        {"event_id": 1, "user_id": 1, "ts": "2026-03-01T00:00:00.000Z", "event_type": "view"},
+        # window end 11:00 == watermark -> tie, NOT emitted
+        {"event_id": 2, "user_id": 2, "ts": "2026-03-02T05:00:00.000Z", "event_type": "view"},
+        # window end 12:00 > watermark -> still open, NOT emitted
+        {"event_id": 3, "user_id": 3, "ts": "2026-03-02T06:00:00.000Z", "event_type": "view"},
+        # matched normally
+        {"event_id": 4, "user_id": 4, "ts": "2026-03-01T01:00:00.000Z", "event_type": "view"},
+        {"event_id": 5, "user_id": 4, "ts": "2026-03-01T02:00:00.000Z", "event_type": "click"},
+        # watermark drivers on both sides (max ts 12:00, delay 1h -> 11:00),
+        # matched at the click_ts == view_ts boundary (gap 0)
+        {"event_id": 6, "user_id": 9, "ts": "2026-03-02T12:00:00.000Z", "event_type": "click"},
+        {"event_id": 7, "user_id": 9, "ts": "2026-03-02T12:00:00.000Z", "event_type": "view"},
+    ]
+    with open(f"{indir}/b.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string"
+    ).json(indir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = stream_interval_join(views, clicks, "6 hours", "1 hour", how="leftOuter")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("outer_rule_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.table("outer_rule_sink").collect()
+    }
+    assert got == {(1, None), (4, 5), (7, 6)}
