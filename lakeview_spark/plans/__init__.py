@@ -87,7 +87,6 @@ _DRIVER_WINDOW = [
     "returned_items",
     "priority_by_orderpriority",
     "customer_order_distribution",
-    "brand_supplier_breadth",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -129,6 +128,10 @@ _DRIVER_WINDOW = [
     # `events_anomaly_zscore` (r06 green row, every-round sweep, 6+
     # events-layer kins in-window)
     "stream_interval_join_outer",
+    # NEW in r9: DSIR importance selection (bigram bit-length LLR) —
+    # displaces `brand_supplier_breadth` (r06 green row, every-round
+    # sweep, 4+ star-join kins in-window)
+    "sample_dsir_select",
 ]
 
 

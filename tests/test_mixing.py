@@ -309,3 +309,54 @@ def test_mix_curriculum_schedule_replay_and_laws(spark):
         lo = [r.difficulty_key for r in rows if r.stage == s]
         hi = [r.difficulty_key for r in rows if r.stage == s + 1]
         assert max(lo) < min(hi)
+
+
+def test_sample_dsir_select_replay_and_target_affinity(spark):
+    """Pure-Python replay of the DSIR importance scores and the
+    selection; plus the law the op exists for: the target domain
+    (lang='en') dominates the kept set, and the kept set is exactly the
+    top-K under the (importance desc, doc_id) total order."""
+    from collections import Counter
+
+    import duckdb
+
+    from lakeview_spark.pipeline.mixing import _DSIR_KEEP
+    from lakeview_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["sample_dsir_select"](spark, sf).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, lower(text) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    def bigrams(toks):
+        return [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+
+    occ = {did: (lang, bigrams(txt.split(" "))) for did, lang, txt in docs}
+    cs = Counter(b for _, feats in occ.values() for b in feats)
+    ct = Counter(
+        b for lang, feats in occ.values() if lang == "en" for b in feats
+    )
+    ns, nt, v = sum(cs.values()), sum(ct.values()), len(cs)
+
+    def bl(x):
+        return x.bit_length()
+
+    imp = {
+        did: sum(
+            bl(ct.get(b, 0) + 1) - bl(cs[b] + 1) + bl(ns + v) - bl(nt + v)
+            for b in feats
+        )
+        for did, (_, feats) in occ.items()
+    }
+    want = sorted(occ, key=lambda d: (-imp[d], d))[:_DSIR_KEEP]
+    assert {r.doc_id for r in rows} == set(want)
+    for r in rows:
+        assert r.importance_bits == imp[r.doc_id]
+        assert r.n_feats == len(occ[r.doc_id][1])
+        assert r.bits_per_feat == float(imp[r.doc_id]) / float(len(occ[r.doc_id][1]))
+    # target affinity: en docs are ~38% of the corpus but must dominate
+    # the selection
+    frac_en = sum(1 for r in rows if r.lang == "en") / len(rows)
+    corpus_en = sum(1 for lang, _ in occ.values() if lang == "en") / len(occ)
+    assert frac_en > corpus_en
+    assert frac_en >= 0.5

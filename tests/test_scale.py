@@ -151,6 +151,7 @@ _TINY_BROADCAST_OK = {
     "text_surprisal_bits",  # 1-row corpus-total broadcast after the doc agg
     "mix_curriculum_schedule",  # 1-row total/range/threshold broadcasts
     "layout_zorder_stats",  # 1-row min/max range broadcast for normalization
+    "sample_dsir_select",  # 1-row model-constants broadcast (N_S, N_T, V)
 }
 
 
