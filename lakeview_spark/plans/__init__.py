@@ -86,7 +86,6 @@ _DRIVER_WINDOW = [
     "shipping_priority",
     "returned_items",
     "priority_by_orderpriority",
-    "customer_order_distribution",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -132,6 +131,10 @@ _DRIVER_WINDOW = [
     # displaces `brand_supplier_breadth` (r06 green row, every-round
     # sweep, 4+ star-join kins in-window)
     "sample_dsir_select",
+    # NEW in r9: chained stateful streaming (session_window -> daily
+    # window in one query) — displaces `customer_order_distribution`
+    # (r06 green row, every-round sweep, 3+ star-join kins in-window)
+    "stream_session_daily_rollup",
 ]
 
 

@@ -776,3 +776,66 @@ def stream_interval_join_outer_twin(spark: SparkSession, sf_dir: str) -> DataFra
         "click_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+@register(
+    "stream_session_daily_rollup",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    mx AS (SELECT max(ts_us) AS max_us FROM e),
+    lagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    ),
+    agg AS (
+      SELECT user_id, sid, min(ts_us) AS s_start,
+             max(ts_us) + 1800000000 AS s_end, count(*) AS events
+      FROM sess GROUP BY user_id, sid
+    ),
+    flushed AS (
+      SELECT * FROM agg, mx WHERE s_end <= max_us - 3600000000
+    ),
+    daily AS (
+      SELECT (s_end // 86400000000) * 86400000000 AS day_start_us,
+             CAST(count(*) AS BIGINT) AS sessions,
+             CAST(sum(events) AS BIGINT) AS tot_events
+      FROM flushed GROUP BY 1
+    )
+    SELECT day_start_us, sessions, tot_events FROM daily, mx
+    WHERE day_start_us + 86400000000 <= max_us - 3600000000
+    """,
+)
+def stream_session_daily_rollup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained-stateful pipeline (session_window -> daily window)
+    run to completion under AvailableNow. Emitted rows are the daily
+    buckets whose end passed the final watermark, each counting exactly
+    the sessions that FLUSHED (session end + gap <= watermark) whose
+    session END falls in that day — `window(win, bucket)` assigns a
+    window-struct input by its END, not its start (pinned empirically
+    r9: end-bucketing reproduces the stream bit-for-bit, start-
+    bucketing differs on every midnight-crossing session). The oracle
+    replays both closure rules on the batch lag/running-sum
+    sessionization."""
+    from lakeview_spark.streaming.pipeline_stream import stream_session_rollup
+
+    stream = _table_stream(spark, sf_dir, "events")
+    e = stream.select(
+        "user_id", F.timestamp_micros(events_ts_us(stream)).alias("ts")
+    )
+    daily = stream_session_rollup(
+        e, gap="30 minutes", watermark_delay="1 hour", bucket="1 day"
+    )
+    out = _run_available_now(daily, "append")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("day_start_us"),
+        F.col("sessions").cast("bigint").alias("sessions"),
+        F.col("tot_events").cast("bigint").alias("tot_events"),
+    )

@@ -431,3 +431,33 @@ def stream_interval_join(
         ),
         how,
     )
+
+
+def stream_session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """CHAINED stateful streaming: session_window -> tumbling-window
+    rollup in ONE query (sessions close as the watermark passes, then
+    flow into a daily aggregate that closes the same way) — the
+    multiple-stateful-operator pipeline Spark supports since 3.4/4.x.
+    The load-bearing detail: the downstream groupBy consumes the
+    session WINDOW STRUCT itself (`window(win, bucket)`), which carries
+    the event-time metadata forward; re-watermarking a scalar column
+    instead marks every flushed session late against the already-
+    advanced global watermark and silently emits nothing (probed
+    empirically, r9).
+
+    State: open sessions (first operator) + open buckets (second),
+    both watermark-evicted — never stream-age-proportional."""
+    sess = (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("events"))
+    )
+    return sess.groupBy(F.window(F.col("win"), bucket).alias("w")).agg(
+        F.count("*").alias("sessions"),
+        F.sum("events").alias("tot_events"),
+    )

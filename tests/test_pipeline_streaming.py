@@ -527,3 +527,54 @@ def test_stream_interval_join_outer_emission_rule(spark, tmp_path):
         for r in spark.table("outer_rule_sink").collect()
     }
     assert got == {(1, None), (4, 5), (7, 6)}
+
+
+def test_stream_session_rollup_chains_and_buckets_by_session_end(spark, tmp_path):
+    """Chained stateful streaming (session_window -> daily window) on a
+    crafted stream: pins that (a) the chain emits through BOTH stateful
+    operators under AvailableNow, and (b) window(win, bucket) assigns a
+    session by its END — the midnight-crossing session here must land
+    in day 2, not day 1 (start-bucketing would put it in day 1)."""
+    from lakeview_spark.streaming.pipeline_stream import stream_session_rollup
+
+    indir = str(tmp_path / "events")
+    os.makedirs(indir)
+    rows = [
+        # user 1: one session fully inside day 1 (2 events)
+        {"event_id": 1, "user_id": 1, "ts": "2026-03-01T10:00:00.000Z"},
+        {"event_id": 2, "user_id": 1, "ts": "2026-03-01T10:10:00.000Z"},
+        # user 2: session CROSSING midnight — starts day 1, last event
+        # 00:10 day 2, end = 00:40 day 2 -> must count in day 2
+        {"event_id": 3, "user_id": 2, "ts": "2026-03-01T23:50:00.000Z"},
+        {"event_id": 4, "user_id": 2, "ts": "2026-03-02T00:10:00.000Z"},
+        # watermark driver: advances watermark past day 2 (max - 1h),
+        # its own session stays open/unflushed in day 3
+        {"event_id": 5, "user_id": 9, "ts": "2026-03-03T12:00:00.000Z"},
+    ]
+    with open(f"{indir}/b.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).json(indir)
+    daily = stream_session_rollup(
+        stream.select("user_id", "ts"),
+        gap="30 minutes",
+        watermark_delay="1 hour",
+        bucket="1 day",
+    )
+    q = (
+        daily.writeStream.format("memory")
+        .queryName("chain_rule_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {
+        str(r.w.start)[:10]: (r.sessions, r.tot_events)
+        for r in spark.table("chain_rule_sink").collect()
+    }
+    # day 1: only user 1's session; day 2: the midnight-crosser; the
+    # watermark driver's open session never flushes
+    assert got == {"2026-03-01": (1, 2), "2026-03-02": (1, 2)}
