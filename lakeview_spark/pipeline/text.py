@@ -370,3 +370,82 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             total_bits.cast("double") / F.col("n_tokens").cast("double"),
         ).alias("mean_bits"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    ),
+    df AS (
+      SELECT bg, count(DISTINCT doc_id) AS docs_with FROM feat GROUP BY bg
+    ),
+    perdoc AS (
+      SELECT f.doc_id, f.lang,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT f.bg) AS BIGINT) AS n_distinct,
+             CAST(count(DISTINCT CASE WHEN d.docs_with = 1 THEN f.bg END)
+                  AS BIGINT) AS n_unique
+      FROM feat f JOIN df d USING (bg)
+      GROUP BY f.doc_id, f.lang
+    )
+    SELECT doc_id, lang, n_bigrams, n_distinct, n_unique,
+           CASE WHEN n_distinct > 0 THEN
+             CAST(n_unique AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+           END AS novelty
+    FROM perdoc
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    bigrams that appear in NO other document (document frequency 1) —
+    the leave-one-out memorization/contamination telemetry a training
+    pipeline reads next to the dedup reports. novelty ~ 1 means the doc
+    is compositionally fresh; novelty ~ 0 means everything in it
+    already exists elsewhere (boilerplate, template spin, near-dup
+    leakage that survived exact dedup). Pure integers until the one
+    guarded edge division.
+
+    Scale shape: one bigram document-frequency count (partial
+    aggregable — df counting is the same vocabulary-sized job every
+    dedup pass runs), one bigram-keyed equi join back to the doc
+    stream, one doc-keyed aggregation. No corpus self-join: df==1 IS
+    the leave-one-out test, so the per-pair comparison never happens."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE "
+        "zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), "
+        "(x, y) -> concat(x, ' ', y)) END"
+    )
+    feat = docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    df = feat.groupBy("bg").agg(F.countDistinct("doc_id").alias("docs_with"))
+    perdoc = (
+        feat.join(df, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.countDistinct("bg").cast("bigint").alias("n_distinct"),
+            F.countDistinct(
+                F.when(F.col("docs_with") == 1, F.col("bg"))
+            ).cast("bigint").alias("n_unique"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "n_distinct",
+        "n_unique",
+        F.when(
+            F.col("n_distinct") > 0,
+            F.col("n_unique").cast("double") / F.col("n_distinct").cast("double"),
+        ).alias("novelty"),
+    )

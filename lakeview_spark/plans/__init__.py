@@ -85,7 +85,6 @@ _DRIVER_WINDOW = [
     # top-up: the oldest-green cohort (r06) in COVERAGE.md order
     "shipping_priority",
     "returned_items",
-    "priority_by_orderpriority",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -135,6 +134,10 @@ _DRIVER_WINDOW = [
     # window in one query) — displaces `customer_order_distribution`
     # (r06 green row, every-round sweep, 3+ star-join kins in-window)
     "stream_session_daily_rollup",
+    # NEW in r9: leave-one-out bigram novelty — displaces
+    # `priority_by_orderpriority` (r06 green row, every-round sweep,
+    # 2+ star-join kins in-window plus the seven money queries)
+    "text_ngram_novelty",
 ]
 
 

@@ -1396,3 +1396,41 @@ def test_text_surprisal_bits_replay(spark):
     assert bln - counts[modal].bit_length() == min(
         bln - counts[tk].bit_length() for tk in counts
     )
+
+
+def test_text_ngram_novelty_replay_and_laws(spark):
+    """Pure-Python replay of the leave-one-out bigram novelty, plus its
+    laws: 0 <= n_unique <= n_distinct <= n_bigrams, novelty in [0, 1],
+    and the df==1 test really is leave-one-out (a bigram counted unique
+    for doc A appears in no other doc)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    rows = {r.doc_id: r for r in QUERIES["text_ngram_novelty"](spark, SF_DIR).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+
+    def bigrams(txt):
+        toks = txt.split(" ")
+        return [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+
+    occ = {did: bigrams(txt) for did, txt in docs}
+    docs_with = defaultdict(set)
+    for did, bgs in occ.items():
+        for b in bgs:
+            docs_with[b].add(did)
+    for did, bgs in occ.items():
+        dset = set(bgs)
+        uniq = {b for b in dset if docs_with[b] == {did}}
+        r = rows[did]
+        assert (r.n_bigrams, r.n_distinct, r.n_unique) == (
+            len(bgs),
+            len(dset),
+            len(uniq),
+        )
+        assert 0 <= r.n_unique <= r.n_distinct <= r.n_bigrams
+        if r.n_distinct:
+            assert r.novelty == float(len(uniq)) / float(len(dset))
+            assert 0.0 <= r.novelty <= 1.0
