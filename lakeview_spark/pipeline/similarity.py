@@ -2279,3 +2279,116 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top1_match"),
         "n_within_r",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the kNN graph: the density complement of the
+# components/PageRank/LPA trio. A vertex is in the k-core iff it keeps
+# >= k neighbors after everything with < k neighbors is repeatedly
+# removed — the standard "dense hub vs fringe" split (Seidman 1983)
+# used to pick near-dup cluster EXEMPLARS (core member survives, fringe
+# re-crawls). Like the other iterative walks here, the peeling is pure
+# integer arithmetic (degrees), so 3 unrolled rounds replay bit-for-bit
+# in a DuckDB unrolled-CTE oracle.
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+_KCORE_SYM = """
+    sym AS (
+      SELECT src, dst FROM knn
+      UNION
+      SELECT dst AS src, src AS dst FROM knn
+    )
+"""
+
+
+def _kcore_round_sql(i: int) -> str:
+    prev = "sym" if i == 1 else f"e{i - 1}"
+    return f"""
+    d{i} AS (SELECT src, count(*) AS d FROM {prev} GROUP BY src),
+    a{i} AS (SELECT src AS v FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS (
+      SELECT s.src, s.dst FROM {prev} s
+      JOIN a{i} x ON s.src = x.v JOIN a{i} y ON s.dst = y.v
+    )"""
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    {_KNN_GRAPH_CTE},
+    {_KCORE_SYM},
+    {",".join(_kcore_round_sql(i) for i in range(1, _KCORE_ROUNDS + 1))},
+    dfin AS (SELECT src, count(*) AS d FROM e{_KCORE_ROUNDS} GROUP BY src)
+    SELECT e.vec_id,
+           CAST(coalesce(d1.d, 0) AS BIGINT) AS degree0,
+           CAST(CASE WHEN x1.v IS NULL THEN 1
+                     WHEN x2.v IS NULL THEN 2
+                     WHEN x3.v IS NULL THEN 3
+                     ELSE 0 END AS BIGINT) AS peel_layer,
+           CAST(coalesce(dfin.d, 0) AS BIGINT) AS core_degree
+    FROM embeddings e
+    LEFT JOIN d1 ON d1.src = e.vec_id
+    LEFT JOIN a1 x1 ON x1.v = e.vec_id
+    LEFT JOIN a2 x2 ON x2.v = e.vec_id
+    LEFT JOIN a3 x3 ON x3.v = e.vec_id
+    LEFT JOIN dfin ON dfin.src = e.vec_id
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion peeling toward the {_KCORE_K}-core, {_KCORE_ROUNDS}
+    unrolled rounds over the symmetrized kNN graph (section comment
+    above). Per vector: undirected degree, the PEEL LAYER — the round
+    the vertex fell out (1 = fringe, peeled immediately; higher = held
+    on through neighbors; 0 = survived all rounds, i.e. the core) —
+    and its degree inside the surviving subgraph. The layer is the
+    useful artifact even when the core is empty (this kNN graph at
+    k={{3}} has no {_KCORE_K}-core — peeling cascades — but the layer
+    ordering still ranks exemplar density, which is what the near-dup
+    exemplar pick reads).
+
+    Scale shape: per round, TWO equi joins of the (shrinking) edge set
+    against the alive-vertex table plus one partial-aggregable degree
+    count — the same per-iteration cost class as PageRank/LPA over the
+    same materialized edge scratch; the edge set only ever shrinks, and
+    no state collects to the driver."""
+    edges = similarity_knn_graph(spark, sf_dir).select("src", "dst")
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    cur = sym
+    deg1 = None
+    alives = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count("*").alias("d"))
+        if i == 1:
+            deg1 = deg
+        alive = deg.filter(F.col("d") >= _KCORE_K).select(
+            F.col("src").alias(f"v{i}")
+        )
+        alives.append(alive)
+        cur = (
+            cur.join(alive.withColumnRenamed(f"v{i}", "src"), "src")
+            .join(
+                alive.select(F.col(f"v{i}").alias("dst")),
+                "dst",
+            )
+            .select("src", "dst")
+        )
+    dfin = cur.groupBy("src").agg(F.count("*").alias("dfin"))
+    emb = t(spark, sf_dir, "embeddings").select("vec_id")
+    out = emb.join(deg1, emb.vec_id == deg1.src, "left").drop("src")
+    for i, alive in enumerate(alives, 1):
+        out = out.join(alive, out.vec_id == alive[f"v{i}"], "left")
+    layer = (
+        F.when(F.col("v1").isNull(), 1)
+        .when(F.col("v2").isNull(), 2)
+        .when(F.col("v3").isNull(), 3)
+        .otherwise(0)
+    )
+    return out.join(dfin, out.vec_id == dfin.src, "left").select(
+        "vec_id",
+        F.coalesce("d", F.lit(0)).cast("bigint").alias("degree0"),
+        layer.cast("bigint").alias("peel_layer"),
+        F.coalesce("dfin", F.lit(0)).cast("bigint").alias("core_degree"),
+    )

@@ -84,7 +84,6 @@ _DRIVER_WINDOW = [
     "similarity_ann_ivf_pq",
     # top-up: the oldest-green cohort (r06) in COVERAGE.md order
     "shipping_priority",
-    "returned_items",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,
@@ -138,6 +137,10 @@ _DRIVER_WINDOW = [
     # `priority_by_orderpriority` (r06 green row, every-round sweep,
     # 2+ star-join kins in-window plus the seven money queries)
     "text_ngram_novelty",
+    # NEW in r9: k-core onion peeling over the kNN graph — displaces
+    # `returned_items` (r06 green row, every-round sweep, star-join
+    # kins incl. shipping_priority + the seven money queries in-window)
+    "graph_kcore",
 ]
 
 

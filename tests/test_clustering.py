@@ -47,3 +47,44 @@ def test_temperature_sampling_flattens_language_distribution(spark):
     for r in rows.values():
         expected = r.sample_rate * r.n_docs
         assert abs(r.sampled_docs - expected) <= max(5.0, 0.5 * expected), r
+
+
+def test_graph_kcore_peel_replay_and_laws(spark):
+    """Pure-Python replay of the 3-round onion peeling toward the
+    4-core over the symmetrized kNN graph, plus the laws: every
+    layer-1 vertex started under-degree (degree0 < K); a vertex's layer
+    is the FIRST round its within-subgraph degree dropped below K; and
+    the layering is non-trivial on this corpus (>= 2 layers present)."""
+    from collections import defaultdict
+
+    from lakeview_spark.pipeline.similarity import _KCORE_K, _KCORE_ROUNDS
+    from lakeview_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.vec_id: r for r in QUERIES["graph_kcore"](spark, sf).collect()}
+    edges = {
+        (r.src, r.dst)
+        for r in QUERIES["similarity_knn_graph"](spark, sf)
+        .select("src", "dst")
+        .collect()
+    }
+    sym = edges | {(b, a) for a, b in edges}
+    adj = defaultdict(set)
+    for a, b in sym:
+        adj[a].add(b)
+    alive = set(rows)
+    layer = {v: 0 for v in rows}
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+        peeled = {v for v in alive if deg[v] < _KCORE_K}
+        for v in peeled:
+            layer[v] = rnd
+        alive -= peeled
+    final_deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+    for v, r in rows.items():
+        assert r.degree0 == len(adj[v])
+        assert r.peel_layer == layer[v]
+        assert r.core_degree == final_deg.get(v, 0)
+        if r.peel_layer == 1:
+            assert r.degree0 < _KCORE_K
+    assert len({r.peel_layer for r in rows.values()}) >= 2
