@@ -2352,43 +2352,55 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the same per-iteration cost class as PageRank/LPA over the
     same materialized edge scratch; the edge set only ever shrinks, and
     no state collects to the driver."""
-    edges = similarity_knn_graph(spark, sf_dir).select("src", "dst")
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    cur = sym
-    deg1 = None
-    alives = []
-    for i in range(1, _KCORE_ROUNDS + 1):
-        deg = cur.groupBy("src").agg(F.count("*").alias("d"))
-        if i == 1:
-            deg1 = deg
-        alive = deg.filter(F.col("d") >= _KCORE_K).select(
-            F.col("src").alias(f"v{i}")
-        )
-        alives.append(alive)
-        cur = (
-            cur.join(alive.withColumnRenamed(f"v{i}", "src"), "src")
-            .join(
-                alive.select(F.col(f"v{i}").alias("dst")),
-                "dst",
+    # the peel chain references each round's survivor set twice (degree
+    # recount + edge restriction), so a purely derived plan duplicates
+    # every earlier round's subtree EXPONENTIALLY — the plan audit read
+    # 41 BHJ / 82 exchanges for the derived form. Same cure as the LPA
+    # walk (_lpa_labels): materialize each round's tiny survivor table
+    # and the final per-vertex result; the registered query then plans
+    # as one scratch scan (audited: 0 joins).
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = similarity_knn_graph(spark, sf_dir).select("src", "dst")
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        deg1 = None
+        alives = []
+        cur = sym
+        for i in range(1, _KCORE_ROUNDS + 1):
+            deg = cur.groupBy("src").agg(F.count("*").alias("d"))
+            if i == 1:
+                deg1 = deg
+            alive = materialized(
+                spark,
+                f"kcore_alive{i}",
+                sf_dir,
+                lambda _s, _d, deg=deg, i=i: deg.filter(
+                    F.col("d") >= _KCORE_K
+                ).select(F.col("src").alias(f"v{i}")),
             )
-            .select("src", "dst")
+            alives.append(alive)
+            cur = (
+                sym.join(alive.withColumnRenamed(f"v{i}", "src"), "src")
+                .join(alive.select(F.col(f"v{i}").alias("dst")), "dst")
+                .select("src", "dst")
+            )
+        dfin = cur.groupBy("src").agg(F.count("*").alias("dfin"))
+        emb = t(spark, sf_dir, "embeddings").select("vec_id")
+        out = emb.join(deg1, emb.vec_id == deg1.src, "left").drop("src")
+        for i, alive in enumerate(alives, 1):
+            out = out.join(alive, out.vec_id == alive[f"v{i}"], "left")
+        layer = (
+            F.when(F.col("v1").isNull(), 1)
+            .when(F.col("v2").isNull(), 2)
+            .when(F.col("v3").isNull(), 3)
+            .otherwise(0)
         )
-    dfin = cur.groupBy("src").agg(F.count("*").alias("dfin"))
-    emb = t(spark, sf_dir, "embeddings").select("vec_id")
-    out = emb.join(deg1, emb.vec_id == deg1.src, "left").drop("src")
-    for i, alive in enumerate(alives, 1):
-        out = out.join(alive, out.vec_id == alive[f"v{i}"], "left")
-    layer = (
-        F.when(F.col("v1").isNull(), 1)
-        .when(F.col("v2").isNull(), 2)
-        .when(F.col("v3").isNull(), 3)
-        .otherwise(0)
-    )
-    return out.join(dfin, out.vec_id == dfin.src, "left").select(
-        "vec_id",
-        F.coalesce("d", F.lit(0)).cast("bigint").alias("degree0"),
-        layer.cast("bigint").alias("peel_layer"),
-        F.coalesce("dfin", F.lit(0)).cast("bigint").alias("core_degree"),
-    )
+        return out.join(dfin, out.vec_id == dfin.src, "left").select(
+            "vec_id",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("degree0"),
+            layer.cast("bigint").alias("peel_layer"),
+            F.coalesce("dfin", F.lit(0)).cast("bigint").alias("core_degree"),
+        )
+
+    return materialized(spark, "kcore_peel", sf_dir, _build)
