@@ -503,7 +503,8 @@ def mix_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("token"),
     )
     vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
-    tot = tok.agg(F.length(F.bin(F.count("*"))).cast("bigint").alias("bln"))
+    # corpus total from the vocab table, not a third corpus pass
+    tot = vocab.agg(F.length(F.bin(F.sum("c"))).cast("bigint").alias("bln"))
     perdoc = (
         tok.join(vocab, "token")
         .groupBy("doc_id", "source")

@@ -346,8 +346,10 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("token"),
     )
     vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
-    tot = tok.agg(
-        F.length(F.bin(F.count("*"))).cast("bigint").alias("bln")
+    # corpus total = sum over the (small) vocab table — not a third
+    # pass over the token stream (the sample_dsir_select device)
+    tot = vocab.agg(
+        F.length(F.bin(F.sum("c"))).cast("bigint").alias("bln")
     )
     perdoc = (
         tok.join(vocab, "token")
