@@ -530,7 +530,7 @@ _THETA_FOLD_SQL = (
     ),
     xinter AS (
       SELECT a.source AS source_a, b.source AS source_b, count(*) AS cnt
-      FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.source < b.source
+      FROM hashed a JOIN hashed b ON a.hv = b.hv AND a.source < b.source
       GROUP BY 1, 2
     )
     SELECT p.source_a, p.source_b, p.theta,
@@ -566,8 +566,12 @@ def corpus_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-sized: 20 sketches x 256 hashes; the pair joins run on
     broadcastable frames. The exact intersection alongside is the
     accuracy audit and is itself the one corpus-scale equi-join
-    (shingle-keyed, the same inverted-index bound as dedup_ngram_jaccard)
-    a production report would drop.
+    (hv-keyed over the materialized per-source hash table, the same
+    inverted-index bound as dedup_ngram_jaccard) a production report
+    would drop. Exactness note: the audit counts distinct-HASH matches,
+    the same identity the sketches and the per-source counts use, so
+    all three columns share one collision model (md5/2^60 — vanishing,
+    and in any case identical in both engines).
     """
     from pyspark.sql import Window
 
@@ -576,18 +580,30 @@ def corpus_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cycle (same device as streaming/pipeline_stream.py's sketch use)
     from lakeview_spark.pipeline.dedup import _shingles_expr, _tokens
 
-    docs = t(spark, sf_dir, "documents").select(
-        "source", _tokens(F.col("text")).alias("toks")
-    )
-    sh = (
-        docs.select("source", F.expr(_shingles_expr()).alias("shs"))
-        .select("source", F.explode("shs").alias("sh"))
-        .distinct()
-    )
-    hashed = sh.select(
-        "source",
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("hv"),
-    ).distinct()
+    from lakeview_spark.operators.materialize import materialized
+
+    def _hashed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = t(spark, sf_dir, "documents").select(
+            "source", _tokens(F.col("text")).alias("toks")
+        )
+        sh = (
+            docs.select("source", F.expr(_shingles_expr()).alias("shs"))
+            .select("source", F.explode("shs").alias("sh"))
+            .distinct()
+        )
+        return sh.select(
+            "source",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        ).distinct()
+
+    # the per-source distinct hash table feeds FOUR subtrees (the k-min
+    # chain, the per-source counts, and both exact-audit join sides) —
+    # derived, each re-executes tokenize+shingle+two distincts.
+    # Materialize once per run (the LPA-walk device); the exact audit
+    # then joins bigints on the scratch instead of shingle strings.
+    hashed = materialized(spark, "theta_hashed", sf_dir, _hashed_build)
     # two-phase per-source K-min (see docstring)
     w_salt = Window.partitionBy("source", F.col("hv") % 64).orderBy("hv")
     w_src = Window.partitionBy("source").orderBy("hv")
@@ -638,16 +654,16 @@ def corpus_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.countDistinct("hv").alias("ucnt"))
     )
-    sha, shb = sh.alias("sha"), sh.alias("shb")
+    ha, hb = hashed.alias("ha"), hashed.alias("hb")
     xinter = (
-        sha.join(
-            shb,
-            (F.col("sha.sh") == F.col("shb.sh"))
-            & (F.col("sha.source") < F.col("shb.source")),
+        ha.join(
+            hb,
+            (F.col("ha.hv") == F.col("hb.hv"))
+            & (F.col("ha.source") < F.col("hb.source")),
         )
         .groupBy(
-            F.col("sha.source").alias("source_a"),
-            F.col("shb.source").alias("source_b"),
+            F.col("ha.source").alias("source_a"),
+            F.col("hb.source").alias("source_b"),
         )
         .agg(F.count("*").alias("xcnt"))
     )
