@@ -650,3 +650,106 @@ def published_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/pipeline_stream.py stream_boilerplate_filter)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return _boilerplate_line_set(doc_pseudo_lines(docs))
+
+
+@register(
+    "contamination_apply",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    probe AS (SELECT DISTINCT unnest(shingles) AS shingle FROM s
+              WHERE doc_id % {_PROBE_MOD} = 0),
+    corpus AS (SELECT doc_id, shingles FROM s
+               WHERE doc_id % {_PROBE_MOD} <> 0 AND len(shingles) > 0),
+    m AS (
+      SELECT c.doc_id, count(*) AS matched
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+      JOIN probe USING (shingle)
+      GROUP BY c.doc_id
+    ),
+    scored AS (
+      SELECT corpus.doc_id, len(corpus.shingles) AS n_sh,
+             COALESCE(m.matched, 0) AS matched
+      FROM corpus LEFT JOIN m ON corpus.doc_id = m.doc_id
+    ),
+    flagged AS (
+      SELECT d.lang, d.n_chars, sc.n_sh, sc.matched,
+             CASE WHEN 10 * sc.matched >= sc.n_sh THEN 1 ELSE 0 END AS dropped
+      FROM scored sc JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs_before,
+           CAST(sum(dropped) AS BIGINT) AS docs_dropped,
+           CAST(count(*) - sum(dropped) AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN dropped = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept,
+           max(CASE WHEN dropped = 0
+                    THEN CAST(matched AS DOUBLE) / n_sh END) AS max_kept_share
+    FROM flagged GROUP BY lang
+    """,
+)
+def contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of benchmark decontamination: drop every corpus
+    document whose probe-shingle overlap reaches 10% and report
+    per-language retention (docs before/dropped/kept, character mass
+    kept) plus the residual audit — the worst contamination share
+    SURVIVING the cut, the number a decontamination report is actually
+    judged on. The threshold compare is division-free exact integers
+    (10 * matched >= n_shingles), the same edge rule family as the
+    Jaccard cut; shares only become doubles at the output edge.
+
+    Shares the probe/corpus/overlap construction verbatim with
+    `contamination_ngram_overlap` (same `_SHINGLES_SQL` CTE block, same
+    `_PROBE_MOD`), so detect and apply can never drift — the
+    quality_filter_funnel/apply symmetry, for decontamination.
+
+    Scale shape: identical to the detect pass (broadcast probe set,
+    one narrow semi-join + doc grouping) plus one doc_id-keyed equi
+    join to the documents table for lang/chars and a 5-group rollup."""
+    s = _doc_shingles(spark, sf_dir)
+    probe = (
+        s.filter(F.col("doc_id") % _PROBE_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = s.filter(
+        (F.col("doc_id") % _PROBE_MOD != 0) & (F.size("shingles") > 0)
+    )
+    matched = (
+        corpus.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("matched"))
+    )
+    scored = (
+        corpus.select("doc_id", F.size("shingles").alias("n_sh"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("matched", F.lit(0).cast("bigint")).alias("matched"),
+        )
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    flagged = scored.join(docs, "doc_id").select(
+        "lang",
+        "n_chars",
+        "n_sh",
+        "matched",
+        F.when(10 * F.col("matched") >= F.col("n_sh"), 1)
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("docs_before"),
+        F.sum("dropped").cast("bigint").alias("docs_dropped"),
+        (F.count("*") - F.sum("dropped")).cast("bigint").alias("docs_kept"),
+        F.sum(F.when(F.col("dropped") == 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_kept"),
+        F.max(
+            F.when(
+                F.col("dropped") == 0,
+                F.col("matched").cast("double") / F.col("n_sh").cast("double"),
+            )
+        ).alias("max_kept_share"),
+    )

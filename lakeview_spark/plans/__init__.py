@@ -82,8 +82,10 @@ _DRIVER_WINDOW = [
     "eval_pq_recall",
     "embedding_pq_codebook_stats",
     "similarity_ann_ivf_pq",
-    # top-up: the oldest-green cohort (r06) in COVERAGE.md order
-    "shipping_priority",
+    # NEW in r9: the decontamination APPLY half — displaces
+    # `shipping_priority`, the last r06 top-up (r06 green row,
+    # every-round sweep, the seven money-layer star queries in-window)
+    "contamination_apply",
     # NEW in r9 (no green rows, hygiene rule forces them in-window):
     # the mergeable-sketch stream-static composition and the full BPE
     # trainer + its tokenize-apply — they displace `flagged_suppliers`,

@@ -343,3 +343,54 @@ def test_quantile_sketch_guarantee_holds(spark):
         assert r.est_value <= exact <= r.est_value + r.err_bound + 1e-9
         assert r.bin_count <= r.cum_count <= r.n_events
         assert r.cum_count >= r.q * r.n_events
+
+
+def test_contamination_apply_matches_detect_and_threshold_law(spark):
+    """contamination_apply must agree row-for-row with the detect pass
+    (contamination_ngram_overlap) under the integer threshold
+    10*matched >= n_shingles, and the retention report must replay from
+    those per-doc rows exactly — detect and apply share one CTE block,
+    so divergence here means the shared construction drifted."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from lakeview_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    detect = {
+        r.doc_id: r
+        for r in QUERIES["contamination_ngram_overlap"](spark, sf).collect()
+    }
+    meta = dict(
+        (did, (lang, n_chars))
+        for did, lang, n_chars in duckdb.sql(
+            f"SELECT doc_id, lang, n_chars FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    agg = defaultdict(lambda: [0, 0, 0, None])  # before, dropped, chars_kept, max_share
+    for did, r in detect.items():
+        lang, n_chars = meta[did]
+        a = agg[lang]
+        a[0] += 1
+        if 10 * r.matched_shingles >= r.n_shingles:
+            a[1] += 1
+        else:
+            a[2] += n_chars
+            share = r.matched_shingles / r.n_shingles
+            a[3] = share if a[3] is None else max(a[3], share)
+    rows = {r.lang: r for r in QUERIES["contamination_apply"](spark, sf).collect()}
+    assert set(rows) == set(agg)
+    for lang, (before, dropped, chars_kept, max_share) in agg.items():
+        r = rows[lang]
+        assert (r.docs_before, r.docs_dropped, r.docs_kept, r.chars_kept) == (
+            before,
+            dropped,
+            before - dropped,
+            chars_kept,
+        )
+        if max_share is None:
+            assert r.max_kept_share is None
+        else:
+            assert r.max_kept_share == max_share
+            assert r.max_kept_share < 0.1  # the threshold law
