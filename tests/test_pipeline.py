@@ -1434,3 +1434,32 @@ def test_text_ngram_novelty_replay_and_laws(spark):
         if r.n_distinct:
             assert r.novelty == float(len(uniq)) / float(len(dset))
             assert 0.0 <= r.novelty <= 1.0
+
+
+def test_theta_two_phase_kmin_equals_direct_property():
+    """The theta query's scale device, property-tested in isolation:
+    taking the K smallest per (source, hv % 64) salt group and then the
+    K smallest of the survivors retains EXACTLY the K smallest of the
+    whole source — for random multisets, any K, because each salt
+    group's top-K is a superset of that group's members among the
+    global top-K. Pure Python; this is the law that lets the Spark
+    plan avoid sorting a whole source per task while the oracle uses
+    the direct row_number form."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        hvs=st.lists(st.integers(min_value=0, max_value=1 << 20), min_size=0, max_size=300),
+        k=st.integers(min_value=1, max_value=64),
+    )
+    def check(hvs, k):
+        distinct = sorted(set(hvs))
+        direct = distinct[:k]
+        groups = {}
+        for h in set(hvs):
+            groups.setdefault(h % 64, []).append(h)
+        survivors = [h for g in groups.values() for h in sorted(g)[:k]]
+        two_phase = sorted(survivors)[:k]
+        assert two_phase == direct
+
+    check()

@@ -578,3 +578,82 @@ def test_stream_session_rollup_chains_and_buckets_by_session_end(spark, tmp_path
     # day 1: only user 1's session; day 2: the midnight-crosser; the
     # watermark driver's open session never flushes
     assert got == {"2026-03-01": (1, 2), "2026-03-02": (1, 2)}
+
+
+def test_stream_interval_join_equals_batch_join_property(spark, tmp_path):
+    """Property check of the inner twin's oracle claim on randomized
+    single-batch streams: the emitted pair set equals the batch
+    interval join for arbitrary event layouts (dense, sparse, ties,
+    multi-user). Randomness comes from hypothesis; each example writes
+    a fresh stream directory."""
+    from hypothesis import given, settings, strategies as st
+
+    from lakeview_spark.streaming.pipeline_stream import stream_interval_join
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        evs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),     # user
+                st.integers(min_value=0, max_value=48),    # hour offset
+                st.booleans(),                             # view?
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(evs):
+        counter[0] += 1
+        indir = str(tmp_path / f"evs{counter[0]}")
+        os.makedirs(indir)
+        rows = []
+        for i, (u, h, is_view) in enumerate(evs):
+            rows.append(
+                {
+                    "event_id": i,
+                    "user_id": u,
+                    "ts": f"2026-03-{1 + h // 24:02d}T{h % 24:02d}:00:00.000Z",
+                    "event_type": "view" if is_view else "click",
+                }
+            )
+        with open(f"{indir}/b.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        ).json(indir)
+        views = stream.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        j = stream_interval_join(views, clicks, "6 hours", "1 hour")
+        q = (
+            j.writeStream.format("memory")
+            .queryName(f"prop_sink{counter[0]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        got = {
+            (r.view_id, r.click_id)
+            for r in spark.table(f"prop_sink{counter[0]}").collect()
+        }
+        want = {
+            (i, j2)
+            for i, (u1, h1, v1) in enumerate(evs)
+            if v1
+            for j2, (u2, h2, v2) in enumerate(evs)
+            if not v2 and u1 == u2 and 0 <= h2 - h1 <= 6
+        }
+        assert got == want, (got, want)
+
+    check()
