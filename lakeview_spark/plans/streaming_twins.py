@@ -721,8 +721,15 @@ def stream_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT event_id AS view_id, user_id, ts_us FROM e WHERE event_type = 'view'),
     c AS (SELECT event_id AS click_id, user_id, ts_us FROM e WHERE event_type = 'click'),
     wm AS (
-      SELECT least((SELECT max(ts_us) FROM v), (SELECT max(ts_us) FROM c))
-             - CAST(3600000000 AS BIGINT) AS w
+      -- an EMPTY side pins Spark's global watermark at zero (its
+      -- watermark node never advances), so no outer row ever emits;
+      -- DuckDB's least() would IGNORE the NULL max, so guard both
+      -- sides explicitly (probed empirically r9: 0 rows on a
+      -- clicks-empty stream)
+      SELECT CASE WHEN (SELECT count(*) FROM v) > 0
+                   AND (SELECT count(*) FROM c) > 0
+             THEN least((SELECT max(ts_us) FROM v), (SELECT max(ts_us) FROM c))
+                  - CAST(3600000000 AS BIGINT) END AS w
     ),
     m AS (
       SELECT v.view_id, v.user_id, c.click_id, c.ts_us - v.ts_us AS gap_us
