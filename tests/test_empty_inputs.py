@@ -81,6 +81,24 @@ GUARDED = [
     "events_user_scd2",
     # ordered aggregate() fold over zero groups / 1-element arrays
     "events_ewma_quantized",
+    # r9 additions: sketch thetas / dim ranges / histogram thresholds /
+    # model constants derived from empty corpora; peel rounds over an
+    # empty edge set; stream-stream joins and the chained rollup over
+    # an empty file source; range-normalized bit interleave over NULL
+    # min/max
+    "corpus_source_overlap_theta",
+    "similarity_ann_sq8",
+    "text_surprisal_bits",
+    "mix_curriculum_schedule",
+    "layout_zorder_stats",
+    "sample_dsir_select",
+    "text_ngram_novelty",
+    "graph_kcore",
+    "contamination_apply",
+    "corpus_distinct_hll",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_session_daily_rollup",
 ]
 
 
