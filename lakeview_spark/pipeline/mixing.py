@@ -461,13 +461,17 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(row_number() OVER (PARTITION BY stage, source
                                      ORDER BY dkey, doc_id) AS BIGINT) AS ris
       FROM staged
+    ),
+    srcids AS (
+      SELECT source,
+             CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS sid
+      FROM (SELECT DISTINCT source FROM documents)
     )
-    SELECT doc_id, source, stage, dkey AS difficulty_key,
+    SELECT doc_id, sched.source AS source, stage, dkey AS difficulty_key,
            ris AS round_in_stage,
-           (stage << 60) + (ris << 10)
-             + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
-             AS position_key
-    FROM sched
+           CASE WHEN sid < 1024
+                THEN (stage << 60) + (ris << 10) + sid END AS position_key
+    FROM sched JOIN srcids USING (source)
     """,
 )
 def mix_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,19 +552,35 @@ def mix_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     sched = staged.withColumn(
         "ris", F.row_number().over(w_rr).cast("bigint")
     )
-    src_num = F.expr(
-        "try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)"
+    # Source ids are a dense_rank over the distinct source NAMES (a
+    # bounded, total, name-shape-independent assignment — r9 ADVICE:
+    # the old first-digit-run parse NULLed on digitless names and
+    # silently collided when two names shared a fragment). The rank
+    # window runs on the tiny distinct-source table (catalog-scale,
+    # single partition by construction), never the corpus, and joins
+    # back as a broadcast. sid >= 1024 overflows the 10-bit field, so
+    # the key goes NULL (visible breakage), never a collision.
+    src_ids = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1)
+            .cast("bigint")
+            .alias("sid"),
+        )
     )
-    return sched.select(
+    return sched.join(F.broadcast(src_ids), "source").select(
         "doc_id",
         "source",
         "stage",
         F.col("dkey").alias("difficulty_key"),
         F.col("ris").alias("round_in_stage"),
-        (
+        F.when(
+            F.col("sid") < 1024,
             F.shiftleft(F.col("stage"), 60)
             + F.shiftleft(F.col("ris"), 10)
-            + src_num
+            + F.col("sid"),
         ).alias("position_key"),
     )
 
@@ -634,7 +654,7 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two feature counts (partial-aggregable), one
     feature-keyed equi join back to the occurrence stream, a 1-row
     constants broadcast, one doc-keyed aggregation, and the selection
-    is TakeOrderedAndProject (per-partition top-{_DSIR_KEEP}, no global
+    is TakeOrderedAndProject (per-partition top-200, no global
     sort) with the total-order (importance desc, doc_id) tiebreak."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")

@@ -2181,7 +2181,8 @@ _SQ8_RADIUS = 1 << 16  # neighborhood-crowding radius (integer dist units)
 def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized nearest neighbor with an honest recall@1
     audit: per-dimension min/max trained over the corpus, every vector
-    coded to 64 uint8 levels, probe queries scan the CODED corpus with
+    coded as 64 dimensions of 256 uint8 levels each, probe queries
+    scan the CODED corpus with
     EXACT INTEGER squared distances, and the float-exact L2 top-1 runs
     alongside so `top1_match` reports whether 8-bit quantization kept
     the answer. `n_within_r` is the integer-radius neighborhood count —
@@ -2336,14 +2337,14 @@ def _kcore_round_sql(i: int) -> str:
     """,
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Onion peeling toward the {_KCORE_K}-core, {_KCORE_ROUNDS}
-    unrolled rounds over the symmetrized kNN graph (section comment
-    above). Per vector: undirected degree, the PEEL LAYER — the round
-    the vertex fell out (1 = fringe, peeled immediately; higher = held
-    on through neighbors; 0 = survived all rounds, i.e. the core) —
-    and its degree inside the surviving subgraph. The layer is the
-    useful artifact even when the core is empty (this kNN graph at
-    k={{3}} has no {_KCORE_K}-core — peeling cascades — but the layer
+    """Onion peeling toward the 4-core, 3 unrolled rounds over the
+    symmetrized kNN graph (section comment above). Per vector:
+    undirected degree, the PEEL LAYER — the round the vertex fell out
+    (1 = fringe, peeled immediately; higher = held on through
+    neighbors; 0 = survived all rounds, i.e. the core) — and its
+    degree inside the surviving subgraph. The layer is the useful
+    artifact even when the core is empty (this kNN graph at k=3 has
+    no 4-core — peeling cascades — but the layer
     ordering still ranks exemplar density, which is what the near-dup
     exemplar pick reads).
 

@@ -122,6 +122,59 @@ def test_stream_event_sessions_native_session_window(spark, tmp_path):
     ]
 
 
+def test_stream_event_sessions_exact_gap_boundary_merges(spark, tmp_path):
+    """Pin the session-gap == boundary (r9 ADVICE): an event arriving
+    EXACTLY gap after its predecessor MERGES into the same Spark
+    session (verified empirically here — session_window extends the
+    window to [ts, ts+gap), and a successor landing on the half-open
+    end still merges). The oracle's break rule `gap > 30min` (merge on
+    <=) in stream_event_sessions / stream_session_daily_rollup matches
+    this inclusive semantic; flipping it to >= would diverge on
+    exact-gap data."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from lakeview_spark.streaming import stream_event_sessions
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    indir = str(tmp_path / "events")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            {"user_id": 1, "ts": "2026-03-01T10:00:00.000Z"},
+            # EXACTLY 30 min after the predecessor — the boundary
+            {"user_id": 1, "ts": "2026-03-01T10:30:00.000Z"},
+            # one microsecond past the gap -> genuinely new session
+            {"user_id": 2, "ts": "2026-03-01T10:00:00.000Z"},
+            {"user_id": 2, "ts": "2026-03-01T10:30:00.000001Z"},
+            # watermark pusher so everything above closes
+            {"user_id": 99, "ts": "2026-03-01T15:00:00.000Z"},
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(indir)
+    q = (
+        stream_event_sessions(stream, gap="30 minutes", watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("exact_gap_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM exact_gap_sessions ORDER BY user_id, session_start"
+    ).collect()
+    closed = [(r.user_id, r.events, r.span_us) for r in rows]
+    assert closed == [
+        # exact-gap pair MERGES: one session, 10:00 -> 10:30 + 30min pad
+        (1, 2, 60 * 60 * 1_000_000),
+        # 1 us past the gap SPLITS: two singleton sessions
+        (2, 1, 30 * 60 * 1_000_000),
+        (2, 1, 30 * 60 * 1_000_000),
+    ]
+
+
 def test_stream_embedding_neardup_matches_planted_duplicate(spark, tmp_path):
     """A streamed copy of an indexed vector must surface as a near-dup
     (cosine 1.0 with itself) through the stream-static bucket join; a
