@@ -80,6 +80,25 @@ EXTENDED_STEADY = [
     "eval_lsh_precision_recall",  # 1.8 s — LSH vs exact-Jaccard audit
 ]
 
+# Frozen r9-cohort section (r9 VERDICT next-7): the headline and
+# extended-steady lists froze pre-r9, so none of the fifteen r9 ops
+# (nor the retrained PQ family) was tracked round-over-round —
+# regressions there only surfaced in ad-hoc SCALE.md probes. This list
+# is FROZEN at r10; nominal bands live in BASELINE.md §extended-r9.
+# Timed after the same untimed scratch prewarm as EXTENDED_STEADY.
+EXTENDED_R9 = [
+    "corpus_source_overlap_theta",  # theta-sketch set algebra
+    "sample_dsir_select",  # DSIR bigram-LLR importance selection
+    "graph_kcore",  # k-core onion peeling (materialized rounds)
+    "corpus_bpe_train",  # 8-round BPE trainer
+    "stream_interval_join",  # stream-stream inner interval join
+    "stream_interval_join_outer",  # left-outer interval join
+    "stream_session_daily_rollup",  # chained stateful session->daily
+    "similarity_ann_sq8",  # SQ8 scalar-quantized ANN + recall audit
+    "similarity_ann_ivf_pq",  # composed IVF-PQ search (trained codebooks)
+    "eval_pq_recall",  # PQ codebook recall audit
+]
+
 
 def _split_copy(spark, sf_dir: str, n_files: int) -> str:
     """Rewrite every table as n_files parquet parts under a temp dir —
@@ -158,7 +177,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["extended_prewarm"] = f"{type(exc).__name__}: {exc}"[:200]
     else:
-        for name in EXTENDED_STEADY:
+        for name in EXTENDED_STEADY + EXTENDED_R9:
             if name not in QUERIES:
                 continue
             t0 = time.time()
@@ -187,8 +206,13 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "extended": {
             "what": "top-10 heaviest steady-state queries, scratch prewarmed untimed",
-            "value": round(sum(ext_timings.values()), 3),
-            "queries": ext_timings,
+            "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_STEADY), 3),
+            "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_STEADY},
+        },
+        "extended_r9": {
+            "what": "frozen r9-cohort queries, same prewarm (BASELINE.md bands)",
+            "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R9), 3),
+            "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R9},
         },
     }
     if split_files > 1:

@@ -245,6 +245,62 @@ def _kq_sqdist(a: str, b: str) -> Column:
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _kq_centroid_rounds(
+    emb: DataFrame, centroids: list[tuple[int, list[int]]], rounds: int
+) -> list[tuple[int, list[int]]]:
+    """Label-free quantized Lloyd's loop: `rounds` iterations of
+    broadcast-assign (struct-min argmin, ties to the lower cluster_id)
+    + floored-integer centroid update, returning the trained k x dim
+    centroid list. The kmeans_train_quantized loop distilled for
+    reuse by the IVF-PQ coarse quantizer (r10): emb needs only
+    (vec_id, qv); empty clusters keep their previous centroid. Driver
+    state is k x dim integers per round — catalog-scale."""
+    spark = emb.sparkSession
+    for _ in range(rounds):
+        cdf = spark.createDataFrame(
+            [(cid, [int(v) for v in vec]) for cid, vec in centroids],
+            "cluster_id int, cv array<bigint>",
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "qv",
+                F.struct(
+                    _kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id"
+                ).alias("sc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("sc").alias("best"), F.any_value("qv").alias("qv"))
+        )
+        upd = (
+            assign.select(
+                F.col("best.cluster_id").alias("cluster_id"),
+                F.posexplode("qv").alias("pos", "v"),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.m
+        centroids = [
+            (
+                cid,
+                [comp[i] for i in sorted(comp)]
+                if (comp := by_cluster.get(cid))
+                else vec,
+            )
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
 def _kq_assign(emb: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest-centroid assignment in the quantized domain: broadcast k
     literal integer centroids, one narrow map for the distance fold,

@@ -1757,95 +1757,43 @@ _PQ_RECALL_SQL = f"""
                                   ORDER BY adc_dist ASC, vec_id) AS rn
         FROM adc)
       WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    {{coarse}},
+    ctop AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT a.probe_id, a.vec_id,
+               row_number() OVER (PARTITION BY a.probe_id
+                                  ORDER BY a.adc_dist ASC, a.vec_id) AS rn
+        FROM adc a
+        JOIN coarse ca ON ca.vec_id = a.vec_id
+        JOIN pclusters pc ON pc.probe_id = a.probe_id
+                         AND pc.pcluster = ca.cluster_id)
+      WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    ret AS (
+      SELECT f.probe_id, CAST(count(c.vec_id) AS BIGINT) AS retained
+      FROM pq_top f LEFT JOIN ctop c
+        ON c.probe_id = f.probe_id AND c.vec_id = f.vec_id
+      GROUP BY f.probe_id
     )
     SELECT t.probe_id,
            CAST(count(pq.vec_id) AS BIGINT) AS n_hits,
-           CAST(count(pq.vec_id) AS DOUBLE) / {_PQ_RECALL_TOP} AS recall
-    FROM truth t LEFT JOIN pq_top pq
-      ON pq.probe_id = t.probe_id AND pq.vec_id = t.vec_id
+           CAST(count(pq.vec_id) AS DOUBLE) / {_PQ_RECALL_TOP} AS recall,
+           CAST(count(ct.vec_id) AS BIGINT) AS composed_hits,
+           CAST(count(ct.vec_id) AS DOUBLE) / {_PQ_RECALL_TOP} AS composed_recall,
+           CAST(any_value(r.retained) AS BIGINT) AS n_retained,
+           CAST(any_value(r.retained) AS DOUBLE) / {_PQ_RECALL_TOP} AS ivf_retention
+    FROM truth t
+    LEFT JOIN pq_top pq ON pq.probe_id = t.probe_id AND pq.vec_id = t.vec_id
+    LEFT JOIN ctop ct ON ct.probe_id = t.probe_id AND ct.vec_id = t.vec_id
+    JOIN ret r ON r.probe_id = t.probe_id
     GROUP BY t.probe_id
 """
 
 
-@register("eval_pq_recall", oracle=_PQ_RECALL_SQL.format(base=_PQ_BASE_CTES))
-def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@{_PQ_RECALL_TOP} of flat-PQ asymmetric-distance search vs
-    the exact quantized-domain top-{_PQ_RECALL_TOP}, per probe (section
-    comment above). All-integer distances end-to-end, so this is a
-    hash-exact audit of a lossy index — the same pattern as
-    eval_ann_recall for the LSH index.
-
-    Scale shape: probes are a corpus-derived-stride broadcast (~
-    {_PQ_PROBE_TARGET} rows of subvectors); the ADC side joins the
-    per-doc CODE table (n*{_PQ_M} rows of small ints — the compressed
-    index, not the vectors) against the broadcast codebook and probe
-    subvectors, then one partial-aggregable (probe, doc) sum; the
-    per-probe rankings are windows bounded by corpus-per-probe, the
-    flat-scan cost this audit exists to measure."""
-    from pyspark.sql import Window as _W
-
-    from lakeview_spark.pipeline.iterative import _kq_sqdist
-
-    n = corpus_n(spark, sf_dir)
-    stride = max(1, n // _PQ_PROBE_TARGET)
-    # repartition the unsplittable single-file local scan before the
-    # training + truth folds (the trainers' documented exception)
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    )
-    subs, codebook, assigned = _pq_parts(emb)
-    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
-    )
-    scored = emb.crossJoin(F.broadcast(probes)).filter(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
-    truth = (
-        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _PQ_RECALL_TOP)
-        .select("probe_id", "vec_id")
-    )
-    psubs = probes.select(
-        "probe_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), "
-                f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
-            )
-        ).alias("s"),
-    ).select("probe_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    adc = (
-        assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword"))
-        .join(F.broadcast(codebook), ["m", "codeword"])
-        .join(F.broadcast(psubs), "m")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("part").alias("adc_dist"))
-    )
-    wa = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
-    pq_top = (
-        adc.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= _PQ_RECALL_TOP)
-        .select(F.col("probe_id").alias("pq_probe"), F.col("vec_id").alias("pq_vec"))
-    )
-    return (
-        truth.join(
-            pq_top,
-            (F.col("probe_id") == F.col("pq_probe"))
-            & (F.col("vec_id") == F.col("pq_vec")),
-            "left",
-        )
-        .groupBy("probe_id")
-        .agg(
-            F.count("pq_vec").alias("n_hits"),
-            (F.count("pq_vec").cast("double") / _PQ_RECALL_TOP).alias("recall"),
-        )
-    )
+# NOTE: eval_pq_recall registers below the IVF-PQ section — its r10
+# composed-path audit formats _IVFPQ_COARSE_CTES into this template,
+# so the shared coarse-index machinery must be defined first.
 
 
 def _pq_subvector_sqerr() -> Column:
@@ -1940,19 +1888,26 @@ def _pq_parts(emb):
 #
 # The production ANN composition the two audits above promise: an
 # IVF-PQ index stores, per vector, (a) its coarse cluster id — nearest
-# of the k corpus-sized k-means seeds — and (b) its _PQ_M-byte PQ code.
-# A search then visits ONLY the probe's coarse cluster and ranks its
-# members by asymmetric distance (the probe's exact subvectors against
-# each member's codeword vectors), never touching stored payloads.
-# Everything rides the established integer devices: coarse assignment
-# is the kmeans_train_quantized BIGINT squared-L2 argmin (ties to the
-# lower cluster), codes come from the shared _pq_parts/_PQ_BASE_CTES
-# derivation (so this query cannot drift from the stats/recall audits),
-# and ADC sums are exact BIGINTs — the whole composed search
-# hash-checks. Recall of the composition = eval_pq_recall's codebook
-# ceiling restricted by similarity_ann_ivf's bucket-miss rate; both
-# knobs are audited separately, this query is the shipped search path.
+# of k TRAINED coarse centroids — and (b) its _PQ_M-byte PQ code. A
+# search visits the probe's _IVFPQ_NPROBE nearest coarse clusters
+# (multiprobe, r10 — nprobe=1 bounded composed recall by a single
+# cluster's hit rate; the measured recall-vs-nprobe grid is in
+# SCALE.md) and ranks their members by asymmetric distance (the
+# probe's exact subvectors against each member's codeword vectors),
+# never touching stored payloads. Everything rides the established
+# integer devices: the coarse quantizer trains by
+# _IVFPQ_COARSE_ROUNDS unrolled integer-Lloyd's rounds (the
+# kmeans_train_quantized device, label-free — iterative.py
+# _kq_centroid_rounds), assignment is the BIGINT squared-L2 argmin
+# (ties to the lower cluster), codes come from the shared
+# _pq_parts/_PQ_BASE_CTES derivation (so this query cannot drift from
+# the stats/recall audits), and ADC sums are exact BIGINTs — the whole
+# composed search hash-checks. eval_pq_recall audits this composition
+# directly (composed_recall vs the exact top-k; ivf_retention vs the
+# flat-ADC ceiling).
 _IVFPQ_TOP = 10
+_IVFPQ_NPROBE = 3  # coarse clusters visited per probe (retention 0.89 @ sf0.01)
+_IVFPQ_COARSE_ROUNDS = 3  # integer-Lloyd's rounds for the coarse quantizer
 
 # the corpus-sized coarse-centroid count, identical to _k_for_n (the
 # kmeans/SemDeDup sizing rule — constants live in this module)
@@ -1967,12 +1922,54 @@ _IVFPQ_COARSE_DIST_SQL = (
     "i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i])))"
 )
 
-_IVFPQ_SQL = f"""
-    WITH {{base}},
-    cents AS (
+# BIGINT squared-L2 between a probe vector p.pqv and a centroid c.cv
+_IVFPQ_PROBE_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(p.pqv)+1), "
+    "i -> (p.pqv[i]-c.cv[i])*(p.pqv[i]-c.cv[i])))"
+)
+
+
+def _ivfpq_iter_sql(prev: str, n: int) -> str:
+    """One unrolled coarse-quantizer Lloyd's round (label-free twin of
+    iterative.py _kq_iter_sql, over the PQ block's `q` CTE): assign
+    every vector to its nearest centroid in `prev` (ties to the lower
+    cluster_id), then per-(cluster, dimension) floored integer mean;
+    empty clusters keep their previous centroid."""
+    return f"""
+    kva{n} AS (
+      SELECT vec_id, qv, cluster_id FROM (
+        SELECT e.vec_id, e.qv, c.cluster_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVFPQ_COARSE_DIST_SQL} ASC, c.cluster_id) AS rn
+        FROM q e, {prev} c) WHERE rn = 1
+    ),
+    kvm{n} AS (
+      SELECT cluster_id, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS m
+      FROM (SELECT cluster_id, unnest(qv) AS v,
+                   unnest(range(1, len(qv)+1)) AS pos FROM kva{n})
+      GROUP BY cluster_id, pos
+    ),
+    kvc{n} AS (
+      SELECT cluster_id, list(m ORDER BY pos) AS cv FROM kvm{n}
+      GROUP BY cluster_id
+    ),
+    cents{n} AS (
+      SELECT p.cluster_id, coalesce(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN kvc{n} u USING (cluster_id)
+    )"""
+
+
+# the shared IVF coarse-index derivation (seed -> trained centroids ->
+# per-vector coarse id -> per-probe nprobe visited clusters) as one CTE
+# block, so the composed search and its recall audit cannot drift (the
+# _PQ_BASE_CTES no-drift device). Expects `q` (from _PQ_BASE_CTES) and
+# `probes(probe_id, pqv)` to be in scope.
+_IVFPQ_COARSE_CTES = f"""cents0 AS (
       SELECT vec_id AS cluster_id, qv AS cv FROM q
       WHERE vec_id BETWEEN 1 AND ({_IVFPQ_K_SQL})
-    ),
+    ),{_ivfpq_iter_sql('cents0', 1)},{_ivfpq_iter_sql('cents1', 2)},{_ivfpq_iter_sql('cents2', 3)},
+    cents AS (SELECT cluster_id, cv FROM cents{_IVFPQ_COARSE_ROUNDS}),
     coarse AS (
       SELECT vec_id, cluster_id FROM (
         SELECT e.vec_id, c.cluster_id,
@@ -1980,15 +1977,26 @@ _IVFPQ_SQL = f"""
                                   ORDER BY {_IVFPQ_COARSE_DIST_SQL} ASC, c.cluster_id) AS rn
         FROM q e, cents c) WHERE rn = 1
     ),
+    pclusters AS (
+      SELECT probe_id, cluster_id AS pcluster FROM (
+        SELECT p.probe_id, c.cluster_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_IVFPQ_PROBE_DIST_SQL} ASC, c.cluster_id) AS rn
+        FROM probes p, cents c) WHERE rn <= {_IVFPQ_NPROBE}
+    )"""
+
+_IVFPQ_SQL = f"""
+    WITH {{base}},
     probes AS (
-      SELECT co.vec_id AS probe_id, q.qv AS pqv, co.cluster_id AS pcluster
-      FROM coarse co JOIN q ON q.vec_id = co.vec_id
-      WHERE co.vec_id % ({_PQ_STRIDE_SQL}) = 0
+      SELECT vec_id AS probe_id, qv AS pqv FROM q
+      WHERE vec_id % ({_PQ_STRIDE_SQL}) = 0
     ),
+    {_IVFPQ_COARSE_CTES},
     psubs AS (
-      SELECT p.probe_id, p.pcluster, g.m,
+      SELECT p.probe_id, pc.pcluster, g.m,
              list_slice(p.pqv, g.m * {_PQ_SUB} + 1, g.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
-      FROM probes p, (SELECT unnest(range(0, {_PQ_M})) AS m) g
+      FROM probes p JOIN pclusters pc USING (probe_id),
+           (SELECT unnest(range(0, {_PQ_M})) AS m) g
     ),
     adc_parts AS (
       SELECT ps.probe_id, a.vec_id, CAST({_PQ_ADC_PART_SQL} AS BIGINT) AS part
@@ -2010,43 +2018,23 @@ _IVFPQ_SQL = f"""
 """
 
 
-@register("similarity_ann_ivf_pq", oracle=_IVFPQ_SQL.format(base=_PQ_BASE_CTES))
-def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed ANN search: for each deterministic-stride probe,
-    rank ONLY its coarse cluster's members by exact-BIGINT asymmetric
-    distance over their {_PQ_M}-byte PQ codes; top-{_IVFPQ_TOP} per
-    probe (section comment above — the shipped search path the PQ/IVF
-    audits bound).
+def _ivfpq_coarse_parts(spark, sf_dir, emb):
+    """The shared Spark-side IVF coarse index (twin of
+    _IVFPQ_COARSE_CTES): train the coarse centroids by
+    {_IVFPQ_COARSE_ROUNDS} label-free integer-Lloyd's rounds off the
+    seed vectors, assign every vector via the partial-aggregable
+    struct-min argmin, and return (cents, coarse) DataFrames. Driver
+    state is k x dim integers; the centroid table broadcasts."""
+    from lakeview_spark.pipeline.iterative import _kq_centroid_rounds, _kq_sqdist
 
-    Scale shape: the index (coarse id + code per vector) is built by
-    narrow maps — coarse assignment broadcasts k centroids and
-    collapses its n*k scored rows map-side via the partial-aggregable
-    struct-min argmin, codes broadcast the {_PQ_M}x{_PQ_K}-row
-    codebook; the code⋈coarse join is one vec_id-keyed equi shuffle (at
-    100 TB both live in ONE index table written together, so it
-    disappears); probes and their subvectors are ~{_PQ_PROBE_TARGET}
-    broadcast rows, so candidate selection is a broadcast-hash filter
-    on (m, cluster) — never all-pairs — and the per-probe ranking
-    windows are bounded by one coarse cluster's occupancy. Payload
-    vectors never shuffle; repartitions the unsplittable single-file
-    local scan before the n*k fold (the trainers' documented
-    exception)."""
-    from lakeview_spark.pipeline.iterative import _kq_sqdist
-
-    n = corpus_n(spark, sf_dir)
-    stride = max(1, n // _PQ_PROBE_TARGET)
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    seeds = [
+        (int(r.vec_id), [int(v) for v in r.qv])
+        for r in emb.filter(centroid_seed_predicate(spark, sf_dir)).collect()
+    ]
+    trained = _kq_centroid_rounds(
+        emb.select("vec_id", "qv"), seeds, _IVFPQ_COARSE_ROUNDS
     )
-    cents = spark.createDataFrame(
-        [
-            (int(r.vec_id), [int(v) for v in r.qv])
-            for r in emb.filter(centroid_seed_predicate(spark, sf_dir)).collect()
-        ],
-        "cluster_id int, cv array<bigint>",
-    )
+    cents = spark.createDataFrame(trained, "cluster_id int, cv array<bigint>")
     coarse = (
         emb.crossJoin(F.broadcast(cents))
         .select(
@@ -2057,25 +2045,84 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("sc").alias("best"))
         .select("vec_id", F.col("best.cluster_id").alias("cluster_id"))
     )
-    probes = (
-        coarse.filter((F.col("vec_id") % stride) == 0)
-        .join(emb, "vec_id")
+    return cents, coarse
+
+
+def _ivfpq_pclusters(probes, cents):
+    """Per-probe visited clusters: rank the k broadcast centroids by
+    exact-BIGINT distance to each probe and keep the _IVFPQ_NPROBE
+    nearest. The row_number window runs over probes x k rows — both
+    broadcast-scale — never the corpus."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    w = _W.partitionBy("probe_id").orderBy("cdist", "cluster_id")
+    return (
+        probes.crossJoin(F.broadcast(cents))
+        .select("probe_id", "cluster_id", _kq_sqdist("pqv", "cv").alias("cdist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("probe_id", F.col("cluster_id").alias("pcluster"))
+    )
+
+
+@register("similarity_ann_ivf_pq", oracle=_IVFPQ_SQL.format(base=_PQ_BASE_CTES))
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN search with multiprobe: for each
+    deterministic-stride probe, rank the members of its
+    {_IVFPQ_NPROBE} nearest TRAINED coarse clusters by exact-BIGINT
+    asymmetric distance over their {_PQ_M}-byte PQ codes;
+    top-{_IVFPQ_TOP} per probe (section comment above — the shipped
+    search path the PQ/IVF audits bound; eval_pq_recall audits this
+    exact composition).
+
+    Scale shape: the index (coarse id + code per vector) is built by
+    narrow maps — coarse training is {_IVFPQ_COARSE_ROUNDS} broadcast
+    assign/update rounds with k x dim driver state, assignment
+    collapses its n*k scored rows map-side via the partial-aggregable
+    struct-min argmin, codes broadcast the {_PQ_M}x{_PQ_K}-row
+    codebook; the code⋈coarse join is one vec_id-keyed equi shuffle (at
+    100 TB both live in ONE index table written together, so it
+    disappears); probes, their subvectors, and their visited-cluster
+    pairs are ~{_PQ_PROBE_TARGET}x{_IVFPQ_NPROBE} broadcast rows, so
+    candidate selection is a broadcast-hash filter on (m, cluster) —
+    never all-pairs (a candidate's single coarse id matches at most
+    one visited cluster per probe, so multiprobe adds no duplicate
+    pairs) — and the per-probe ranking windows are bounded by
+    {_IVFPQ_NPROBE} coarse clusters' occupancy. Payload vectors never
+    shuffle; repartitions the unsplittable single-file local scan
+    before the n*k fold (the trainers' documented exception)."""
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    pclusters = _ivfpq_pclusters(probes, cents)
+    psubs = (
+        probes.join(pclusters, "probe_id")
         .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("qv").alias("pqv"),
-            F.col("cluster_id").alias("pcluster"),
+            "probe_id",
+            "pcluster",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), "
+                    f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "probe_id", "pcluster", F.col("s.m").alias("pm"), F.col("s.sv").alias("sv")
         )
     )
-    psubs = probes.select(
-        "probe_id",
-        "pcluster",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), "
-                f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
-            )
-        ).alias("s"),
-    ).select("probe_id", "pcluster", F.col("s.m").alias("pm"), F.col("s.sv").alias("sv"))
     _subs, codebook, assigned = _pq_parts(emb)
     cand = assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword")).join(
         coarse, "vec_id"
@@ -2102,6 +2149,146 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("rn").cast("long").alias("rank"),
             "adc_dist",
+        )
+    )
+
+
+@register(
+    "eval_pq_recall",
+    oracle=_PQ_RECALL_SQL.format(base=_PQ_BASE_CTES, coarse=_IVFPQ_COARSE_CTES),
+)
+def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search-quality audit, per probe: recall@{_PQ_RECALL_TOP} of
+    flat-PQ asymmetric-distance search vs the exact quantized-domain
+    top-{_PQ_RECALL_TOP} (the codebook ceiling), PLUS the r10 composed-
+    path columns — composed_recall (the multiprobe IVF-PQ search of
+    similarity_ann_ivf_pq vs the same exact truth) and ivf_retention
+    (the composed top-{_PQ_RECALL_TOP} vs the flat-ADC
+    top-{_PQ_RECALL_TOP}: what the nprobe={_IVFPQ_NPROBE} cluster
+    restriction costs relative to scanning every code). All-integer
+    distances end-to-end, so this is a hash-exact audit of a lossy
+    index; the composed columns ride the SAME shared coarse-index CTE
+    block the shipped search uses, so audit and search cannot drift.
+    Measured recall-vs-nprobe grid: SCALE.md (retention 0.44/0.71/0.85
+    untrained seeds at nprobe 1/2/3; 0.53/0.81/0.89 with the
+    {_IVFPQ_COARSE_ROUNDS}-round trained coarse quantizer — the
+    shipped configuration).
+
+    Scale shape: probes are a corpus-derived-stride broadcast
+    (~{_PQ_PROBE_TARGET} rows of subvectors); the ADC side joins the
+    per-doc CODE table (n*{_PQ_M} rows of small ints — the compressed
+    index, not the vectors) against the broadcast codebook and probe
+    subvectors, then one partial-aggregable (probe, doc) sum; the
+    composed restriction is one vec_id equi join to the coarse table
+    plus a broadcast (probe, cluster) filter; the per-probe rankings
+    are windows bounded by corpus-per-probe, the flat-scan cost this
+    audit exists to measure."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    # repartition the unsplittable single-file local scan before the
+    # training + truth folds (the trainers' documented exception)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    subs, codebook, assigned = _pq_parts(emb)
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    scored = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
+    truth = (
+        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select("probe_id", "vec_id")
+    )
+    psubs = probes.select(
+        "probe_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("probe_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    adc = (
+        assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword"))
+        .join(F.broadcast(codebook), ["m", "codeword"])
+        .join(F.broadcast(psubs), "m")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    wa = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    pq_top = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select(F.col("probe_id").alias("pq_probe"), F.col("vec_id").alias("pq_vec"))
+    )
+    # composed path: the flat ADC rows restricted to each probe's
+    # nprobe visited clusters — identical distances, smaller candidate
+    # set, exactly what similarity_ann_ivf_pq ranks
+    cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+    pclusters = _ivfpq_pclusters(probes, cents).select(
+        F.col("probe_id").alias("pc_probe"), "pcluster"
+    )
+    ctop = (
+        adc.join(coarse, "vec_id")
+        .join(
+            F.broadcast(pclusters),
+            (F.col("probe_id") == F.col("pc_probe"))
+            & (F.col("cluster_id") == F.col("pcluster")),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select(F.col("probe_id").alias("ct_probe"), F.col("vec_id").alias("ct_vec"))
+    )
+    ret = (
+        pq_top.join(
+            ctop,
+            (F.col("pq_probe") == F.col("ct_probe"))
+            & (F.col("pq_vec") == F.col("ct_vec")),
+            "left",
+        )
+        .groupBy("pq_probe")
+        .agg(F.count("ct_vec").alias("retained"))
+        .select(F.col("pq_probe").alias("ret_probe"), "retained")
+    )
+    return (
+        truth.join(
+            pq_top,
+            (F.col("probe_id") == F.col("pq_probe"))
+            & (F.col("vec_id") == F.col("pq_vec")),
+            "left",
+        )
+        .join(
+            ctop,
+            (F.col("probe_id") == F.col("ct_probe"))
+            & (F.col("vec_id") == F.col("ct_vec")),
+            "left",
+        )
+        .join(ret, F.col("probe_id") == F.col("ret_probe"))
+        .groupBy("probe_id")
+        .agg(
+            F.count("pq_vec").alias("n_hits"),
+            (F.count("pq_vec").cast("double") / _PQ_RECALL_TOP).alias("recall"),
+            F.count("ct_vec").alias("composed_hits"),
+            (F.count("ct_vec").cast("double") / _PQ_RECALL_TOP).alias(
+                "composed_recall"
+            ),
+            F.any_value("retained").alias("n_retained"),
+            (F.any_value("retained").cast("double") / _PQ_RECALL_TOP).alias(
+                "ivf_retention"
+            ),
         )
     )
 
