@@ -12,6 +12,7 @@ from lakeview_spark.pipeline import (  # noqa: F401
     iterative,
     mixing,
     labels,
+    train_set,
 )
 
 

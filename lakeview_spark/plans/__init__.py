@@ -83,6 +83,12 @@ _DRIVER_WINDOW = [
     # multiprobe composed search (VERDICT r09 next-4)
     "similarity_ann_ivf_pq",
     "eval_pq_recall",
+    # NEW in r10: the end-to-end training-set funnel (VERDICT r09
+    # next-5) — displaces `dedup_exact`, the deepest r07 top-up
+    # (r07 green row, every-round sweep, the whole dedup layer's
+    # standalone stages compose INTO this query, so the machinery is
+    # driver-exercised through it)
+    "pipeline_train_set",
     # r07-cohort top-ups, oldest green rows first (CORRECTNESS_r07
     # order); r10 additions displace from the BOTTOM of this list
     "timeline_parse",
@@ -92,7 +98,6 @@ _DRIVER_WINDOW = [
     "partition_skew",
     "timeline_search",
     "table_health_summary",
-    "dedup_exact",
 ]
 
 def ensure_driver_order() -> None:

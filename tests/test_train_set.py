@@ -1,0 +1,121 @@
+"""pipeline_train_set: the composed funnel equals running the
+registered stages in order (the r9 VERDICT next-5 'Done' criterion),
+plus the funnel-monotonicity law."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from lakeview_spark.session import get_spark
+
+    return get_spark()
+
+
+def test_train_set_funnel_is_monotone(spark):
+    """Each stage can only shrink: raw >= quality >= dedup >= decontam
+    >= selected per language, and the packed mass is exactly the
+    selected docs' token mass."""
+    rows = QUERIES["pipeline_train_set"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.docs_raw
+            >= r.docs_quality
+            >= r.docs_dedup
+            >= r.docs_decontam
+            >= r.docs_selected
+            >= 0
+        )
+        if r.docs_selected == 0:
+            assert r.chars_selected == r.tokens_packed == r.n_sequences == 0
+        else:
+            assert r.n_sequences >= 1
+            assert r.tokens_packed > 0
+
+
+def test_train_set_equals_stage_by_stage_composition(spark):
+    """Running the REGISTERED stage queries one at a time and composing
+    their outputs by doc_id — then replaying selection + packing in
+    pure Python — reproduces the composed query's every number."""
+    from lakeview_spark.pipeline.mixing import _BUDGET_DIV
+    from lakeview_spark.pipeline.packing import SEQ_BUDGET
+    from lakeview_spark.pipeline.text import _STOPWORDS
+
+    q1 = {r.doc_id for r in QUERIES["quality_filter_apply"](spark, SF_DIR).collect()}
+    kept2 = {r.doc_id for r in QUERIES["dedup_apply_quality"](spark, SF_DIR).collect()}
+    q2 = q1 & kept2
+    det = {
+        r.doc_id: (r.matched_shingles, r.n_shingles)
+        for r in QUERIES["contamination_ngram_overlap"](spark, SF_DIR).collect()
+    }
+    # detect only scores non-probe docs with shingles; a q2 doc absent
+    # from the detect table is a probe doc or shingle-less and drops
+    q3 = {
+        d
+        for d in q2
+        if d in det and 10 * det[d][0] < det[d][1]
+    }
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    docs = {
+        d: (lang, n_chars, text)
+        for d, lang, n_chars, text in zip(
+            tbl["doc_id"], tbl["lang"], tbl["n_chars"], tbl["text"]
+        )
+    }
+    stops = set(_STOPWORDS["en"])
+    by_lang: dict[str, list[tuple[int, int, int, int]]] = {}
+    for d in q3:
+        lang, n_chars, text = docs[d]
+        toks = text.split(" ")
+        n_stop = sum(1 for w in text.lower().split(" ") if w in stops)
+        by_lang.setdefault(lang, []).append((d, int(n_chars), n_stop, len(toks)))
+    selected: dict[str, list[tuple[int, int, int]]] = {}
+    for lang, items in by_lang.items():
+        budget = sum(c for _d, c, _s, _t in items) // _BUDGET_DIV
+        cum = 0
+        for d, c, _s, ntok in sorted(items, key=lambda x: (-x[2], -x[3], x[0])):
+            if cum < budget:  # cum_chars - own < budget
+                selected.setdefault(lang, []).append((d, c, ntok))
+            cum += c
+    expected = {}
+    for lang in {docs[d][0] for d in docs}:
+        sel = selected.get(lang, [])
+        cum = 0
+        seqs = set()
+        for _d, _c, ntok in sorted(sel):
+            seqs.add(cum // SEQ_BUDGET)
+            cum += ntok
+        langs_docs = [d for d in docs if docs[d][0] == lang]
+        expected[lang] = (
+            len(langs_docs),
+            len([d for d in langs_docs if d in q1]),
+            len([d for d in langs_docs if d in q2]),
+            len([d for d in langs_docs if d in q3]),
+            len(sel),
+            sum(c for _d, c, _t in sel),
+            sum(t for _d, _c, t in sel),
+            len(seqs),
+        )
+    got = QUERIES["pipeline_train_set"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (
+            r.docs_raw,
+            r.docs_quality,
+            r.docs_dedup,
+            r.docs_decontam,
+            r.docs_selected,
+            r.chars_selected,
+            r.tokens_packed,
+            r.n_sequences,
+        ) == expected[r.lang], r.lang
