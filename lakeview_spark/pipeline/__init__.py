@@ -48,6 +48,20 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         from lakeview_spark.pipeline.clustering import clusters_materialized
 
         builders.append(clusters_materialized)
+        # the PQ index halves (codes + coarse ids): built once per
+        # (session, dataset) like a deployment's stored ANN index —
+        # backs embedding_pq_codebook_stats / eval_pq_recall /
+        # similarity_ann_ivf_pq in the extended-r9 bench set (r10)
+        from lakeview_spark.pipeline.similarity import (
+            _ivfpq_coarse_parts,
+            _pq_emb,
+            pq_codes_materialized,
+        )
+
+        builders.append(pq_codes_materialized)
+        builders.append(
+            lambda s, d: _ivfpq_coarse_parts(s, d, _pq_emb(s, d))[1]
+        )
         # the packed-batch table (the inherently-sequential per-table
         # Python packer) backs active_batch_packing AND
         # checkpoint_lookback — both in the extended steady set, and

@@ -1668,21 +1668,17 @@ def embedding_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n*_PQ_M*_PQ_K training folds (the trainers' documented exception —
     measured 20 -> ~4 s at sf0.1 when the codebooks began training
     here in r9)."""
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    )
     # encode = min(struct(sqerr, codeword)) inside _pq_parts:
     # partial-aggregable argmin (ties to the lower codeword), so the
-    # n*_PQ_K scored rows collapse map-side — no window sort
-    _subs, _codebook, assigned = _pq_parts(emb)
-    return assigned.groupBy(
-        F.col("m").alias("subspace"), F.col("best.codeword").alias("codeword")
+    # n*_PQ_K scored rows collapse map-side — no window sort; the codes
+    # live in the per-(session, dataset) scratch index (r10)
+    codes = pq_codes_materialized(spark, sf_dir)
+    return codes.groupBy(
+        F.col("m").alias("subspace"), "codeword"
     ).agg(
         F.count("*").alias("n_vectors"),
-        F.sum("best.sqerr").alias("total_sqerr"),
-        F.max("best.sqerr").alias("max_sqerr"),
+        F.sum("sqerr").alias("total_sqerr"),
+        F.max("sqerr").alias("max_sqerr"),
     )
 
 
@@ -1805,7 +1801,31 @@ def _pq_subvector_sqerr() -> Column:
     )
 
 
-def _pq_parts(emb):
+# trained-codebook driver cache: (app id, dataset path, fingerprint) ->
+# the (m, codeword) -> centroid dict. The training loop collects k x dim
+# state per round anyway, so the finished 32x64x2-int dict is legitimate
+# driver metadata — caching it means the three PQ consumers (stats,
+# recall audit, composed search) train ONCE per (session, dataset)
+# instead of once per invocation (r10: the recall audit's plan grew to
+# 4 references of the code subtree after multiprobe, each replaying the
+# n*_PQ_M*_PQ_K argmin — 10 s steady at sf0.1 measured; with the cache
+# + the materialized codes table below it reads scratch instead).
+_PQ_CB_CACHE: dict[tuple[str, str, str], dict[tuple[int, int], list[int]]] = {}
+
+
+def _pq_cache_key(spark, sf_dir: str) -> tuple[str, str, str]:
+    import os as _os
+
+    from lakeview_spark.operators.materialize import _dataset_fingerprint
+
+    return (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        _dataset_fingerprint(sf_dir),
+    )
+
+
+def _pq_parts(emb, sf_dir: str | None = None):
     """(subs, codebook, assigned) for the PQ family — the Spark twin of
     _PQ_BASE_CTES, shared by the stats, recall, and IVF-PQ queries.
 
@@ -1817,7 +1837,9 @@ def _pq_parts(emb):
     (m, codeword, pos)-keyed floored-integer-mean update whose partial
     aggregation bounds the shuffle at _PQ_M*_PQ_K*_PQ_SUB keys. Driver
     state between rounds is the 32x64x2-integer codebook — broadcast-
-    scale metadata, the kmeans trainers' device."""
+    scale metadata, the kmeans trainers' device. With `sf_dir` the
+    trained codebook is cached per (session, dataset) — see
+    _PQ_CB_CACHE."""
     spark = emb.sparkSession
     subs = emb.select(
         "vec_id",
@@ -1828,15 +1850,6 @@ def _pq_parts(emb):
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    # seed: the quantized subvectors of vec_id 1.._PQ_K (cb0)
-    cb: dict[tuple[int, int], list[int]] = {}
-    for r in (
-        emb.filter(F.col("vec_id").between(1, _PQ_K)).select("vec_id", "qv").collect()
-    ):
-        for m in range(_PQ_M):
-            cb[(m, int(r.vec_id))] = [
-                int(v) for v in r.qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            ]
 
     def _cb_df(codebook_state):
         return spark.createDataFrame(
@@ -1855,31 +1868,89 @@ def _pq_parts(emb):
             F.min("sc").alias("best"), F.any_value("sv").alias("sv")
         )
 
-    for _ in range(_PQ_ITER):
-        upd = (
-            _assign(_cb_df(cb))
-            .select(
-                "m",
-                F.col("best.codeword").alias("codeword"),
-                F.posexplode("sv").alias("pos", "v"),
-            )
-            .groupBy("m", "codeword", "pos")
-            .agg(
-                F.floor(F.sum("v").cast("double") / F.count("*"))
-                .cast("long")
-                .alias("mv")
-            )
+    cache_key = _pq_cache_key(spark, sf_dir) if sf_dir is not None else None
+    cb = _PQ_CB_CACHE.get(cache_key) if cache_key else None
+    if cb is None:
+        # seed: the quantized subvectors of vec_id 1.._PQ_K (cb0)
+        cb = {}
+        for r in (
+            emb.filter(F.col("vec_id").between(1, _PQ_K))
+            .select("vec_id", "qv")
             .collect()
-        )
-        by_key: dict[tuple[int, int], dict[int, int]] = {}
-        for r in upd:
-            by_key.setdefault((r.m, r.codeword), {})[r.pos] = r.mv
-        for key, comp in by_key.items():
-            cb[key] = [comp[i] for i in sorted(comp)]
-        # codewords absent from by_key captured nothing: keep previous
+        ):
+            for m in range(_PQ_M):
+                cb[(m, int(r.vec_id))] = [
+                    int(v) for v in r.qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                ]
+        for _ in range(_PQ_ITER):
+            upd = (
+                _assign(_cb_df(cb))
+                .select(
+                    "m",
+                    F.col("best.codeword").alias("codeword"),
+                    F.posexplode("sv").alias("pos", "v"),
+                )
+                .groupBy("m", "codeword", "pos")
+                .agg(
+                    F.floor(F.sum("v").cast("double") / F.count("*"))
+                    .cast("long")
+                    .alias("mv")
+                )
+                .collect()
+            )
+            by_key: dict[tuple[int, int], dict[int, int]] = {}
+            for r in upd:
+                by_key.setdefault((r.m, r.codeword), {})[r.pos] = r.mv
+            for key, comp in by_key.items():
+                cb[key] = [comp[i] for i in sorted(comp)]
+            # codewords absent from by_key captured nothing: keep previous
+        if cache_key:
+            _PQ_CB_CACHE[cache_key] = cb
     codebook = F.broadcast(_cb_df(cb))
     assigned = _assign(codebook).select("vec_id", "m", "best")
     return subs, codebook, assigned
+
+
+def _pq_emb(spark, sf_dir: str):
+    """The quantized embedding scan every PQ consumer starts from
+    (repartitioned off the unsplittable single file — the trainers'
+    documented exception)."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+
+
+def pq_codes_materialized(spark, sf_dir: str):
+    """THE PQ index artifact: per (vector, subspace) the trained
+    codeword and its exact reconstruction error, written to scratch
+    once per (session, dataset). Every PQ consumer's `assigned`
+    reference reads this table back instead of replaying the
+    n*_PQ_M*_PQ_K encode argmin — the plan-duplication fix the k-core
+    walk taught (a lazy `assigned` subtree was replayed per reference;
+    the r10 recall audit references it 4x). At 100 TB this is exactly
+    the index table a deployment stores next to the coarse ids."""
+    from lakeview_spark.operators.materialize import materialized
+
+    def _build(spark, sf_dir):
+        _subs, _codebook, assigned = _pq_parts(_pq_emb(spark, sf_dir), sf_dir)
+        return assigned.select(
+            "vec_id",
+            "m",
+            F.col("best.codeword").alias("codeword"),
+            F.col("best.sqerr").alias("sqerr"),
+        )
+
+    return materialized(spark, "pq_codes", sf_dir, _build)
+
+
+def pq_codebook_df(spark, sf_dir: str):
+    """The trained codebook as a broadcast-scale DataFrame — from the
+    driver cache (training if this is the first PQ touch of the
+    session)."""
+    _subs, codebook, _assigned = _pq_parts(_pq_emb(spark, sf_dir), sf_dir)
+    return codebook
 
 
 # ---------------------------------------------------------------------------
@@ -2018,33 +2089,50 @@ _IVFPQ_SQL = f"""
 """
 
 
+# trained coarse-centroid driver cache, same lifecycle as _PQ_CB_CACHE
+_IVFPQ_CENTS_CACHE: dict[tuple[str, str, str], list[tuple[int, list[int]]]] = {}
+
+
 def _ivfpq_coarse_parts(spark, sf_dir, emb):
     """The shared Spark-side IVF coarse index (twin of
     _IVFPQ_COARSE_CTES): train the coarse centroids by
     {_IVFPQ_COARSE_ROUNDS} label-free integer-Lloyd's rounds off the
-    seed vectors, assign every vector via the partial-aggregable
-    struct-min argmin, and return (cents, coarse) DataFrames. Driver
-    state is k x dim integers; the centroid table broadcasts."""
+    seed vectors (cached per session+dataset — k x dim driver ints),
+    assign every vector via the partial-aggregable struct-min argmin
+    MATERIALIZED to scratch (the coarse half of the index table, next
+    to pq_codes), and return (cents, coarse) DataFrames."""
+    from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.pipeline.iterative import _kq_centroid_rounds, _kq_sqdist
 
-    seeds = [
-        (int(r.vec_id), [int(v) for v in r.qv])
-        for r in emb.filter(centroid_seed_predicate(spark, sf_dir)).collect()
-    ]
-    trained = _kq_centroid_rounds(
-        emb.select("vec_id", "qv"), seeds, _IVFPQ_COARSE_ROUNDS
-    )
-    cents = spark.createDataFrame(trained, "cluster_id int, cv array<bigint>")
-    coarse = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            F.struct(_kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id").alias("sc"),
+    key = _pq_cache_key(spark, sf_dir)
+    trained = _IVFPQ_CENTS_CACHE.get(key)
+    if trained is None:
+        seeds = [
+            (int(r.vec_id), [int(v) for v in r.qv])
+            for r in emb.filter(centroid_seed_predicate(spark, sf_dir)).collect()
+        ]
+        trained = _kq_centroid_rounds(
+            emb.select("vec_id", "qv"), seeds, _IVFPQ_COARSE_ROUNDS
         )
-        .groupBy("vec_id")
-        .agg(F.min("sc").alias("best"))
-        .select("vec_id", F.col("best.cluster_id").alias("cluster_id"))
-    )
+        _IVFPQ_CENTS_CACHE[key] = trained
+    cents = spark.createDataFrame(trained, "cluster_id int, cv array<bigint>")
+
+    def _build(spark, sf_dir):
+        e = _pq_emb(spark, sf_dir)
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.struct(
+                    _kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id"
+                ).alias("sc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("sc").alias("best"))
+            .select("vec_id", F.col("best.cluster_id").alias("cluster_id"))
+        )
+
+    coarse = materialized(spark, "ivfpq_coarse", sf_dir, _build)
     return cents, coarse
 
 
@@ -2097,11 +2185,7 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = corpus_n(spark, sf_dir)
     stride = max(1, n // _PQ_PROBE_TARGET)
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    )
+    emb = _pq_emb(spark, sf_dir)
     cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
     probes = emb.filter((F.col("vec_id") % stride) == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
@@ -2123,10 +2207,10 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "pcluster", F.col("s.m").alias("pm"), F.col("s.sv").alias("sv")
         )
     )
-    _subs, codebook, assigned = _pq_parts(emb)
-    cand = assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword")).join(
-        coarse, "vec_id"
-    )
+    codebook = pq_codebook_df(spark, sf_dir)
+    cand = pq_codes_materialized(spark, sf_dir).select(
+        "vec_id", "m", "codeword"
+    ).join(coarse, "vec_id")
     adc = (
         cand.join(F.broadcast(codebook), ["m", "codeword"])
         .join(
@@ -2189,14 +2273,8 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = corpus_n(spark, sf_dir)
     stride = max(1, n // _PQ_PROBE_TARGET)
-    # repartition the unsplittable single-file local scan before the
-    # training + truth folds (the trainers' documented exception)
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", _kq_quantize_col("embedding").alias("qv"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    )
-    subs, codebook, assigned = _pq_parts(emb)
+    emb = _pq_emb(spark, sf_dir)
+    codebook = pq_codebook_df(spark, sf_dir)
     probes = emb.filter((F.col("vec_id") % stride) == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
     )
@@ -2220,7 +2298,8 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("probe_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
     adc = (
-        assigned.select("vec_id", "m", F.col("best.codeword").alias("codeword"))
+        pq_codes_materialized(spark, sf_dir)
+        .select("vec_id", "m", "codeword")
         .join(F.broadcast(codebook), ["m", "codeword"])
         .join(F.broadcast(psubs), "m")
         .filter(F.col("vec_id") != F.col("probe_id"))
