@@ -859,6 +859,215 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) vocabulary pruning — the r9 stretch
+# ---------------------------------------------------------------------------
+#
+# The honest tokenizer gap next to BPE train/apply (VERDICT r09 next-9):
+# unigram-LM training seeds a large candidate-piece vocabulary and
+# repeatedly PRUNES the pieces whose removal costs the corpus
+# likelihood least (Kudo 2018). Real EM is log-space float — hopeless
+# for cross-engine hashing — but the whole loss ranking survives in the
+# integer BIT-LENGTH domain (floor(log2 x) == bitlength(x) - 1, the
+# text_surprisal_bits / DSIR device): a piece p with count c(p) in a
+# vocabulary of total mass V costs ~(bl(V) - bl(c_p)) bits per
+# occurrence kept, and (sum over its chars of bl(C) - bl(c_ch)) bits if
+# its occurrences fall back to the character model (total char mass C).
+# loss(p) = c(p) * [chars_cost - piece_cost] — the exact-integer
+# surrogate for the likelihood delta, within 1 bit per term of the log2
+# truth. One prune round keeps the high-loss (most valuable) half.
+#
+# The half-cut uses the 256-bin histogram threshold (the
+# mix_curriculum_schedule device): the vocabulary is never totally
+# ordered — the threshold is the median bin (2*cum >= n), kept = bin
+# above it. Seed vocabulary: every 2..4-char substring of the distinct
+# words with count >= _UNI_MIN_COUNT; all per-character work is
+# proportional to the VOCABULARY (distinct words / distinct pieces),
+# never the corpus stream — the BPE trainers' distinct-word economy.
+_UNI_LENS = (2, 3, 4)
+_UNI_MIN_COUNT = 2
+
+_UNI_PIECES_SPARK = (
+    "flatten(transform(array(2, 3, 4), l -> CASE WHEN length(word) >= l "
+    "THEN transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l)) "
+    "ELSE array() END))"
+)
+
+_UNI_SQL = f"""
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wcount
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    cc AS (
+      SELECT ch, CAST(sum(wcount) AS BIGINT) AS c FROM (
+        SELECT wcount,
+               unnest(list_transform(range(1, length(word) + 1),
+                      i -> substr(word, i, 1))) AS ch
+        FROM w) GROUP BY ch
+    ),
+    ctot AS (SELECT CAST(length(printf('%b', CAST(sum(c) AS BIGINT))) AS BIGINT) AS blc FROM cc),
+    pc AS (
+      SELECT piece, CAST(sum(wcount) AS BIGINT) AS cp FROM (
+        SELECT wcount,
+               unnest(flatten(list_transform([2, 3, 4],
+                 l -> CASE WHEN length(word) >= l
+                      THEN list_transform(range(1, length(word) - l + 2),
+                                          i -> substr(word, i, l))
+                      ELSE [] END))) AS piece
+        FROM w) GROUP BY piece
+      HAVING sum(wcount) >= {_UNI_MIN_COUNT}
+    ),
+    vtot AS (SELECT CAST(length(printf('%b', CAST(sum(cp) AS BIGINT))) AS BIGINT) AS blv FROM pc),
+    pch AS (
+      SELECT p.piece,
+             CAST(sum(length(printf('%b', cc.c))) AS BIGINT) AS sum_blc
+      FROM (SELECT piece,
+                   unnest(list_transform(range(1, length(piece) + 1),
+                          i -> substr(piece, i, 1))) AS ch
+            FROM pc) p
+      JOIN cc ON cc.ch = p.ch
+      GROUP BY p.piece
+    ),
+    scored AS (
+      SELECT pc.piece, CAST(length(pc.piece) AS BIGINT) AS piece_len, pc.cp,
+             pc.cp * (CAST(length(pc.piece) AS BIGINT) * ctot.blc - pch.sum_blc
+                      - vtot.blv
+                      + CAST(length(printf('%b', pc.cp)) AS BIGINT)) AS loss_bits
+      FROM pc JOIN pch USING (piece), ctot, vtot
+    ),
+    rng AS (SELECT min(loss_bits) AS mn, max(loss_bits) AS mx,
+                   count(*) AS n FROM scored),
+    binned AS (
+      SELECT s.piece_len, s.cp, s.loss_bits,
+             ((s.loss_bits - mn) * 255) // greatest(mx - mn, 1) AS bin
+      FROM scored s, rng
+    ),
+    bins AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bins
+    ),
+    thr AS (SELECT min(CASE WHEN 2 * cum >= n THEN bin END) AS t1 FROM cum, rng)
+    SELECT piece_len,
+           CAST(CASE WHEN bin > t1 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           CAST(sum(cp) AS BIGINT) AS total_occurrences,
+           CAST(sum(loss_bits) AS BIGINT) AS total_loss_bits
+    FROM binned, thr
+    GROUP BY piece_len, kept
+"""
+
+
+@register("corpus_unigram_prune", oracle=_UNI_SQL)
+def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM vocabulary pruning round in integer bit-length
+    space (section comment above): seed every 2..4-char substring piece
+    with corpus count >= 2, score each piece's
+    keep-vs-fall-back-to-chars likelihood delta with bit-length logs,
+    and prune the low-loss half at the 256-bin histogram median —
+    reporting per (piece length, kept) the piece count, occurrence
+    mass, and total loss bits. The whole round — counts, losses,
+    threshold, cut — is exact integers, so it hash-checks like the BPE
+    trainer.
+
+    Scale shape: the corpus stream is touched once (word counts); all
+    substring work runs on the DISTINCT-word table, the char/piece
+    models are vocabulary-keyed aggregations (partial-aggregable), the
+    piece->char cost join is keyed on the piece's own <= 4 chars
+    against the tiny char table, and the half-cut is the histogram
+    device (1-row min/max broadcast + a 256-row cumulative table) — the
+    vocabulary is never totally ordered, exactly like
+    mix_curriculum_schedule's stage assignment."""
+    from pyspark.sql import Window as _W
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    w = toks.groupBy("word").agg(F.count("*").cast("bigint").alias("wcount"))
+    bl = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    cc = (
+        w.select(
+            "wcount",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+                )
+            ).alias("ch"),
+        )
+        .groupBy("ch")
+        .agg(F.sum("wcount").cast("bigint").alias("c"))
+    )
+    ctot = cc.agg(bl(F.sum("c")).alias("blc"))
+    pc = (
+        w.select("wcount", F.explode(F.expr(_UNI_PIECES_SPARK)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("bigint").alias("cp"))
+        .filter(F.col("cp") >= _UNI_MIN_COUNT)
+    )
+    vtot = pc.agg(bl(F.sum("cp")).alias("blv"))
+    pch = (
+        pc.select(
+            "piece",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(piece)), i -> substring(piece, i, 1))"
+                )
+            ).alias("ch"),
+        )
+        .join(cc, "ch")
+        .groupBy("piece")
+        .agg(F.sum(bl(F.col("c"))).cast("bigint").alias("sum_blc"))
+    )
+    scored = (
+        pc.join(pch, "piece")
+        .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            F.length("piece").cast("bigint").alias("piece_len"),
+            "cp",
+            (
+                F.col("cp")
+                * (
+                    F.length("piece").cast("bigint") * F.col("blc")
+                    - F.col("sum_blc")
+                    - F.col("blv")
+                    + bl(F.col("cp"))
+                )
+            ).alias("loss_bits"),
+        )
+    )
+    rng = scored.agg(
+        F.min("loss_bits").alias("mn"),
+        F.max("loss_bits").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = scored.crossJoin(F.broadcast(rng)).withColumn(
+        "bin", F.expr("((loss_bits - mn) * 255) div greatest(mx - mn, 1)")
+    )
+    bins = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    w_cum = _W.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w_cum))
+    thr = cum.crossJoin(F.broadcast(rng)).agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("bin"))).alias("t1")
+    )
+    return (
+        binned.crossJoin(F.broadcast(thr))
+        .select(
+            "piece_len",
+            (F.col("bin") > F.col("t1")).cast("bigint").alias("kept"),
+            "cp",
+            "loss_bits",
+        )
+        .groupBy("piece_len", "kept")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pieces"),
+            F.sum("cp").cast("bigint").alias("total_occurrences"),
+            F.sum("loss_bits").cast("bigint").alias("total_loss_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: dense + sparse with reciprocal-rank fusion
 # ---------------------------------------------------------------------------
 #

@@ -89,6 +89,11 @@ _DRIVER_WINDOW = [
     # standalone stages compose INTO this query, so the machinery is
     # driver-exercised through it)
     "pipeline_train_set",
+    # NEW in r10: unigram-LM vocabulary prune round in bit-length space
+    # (VERDICT r09 next-9 stretch) — displaces `table_health_summary`
+    # (r07 green row, every-round sweep, table-stats kins in the r06
+    # cohort above)
+    "corpus_unigram_prune",
     # r07-cohort top-ups, oldest green rows first (CORRECTNESS_r07
     # order); r10 additions displace from the BOTTOM of this list
     "timeline_parse",
@@ -97,7 +102,6 @@ _DRIVER_WINDOW = [
     "uuid3_table_ids",
     "partition_skew",
     "timeline_search",
-    "table_health_summary",
 ]
 
 def ensure_driver_order() -> None:

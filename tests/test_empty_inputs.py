@@ -99,6 +99,13 @@ GUARDED = [
     "stream_interval_join",
     "stream_interval_join_outer",
     "stream_session_daily_rollup",
+    # r10 additions: histogram threshold over an empty piece vocabulary
+    # (min/max/n all NULL/0); the five-stage funnel over zero docs
+    # (empty cluster/probe/budget tables all the way down); the PQ
+    # recall audit's composed columns over empty index scratch
+    "corpus_unigram_prune",
+    "pipeline_train_set",
+    "eval_pq_recall",
 ]
 
 

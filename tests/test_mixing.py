@@ -251,7 +251,6 @@ def test_mix_curriculum_schedule_replay_and_laws(spark):
     id); difficulty is strictly non-decreasing across stage boundaries;
     and within a stage every source's round r precedes every source's
     round r+1 (the interleave guarantee)."""
-    import re
     from collections import Counter
 
     import duckdb
@@ -290,8 +289,11 @@ def test_mix_curriculum_schedule_replay_and_laws(spark):
             ris[did] = i
     byid = {r.doc_id: r for r in rows}
     assert set(byid) == set(occ)
+    # r10: source ids are a dense_rank over the distinct source NAMES
+    # (name-shape independent), not a digit parse
+    sid = {s: i for i, s in enumerate(sorted({src for src, _ in occ.values()}))}
     for did, r in byid.items():
-        src_num = int(re.search(r"[0-9]+", occ[did][0]).group())
+        src_num = sid[occ[did][0]]
         assert r.stage == stage[did]
         assert r.difficulty_key == dkey[did]
         assert r.round_in_stage == ris[did]

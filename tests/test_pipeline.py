@@ -1084,6 +1084,66 @@ def test_ivf_pq_search_matches_pure_python_replay(spark):
         assert (r.rank, r.adc_dist) == expected[(r.probe_id, r.vec_id)]
 
 
+def test_unigram_prune_matches_pure_python_replay(spark):
+    """corpus_unigram_prune == an independent Python replay at
+    sf0.001: distinct-word counts, char/piece unigram models, integer
+    bit-length losses, the 256-bin histogram median threshold, and the
+    per-(piece_len, kept) rollup."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.corpus import _UNI_LENS, _UNI_MIN_COUNT
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    words = Counter()
+    for text in tbl["text"]:
+        words.update(text.lower().split(" "))
+    cc = Counter()
+    pc = Counter()
+    for word, wcount in words.items():
+        for ch in word:
+            cc[ch] += wcount
+        for l in _UNI_LENS:
+            for i in range(len(word) - l + 1):
+                pc[word[i : i + l]] += wcount
+    pc = {p: c for p, c in pc.items() if c >= _UNI_MIN_COUNT}
+    blc = sum(cc.values()).bit_length()
+    blv = sum(pc.values()).bit_length()
+    loss = {
+        p: c * (len(p) * blc - sum(cc[ch].bit_length() for ch in p)
+                - blv + c.bit_length())
+        for p, c in pc.items()
+    }
+    mn, mx, n = min(loss.values()), max(loss.values()), len(loss)
+    bins = Counter((v - mn) * 255 // max(mx - mn, 1) for v in loss.values())
+    cum = 0
+    t1 = None
+    for b in sorted(bins):
+        cum += bins[b]
+        if 2 * cum >= n and t1 is None:
+            t1 = b
+    expected = {}
+    for p, c in pc.items():
+        b = (loss[p] - mn) * 255 // max(mx - mn, 1)
+        key = (len(p), 1 if b > t1 else 0)
+        agg = expected.setdefault(key, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += c
+        agg[2] += loss[p]
+    got = QUERIES["corpus_unigram_prune"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    kept_pieces = 0
+    for r in got:
+        assert (r.n_pieces, r.total_occurrences, r.total_loss_bits) == tuple(
+            expected[(r.piece_len, r.kept)]
+        )
+        if r.kept:
+            kept_pieces += r.n_pieces
+    # the median cut keeps a nonempty minority-to-half of the seed vocab
+    assert 0 < kept_pieces <= (n + 1) // 2 + bins.most_common(1)[0][1]
+
+
 def test_label_propagation_matches_pure_python_replay(spark):
     """graph_label_propagation == an independent Python replay of the
     synchronous modal-label walk at sf0.001, seeded from the
