@@ -270,3 +270,91 @@ def contrastive_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_type.alias("pair_type"),
         (_dot("ae", "pe") / (_norm("ae") * _norm("pe"))).alias("cosine"),
     )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bits AS (
+      SELECT e.vec_id, e.label, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    bucketed AS (
+      SELECT vec_id, any_value(label) AS label, any_value(embedding) AS embedding,
+             CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS negative_id, b.label AS negative_label,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+             / ({_NORM_SQL.format(a="a.embedding")} * {_NORM_SQL.format(a="b.embedding")}) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       AND a.label <> b.label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM (
+      SELECT anchor_id, anchor_label, negative_id, negative_label, cosine,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, negative_id) AS rn,
+             count(*) OVER (PARTITION BY anchor_id) AS n_candidates
+      FROM cand) WHERE rn = 1
+    """,
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (r10): per anchor
+    vector, the HIGHEST-cosine bucket-mate with a DIFFERENT label — the
+    near-in-space / wrong-in-class example that contrastive and triplet
+    losses learn the most from — plus how many wrong-label candidates
+    its bucket held (the mining-depth telemetry). Anchors whose bucket
+    holds no wrong-label mate emit nothing (nothing to mine locally —
+    the standard in-batch/-bucket mining trade).
+
+    Scale shape: the candidate join is same-bucket only over the
+    bucketed LSH scratch (zero-Exchange self-join at scale, the kNN
+    graph's join), norms are precomputed parquet columns, and the
+    per-anchor argmax is max(struct(cosine, -negative_id, ...)) — a
+    PARTIAL-AGGREGABLE aggregation, so each partition collapses its
+    candidates map-side; no ranking window touches the pair stream.
+    The (cosine DESC, negative_id ASC) total order is the engine-exact
+    tiebreak every ranked query here uses."""
+    b = _lsh_bucketed(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("c")
+    cand = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id"))
+        & (F.col("a.label") != F.col("c.label")),
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("a.label").alias("anchor_label"),
+        F.col("c.vec_id").alias("negative_id"),
+        F.col("c.label").alias("negative_label"),
+        (
+            _dot("a.embedding", "c.embedding") / (F.col("a.norm") * F.col("c.norm"))
+        ).alias("cosine"),
+    )
+    best = cand.groupBy("anchor_id").agg(
+        F.any_value("anchor_label").alias("anchor_label"),
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.max(
+            F.struct(
+                "cosine",
+                (-F.col("negative_id")).alias("nk"),
+                "negative_id",
+                "negative_label",
+            )
+        ).alias("best"),
+    )
+    return best.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("best.negative_id").alias("negative_id"),
+        F.col("best.negative_label").alias("negative_label"),
+        F.col("best.cosine").alias("cosine"),
+        "n_candidates",
+    )

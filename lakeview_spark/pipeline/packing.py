@@ -393,3 +393,105 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum (prefix_sum_per_group) as the swap-in for mega-docs.
     The final chunk hash slices the token array once per chunk."""
     return cdc_chunk_frame(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) span corruption — the code-model training
+# prep (Bavarian et al. 2022): each document is split into
+# prefix / middle / suffix around a deterministically chosen span; the
+# trainer reorders them (PSM/SPM mode) so the model learns infilling.
+# No RNG: all span choices derive from a salted md5 of doc_id via the
+# 15-hex-digit fold (the sample_priority device), so the corruption is
+# reproducible under any partitioning and rerun — the property FIM data
+# prep actually needs (the same doc must corrupt the same way across
+# epochs/workers). Middle length is capped at a quarter of the doc; the
+# start leaves prefix and suffix nonempty by construction.
+_FIM_MIN_TOKENS = 8
+
+_FIM_HEX_FOLD_SQL = (
+    "list_reduce(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('fim:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(acc, x) -> acc * 16 + x)"
+)
+
+
+@register(
+    "pack_fim_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_FIM_MIN_TOKENS}
+    ),
+    h AS (SELECT doc_id, toks, n, {_FIM_HEX_FOLD_SQL} AS hv FROM tk),
+    spans AS (
+      SELECT doc_id, toks, n, hv,
+             1 + hv % greatest(n // 4, 1) AS span_len
+      FROM h
+    ),
+    placed AS (
+      SELECT doc_id, toks, n, hv, span_len,
+             2 + (hv // 64) % (n - span_len - 1) AS span_start
+      FROM spans
+    )
+    SELECT doc_id, n AS n_tokens,
+           CASE WHEN hv % 2 = 0 THEN 'psm' ELSE 'spm' END AS fim_mode,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           md5(array_to_string(toks[1 : span_start - 1], ' ')) AS prefix_hash,
+           md5(array_to_string(toks[span_start : span_start + span_len - 1], ' '))
+             AS middle_hash,
+           md5(array_to_string(toks[span_start + span_len : n], ' ')) AS suffix_hash
+    FROM placed
+    """,
+)
+def pack_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIM span corruption (section comment above): per
+    document of >= 8 tokens, the salted-hash-chosen middle span (length
+    <= n/4, prefix and suffix provably nonempty), the PSM/SPM mode bit,
+    and md5 digests of the three parts — the reorder-and-train artifact
+    plus the integrity keys a downstream loader verifies reassembly
+    against.
+
+    Scale shape: one narrow map over the corpus — the hash fold, two
+    integer mod/div placements, three array slices, three md5s; no
+    join, no shuffle, no window. The one explode-free pass every
+    per-document corruption op should be."""
+    toks = F.split("text", " ")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"), F.size(toks).cast("bigint").alias("n"))
+        .filter(F.col("n") >= _FIM_MIN_TOKENS)
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    placed = (
+        d.withColumn("hv", hv)
+        .withColumn("span_len", 1 + F.col("hv") % F.expr("greatest(n div 4, 1)"))
+        .withColumn(
+            "span_start",
+            2 + F.expr("hv div 64") % (F.col("n") - F.col("span_len") - 1),
+        )
+    )
+    part = lambda start, length: F.md5(  # noqa: E731
+        F.concat_ws(" ", F.slice("toks", start, length))
+    )
+    return placed.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.when(F.col("hv") % 2 == 0, "psm").otherwise("spm").alias("fim_mode"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+        part(F.lit(1), F.col("span_start") - 1).alias("prefix_hash"),
+        part(F.col("span_start"), F.col("span_len")).alias("middle_hash"),
+        part(
+            F.col("span_start") + F.col("span_len"),
+            F.col("n") - F.col("span_start") - F.col("span_len") + 1,
+        ).alias("suffix_hash"),
+    )

@@ -94,14 +94,20 @@ _DRIVER_WINDOW = [
     # (r07 green row, every-round sweep, table-stats kins in the r06
     # cohort above)
     "corpus_unigram_prune",
+    # NEW in r10: hard-negative mining over the bucketed LSH index —
+    # displaces `timeline_search` (r07 green row, every-round sweep,
+    # timeline kins `timeline_parse`/`checkpoint_filter` in-window)
+    "contrastive_hard_negatives",
+    # NEW in r10: deterministic FIM span corruption — displaces
+    # `partition_skew` (r07 green row, every-round sweep, the
+    # partition-stats layer keeps its r09-green kins)
+    "pack_fim_spans",
     # r07-cohort top-ups, oldest green rows first (CORRECTNESS_r07
     # order); r10 additions displace from the BOTTOM of this list
     "timeline_parse",
     "checkpoint_filter",
     "archived_batching",
     "uuid3_table_ids",
-    "partition_skew",
-    "timeline_search",
 ]
 
 def ensure_driver_order() -> None:

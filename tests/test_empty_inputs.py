@@ -106,6 +106,9 @@ GUARDED = [
     "corpus_unigram_prune",
     "pipeline_train_set",
     "eval_pq_recall",
+    # argmax over an empty candidate set; span arithmetic over no docs
+    "contrastive_hard_negatives",
+    "pack_fim_spans",
 ]
 
 

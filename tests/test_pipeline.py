@@ -1144,6 +1144,98 @@ def test_unigram_prune_matches_pure_python_replay(spark):
     assert 0 < kept_pieces <= (n + 1) // 2 + bins.most_common(1)[0][1]
 
 
+def test_hard_negatives_matches_pure_python_replay(spark):
+    """contrastive_hard_negatives == an independent Python replay at
+    sf0.001 over the (separately oracle-proven) LSH bucket table:
+    per-anchor wrong-label candidates, left-fold cosines off the stored
+    norms, and the (cosine DESC, negative_id ASC) argmax."""
+    from lakeview_spark.pipeline.similarity import _lsh_bucketed
+
+    rows = _lsh_bucketed(spark, SF_DIR).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    expected = {}
+    for members in by_bucket.values():
+        for a in members:
+            cands = [c for c in members if c.vec_id != a.vec_id and c.label != a.label]
+            if not cands:
+                continue
+            scored = [
+                (dot(a.embedding, c.embedding) / (a.norm * c.norm), -c.vec_id, c)
+                for c in cands
+            ]
+            cos, _nk, best = max(scored, key=lambda t: (t[0], t[1]))
+            expected[a.vec_id] = (a.label, best.vec_id, best.label, cos, len(cands))
+    got = QUERIES["contrastive_hard_negatives"](spark, SF_DIR).collect()
+    assert {r.anchor_id for r in got} == set(expected)
+    for r in got:
+        lab, nid, nlab, cos, n = expected[r.anchor_id]
+        assert (r.anchor_label, r.negative_id, r.negative_label, r.n_candidates) == (
+            lab,
+            nid,
+            nlab,
+            n,
+        )
+        assert r.cosine == cos
+
+
+def test_fim_spans_matches_pure_python_replay(spark):
+    """pack_fim_spans == an independent Python replay at sf0.001:
+    salted md5 hex fold, span arithmetic, part hashes — plus the
+    structural laws (prefix and suffix nonempty, the three parts
+    partition the token stream)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.packing import _FIM_MIN_TOKENS
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    expected = {}
+    for did, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = text.split(" ")
+        n = len(toks)
+        if n < _FIM_MIN_TOKENS:
+            continue
+        hv = int(hashlib.md5(f"fim:{did}".encode()).hexdigest()[:15], 16)
+        span_len = 1 + hv % max(n // 4, 1)
+        span_start = 2 + (hv // 64) % (n - span_len - 1)
+        md5 = lambda parts: hashlib.md5(" ".join(parts).encode()).hexdigest()  # noqa: E731
+        expected[did] = (
+            n,
+            "psm" if hv % 2 == 0 else "spm",
+            span_start,
+            span_len,
+            md5(toks[: span_start - 1]),
+            md5(toks[span_start - 1 : span_start - 1 + span_len]),
+            md5(toks[span_start - 1 + span_len :]),
+        )
+    got = QUERIES["pack_fim_spans"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (
+            r.n_tokens,
+            r.fim_mode,
+            r.span_start,
+            r.span_len,
+            r.prefix_hash,
+            r.middle_hash,
+            r.suffix_hash,
+        ) == expected[r.doc_id]
+        # structural laws: nonempty prefix and suffix, exact partition
+        assert 2 <= r.span_start
+        assert r.span_start + r.span_len <= r.n_tokens
+        assert r.span_len >= 1
+
+
 def test_label_propagation_matches_pure_python_replay(spark):
     """graph_label_propagation == an independent Python replay of the
     synchronous modal-label walk at sf0.001, seeded from the
