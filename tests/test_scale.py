@@ -152,6 +152,7 @@ _TINY_BROADCAST_OK = {
     "mix_curriculum_schedule",  # 1-row total/range/threshold broadcasts
     "layout_zorder_stats",  # 1-row min/max range broadcast for normalization
     "sample_dsir_select",  # 1-row model-constants broadcast (N_S, N_T, V)
+    "corpus_unigram_prune",  # 1-row char/vocab-total + range/threshold broadcasts
 }
 
 
