@@ -892,8 +892,7 @@ _UNI_PIECES_SPARK = (
     "ELSE array() END))"
 )
 
-_UNI_SQL = f"""
-    WITH w AS (
+_UNI_CTE_BLOCK = f"""w AS (
       SELECT word, CAST(count(*) AS BIGINT) AS wcount
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
       GROUP BY word
@@ -938,7 +937,7 @@ _UNI_SQL = f"""
     rng AS (SELECT min(loss_bits) AS mn, max(loss_bits) AS mx,
                    count(*) AS n FROM scored),
     binned AS (
-      SELECT s.piece_len, s.cp, s.loss_bits,
+      SELECT s.piece, s.piece_len, s.cp, s.loss_bits,
              ((s.loss_bits - mn) * 255) // greatest(mx - mn, 1) AS bin
       FROM scored s, rng
     ),
@@ -947,7 +946,10 @@ _UNI_SQL = f"""
       SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
       FROM bins
     ),
-    thr AS (SELECT min(CASE WHEN 2 * cum >= n THEN bin END) AS t1 FROM cum, rng)
+    thr AS (SELECT min(CASE WHEN 2 * cum >= n THEN bin END) AS t1 FROM cum, rng)"""
+
+_UNI_SQL = f"""
+    WITH {{block}}
     SELECT piece_len,
            CAST(CASE WHEN bin > t1 THEN 1 ELSE 0 END AS BIGINT) AS kept,
            CAST(count(*) AS BIGINT) AS n_pieces,
@@ -958,7 +960,7 @@ _UNI_SQL = f"""
 """
 
 
-@register("corpus_unigram_prune", oracle=_UNI_SQL)
+@register("corpus_unigram_prune", oracle=_UNI_SQL.format(block=_UNI_CTE_BLOCK))
 def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One unigram-LM vocabulary pruning round in integer bit-length
     space (section comment above): seed every 2..4-char substring piece
@@ -978,13 +980,55 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     device (1-row min/max broadcast + a 256-row cumulative table) — the
     vocabulary is never totally ordered, exactly like
     mix_curriculum_schedule's stage assignment."""
+    _w, _cc, binned, thr = _uni_parts(spark, sf_dir)
+    return (
+        binned.crossJoin(F.broadcast(thr))
+        .select(
+            "piece_len",
+            (F.col("bin") > F.col("t1")).cast("bigint").alias("kept"),
+            "cp",
+            "loss_bits",
+        )
+        .groupBy("piece_len", "kept")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pieces"),
+            F.sum("cp").cast("bigint").alias("total_occurrences"),
+            F.sum("loss_bits").cast("bigint").alias("total_loss_bits"),
+        )
+    )
+
+
+def _uni_bl(c):
+    """Integer bit-length: floor(log2 x) + 1 for positive x."""
+    return F.length(F.bin(c)).cast("bigint")
+
+
+def _uni_parts(spark, sf_dir: str):
+    """The shared Spark-side unigram derivation (twin of
+    _UNI_CTE_BLOCK): distinct-word counts `w`, the char model `cc`,
+    the scored-and-binned seed vocabulary `binned` (piece, piece_len,
+    cp, loss_bits, bin), and the 1-row histogram-median threshold
+    `thr` — shared by the prune round and the Viterbi tokenizer so the
+    two cannot drift."""
     from pyspark.sql import Window as _W
 
-    toks = t(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower("text"), " ")).alias("word")
-    )
-    w = toks.groupBy("word").agg(F.count("*").cast("bigint").alias("wcount"))
-    bl = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    from lakeview_spark.operators.materialize import materialized
+
+    bl = _uni_bl
+
+    def _words_build(spark, sf_dir):
+        toks = t(spark, sf_dir, "documents").select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        return toks.groupBy("word").agg(
+            F.count("*").cast("bigint").alias("wcount")
+        )
+
+    # the distinct-word table is the root of every unigram subtree
+    # (char model, piece model, piece->char costs, the Viterbi DP) —
+    # materialized once per (session, dataset) so the derived plans'
+    # 4-6 references read scratch instead of re-scanning the corpus
+    w = materialized(spark, "unigram_words", sf_dir, _words_build)
     cc = (
         w.select(
             "wcount",
@@ -1023,6 +1067,7 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ctot))
         .crossJoin(F.broadcast(vtot))
         .select(
+            "piece",
             F.length("piece").cast("bigint").alias("piece_len"),
             "cp",
             (
@@ -1050,20 +1095,183 @@ def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = cum.crossJoin(F.broadcast(rng)).agg(
         F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("bin"))).alias("t1")
     )
-    return (
+    return w, cc, binned, thr
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer APPLY: Viterbi segmentation as a packed-integer
+# fold. The pruned vocabulary is only useful if you can tokenize with
+# it; SentencePiece's inference is a per-word Viterbi DP over piece
+# costs. Each position's DP state is the best cost of the last 4
+# prefixes — a 4-slot integer window — so the WHOLE DP is one
+# `aggregate` fold over the word's positions: at position i, the best
+# cost is min over piece lengths l=1..4 of best(i-l) + cost(word[i-l+1
+# .. i]), with absent pieces priced at a sentinel. Costs are the same
+# bit-length integers as the prune round, PACKED with the piece count
+# (cost * 2^20 + pieces) so min() resolves cost ties toward fewer
+# pieces and the unpack yields both outputs — the exact-integer device,
+# applied to a dynamic program. The vocabulary rides as a broadcast
+# MAP column (kept pieces capped at the top-_UNI_VOCAB_CAP by loss +
+# every character as fallback — chars make every word tokenizable), so
+# the DP is a narrow map over the DISTINCT-word table.
+_UNI_VOCAB_CAP = 4096
+_UNI_PACK = 1 << 20
+_UNI_BIGP = (1 << 40) + 1  # packed price of an out-of-vocab piece
+_UNI_HUGE = 1 << 55  # invalid-length sentinel inside the fold
+
+_UNI_DP_TERM_SQL = (
+    "CASE WHEN x.i >= {l} THEN acc.cs[{l}] + "
+    "coalesce(m[substr(word, x.i - {lm1}, {l})][1], {bigp}) "
+    "ELSE {huge} END"
+)
+
+_UNI_DP_TERM_SPARK = (
+    "CASE WHEN i >= {l} THEN element_at(acc, {l}) + "
+    "coalesce(try_element_at(m, substring(word, i - {lm1}, {l})), "
+    "CAST({bigp} AS BIGINT)) ELSE CAST({huge} AS BIGINT) END"
+)
+
+
+def _uni_dp_terms(template: str) -> str:
+    return ", ".join(
+        template.format(l=l, lm1=l - 1, bigp=_UNI_BIGP, huge=_UNI_HUGE)
+        for l in (1, 2, 3, 4)
+    )
+
+
+_UNI_TOKENIZE_SQL = f"""
+    WITH {{block}},
+    kept AS (
+      SELECT piece, cp AS cnt FROM binned, thr WHERE bin > t1
+      ORDER BY loss_bits DESC, piece LIMIT {_UNI_VOCAB_CAP}
+    ),
+    vocab AS (
+      SELECT piece, cnt FROM kept
+      UNION ALL
+      SELECT ch AS piece, c AS cnt FROM cc
+    ),
+    vbl AS (SELECT CAST(length(printf('%b', CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS blw
+            FROM vocab),
+    vcost AS (
+      SELECT piece,
+             (1 + blw - CAST(length(printf('%b', cnt)) AS BIGINT))
+               * {_UNI_PACK} + 1 AS pcost
+      FROM vocab, vbl
+    ),
+    vm AS (SELECT map(list(piece ORDER BY piece),
+                      list(pcost ORDER BY piece)) AS m FROM vcost),
+    dp AS (
+      SELECT word, wcount,
+             (list_reduce(
+               list_prepend(
+                 struct_pack(cs := [CAST(0 AS BIGINT), {_UNI_HUGE},
+                                    {_UNI_HUGE}, {_UNI_HUGE}],
+                             i := CAST(0 AS BIGINT)),
+                 list_transform(range(1, length(word) + 1),
+                                i -> struct_pack(cs := CAST([] AS BIGINT[]),
+                                                 i := i))),
+               (acc, x) -> struct_pack(
+                 cs := [least({_uni_dp_terms(_UNI_DP_TERM_SQL)}),
+                        acc.cs[1], acc.cs[2], acc.cs[3]],
+                 i := x.i))).cs[1] AS best
+      FROM w, vm WHERE length(word) >= 1
+    ),
+    parts AS (
+      SELECT word, best // {_UNI_PACK} AS vbits, best % {_UNI_PACK} AS npieces
+      FROM dp
+    ),
+    dw AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+    j AS (
+      SELECT dw.lang, length(dw.word) AS n_chars, p.vbits, p.npieces
+      FROM dw JOIN parts p ON p.word = dw.word
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(npieces) AS BIGINT) AS n_pieces,
+           CAST(sum(vbits) AS BIGINT) AS total_bits,
+           CASE WHEN sum(npieces) > 0
+                THEN CAST(sum(n_chars) AS DOUBLE) / CAST(sum(npieces) AS DOUBLE)
+           END AS chars_per_piece
+    FROM j GROUP BY lang
+"""
+
+
+@register(
+    "corpus_unigram_tokenize",
+    oracle=_UNI_TOKENIZE_SQL.format(block=_UNI_CTE_BLOCK),
+)
+def corpus_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the pruned unigram vocabulary — the
+    apply half of corpus_unigram_prune (section comment above): per
+    language, the word/char totals, the Viterbi piece count, the total
+    bit-length cost of the optimal segmentations, and the
+    chars-per-piece compression the vocabulary achieves. The per-word
+    Viterbi DP is ONE aggregate fold over positions with a 4-slot
+    packed-integer window, so the whole dynamic program — including
+    the fewer-pieces tie rule — replays bit-for-bit in DuckDB's
+    list_reduce.
+
+    Scale shape: the DP runs on the DISTINCT-word table with the
+    vocabulary as one broadcast map column (kept pieces capped at
+    top-4096 by loss + the character fallback — tokenizer-sized
+    by construction); per-word work is 4 map probes per character.
+    One word-keyed equi join carries the results back to the (lang,
+    word) occurrence stream and the final agg is a per-lang rollup —
+    the corpus_bpe_apply shape with the trainer swapped for a DP."""
+    w, cc, binned, thr = _uni_parts(spark, sf_dir)
+    bl = _uni_bl
+    kept = (
         binned.crossJoin(F.broadcast(thr))
-        .select(
-            "piece_len",
-            (F.col("bin") > F.col("t1")).cast("bigint").alias("kept"),
-            "cp",
-            "loss_bits",
-        )
-        .groupBy("piece_len", "kept")
-        .agg(
-            F.count("*").cast("bigint").alias("n_pieces"),
-            F.sum("cp").cast("bigint").alias("total_occurrences"),
-            F.sum("loss_bits").cast("bigint").alias("total_loss_bits"),
-        )
+        .filter(F.col("bin") > F.col("t1"))
+        .orderBy(F.desc("loss_bits"), "piece")
+        .limit(_UNI_VOCAB_CAP)
+        .select("piece", F.col("cp").alias("cnt"))
+    )
+    vocab = kept.unionByName(
+        cc.select(F.col("ch").alias("piece"), F.col("c").alias("cnt"))
+    )
+    vbl = vocab.agg(bl(F.sum("cnt")).alias("blw"))
+    vcost = vocab.crossJoin(F.broadcast(vbl)).select(
+        "piece",
+        ((1 + F.col("blw") - bl(F.col("cnt"))) * _UNI_PACK + 1).alias("pcost"),
+    )
+    vm = vcost.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "pcost"))).alias("m")
+    )
+    dp_expr = (
+        f"element_at(aggregate(sequence(1, length(word)), "
+        f"array(CAST(0 AS BIGINT), CAST({_UNI_HUGE} AS BIGINT), "
+        f"CAST({_UNI_HUGE} AS BIGINT), CAST({_UNI_HUGE} AS BIGINT)), "
+        f"(acc, i) -> array(least({_uni_dp_terms(_UNI_DP_TERM_SPARK)}), "
+        f"element_at(acc, 1), element_at(acc, 2), element_at(acc, 3))), 1)"
+    )
+    dp = (
+        w.filter(F.length("word") >= 1)
+        .crossJoin(F.broadcast(vm))
+        .withColumn("best", F.expr(dp_expr))
+    )
+    parts = dp.select(
+        "word",
+        F.expr(f"best div {_UNI_PACK}").alias("vbits"),
+        (F.col("best") % _UNI_PACK).alias("npieces"),
+    )
+    dw = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    j = dw.join(parts, "word").select(
+        "lang", F.length("word").cast("bigint").alias("n_chars"), "vbits", "npieces"
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("npieces").alias("n_pieces"),
+        F.sum("vbits").alias("total_bits"),
+        F.when(
+            F.sum("npieces") > 0,
+            F.sum("n_chars").cast("double") / F.sum("npieces").cast("double"),
+        ).alias("chars_per_piece"),
     )
 
 

@@ -102,12 +102,15 @@ _DRIVER_WINDOW = [
     # `partition_skew` (r07 green row, every-round sweep, the
     # partition-stats layer keeps its r09-green kins)
     "pack_fim_spans",
+    # NEW in r10: the Viterbi tokenizer (apply half of the unigram
+    # prune) — displaces `uuid3_table_ids` (r07 green row, every-round
+    # sweep, id-layer kin timeline_parse in-window)
+    "corpus_unigram_tokenize",
     # r07-cohort top-ups, oldest green rows first (CORRECTNESS_r07
     # order); r10 additions displace from the BOTTOM of this list
     "timeline_parse",
     "checkpoint_filter",
     "archived_batching",
-    "uuid3_table_ids",
 ]
 
 def ensure_driver_order() -> None:

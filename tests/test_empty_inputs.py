@@ -109,6 +109,8 @@ GUARDED = [
     # argmax over an empty candidate set; span arithmetic over no docs
     "contrastive_hard_negatives",
     "pack_fim_spans",
+    # Viterbi fold over an empty vocabulary map / zero words
+    "corpus_unigram_tokenize",
 ]
 
 

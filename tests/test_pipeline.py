@@ -1144,6 +1144,95 @@ def test_unigram_prune_matches_pure_python_replay(spark):
     assert 0 < kept_pieces <= (n + 1) // 2 + bins.most_common(1)[0][1]
 
 
+def test_unigram_tokenize_matches_pure_python_replay(spark):
+    """corpus_unigram_tokenize == an independent Python replay at
+    sf0.001: rebuild the pruned vocabulary (prune replay), price it,
+    run the 4-window Viterbi DP per distinct word with the packed
+    (cost, pieces) min, and roll up per language."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.corpus import (
+        _UNI_BIGP,
+        _UNI_HUGE,
+        _UNI_LENS,
+        _UNI_MIN_COUNT,
+        _UNI_PACK,
+        _UNI_VOCAB_CAP,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    words = Counter()
+    lang_words = []
+    for lang, text in zip(tbl["lang"], tbl["text"]):
+        toks = text.lower().split(" ")
+        words.update(toks)
+        lang_words.append((lang, toks))
+    cc = Counter()
+    pc = Counter()
+    for word, wcount in words.items():
+        for ch in word:
+            cc[ch] += wcount
+        for l in _UNI_LENS:
+            for i in range(len(word) - l + 1):
+                pc[word[i : i + l]] += wcount
+    pc = {p: c for p, c in pc.items() if c >= _UNI_MIN_COUNT}
+    blc = sum(cc.values()).bit_length()
+    blv = sum(pc.values()).bit_length()
+    loss = {
+        p: c * (len(p) * blc - sum(cc[ch].bit_length() for ch in p)
+                - blv + c.bit_length())
+        for p, c in pc.items()
+    }
+    mn, mx, n = min(loss.values()), max(loss.values()), len(loss)
+    bins = Counter((v - mn) * 255 // max(mx - mn, 1) for v in loss.values())
+    cum, t1 = 0, None
+    for b in sorted(bins):
+        cum += bins[b]
+        if 2 * cum >= n and t1 is None:
+            t1 = b
+    kept = sorted(
+        (p for p in pc if (loss[p] - mn) * 255 // max(mx - mn, 1) > t1),
+        key=lambda p: (-loss[p], p),
+    )[:_UNI_VOCAB_CAP]
+    vocab = {p: pc[p] for p in kept}
+    vocab.update(cc)
+    blw = sum(vocab.values()).bit_length()
+    pcost = {p: (1 + blw - c.bit_length()) * _UNI_PACK + 1 for p, c in vocab.items()}
+
+    def viterbi(word):
+        cs = [0, _UNI_HUGE, _UNI_HUGE, _UNI_HUGE]
+        for i in range(1, len(word) + 1):
+            cands = []
+            for l in (1, 2, 3, 4):
+                if i >= l:
+                    cands.append(cs[l - 1] + pcost.get(word[i - l : i], _UNI_BIGP))
+                else:
+                    cands.append(_UNI_HUGE)
+            cs = [min(cands), cs[0], cs[1], cs[2]]
+        return cs[0]
+
+    per_word = {w_: viterbi(w_) for w_ in words if len(w_) >= 1}
+    expected = {}
+    for lang, toks in lang_words:
+        agg = expected.setdefault(lang, [0, 0, 0, 0])
+        for w_ in toks:
+            if len(w_) < 1:
+                continue
+            best = per_word[w_]
+            agg[0] += 1
+            agg[1] += len(w_)
+            agg[2] += best % _UNI_PACK
+            agg[3] += best // _UNI_PACK
+    got = QUERIES["corpus_unigram_tokenize"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        nw, nc, np_, tb = expected[r.lang]
+        assert (r.n_words, r.n_chars, r.n_pieces, r.total_bits) == (nw, nc, np_, tb)
+        assert r.chars_per_piece == nc / np_
+
+
 def test_hard_negatives_matches_pure_python_replay(spark):
     """contrastive_hard_negatives == an independent Python replay at
     sf0.001 over the (separately oracle-proven) LSH bucket table:

@@ -153,6 +153,7 @@ _TINY_BROADCAST_OK = {
     "layout_zorder_stats",  # 1-row min/max range broadcast for normalization
     "sample_dsir_select",  # 1-row model-constants broadcast (N_S, N_T, V)
     "corpus_unigram_prune",  # 1-row char/vocab-total + range/threshold broadcasts
+    "corpus_unigram_tokenize",  # same + the 1-row broadcast vocabulary MAP column
 }
 
 
