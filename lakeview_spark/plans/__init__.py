@@ -106,11 +106,16 @@ _DRIVER_WINDOW = [
     # prune) — displaces `uuid3_table_ids` (r07 green row, every-round
     # sweep, id-layer kin timeline_parse in-window)
     "corpus_unigram_tokenize",
+    # r10 change: the AvailableNow runner pins stream-state partitions
+    # (outputs bit-identical, all 12 twins re-verified hash-exact at
+    # sf0.01) — one twin re-proves the shared runner path under the
+    # driver, the r8 "shared source path" precedent; displaces
+    # `archived_batching` (r07 green row, every-round sweep)
+    "stream_doc_dedup",
     # r07-cohort top-ups, oldest green rows first (CORRECTNESS_r07
     # order); r10 additions displace from the BOTTOM of this list
     "timeline_parse",
     "checkpoint_filter",
-    "archived_batching",
 ]
 
 def ensure_driver_order() -> None:

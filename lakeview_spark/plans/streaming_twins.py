@@ -53,21 +53,44 @@ _BASE_SQL = "epoch_us(TIMESTAMP '2026-03-01 00:00:00')"
 _SPREAD_MIN = 120
 
 
+# State-store partition count for the AvailableNow twins. Streaming
+# state is HASH-PARTITIONED BY KEY, so results are partition-count
+# independent — but every stateful operator materializes one state
+# store (checkpoint dir + provider + commit) PER partition PER
+# micro-batch, so the single-micro-batch twins pay pure overhead for
+# partitions beyond the key cardinality. Measured at sf0.1 (r10):
+# stream_interval_join 16.2 s at the batch session's 32 partitions vs
+# 3.2 s at 8 / 2.2 s at 4; outputs bit-identical (the oracle gate).
+# On a real cluster this is the number you SIZE to state volume; 8
+# keeps local runs honest without starving multi-operator chains.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def _run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink and return the sink contents as a batch DataFrame. The
     sink name is unique per call so repeated runs in one session (parity
-    test + driver + bench) never collide."""
+    test + driver + bench) never collide. The session's shuffle
+    partitions are pinned to _STREAM_SHUFFLE_PARTITIONS for the
+    (synchronous) run and restored after — the twins run to completion
+    inside this call, so the batch session never plans under the
+    override."""
+    spark = result.sparkSession
     name = f"stream_twin_sink_{next(_SINK_IDS)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    return result.sparkSession.table(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
 
 
 def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
