@@ -58,6 +58,25 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     ap.add_argument("--master", default=None, help="Spark master override")
+    ap.add_argument(
+        "--metrics-port",
+        type=int,
+        default=0,
+        help=(
+            "serve Prometheus metrics at /metrics on this port "
+            "(0 = disabled, the reference's "
+            "PROMETHEUS_METRICS_SCRAPE_PORT default); on exit the "
+            "process waits --metrics-shutdown-wait seconds so the "
+            "final scrape lands (Main.java 120 s wait)"
+        ),
+    )
+    ap.add_argument(
+        "--metrics-shutdown-wait",
+        type=float,
+        default=None,
+        help="seconds to hold the metrics endpoint open after the run "
+        "(default: the reference's 120 s when --metrics-port is set)",
+    )
     return ap
 
 
@@ -76,6 +95,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     config = load_config(source)
     if spark is None:
         spark = get_spark("lakeview-spark", master=args.master)
+
+    from lakeview_spark.metrics import (
+        WAIT_TIME_BEFORE_SHUTDOWN_S,
+        MetricsRegistry,
+        MetricsServer,
+        observe_run_metrics,
+    )
+
+    registry = MetricsRegistry(
+        default_labels=(("job_run_mode", config.job_run_mode),)
+    )
+    metrics_server = MetricsServer(registry, args.metrics_port)
 
     if config.job_run_mode == "CONTINUOUS" and args.dual_cadence:
         out = runner.run_continuous_dual(
@@ -100,7 +131,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         out = runner.run_once_with_retry(spark, config, args.state_dir, args.mirror_dir)
     else:
         out = runner.run_once(spark, config, args.state_dir, args.mirror_dir)
+    for round_metrics in out if isinstance(out, list) else [out]:
+        if isinstance(round_metrics, dict):
+            observe_run_metrics(registry, round_metrics)
     print(json.dumps(out, default=str))
+    if args.metrics_port:
+        # Main.java:138-156 — hold the endpoint open so the last
+        # Prometheus scrape (default 120 s window) sees the final state
+        import time as _time
+
+        wait = (
+            args.metrics_shutdown_wait
+            if args.metrics_shutdown_wait is not None
+            else WAIT_TIME_BEFORE_SHUTDOWN_S
+        )
+        _time.sleep(wait)
+        metrics_server.shutdown()
     return 0
 
 

@@ -83,3 +83,62 @@ def test_cli_requires_a_config_source(capsys):
         main([])
     assert exc.value.code == 2
     assert "required" in capsys.readouterr().err
+
+
+def test_cli_serves_prometheus_metrics_during_shutdown_wait(
+    spark, lake, tmp_path, capsys
+):  # noqa: F811
+    """--metrics-port serves the run's metrics at /metrics during the
+    post-run shutdown wait (Main.java holds 120 s for the last scrape;
+    the wait is parameterized here to keep the test fast), with the
+    reference's metric names and the job-mode label."""
+    import socket
+    import threading
+    import urllib.request
+
+    from lakeview_spark.metrics import (
+        TABLE_DISCOVERY_SUCCESS_COUNTER,
+        TABLES_DISCOVERED_GAUGE,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rc_box = {}
+
+    def run():
+        rc_box["rc"] = main(
+            [
+                "-c",
+                _yaml(lake),
+                "--state-dir",
+                str(tmp_path / "state"),
+                "--metrics-port",
+                str(port),
+                "--metrics-shutdown-wait",
+                "15",
+            ],
+            spark=spark,
+        )
+
+    th = threading.Thread(target=run)
+    th.start()
+    body = None
+    for _ in range(200):  # poll until the run finishes and metrics land
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=5
+            ) as r:
+                candidate = r.read().decode()
+            if TABLES_DISCOVERED_GAUGE in candidate:
+                body = candidate
+                break
+        except OSError:
+            pass
+        th.join(0.2)
+    th.join(30)
+    assert rc_box.get("rc") == 0
+    assert body is not None, "metrics endpoint never served the run's gauges"
+    assert f"# TYPE {TABLES_DISCOVERED_GAUGE} gauge" in body
+    assert 'job_run_mode="ONCE"' in body
+    assert TABLE_DISCOVERY_SUCCESS_COUNTER in body

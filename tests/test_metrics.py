@@ -1,0 +1,101 @@
+"""Prometheus metrics exposure (lakeview_spark/metrics.py): registry
+semantics, the text exposition format, the runner-metrics mapping, and
+the stdlib HTTP endpoint — the reference's MetricsServer surface
+(reference: metrics/Metrics.java, MetricsServer.java,
+LakeViewExtractorMetrics.java)."""
+
+from __future__ import annotations
+
+import socket
+import urllib.request
+
+from lakeview_spark.metrics import (
+    FAILED_OVERRIDE_CONFIG_COUNTER,
+    METADATA_UPLOAD_FAILURE_REASONS,
+    METADATA_UPLOAD_SUCCESS_COUNTER,
+    PROMETHEUS_METRICS_SCRAPING_DISABLED,
+    TABLE_DISCOVERY_SUCCESS_COUNTER,
+    TABLE_METADATA_PROCESSING_FAILURE_COUNTER,
+    TABLES_DISCOVERED_GAUGE,
+    TABLES_PROCESSED_GAUGE,
+    MetricsRegistry,
+    MetricsServer,
+    observe_run_metrics,
+)
+
+
+def test_registry_counts_and_renders_exposition_format():
+    reg = MetricsRegistry(default_labels=(("config_version", "V1"),))
+    reg.increment(TABLE_DISCOVERY_SUCCESS_COUNTER)
+    reg.increment(TABLE_DISCOVERY_SUCCESS_COUNTER)
+    reg.increment(
+        TABLE_METADATA_PROCESSING_FAILURE_COUNTER,
+        {"failure_reason": "ACCESS_DENIED"},
+    )
+    reg.set_gauge(TABLES_DISCOVERED_GAUGE, 7)
+    body = reg.render()
+    assert f"# TYPE {TABLE_DISCOVERY_SUCCESS_COUNTER} counter" in body
+    assert f"# TYPE {TABLES_DISCOVERED_GAUGE} gauge" in body
+    assert (
+        f'{TABLE_DISCOVERY_SUCCESS_COUNTER}{{config_version="V1"}} 2' in body
+    )
+    assert (
+        f'{TABLE_METADATA_PROCESSING_FAILURE_COUNTER}'
+        f'{{config_version="V1",failure_reason="ACCESS_DENIED"}} 1' in body
+    )
+    assert f'{TABLES_DISCOVERED_GAUGE}{{config_version="V1"}} 7' in body
+    # HELP precedes TYPE precedes samples, once per family
+    assert body.count(f"# TYPE {TABLE_DISCOVERY_SUCCESS_COUNTER} ") == 1
+    assert "ACCESS_DENIED" in METADATA_UPLOAD_FAILURE_REASONS
+
+
+def test_runner_metrics_map_to_reference_names():
+    reg = MetricsRegistry()
+    observe_run_metrics(
+        reg,
+        {
+            "tables_discovered": 3,
+            "tables_initialized": 2,
+            "table_metadata_processing_failures": 1,
+            "active_batched_files": 4,
+            "archived_batched_files": 2,
+            "config_refresh_failures": 1,
+            "elapsed_s": 0.5,
+        },
+    )
+    body = reg.render()
+    assert f"{TABLES_DISCOVERED_GAUGE} 3" in body
+    assert f"{TABLES_PROCESSED_GAUGE} 2" in body
+    assert f"{TABLE_DISCOVERY_SUCCESS_COUNTER} 1" in body
+    assert f"{METADATA_UPLOAD_SUCCESS_COUNTER} 6" in body
+    assert f"{FAILED_OVERRIDE_CONFIG_COUNTER} 1" in body
+    assert (
+        'failure_reason="HOODIE_PROPERTY_NOT_FOUND_OR_CORRUPTED"' in body
+    )
+
+
+def test_http_endpoint_serves_scrapes_and_disabled_port_is_noop():
+    reg = MetricsRegistry()
+    reg.increment(TABLE_DISCOVERY_SUCCESS_COUNTER)
+    # pick a free ephemeral port the stdlib way
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = MetricsServer(reg, port)
+    try:
+        assert server.port == port
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=10) as r:
+            assert r.status == 200
+            assert "version=0.0.4" in r.headers["Content-Type"]
+            body = r.read().decode()
+        assert f"{TABLE_DISCOVERY_SUCCESS_COUNTER} 1" in body
+        # a second scrape sees updated values (live registry, no cache)
+        reg.increment(TABLE_DISCOVERY_SUCCESS_COUNTER)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=10) as r:
+            assert f"{TABLE_DISCOVERY_SUCCESS_COUNTER} 2" in r.read().decode()
+    finally:
+        server.shutdown()
+    # port 0 = scraping disabled: no socket, shutdown is a no-op
+    disabled = MetricsServer(reg, PROMETHEUS_METRICS_SCRAPING_DISABLED)
+    assert disabled.port == PROMETHEUS_METRICS_SCRAPING_DISABLED
+    disabled.shutdown()
