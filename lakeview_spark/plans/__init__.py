@@ -112,10 +112,14 @@ _DRIVER_WINDOW = [
     # driver, the r8 "shared source path" precedent; displaces
     # `archived_batching` (r07 green row, every-round sweep)
     "stream_doc_dedup",
-    # r07-cohort top-ups, oldest green rows first (CORRECTNESS_r07
-    # order); r10 additions displace from the BOTTOM of this list
+    # NEW in r10: the live curation funnel (quality -> static
+    # decontamination verdict -> dedup-within-watermark) — displaces
+    # `checkpoint_filter` (r07 green row, every-round sweep, timeline
+    # kin timeline_parse in-window)
+    "stream_curation_funnel",
+    # r07-cohort top-up, oldest green rows first (CORRECTNESS_r07
+    # order)
     "timeline_parse",
-    "checkpoint_filter",
 ]
 
 def ensure_driver_order() -> None:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from lakeview_spark.plans.registry import events_ts_us, register, t
 from lakeview_spark.streaming.pipeline_stream import (
+    stream_curation_funnel,
     stream_document_dedup,
     stream_event_sessions,
     stream_embedding_neardup,
@@ -868,4 +869,92 @@ def stream_session_daily_rollup_twin(spark: SparkSession, sf_dir: str) -> DataFr
         F.unix_micros(F.col("w.start")).alias("day_start_us"),
         F.col("sessions").cast("bigint").alias("sessions"),
         F.col("tot_events").cast("bigint").alias("tot_events"),
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    from lakeview_spark.pipeline.curation import _EN_STOP, _PROBE_MOD
+    from lakeview_spark.pipeline.dedup import _SHINGLES_SQL
+
+    return f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    probe AS (SELECT DISTINCT unnest(shingles) AS shingle FROM s
+              WHERE doc_id % {_PROBE_MOD} = 0),
+    m AS (
+      SELECT c.doc_id, count(*) AS matched
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM s
+            WHERE doc_id % {_PROBE_MOD} <> 0) c
+      JOIN probe USING (shingle) GROUP BY c.doc_id
+    ),
+    dropped AS (
+      SELECT s.doc_id
+      FROM s LEFT JOIN m ON m.doc_id = s.doc_id
+      WHERE s.doc_id % {_PROBE_MOD} <> 0 AND len(s.shingles) > 0
+        AND 10 * COALESCE(m.matched, 0) >= len(s.shingles)
+    ),
+    q AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 40 AND 400
+        AND len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ({_EN_STOP}))) >= 1
+        AND len(list_distinct(string_split(lower(text), ' '))) * 3
+              >= len(string_split(lower(text), ' '))
+        AND doc_id % {_PROBE_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    ded AS (
+      SELECT DISTINCT lang, md5(text) AS text_hash,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM q
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(ntok) AS BIGINT) AS tokens_kept
+    FROM ded GROUP BY lang
+    """
+
+
+@register("stream_curation_funnel", oracle=_curation_funnel_oracle())
+def stream_curation_funnel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live curation funnel (streaming/pipeline_stream.py
+    stream_curation_funnel) run to completion under AvailableNow:
+    quality screen -> probe-doc drop + stream-static anti join against
+    the batch decontamination verdict -> dropDuplicatesWithinWatermark
+    on (lang, text_hash) — the streaming twin of pipeline_train_set's
+    screening stages, rolled up per language. Survivor ROWS are
+    arrival-order dependent but the surviving (lang, hash) KEY SET —
+    and the token count each key carries (identical texts) — is not,
+    so the per-lang rollup hash-checks (the stream_doc_dedup
+    determinism rule with the lang dimension carried through). The
+    static side is the same 10%-integer-rule contaminated-id list the
+    batch detect pass publishes, so stream and batch decontamination
+    can never disagree."""
+    from lakeview_spark.pipeline.curation import (
+        _PROBE_MOD,
+        contamination_ngram_overlap,
+    )
+
+    det = contamination_ngram_overlap(spark, sf_dir)
+    contaminated = det.filter(
+        10 * F.col("matched_shingles") >= F.col("n_shingles")
+    ).select("doc_id")
+    funnel = stream_curation_funnel(
+        _doc_stream(spark, sf_dir),
+        contaminated,
+        probe_mod=_PROBE_MOD,
+        watermark_delay="1 hour",
+    )
+    out = _run_available_now(funnel, "append")
+    return (
+        out.select(
+            "lang",
+            "text_hash",
+            F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+        )
+        .distinct()
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_kept"),
+            F.sum("ntok").cast("bigint").alias("tokens_kept"),
+        )
     )

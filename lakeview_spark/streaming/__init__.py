@@ -9,6 +9,7 @@ from lakeview_spark.streaming.stateful import (  # noqa: F401
 )
 from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
     document_stream,
+    stream_curation_funnel,
     stream_document_dedup,
     stream_quality_filter,
     stream_embedding_neardup,

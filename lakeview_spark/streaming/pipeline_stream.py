@@ -182,6 +182,45 @@ def stream_quality_filter(
     )
 
 
+def stream_curation_funnel(
+    stream: DataFrame,
+    contaminated_ids: DataFrame,
+    probe_mod: int = 29,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """The curation funnel at ingestion time — the streaming twin of
+    pipeline_train_set's screening stages, composed from this module's
+    own operators the way a live ingest actually chains them:
+
+    1. QUALITY — stream_quality_filter's stateless columnar predicate;
+    2. DECONTAMINATION — drop probe (benchmark) documents by the mod
+       rule, then a stream-STATIC left-anti join against the published
+       contaminated-id table (the batch detect pass's verdict — real
+       pipelines compute the decontamination list offline and ingest
+       against it, exactly this shape);
+    3. DEDUP — dropDuplicatesWithinWatermark on (lang, text_hash):
+       first arrival per key wins, state evicted at the watermark.
+
+    Keyed on (lang, hash) rather than hash alone so the SET of
+    surviving keys — and therefore every per-lang rollup — is
+    arrival-order independent (the stream_doc_dedup determinism rule,
+    extended to carry the language dimension through).
+
+    Scale shape: stages 1-2 are stateless row filters plus one
+    broadcast-able anti join keyed on doc_id (the contaminated list is
+    benchmark-overlap-sized, tiny next to the stream); the dedup state
+    is the only stateful operator and is watermark-bounded."""
+    q = stream_quality_filter(stream).filter(
+        F.col("doc_id") % probe_mod != 0
+    )
+    q = q.join(contaminated_ids.select("doc_id"), "doc_id", "left_anti")
+    return (
+        q.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ingest_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["lang", "text_hash"])
+    )
+
+
 def stream_bloom_prune(
     stream: DataFrame,
     bloom_words: list[int],

@@ -111,6 +111,8 @@ GUARDED = [
     "pack_fim_spans",
     # Viterbi fold over an empty vocabulary map / zero words
     "corpus_unigram_tokenize",
+    # streaming funnel over an empty file source + empty static side
+    "stream_curation_funnel",
 ]
 
 

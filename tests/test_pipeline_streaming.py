@@ -710,3 +710,70 @@ def test_stream_interval_join_equals_batch_join_property(spark, tmp_path):
         assert got == want, (got, want)
 
     check()
+
+
+def test_stream_curation_funnel_composes_all_three_screens(spark, tmp_path):
+    """stream_curation_funnel: a quality-failing doc never emits, a
+    statically-contaminated doc never emits, a probe-mod doc never
+    emits, and an exact duplicate arriving in a LATER micro-batch is
+    dropped from state (the composition across batches — what separates
+    the funnel from three batch filters)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lakeview_spark.streaming import stream_curation_funnel
+
+    good = " ".join(["the"] + [f"tok{i}" for i in range(49)])  # 50 toks, stopword, distinct
+    short = "the tiny one"  # fails the 40-token floor
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+            StructField("ingest_ts", TimestampType()),
+        ]
+    )
+    indir = str(tmp_path / "docs")
+    _write_docs(
+        f"{indir}/batch1.json",
+        [
+            {"doc_id": 1, "lang": "en", "text": good, "ingest_ts": "2026-03-01T10:00:00.000Z"},
+            {"doc_id": 2, "lang": "en", "text": short, "ingest_ts": "2026-03-01T10:00:01.000Z"},
+            {"doc_id": 3, "lang": "en", "text": good + " variant", "ingest_ts": "2026-03-01T10:00:02.000Z"},
+            {"doc_id": 29, "lang": "en", "text": good + " probe", "ingest_ts": "2026-03-01T10:00:03.000Z"},
+        ],
+    )
+    _write_docs(
+        f"{indir}/batch2.json",
+        [
+            # exact duplicate of doc 1's text, later batch -> state drop
+            {"doc_id": 4, "lang": "en", "text": good, "ingest_ts": "2026-03-01T10:10:00.000Z"},
+            # same text, different lang -> kept (key is (lang, hash))
+            {"doc_id": 5, "lang": "de", "text": good, "ingest_ts": "2026-03-01T10:10:01.000Z"},
+        ],
+    )
+    contaminated = spark.createDataFrame([(3,)], "doc_id long")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).json(indir)
+    q = (
+        stream_curation_funnel(stream, contaminated, probe_mod=29)
+        .writeStream.format("memory")
+        .queryName("curation_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT doc_id, lang FROM curation_funnel ORDER BY doc_id"
+    ).collect()
+    kept = [(r.doc_id, r.lang) for r in rows]
+    # doc 2 (quality), doc 3 (contaminated), doc 29 (probe), doc 4
+    # (cross-batch duplicate) all screened; 1 and 5 survive
+    assert kept == [(1, "en"), (5, "de")]
