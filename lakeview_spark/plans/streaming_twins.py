@@ -872,34 +872,51 @@ def stream_session_daily_rollup_twin(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-def _curation_funnel_oracle() -> str:
-    from lakeview_spark.pipeline.curation import _EN_STOP, _PROBE_MOD
-    from lakeview_spark.pipeline.dedup import _SHINGLES_SQL
+# Funnel-oracle constants, LITERAL on purpose: streaming_twins must not
+# import pipeline.curation/dedup at module level — a Python WORKER
+# enters the library through pipeline/__init__ -> dedup ->
+# plans.registry -> plans/__init__ -> this module, and a module-level
+# import of curation here re-enters the HALF-INITIALIZED dedup module
+# (ImportError in every mapInPandas worker; broke all six multimodal
+# queries when the r10 funnel twin first imported curation at
+# decoration time). test_registry_hygiene.py pins these literals equal
+# to the curation/dedup constants, so the no-drift guarantee moves
+# from a shared import to a shared TEST.
+_FUNNEL_PROBE_MOD = 29
+_FUNNEL_EN_STOP = "'the','and','of','to','a','in','is','it','for','on'"
+_FUNNEL_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+"""
 
+
+def _curation_funnel_oracle() -> str:
     return f"""
-    WITH s AS ({_SHINGLES_SQL}),
+    WITH s AS ({_FUNNEL_SHINGLES_SQL}),
     probe AS (SELECT DISTINCT unnest(shingles) AS shingle FROM s
-              WHERE doc_id % {_PROBE_MOD} = 0),
+              WHERE doc_id % {_FUNNEL_PROBE_MOD} = 0),
     m AS (
       SELECT c.doc_id, count(*) AS matched
       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM s
-            WHERE doc_id % {_PROBE_MOD} <> 0) c
+            WHERE doc_id % {_FUNNEL_PROBE_MOD} <> 0) c
       JOIN probe USING (shingle) GROUP BY c.doc_id
     ),
     dropped AS (
       SELECT s.doc_id
       FROM s LEFT JOIN m ON m.doc_id = s.doc_id
-      WHERE s.doc_id % {_PROBE_MOD} <> 0 AND len(s.shingles) > 0
+      WHERE s.doc_id % {_FUNNEL_PROBE_MOD} <> 0 AND len(s.shingles) > 0
         AND 10 * COALESCE(m.matched, 0) >= len(s.shingles)
     ),
     q AS (
       SELECT doc_id, lang, text FROM documents
       WHERE len(string_split(text, ' ')) BETWEEN 40 AND 400
         AND len(list_filter(string_split(lower(text), ' '),
-                x -> x IN ({_EN_STOP}))) >= 1
+                x -> x IN ({_FUNNEL_EN_STOP}))) >= 1
         AND len(list_distinct(string_split(lower(text), ' '))) * 3
               >= len(string_split(lower(text), ' '))
-        AND doc_id % {_PROBE_MOD} <> 0
+        AND doc_id % {_FUNNEL_PROBE_MOD} <> 0
         AND doc_id NOT IN (SELECT doc_id FROM dropped)
     ),
     ded AS (
@@ -929,10 +946,7 @@ def stream_curation_funnel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     static side is the same 10%-integer-rule contaminated-id list the
     batch detect pass publishes, so stream and batch decontamination
     can never disagree."""
-    from lakeview_spark.pipeline.curation import (
-        _PROBE_MOD,
-        contamination_ngram_overlap,
-    )
+    from lakeview_spark.pipeline.curation import contamination_ngram_overlap
 
     det = contamination_ngram_overlap(spark, sf_dir)
     contaminated = det.filter(
@@ -941,7 +955,7 @@ def stream_curation_funnel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel = stream_curation_funnel(
         _doc_stream(spark, sf_dir),
         contaminated,
-        probe_mod=_PROBE_MOD,
+        probe_mod=_FUNNEL_PROBE_MOD,
         watermark_delay="1 hour",
     )
     out = _run_available_now(funnel, "append")

@@ -63,6 +63,47 @@ def test_driver_window_covers_every_query_without_a_green_row():
     assert not outside, f"queries with no driver row outside the first-50 window: {outside}"
 
 
+def test_funnel_oracle_literals_match_the_shared_constants():
+    """streaming_twins cannot import curation/dedup at module level (a
+    Python worker entering via pipeline/__init__ would re-enter the
+    half-initialized dedup module — the r10 circular-import incident
+    that broke every mapInPandas query), so the funnel oracle uses
+    LITERAL copies of the shared constants; this pin is the no-drift
+    guarantee the shared import used to provide."""
+    from lakeview_spark.pipeline.curation import _EN_STOP, _PROBE_MOD
+    from lakeview_spark.pipeline.dedup import _SHINGLES_SQL
+    from lakeview_spark.plans.streaming_twins import (
+        _FUNNEL_EN_STOP,
+        _FUNNEL_PROBE_MOD,
+        _FUNNEL_SHINGLES_SQL,
+    )
+
+    assert _FUNNEL_PROBE_MOD == _PROBE_MOD
+    assert _FUNNEL_EN_STOP == _EN_STOP
+    assert _FUNNEL_SHINGLES_SQL.split() == _SHINGLES_SQL.split()
+
+
+def test_python_workers_can_import_the_library_through_pipeline():
+    """The exact import order a mapInPandas worker uses: a fresh
+    interpreter entering through lakeview_spark.pipeline must import
+    cleanly (the r10 incident's regression test — a module-level
+    cross-import from plans/* into pipeline/* re-enters half-
+    initialized modules in this order only, so the driver-side suite
+    can be green while every worker crashes)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import lakeview_spark.pipeline; print('ok')"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.strip() == "ok"
+
+
 def test_bench_query_lists_are_registered():
     """bench.py silently skips names missing from the registry, so a
     rename would silently drop a tracked number — pin both lists."""
