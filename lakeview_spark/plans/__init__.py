@@ -117,9 +117,11 @@ _DRIVER_WINDOW = [
     # `checkpoint_filter` (r07 green row, every-round sweep, timeline
     # kin timeline_parse in-window)
     "stream_curation_funnel",
-    # r07-cohort top-up, oldest green rows first (CORRECTNESS_r07
-    # order)
-    "timeline_parse",
+    # NEW in r10: the Matryoshka truncation audit — displaces
+    # `timeline_parse`, the last r07 top-up (r07 green row,
+    # every-round sweep; the timeline layer keeps driver-fresh rows
+    # via the r08/r09 cohorts)
+    "eval_matryoshka_truncation",
 ]
 
 def ensure_driver_order() -> None:

@@ -113,6 +113,8 @@ GUARDED = [
     "corpus_unigram_tokenize",
     # streaming funnel over an empty file source + empty static side
     "stream_curation_funnel",
+    # truncated-cosine argmax over an empty probe/corpus product
+    "eval_matryoshka_truncation",
 ]
 
 

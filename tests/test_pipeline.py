@@ -1769,3 +1769,53 @@ def test_theta_two_phase_kmin_equals_direct_property():
         assert two_phase == direct
 
     check()
+
+
+def test_matryoshka_truncation_matches_pure_python_replay(spark):
+    """eval_matryoshka_truncation == an independent Python replay at
+    sf0.001 (truncated left-fold cosines, (cos DESC, vec_id) argmax,
+    per-width match counts), plus the self-check law: the full-width
+    row has recall exactly 1.0."""
+    import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.similarity import corpus_n
+    from lakeview_spark.pipeline.evaluation import _MRL_PROBE_TARGET, _MRL_WIDTHS
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    emb = {v: [float(x) for x in e] for v, e in zip(tbl["vec_id"], tbl["embedding"])}
+    n = len(emb)
+    stride = max(1, n // _MRL_PROBE_TARGET)
+
+    def fold(xs):
+        acc = 0.0
+        for x in xs:
+            acc += x
+        return acc
+
+    def cos(a, b, w):
+        d = fold([x * y for x, y in zip(a[:w], b[:w])])
+        na = fold([x * x for x in a[:w]]) ** 0.5
+        nb = fold([x * x for x in b[:w]]) ** 0.5
+        return d / (na * nb)
+
+    expected = {w: 0 for w in _MRL_WIDTHS}
+    n_probes = 0
+    for p in sorted(emb):
+        if p % stride != 0:
+            continue
+        n_probes += 1
+        tops = {}
+        for w in _MRL_WIDTHS:
+            tops[w] = max(
+                ((cos(emb[v], emb[p], w), -v, v) for v in emb if v != p),
+            )[2]
+        for w in _MRL_WIDTHS:
+            if tops[w] == tops[_MRL_WIDTHS[-1]]:
+                expected[w] += 1
+    got = {r.dim_width: r for r in QUERIES["eval_matryoshka_truncation"](spark, SF_DIR).collect()}
+    assert set(got) == set(_MRL_WIDTHS)
+    for w in _MRL_WIDTHS:
+        assert got[w].n_probes == n_probes
+        assert got[w].n_top1_match == expected[w]
+        assert got[w].recall_at_1 == expected[w] / n_probes
+    assert got[_MRL_WIDTHS[-1]].recall_at_1 == 1.0

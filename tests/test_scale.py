@@ -154,6 +154,7 @@ _TINY_BROADCAST_OK = {
     "sample_dsir_select",  # 1-row model-constants broadcast (N_S, N_T, V)
     "corpus_unigram_prune",  # 1-row char/vocab-total + range/threshold broadcasts
     "corpus_unigram_tokenize",  # same + the 1-row broadcast vocabulary MAP column
+    "eval_matryoshka_truncation",  # fixed-size probe broadcast for the exact truth
 }
 
 
