@@ -97,16 +97,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark("lakeview-spark", master=args.master)
 
     from lakeview_spark.metrics import (
+        CONFIG_VERSION_TAG_KEY,
+        EXTRACTOR_JOB_RUN_MODE_TAG_KEY,
         WAIT_TIME_BEFORE_SHUTDOWN_S,
         MetricsRegistry,
         MetricsServer,
         observe_run_metrics,
     )
 
+    # the reference's default tags (LakeViewExtractorMetrics
+    # getDefaultTags): config_version + extractor_job_run_mode on every
+    # sample, so dashboards keyed on the reference labels match
     registry = MetricsRegistry(
-        default_labels=(("job_run_mode", config.job_run_mode),)
+        default_labels=(
+            (CONFIG_VERSION_TAG_KEY, config.version),
+            (EXTRACTOR_JOB_RUN_MODE_TAG_KEY, config.job_run_mode),
+        )
     )
     metrics_server = MetricsServer(registry, args.metrics_port)
+
+    # observe each round AS IT COMPLETES — in CONTINUOUS modes the
+    # endpoint must serve live values during the (long-lived) run, not
+    # only at exit (the reference updates gauges inside each round)
+    def _observe(round_metrics):
+        if isinstance(round_metrics, dict):
+            observe_run_metrics(registry, round_metrics)
 
     if config.job_run_mode == "CONTINUOUS" and args.dual_cadence:
         out = runner.run_continuous_dual(
@@ -116,6 +131,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             args.mirror_dir,
             max_events=args.max_rounds if args.max_rounds is not None else 20,
             base_config_source=source,
+            on_event=_observe,
         )
     elif config.job_run_mode == "CONTINUOUS":
         out = runner.run_continuous(
@@ -126,14 +142,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             interval_s=args.interval,
             max_rounds=args.max_rounds,
             base_config_source=source,
+            on_event=_observe,
         )
     elif config.job_run_mode == "ONCE_WITH_RETRY":
         out = runner.run_once_with_retry(spark, config, args.state_dir, args.mirror_dir)
+        for round_metrics in out:
+            _observe(round_metrics)
     else:
         out = runner.run_once(spark, config, args.state_dir, args.mirror_dir)
-    for round_metrics in out if isinstance(out, list) else [out]:
-        if isinstance(round_metrics, dict):
-            observe_run_metrics(registry, round_metrics)
+        _observe(out)
     print(json.dumps(out, default=str))
     if args.metrics_port:
         # Main.java:138-156 — hold the endpoint open so the last

@@ -46,6 +46,13 @@ INCOMPLETE_COMMIT_INSTANTS_SKIPPED_COUNTER = (
     METRICS_COMMON_PREFIX + "incomplete_commit_instants_skipped"
 )
 
+# LakeViewExtractorMetrics.java:26-29 — the reference's tag keys; a
+# PromQL selector written against the reference matches unchanged.
+CONFIG_VERSION_TAG_KEY = "config_version"
+EXTRACTOR_JOB_RUN_MODE_TAG_KEY = "extractor_job_run_mode"
+METADATA_UPLOAD_FAILURE_REASON_TAG_KEY = "metadata_upload_failure_reason"
+METADATA_DISCOVER_FAILURE_REASON_TAG_KEY = "metadata_discover_failure_reason"
+
 # MetricsConstants.MetadataUploadFailureReasons
 METADATA_UPLOAD_FAILURE_REASONS = (
     "API_FAILURE_USER_ERROR",
@@ -131,7 +138,13 @@ def observe_run_metrics(registry: MetricsRegistry, run_metrics: dict) -> None:
         registry.set_gauge(TABLES_DISCOVERED_GAUGE, run_metrics["tables_discovered"])
         registry.increment(TABLE_DISCOVERY_SUCCESS_COUNTER)
     if run_metrics.get("succeeded") is False:
-        registry.increment(TABLE_DISCOVERY_FAILURE_COUNTER)
+        # the reference tags discovery failures with a discover-reason
+        # (LakeViewExtractorMetrics.java:79-81); the runner's event dict
+        # carries no typed reason, so UNKNOWN — the enum's catch-all
+        registry.increment(
+            TABLE_DISCOVERY_FAILURE_COUNTER,
+            {METADATA_DISCOVER_FAILURE_REASON_TAG_KEY: "UNKNOWN"},
+        )
     if "tables_initialized" in run_metrics:
         # tables entering processing this round (the processed gauge is
         # per-round like the reference's resetTableProcessedGauge cycle)
@@ -140,7 +153,11 @@ def observe_run_metrics(registry: MetricsRegistry, run_metrics: dict) -> None:
     if failures:
         registry.increment(
             TABLE_METADATA_PROCESSING_FAILURE_COUNTER,
-            {"failure_reason": "HOODIE_PROPERTY_NOT_FOUND_OR_CORRUPTED"},
+            {
+                METADATA_UPLOAD_FAILURE_REASON_TAG_KEY: (
+                    "HOODIE_PROPERTY_NOT_FOUND_OR_CORRUPTED"
+                )
+            },
             by=failures,
         )
     for key, value in run_metrics.items():
@@ -160,7 +177,7 @@ class MetricsServer:
     no-op server exactly like the reference's null branch. Runs on a
     daemon thread; `shutdown()` closes the socket."""
 
-    def __init__(self, registry: MetricsRegistry, port: int):
+    def __init__(self, registry: MetricsRegistry, port: int, bind_address: str = ""):
         self._registry = registry
         self._httpd = None
         self._thread = None
@@ -182,7 +199,11 @@ class MetricsServer:
             def log_message(self, *args):  # quiet scrapes
                 pass
 
-        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+        # bind all interfaces by default — the reference's
+        # HTTPServer(new InetSocketAddress(port)) wildcard bind, so an
+        # off-host Prometheus (the feature's actual consumer in a pod)
+        # can reach /metrics; bind_address narrows it for tests
+        self._httpd = http.server.ThreadingHTTPServer((bind_address, port), _Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
 

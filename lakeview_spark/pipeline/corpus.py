@@ -886,8 +886,13 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_LENS = (2, 3, 4)
 _UNI_MIN_COUNT = 2
 
+# every Spark/oracle fragment below DERIVES from _UNI_LENS (r10 ADVICE:
+# hardcoded twins silently desynchronize the Spark side, the oracle,
+# and the Viterbi DP width if the constant changes)
+_UNI_LENS_CSV = ", ".join(str(l) for l in _UNI_LENS)
+
 _UNI_PIECES_SPARK = (
-    "flatten(transform(array(2, 3, 4), l -> CASE WHEN length(word) >= l "
+    f"flatten(transform(array({_UNI_LENS_CSV}), l -> CASE WHEN length(word) >= l "
     "THEN transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l)) "
     "ELSE array() END))"
 )
@@ -908,7 +913,7 @@ _UNI_CTE_BLOCK = f"""w AS (
     pc AS (
       SELECT piece, CAST(sum(wcount) AS BIGINT) AS cp FROM (
         SELECT wcount,
-               unnest(flatten(list_transform([2, 3, 4],
+               unnest(flatten(list_transform([{_UNI_LENS_CSV}],
                  l -> CASE WHEN length(word) >= l
                       THEN list_transform(range(1, length(word) - l + 2),
                                           i -> substr(word, i, l))
@@ -1132,10 +1137,27 @@ _UNI_DP_TERM_SPARK = (
 )
 
 
+# the DP considers piece lengths 1 (char fallback) + _UNI_LENS; the
+# window needs max(lens) slots because the term for length l reads the
+# best cost l positions back (acc slot l after the per-step shift)
+_UNI_DP_LENS = (1, *_UNI_LENS)
+_UNI_DP_WIN = max(_UNI_DP_LENS)
+# seed: position 0 costs 0, positions -1..-(WIN-1) are invalid
+_UNI_SEED_SQL = ", ".join(
+    ["CAST(0 AS BIGINT)"] + [str(_UNI_HUGE)] * (_UNI_DP_WIN - 1)
+)
+_UNI_SEED_SPARK = ", ".join(
+    ["CAST(0 AS BIGINT)"] + [f"CAST({_UNI_HUGE} AS BIGINT)"] * (_UNI_DP_WIN - 1)
+)
+# per-step shift: new best in slot 1, previous slots 1..WIN-1 slide down
+_UNI_SHIFT_SQL = ", ".join(f"acc.cs[{j}]" for j in range(1, _UNI_DP_WIN))
+_UNI_SHIFT_SPARK = ", ".join(f"element_at(acc, {j})" for j in range(1, _UNI_DP_WIN))
+
+
 def _uni_dp_terms(template: str) -> str:
     return ", ".join(
         template.format(l=l, lm1=l - 1, bigp=_UNI_BIGP, huge=_UNI_HUGE)
-        for l in (1, 2, 3, 4)
+        for l in _UNI_DP_LENS
     )
 
 
@@ -1164,15 +1186,14 @@ _UNI_TOKENIZE_SQL = f"""
       SELECT word, wcount,
              (list_reduce(
                list_prepend(
-                 struct_pack(cs := [CAST(0 AS BIGINT), {_UNI_HUGE},
-                                    {_UNI_HUGE}, {_UNI_HUGE}],
+                 struct_pack(cs := [{_UNI_SEED_SQL}],
                              i := CAST(0 AS BIGINT)),
                  list_transform(range(1, length(word) + 1),
                                 i -> struct_pack(cs := CAST([] AS BIGINT[]),
                                                  i := i))),
                (acc, x) -> struct_pack(
                  cs := [least({_uni_dp_terms(_UNI_DP_TERM_SQL)}),
-                        acc.cs[1], acc.cs[2], acc.cs[3]],
+                        {_UNI_SHIFT_SQL}],
                  i := x.i))).cs[1] AS best
       FROM w, vm WHERE length(word) >= 1
     ),
@@ -1242,10 +1263,9 @@ def corpus_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dp_expr = (
         f"element_at(aggregate(sequence(1, length(word)), "
-        f"array(CAST(0 AS BIGINT), CAST({_UNI_HUGE} AS BIGINT), "
-        f"CAST({_UNI_HUGE} AS BIGINT), CAST({_UNI_HUGE} AS BIGINT)), "
+        f"array({_UNI_SEED_SPARK}), "
         f"(acc, i) -> array(least({_uni_dp_terms(_UNI_DP_TERM_SPARK)}), "
-        f"element_at(acc, 1), element_at(acc, 2), element_at(acc, 3))), 1)"
+        f"{_UNI_SHIFT_SPARK})), 1)"
     )
     dp = (
         w.filter(F.length("word") >= 1)

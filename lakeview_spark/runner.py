@@ -427,6 +427,7 @@ def run_continuous_dual(
     base_config_source=None,
     override_source=None,
     refresh_interval_s: float = 120.0,
+    on_event=None,
 ) -> list[dict]:
     """CONTINUOUS mode on the reference's TWO independent cadences
     (TableDiscoveryAndUploadJob.java:66-82 runInContinuousMode):
@@ -456,7 +457,12 @@ def run_continuous_dual(
     the ConfigRefresher's own schedule (ConfigRefresher.java:17,39-52),
     exactly as in the fused ``run_continuous``; refreshes emit no event
     (their running attempt/failure counters ride the next one) and a
-    failed re-merge keeps the last good config."""
+    failed re-merge keeps the last good config.
+
+    ``on_event`` (optional) is called with each event dict as it is
+    emitted — the reference updates its Prometheus gauges/counters
+    inside every extraction round, not at job exit, so a long-lived
+    CONTINUOUS run must feed the scrape endpoint live (r10 ADVICE)."""
     import logging
 
     from lakeview_spark.config import load_config_with_override
@@ -516,6 +522,8 @@ def run_continuous_dual(
                 ev["config_refresh_attempts"] = refresh_attempts
                 ev["config_refresh_failures"] = refresh_failures
             events.append(ev)
+            if on_event is not None:
+                on_event(ev)
             next_disc = now + disc_every
             continue
         ev = {"kind": "upload_poll", "t": now}
@@ -543,6 +551,8 @@ def run_continuous_dual(
             ev["config_refresh_attempts"] = refresh_attempts
             ev["config_refresh_failures"] = refresh_failures
         events.append(ev)
+        if on_event is not None:
+            on_event(ev)
         next_poll = now + poll_every
     return events
 
@@ -635,8 +645,14 @@ def run_continuous(
     override_source=None,
     sleep_fn=time.sleep,
     refresh_interval_s: float = 120.0,
+    on_event=None,
 ) -> list[dict]:
     """Driver-loop CONTINUOUS mode (§3.2).
+
+    ``on_event`` (optional) receives each round's metrics dict as the
+    round completes, so a live scrape endpoint reflects the run in
+    progress rather than only at exit (the reference updates its
+    registry inside every extraction round).
 
     When ``base_config_source`` is given (dict or YAML path/string), the
     config — including the optional ``override_source`` file — is
@@ -692,6 +708,8 @@ def run_continuous(
         metrics["config_refresh_failures"] = refresh_failures
         metrics["config_refresh_attempts"] = refresh_attempts
         rounds.append(metrics)
+        if on_event is not None:
+            on_event(metrics)
         if max_rounds is not None and len(rounds) >= max_rounds:
             break
         # sleep to the next round in refresh-cadence slices, re-merging

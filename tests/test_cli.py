@@ -140,5 +140,6 @@ def test_cli_serves_prometheus_metrics_during_shutdown_wait(
     assert rc_box.get("rc") == 0
     assert body is not None, "metrics endpoint never served the run's gauges"
     assert f"# TYPE {TABLES_DISCOVERED_GAUGE} gauge" in body
-    assert 'job_run_mode="ONCE"' in body
+    assert 'extractor_job_run_mode="ONCE"' in body
+    assert 'config_version="V1"' in body
     assert TABLE_DISCOVERY_SUCCESS_COUNTER in body

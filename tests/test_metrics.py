@@ -30,7 +30,7 @@ def test_registry_counts_and_renders_exposition_format():
     reg.increment(TABLE_DISCOVERY_SUCCESS_COUNTER)
     reg.increment(
         TABLE_METADATA_PROCESSING_FAILURE_COUNTER,
-        {"failure_reason": "ACCESS_DENIED"},
+        {"metadata_upload_failure_reason": "ACCESS_DENIED"},
     )
     reg.set_gauge(TABLES_DISCOVERED_GAUGE, 7)
     body = reg.render()
@@ -41,7 +41,8 @@ def test_registry_counts_and_renders_exposition_format():
     )
     assert (
         f'{TABLE_METADATA_PROCESSING_FAILURE_COUNTER}'
-        f'{{config_version="V1",failure_reason="ACCESS_DENIED"}} 1' in body
+        f'{{config_version="V1",metadata_upload_failure_reason="ACCESS_DENIED"}} 1'
+        in body
     )
     assert f'{TABLES_DISCOVERED_GAUGE}{{config_version="V1"}} 7' in body
     # HELP precedes TYPE precedes samples, once per family
@@ -70,8 +71,64 @@ def test_runner_metrics_map_to_reference_names():
     assert f"{METADATA_UPLOAD_SUCCESS_COUNTER} 6" in body
     assert f"{FAILED_OVERRIDE_CONFIG_COUNTER} 1" in body
     assert (
-        'failure_reason="HOODIE_PROPERTY_NOT_FOUND_OR_CORRUPTED"' in body
+        'metadata_upload_failure_reason="HOODIE_PROPERTY_NOT_FOUND_OR_CORRUPTED"'
+        in body
     )
+
+
+def test_discovery_failure_carries_discover_reason_tag():
+    reg = MetricsRegistry()
+    observe_run_metrics(reg, {"succeeded": False, "error": "boom"})
+    body = reg.render()
+    assert 'metadata_discover_failure_reason="UNKNOWN"' in body
+
+
+def test_continuous_runner_observes_each_round_live(tmp_path, spark):
+    """run_continuous's on_event feeds the registry as rounds complete —
+    the registry must be non-empty after round 1 of N, not only at exit
+    (r10 ADVICE: the reference updates gauges inside each round)."""
+    from lakeview_spark import runner
+    from lakeview_spark.config import load_config
+
+    lake = tmp_path / "lake"
+    (lake / "db" / "t1" / ".hoodie").mkdir(parents=True)
+    (lake / "db" / "t1" / ".hoodie" / "hoodie.properties").write_text(
+        "hoodie.table.name=t1\nhoodie.table.type=COPY_ON_WRITE\n"
+    )
+    cfg = load_config(
+        {
+            "version": "V1",
+            "metadataExtractorConfig": {
+                "jobRunMode": "CONTINUOUS",
+                "parserConfig": [
+                    {
+                        "lake": "lake",
+                        "databases": [
+                            {"name": "db", "basePaths": [str(lake / "db" / "t1")]}
+                        ],
+                    }
+                ],
+            },
+        }
+    )
+    reg = MetricsRegistry()
+    seen_per_round = []
+
+    def on_event(metrics):
+        observe_run_metrics(reg, metrics)
+        seen_per_round.append(TABLES_DISCOVERED_GAUGE in reg.render())
+
+    runner.run_continuous(
+        spark,
+        cfg,
+        str(tmp_path / "state"),
+        max_rounds=2,
+        interval_s=0.0,
+        sleep_fn=lambda s: None,
+        on_event=on_event,
+    )
+    # the gauge was visible after EVERY round, including the first
+    assert seen_per_round == [True, True]
 
 
 def test_http_endpoint_serves_scrapes_and_disabled_port_is_noop():
