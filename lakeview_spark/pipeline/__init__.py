@@ -13,6 +13,7 @@ from lakeview_spark.pipeline import (  # noqa: F401
     mixing,
     labels,
     train_set,
+    classifier,
 )
 
 

@@ -1,0 +1,337 @@
+"""Model-based quality classification: trained-weights inference + ROC.
+
+Every modern curation pipeline (DCLM, FineWeb-Edu) gates documents on a
+LEARNED quality score — a linear/fastText-style classifier trained on a
+seed of known-good documents — not only on heuristics. The engine's
+heuristic filters (text_quality_score, quality_filter_funnel) provide
+the SEED; this module adds the missing stage class: train a hashed
+linear model on a train split, then score every document with one
+columnar dot fold (VERDICT r10 next-2).
+
+Determinism strategy (the exact-integer device, end to end):
+
+- **Features**: the hashing trick — each token maps to one of
+  ``CLF_BUCKETS`` buckets via the md5-prefix integer (the CMS/KMV
+  device, identical in both engines); per-document features are the
+  DISTINCT buckets (binary features, the fastText bag shape).
+- **Weak labels**: the DCLM seed rule as a pure integer compare —
+  ``16 * n_stopwords >= n_tokens`` (measured ~48% positive on the
+  synthetic corpus; stopwords are English, so the signal is learnable
+  from hashed tokens). No float threshold edge.
+- **Training**: one aggregation. Per feature, count positive / negative
+  train documents containing it; the weight is the CENTROID-DIFFERENCE
+  linear discriminant kept fully integer:
+  ``w = pos_c * n_neg - neg_c * n_pos`` — exactly
+  ``n_pos * n_neg * (P(f|pos) - P(f|neg))``, the
+  difference-of-class-conditional-frequencies direction for binary
+  features. Every term is an exact BIGINT product, full resolution
+  (the bit-length log-odds was tried first and quantizes to ~zero:
+  1 bit = a 2x odds ratio, which almost no hashed feature clears).
+- **Inference**: score(doc) = sum of w over the document's distinct
+  feature buckets — one feature-keyed equi join against the (<=
+  CLF_BUCKETS)-row broadcast weights table, then a doc-keyed sum.
+  Keep verdict = ``score >= 0`` (the class-balanced decision
+  boundary), no division anywhere.
+- **ROC/AUC** (eval_classifier_roc): scored held-out split, binned by
+  the 256-bin integer histogram (no global sort over scores), with
+  the tie-aware rank AUC kept as ONE integer numerator
+  (``sum(pos_in * (2*neg_below + neg_in))``) until the single edge
+  division by ``2*P*N``.
+
+The train/eval holdout is the classifier's OWN 75/25 md5 split
+(CLF_TRAIN_HEX) — dataset_split_assign's train/val/test rule holds out
+~1% for test, too small to anchor a ROC at correctness scale, and a
+model-selection split is a different object from the corpus split
+anyway.
+
+Scale shape: two corpus scans (feature build + scoring join are the
+same exploded stream, counted once each), all joins feature-keyed with
+the weights side broadcast, per-doc and per-lang aggregations partial,
+histogram + windowed cumulative over <= 256 rows. No global sort, no
+all-pairs, no driver loop. Reference parity: the reference has no ML
+stage — this is part of the beyond-reference LLM-pipeline layer
+(build brief), same first-class bar (registry + oracle + pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import register, t
+from lakeview_spark.pipeline.curation import _EN_STOP
+
+# feature-hash buckets: tokenizer-scale constant (weights stay a
+# broadcast table at ANY corpus size — the vocabulary is capped by
+# construction, the _UNI_VOCAB_CAP economics)
+CLF_BUCKETS = 1024
+# seed rule multiplier: 16 * n_stop >= n_tok (~48% positive measured)
+CLF_LABEL_MULT = 16
+# md5-prefix train/eval holdout: < c000 -> train (75%), else eval (25%)
+CLF_TRAIN_HEX = "c000"
+
+
+# ---------------------------------------------------------------------------
+# Shared CTE block (the contamination detect/apply shared-halves device):
+# label -> hash features -> train counts -> bit-length weights -> scores.
+_CLF_BLOCK = f"""lab AS (
+      SELECT doc_id, lang,
+             string_split(lower(text), ' ') AS toks,
+             CASE WHEN {CLF_LABEL_MULT} * len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ({_EN_STOP})))
+                       >= len(string_split(lower(text), ' '))
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{CLF_TRAIN_HEX}'
+                  THEN 'train' ELSE 'eval' END AS holdout
+      FROM documents
+    ),
+    feats AS (
+      SELECT DISTINCT doc_id, lang, y, holdout,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % {CLF_BUCKETS}) AS fid
+      FROM (SELECT doc_id, lang, y, holdout, unnest(toks) AS tok FROM lab)
+    ),
+    trc AS (
+      SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM lab WHERE holdout = 'train'
+    ),
+    cnt AS (
+      SELECT fid,
+             CAST(sum(y) AS BIGINT) AS pos_c,
+             CAST(sum(1 - y) AS BIGINT) AS neg_c
+      FROM feats WHERE holdout = 'train'
+      GROUP BY fid
+    ),
+    wts AS (
+      SELECT fid, pos_c * n_neg - neg_c * n_pos AS w
+      FROM cnt, trc
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             any_value(f.lang) AS lang,
+             any_value(f.y) AS y,
+             any_value(f.holdout) AS holdout,
+             CAST(coalesce(sum(w.w), 0) AS BIGINT) AS score
+      FROM feats f LEFT JOIN wts w ON w.fid = f.fid
+      GROUP BY f.doc_id
+    )"""
+
+
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, y, holdout, score) — the shared Spark half of
+    _CLF_BLOCK. Weights are a <= CLF_BUCKETS-row broadcast; the scoring
+    join is feature-keyed; score is an exact BIGINT."""
+    ltoks = F.split(F.lower("text"), " ")
+    lab = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ltoks.alias("toks"),
+        F.when(
+            CLF_LABEL_MULT
+            * F.size(F.expr(f"filter(split(lower(text), ' '), x -> x IN ({_EN_STOP}))"))
+            >= F.size(ltoks),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < CLF_TRAIN_HEX,
+            "train",
+        )
+        .otherwise("eval")
+        .alias("holdout"),
+    )
+    feats = (
+        lab.select(
+            "doc_id", "lang", "y", "holdout", F.explode("toks").alias("tok")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "y",
+            "holdout",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % CLF_BUCKETS
+            ).alias("fid"),
+        )
+        .dropDuplicates(["doc_id", "fid"])
+    )
+    train = feats.filter(F.col("holdout") == "train")
+    trc = (
+        lab.filter(F.col("holdout") == "train")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        )
+    )
+    cnt = train.groupBy("fid").agg(
+        F.sum("y").cast("bigint").alias("pos_c"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg_c"),
+    )
+    wts = cnt.crossJoin(F.broadcast(trc)).select(
+        "fid",
+        (
+            F.col("pos_c") * F.col("n_neg") - F.col("neg_c") * F.col("n_pos")
+        ).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(wts), "fid", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("y").alias("y"),
+            F.any_value("holdout").alias("holdout"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("score"),
+        )
+    )
+
+
+@register(
+    "classifier_quality_apply",
+    oracle=f"""
+    WITH {_CLF_BLOCK}
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(score) AS BIGINT) AS total_score,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score,
+           CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS kept_frac
+    FROM scored GROUP BY lang
+    """,
+)
+def classifier_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained hashed linear quality model to EVERY document
+    (train and eval alike — inference is the product surface) and roll
+    the verdicts up per language: document counts, how many clear the
+    ``score >= 0`` decision boundary, and the exact integer score
+    range. (The synthetic corpus is word salad whose stopword tokens
+    appear in every lang, so kept_frac is broad-based rather than
+    en-dominated; the learning proof lives in eval_classifier_roc's
+    held-out AUC, pytest-pinned well above chance.)
+
+    Scale shape (module docstring): weights broadcast, scoring join
+    feature-keyed, two partial aggregations; linear in the token
+    stream."""
+    scored = _clf_scored(spark, sf_dir)
+    kept = F.when(F.col("score") >= 0, 1).otherwise(0)
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum("score").cast("bigint").alias("total_score"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+        (F.sum(kept).cast("double") / F.count("*")).alias("kept_frac"),
+    )
+
+
+@register(
+    "eval_classifier_roc",
+    oracle=f"""
+    WITH {_CLF_BLOCK},
+    ev AS (SELECT y, score FROM scored WHERE holdout = 'eval'),
+    rng AS (
+      SELECT CAST(min(score) AS BIGINT) AS mn, CAST(max(score) AS BIGINT) AS mx,
+             CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS n
+      FROM ev
+    ),
+    binned AS (
+      SELECT y, ((score - mn) * 255) // greatest(mx - mn, 1) AS bin
+      FROM ev, rng
+    ),
+    bins AS (
+      SELECT bin, CAST(sum(y) AS BIGINT) AS pos_in,
+             CAST(sum(1 - y) AS BIGINT) AS neg_in
+      FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, pos_in, neg_in,
+             CAST(sum(pos_in) OVER (ORDER BY bin DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+             CAST(sum(neg_in) OVER (ORDER BY bin DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_neg
+      FROM bins
+    ),
+    auc AS (
+      SELECT CAST(sum(pos_in * (2 * (n - cum_neg) + neg_in)) AS BIGINT) AS auc2
+      FROM cum, rng
+    )
+    SELECT bin, pos_in, neg_in,
+           CASE WHEN p > 0 THEN CAST(cum_pos AS DOUBLE) / p END AS tpr,
+           CASE WHEN n > 0 THEN CAST(cum_neg AS DOUBLE) / n END AS fpr,
+           CASE WHEN p > 0 AND n > 0
+                THEN CAST(auc2 AS DOUBLE) / (2.0 * p * n) END AS auc
+    FROM cum, rng, auc
+    """,
+)
+def eval_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + AUC of the quality classifier on its HELD-OUT 25%
+    split — the audit that the trained weights generalize past the
+    train documents (the seed rule itself is cheap everywhere; the
+    model earns its keep only if the hashed features reconstruct it on
+    unseen docs). One row per non-empty score bin (256-bin integer
+    histogram — no global sort), descending-threshold cumulative
+    tpr/fpr, and the tie-aware rank AUC: the numerator
+    ``sum(pos_in * (2*neg_below + neg_in))`` stays one exact BIGINT;
+    tpr/fpr/auc are single guarded divisions at the output edge.
+
+    Scale shape: the scored table is the shared inference plan; the
+    histogram is one 256-key aggregation and the cumulative window
+    runs over <= 256 rows (the mix_curriculum_schedule device)."""
+    ev = (
+        _clf_scored(spark, sf_dir)
+        .filter(F.col("holdout") == "eval")
+        .select("y", "score")
+    )
+    rng = ev.agg(
+        F.min("score").cast("bigint").alias("mn"),
+        F.max("score").cast("bigint").alias("mx"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "y",
+        "p",
+        "n",
+        F.expr("(score - mn) * 255 div greatest(mx - mn, 1)").alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos_in"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg_in"),
+        F.any_value("p").alias("p"),
+        F.any_value("n").alias("n"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "pos_in",
+        "neg_in",
+        "p",
+        "n",
+        F.sum("pos_in").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("neg_in").over(w).cast("bigint").alias("cum_neg"),
+    )
+    auc2 = cum.agg(
+        F.sum(
+            F.col("pos_in") * (2 * (F.col("n") - F.col("cum_neg")) + F.col("neg_in"))
+        )
+        .cast("bigint")
+        .alias("auc2")
+    )
+    return cum.crossJoin(F.broadcast(auc2)).select(
+        "bin",
+        "pos_in",
+        "neg_in",
+        F.when(F.col("p") > 0, F.col("cum_pos").cast("double") / F.col("p")).alias(
+            "tpr"
+        ),
+        F.when(F.col("n") > 0, F.col("cum_neg").cast("double") / F.col("n")).alias(
+            "fpr"
+        ),
+        F.when(
+            (F.col("p") > 0) & (F.col("n") > 0),
+            F.col("auc2").cast("double") / (2.0 * F.col("p") * F.col("n")),
+        ).alias("auc"),
+    )

@@ -451,3 +451,132 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_unique").cast("double") / F.col("n_distinct").cast("double"),
         ).alias("novelty"),
     )
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, lang, unnest(
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(range(1, len(toks)),
+                         i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+               END) AS p
+      FROM tk
+    ),
+    pairs AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM pr),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ),
+    consts AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      FROM uni
+    ),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY w1, w2
+    ),
+    priced AS (
+      SELECT b.w1, b.w2,
+             3 * (CAST(length(printf('%b', u1.c + v)) AS BIGINT)
+                  - CAST(length(printf('%b', b.c12 + 1)) AS BIGINT))
+             + (CAST(length(printf('%b', n + v)) AS BIGINT)
+                - CAST(length(printf('%b', u2.c + 1)) AS BIGINT)) AS qbits
+      FROM big b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN consts
+    )
+    SELECT p.doc_id, p.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(pr.qbits) AS BIGINT) AS total_qbits,
+           CAST(sum(pr.qbits) AS DOUBLE) / (4.0 * count(*)) AS bits_per_bigram
+    FROM pairs p JOIN priced pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+    GROUP BY p.doc_id, p.lang
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity gate — the CCNet/KenLM-style
+    filter `text_surprisal_bits` approximates only at order 1 (VERDICT
+    r10 next-3). Per adjacent token pair (w1, w2), the cost is the
+    lambda = 3/4 interpolation of the order-2 conditional and the
+    order-1 fallback, kept ENTIRELY in the exact integer bit-length
+    domain in QUARTER-BIT units (power-of-2 interpolation weights are
+    shift-only, so no float ever enters):
+
+        qbits = 3 * [bl(c(w1) + V) - bl(c12 + 1)]      -- bigram cond.
+              +     [bl(N + V)     - bl(c(w2) + 1)]    -- unigram
+
+    where bl = bitlength (floor-log2 + 1, exact in both engines), c12
+    the corpus bigram count, c() unigram counts, N total tokens, V
+    vocabulary size — add-one smoothing everywhere, so no log(0) and
+    every term a positive BIGINT. Per-doc total_qbits is an exact
+    BIGINT sum; the single guarded double division (quarter-bits ->
+    bits per bigram) happens at the output edge on identical integers.
+    High bits_per_bigram = improbable word sequences under the corpus
+    model (noise / shuffled text); low = stock phrasing. Every doc has
+    >= 10 tokens in the synthetic corpus, so the pair stream covers
+    all docs (no n_bigrams = 0 branch to keep).
+
+    Scale shape (the sample_dsir_select economics): bigram + unigram
+    counts are two partial-aggregable groupBys; the per-pair price is
+    assembled on the BIGRAM TABLE (vocabulary-sized) via two
+    vocab-keyed equi joins + the 1-row constants broadcast, so the
+    corpus pair stream crosses exactly one feature-keyed equi join and
+    one doc-keyed aggregation. No global sort, no all-pairs."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    )
+    pair_structs = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE "
+        "zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), "
+        "(x, y) -> struct(x AS w1, y AS w2)) END"
+    )
+    pairs = tk.select(
+        "doc_id", "lang", F.explode(pair_structs).alias("p")
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # corpus totals from the (small) vocab table, not a third corpus scan
+    consts = uni.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    bl = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    priced = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "w1",
+            "w2",
+            (
+                3 * (bl(F.col("c1") + F.col("v")) - bl(F.col("c12") + 1))
+                + (bl(F.col("n") + F.col("v")) - bl(F.col("c2") + 1))
+            ).alias("qbits"),
+        )
+    )
+    return (
+        pairs.join(priced, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("qbits").cast("bigint").alias("total_qbits"),
+            (
+                F.sum("qbits").cast("double")
+                / (4.0 * F.count("*").cast("double"))
+            ).alias("bits_per_bigram"),
+        )
+    )

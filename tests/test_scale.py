@@ -155,6 +155,9 @@ _TINY_BROADCAST_OK = {
     "corpus_unigram_prune",  # 1-row char/vocab-total + range/threshold broadcasts
     "corpus_unigram_tokenize",  # same + the 1-row broadcast vocabulary MAP column
     "eval_matryoshka_truncation",  # fixed-size probe broadcast for the exact truth
+    "classifier_quality_apply",  # 1-row train-count scalars broadcast
+    "eval_classifier_roc",  # 1-row range/total + 1-row AUC-numerator broadcasts
+    "text_perplexity_bigram",  # 1-row (N, V) model-constants broadcast
 }
 
 
