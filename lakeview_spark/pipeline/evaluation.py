@@ -743,3 +743,174 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval ranking quality: NDCG@k for the semantic-retrieval path.
+# The discount 1/log2(rank+1) is the one float in NDCG — so it is
+# DRIVER-COMPUTED ONCE into integer literals floor(2^20 / log2(i+1))
+# (the _jl_signs injected-literal device) and both engines consume the
+# same constants; numerators then stay exact BIGINTs to the edge.
+_NDCG_K = 10
+_NDCG_SCALE = 1 << 20
+
+
+def _ndcg_discounts() -> list[int]:
+    import math
+
+    return [int(_NDCG_SCALE / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+
+
+_NDCG_D = _ndcg_discounts()
+_NDCG_P = [sum(_NDCG_D[: j + 1]) for j in range(_NDCG_K)]  # ideal prefix sums
+_NDCG_D_CSV = ", ".join(str(d) for d in _NDCG_D)
+_NDCG_P_CSV = ", ".join(str(p) for p in _NDCG_P)
+
+
+def _ndcg_oracle() -> str:
+    from lakeview_spark.pipeline.similarity import (
+        _ANN_BUCKETED_SQL,
+        _DOT_SQL,
+        _PLANES_SQL,
+        ANN_RECALL_PROBES,
+    )
+
+    return f"""
+    WITH planes AS ({_PLANES_SQL}),
+    bucketed AS ({_ANN_BUCKETED_SQL}),
+    lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+           FROM embeddings GROUP BY label),
+    q AS (
+      SELECT b.vec_id AS qid, b.embedding AS qe, b.norm AS qn,
+             b.bucket AS qbucket, b.label AS qlabel, lc.c - 1 AS r_total
+      FROM bucketed b JOIN lc ON lc.label = b.label
+      WHERE b.vec_id %
+        (SELECT GREATEST(count(*) // {ANN_RECALL_PROBES}, 1) FROM embeddings) = 0
+    ),
+    cand AS (
+      SELECT q.qid, b.vec_id AS nid,
+             CASE WHEN b.label = q.qlabel THEN 1 ELSE 0 END AS gain,
+             {_DOT_SQL.format(a="b.embedding", b="q.qe")} / (b.norm * q.qn) AS cosine
+      FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, gain, rn FROM (
+        SELECT qid, gain,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rn
+        FROM cand
+      ) WHERE rn <= {_NDCG_K}
+    ),
+    agg AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(gain) AS BIGINT) AS n_relevant_retrieved,
+             CAST(sum(gain * ([{_NDCG_D_CSV}])[rn]) AS BIGINT) AS dcg_num
+      FROM topk GROUP BY qid
+    )
+    SELECT q.qid AS probe_id,
+           CAST(coalesce(a.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(coalesce(a.n_relevant_retrieved, 0) AS BIGINT)
+             AS n_relevant_retrieved,
+           CAST(q.r_total AS BIGINT) AS n_relevant_total,
+           CAST(coalesce(a.dcg_num, 0) AS BIGINT) AS dcg_num,
+           CAST(CASE WHEN q.r_total > 0
+                THEN ([{_NDCG_P_CSV}])[LEAST({_NDCG_K}, q.r_total)] END
+             AS BIGINT) AS idcg_num,
+           CASE WHEN q.r_total > 0
+                THEN CAST(coalesce(a.dcg_num, 0) AS DOUBLE)
+                     / ([{_NDCG_P_CSV}])[LEAST({_NDCG_K}, q.r_total)] END AS ndcg
+    FROM q LEFT JOIN agg a ON a.qid = q.qid
+    """
+
+
+@register("eval_retrieval_ndcg", oracle=_ndcg_oracle())
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the semantic-retrieval ranking (VERDICT r10 next-7):
+    the recall audits (eval_ann_recall, eval_pq_recall) measure index
+    FIDELITY — whether ANN returns the exact-cosine top-k — but not
+    ranking QUALITY against ground-truth relevance. Here relevance is
+    the embedding table's class label (gain 1 when the neighbor shares
+    the probe's label): per probe, the same-bucket candidates ranked by
+    the engine-exact (cosine desc, nid) total order, DCG over the
+    driver-injected integer discount table floor(2^20 / log2(rank+1)),
+    and IDCG from its prefix sums at min(k, total same-label vectors).
+    Numerators are exact BIGINTs; ndcg is ONE guarded edge division.
+    Probes whose bucket holds no neighbors still appear (n_retrieved =
+    0, ndcg = 0) — a silent empty-bucket drop would read as a perfect
+    index.
+
+    Scale shape: rides the materialized LSH index — probe set and the
+    per-label count table are broadcasts, candidates are same-bucket
+    joins only (bounded occupancy), the top-k window partitions by
+    probe. No global sort, no all-pairs."""
+    from pyspark.sql import Window
+
+    from lakeview_spark.pipeline.similarity import (
+        ANN_RECALL_PROBES,
+        _dot,
+        _lsh_bucketed,
+        corpus_n,
+    )
+
+    idx = _lsh_bucketed(spark, sf_dir)
+    mod = max(1, corpus_n(spark, sf_dir) // ANN_RECALL_PROBES)
+    lc = idx.groupBy("label").agg(F.count("*").cast("bigint").alias("c"))
+    q = (
+        idx.filter(F.col("vec_id") % mod == 0)
+        .join(F.broadcast(lc), "label")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qn"),
+            F.col("bucket").alias("qbucket"),
+            F.col("label").alias("qlabel"),
+            (F.col("c") - 1).cast("bigint").alias("r_total"),
+        )
+    )
+    cand = (
+        idx.join(F.broadcast(q), idx.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("gain"),
+            (_dot("embedding", "qe") / (F.col("norm") * F.col("qn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    topk = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _NDCG_K
+    )
+    agg = topk.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_retrieved"),
+        F.sum("gain").cast("bigint").alias("n_relevant_retrieved"),
+        F.sum(
+            F.col("gain") * F.expr(f"element_at(array({_NDCG_D_CSV}), CAST(rn AS INT))")
+        )
+        .cast("bigint")
+        .alias("dcg_num"),
+    )
+    idcg = F.expr(
+        f"element_at(array({_NDCG_P_CSV}), "
+        f"CAST(LEAST({_NDCG_K}, r_total) AS INT))"
+    )
+    return (
+        q.select("qid", "r_total")
+        .join(agg, "qid", "left")
+        .select(
+            F.col("qid").alias("probe_id"),
+            F.coalesce("n_retrieved", F.lit(0)).cast("bigint").alias("n_retrieved"),
+            F.coalesce("n_relevant_retrieved", F.lit(0))
+            .cast("bigint")
+            .alias("n_relevant_retrieved"),
+            F.col("r_total").cast("bigint").alias("n_relevant_total"),
+            F.coalesce("dcg_num", F.lit(0)).cast("bigint").alias("dcg_num"),
+            F.when(F.col("r_total") > 0, idcg).cast("bigint").alias("idcg_num"),
+            F.when(
+                F.col("r_total") > 0,
+                F.coalesce("dcg_num", F.lit(0)).cast("double") / idcg,
+            ).alias("ndcg"),
+        )
+    )

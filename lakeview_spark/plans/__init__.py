@@ -83,12 +83,16 @@ _DRIVER_WINDOW = [
     # deepest r08 top-up (r08 green row, every-round sweep, sort-layer
     # kin `archived_batching` in-window)
     "text_perplexity_bigram",
+    # NEW in r11: NDCG@10 ranking-quality audit for the retrieval path
+    # (VERDICT r10 next-7) — displaces `first_incomplete_commit` (r08
+    # green row, every-round sweep, timeline kins `checkpoint_filter`/
+    # `timeline_parse` in-window)
+    "eval_retrieval_ndcg",
     # r08-cohort top-ups, CORRECTNESS_r08 order (displaced deepest-first
     # by further r11 additions)
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
-    "first_incomplete_commit",
 ]
 
 
