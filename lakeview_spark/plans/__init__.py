@@ -88,11 +88,15 @@ _DRIVER_WINDOW = [
     # green row, every-round sweep, timeline kins `checkpoint_filter`/
     # `timeline_parse` in-window)
     "eval_retrieval_ndcg",
+    # NEW in r11: the streaming sequence packer twin (VERDICT r10
+    # next-4) — displaces `exactly_one_guard` (r08 green row,
+    # every-round sweep, guard-layer kin `quality_filter_funnel`
+    # in-window)
+    "stream_sequence_pack",
     # r08-cohort top-ups, CORRECTNESS_r08 order (displaced deepest-first
     # by further r11 additions)
     "events_sessionization",
     "events_user_value_quartiles",
-    "exactly_one_guard",
 ]
 
 

@@ -972,3 +972,73 @@ def stream_curation_funnel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("tokens_kept"),
         )
     )
+
+
+def _pack_oracle() -> str:
+    # the batch prefix sum (pipeline/packing.py _CUM_SQL literal twin —
+    # streaming_twins cannot import pipeline modules at module level,
+    # the r10 circular-import rule; the literal is pinned against the
+    # shared constants by tests/test_registry_hygiene.py kin
+    # tests/test_stateful_streaming.py::test_pack_oracle_literals_match)
+    # restricted to COMPLETE sequences: a sequence flushes exactly when
+    # some later doc of the same lang starts past it, i.e. seq_id <
+    # max(seq_id) over the lang.
+    from lakeview_spark.pipeline.packing import SEQ_BUDGET
+
+    return f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, cum_before // {SEQ_BUDGET} AS seq_id,
+             CAST(count(*) AS BIGINT) AS docs_starting,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_starting,
+             CAST(min(cum_before % {SEQ_BUDGET}) AS BIGINT) AS first_offset
+      FROM c GROUP BY lang, seq_id
+    ),
+    mx AS (SELECT lang, max(seq_id) AS m FROM s GROUP BY lang)
+    SELECT s.lang, CAST(s.seq_id AS BIGINT) AS seq_id, docs_starting,
+           tokens_starting, first_offset
+    FROM s JOIN mx ON mx.lang = s.lang WHERE s.seq_id < mx.m
+    """
+
+
+@register("stream_sequence_pack", oracle=_pack_oracle())
+def stream_sequence_pack_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sequence packer (applyInPandasWithState,
+    streaming/stateful.py stream_sequence_pack) run to completion under
+    AvailableNow — the one batch op without a streaming twin that a
+    live pipeline genuinely needs (VERDICT r10 next-4): arriving docs
+    pack into SEQ_BUDGET-token training sequences with per-lang carry
+    state, and only COMPLETED sequences emit (the open tail stays in
+    state). The oracle is the BATCH packer's closed form
+    (pack_sequence_stats's cum_before div/mod) restricted to the
+    flushed prefix — sequences with seq_id < the lang's max started
+    seq_id — so the streaming walk and the batch prefix sum can never
+    disagree on a flushed sequence. Replay order inside the batch is
+    doc_id (the CUSUM mergesort device); cross-batch carry is pinned by
+    the two-micro-batch boundary-spanning pytest
+    (tests/test_stateful_streaming.py)."""
+    from lakeview_spark.pipeline.packing import SEQ_BUDGET
+    from lakeview_spark.streaming.stateful import stream_sequence_pack
+
+    stream = _table_stream(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    out = stream_sequence_pack(stream, SEQ_BUDGET)
+    res = _run_available_now(out, "update")
+    return res.select(
+        "lang",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("docs_starting").cast("bigint").alias("docs_starting"),
+        F.col("tokens_starting").cast("bigint").alias("tokens_starting"),
+        F.col("first_offset").cast("bigint").alias("first_offset"),
+    )

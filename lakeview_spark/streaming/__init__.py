@@ -4,6 +4,8 @@ from lakeview_spark.streaming.timeline_stream import (  # noqa: F401
 )
 from lakeview_spark.streaming.stateful import (  # noqa: F401
     cusum_detector,
+    sequence_packer,
+    stream_sequence_pack,
     stream_value_cusum,
     track_incomplete_commits,
 )

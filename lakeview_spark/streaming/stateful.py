@@ -204,3 +204,101 @@ def stream_value_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packer (third custom stateful operator): pack
+# arriving documents into fixed-budget training sequences with per-lang
+# carry state across micro-batches, emitting COMPLETED sequences only —
+# the streaming twin of pipeline/packing.py's concat-and-chunk layout
+# (pack_training_sequences / pack_sequence_stats), the one batch op a
+# LIVE training-data pipeline genuinely needs streamed (VERDICT r10
+# next-4). State per lang = the running token cursor plus the OPEN
+# (partially filled) sequence's stats; a sequence flushes exactly when
+# a later document's first token lands past its boundary, so every
+# emitted row is final (append-once) and the open tail never emits.
+
+PACK_STATE_SCHEMA = StructType(
+    [
+        StructField("cum", LongType()),          # tokens seen so far
+        StructField("open_seq", LongType()),     # -1 = no open sequence
+        StructField("open_docs", LongType()),
+        StructField("open_tokens", LongType()),
+        StructField("open_first", LongType()),
+    ]
+)
+
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("seq_id", LongType()),
+        StructField("docs_starting", LongType()),
+        StructField("tokens_starting", LongType()),
+        StructField("first_offset", LongType()),
+    ]
+)
+
+
+def sequence_packer(budget: int):
+    """Build the per-lang update function. Replay order inside a batch
+    is doc_id (mergesort — the CUSUM determinism device); across
+    batches the carry state makes a boundary-spanning sequence pack
+    identically to the batch closed form (pinned by
+    tests/test_stateful_streaming.py's two-micro-batch case)."""
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        lang = key[0]
+        cum, open_seq, open_docs, open_tokens, open_first = (
+            state.get if state.exists else (0, -1, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        flushed = []
+        for n_tokens in batch["n_tokens"]:
+            n = int(n_tokens)
+            seq = cum // budget
+            off = cum % budget
+            if seq != open_seq:
+                if open_seq >= 0:
+                    # the cursor crossed the open sequence's boundary:
+                    # it is complete and its stats are final
+                    flushed.append(
+                        (lang, open_seq, open_docs, open_tokens, open_first)
+                    )
+                open_seq, open_docs, open_tokens, open_first = seq, 1, n, off
+            else:
+                open_docs += 1
+                open_tokens += n
+            cum += n
+        state.update((cum, open_seq, open_docs, open_tokens, open_first))
+        yield pd.DataFrame(
+            flushed,
+            columns=[
+                "lang", "seq_id", "docs_starting", "tokens_starting",
+                "first_offset",
+            ],
+        )
+
+    return update
+
+
+def stream_sequence_pack(stream: DataFrame, budget: int) -> DataFrame:
+    """documents stream (doc_id, lang, n_tokens) -> completed training
+    sequences, one row per (lang, sequence) with the same stats as the
+    batch `pack_sequence_stats` (docs starting, their token mass, the
+    first start offset). State per lang is FIVE integers — constant,
+    never row- or sequence-proportional — so a year-long stream carries
+    the same state as a minute-long one."""
+    return (
+        stream.select("doc_id", "lang", "n_tokens")
+        .groupBy("lang")
+        .applyInPandasWithState(
+            sequence_packer(budget),
+            outputStructType=PACK_OUTPUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

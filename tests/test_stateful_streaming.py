@@ -219,3 +219,87 @@ def test_cusum_twin_matches_python_replay(spark):
             len(values),
             alerts,
         ), typ
+
+
+def test_sequence_pack_state_spans_micro_batch_boundary(spark, tmp_path):
+    """A sequence whose docs arrive across TWO micro-batches must flush
+    with stats identical to the batch closed form (cum_before div/mod
+    budget) over the concatenated doc_id-ordered stream — the VERDICT
+    r10 next-4 'sequence spanning the batch boundary packs identically
+    to batch' pin. Budget 10 keeps the walk hand-checkable."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakeview_spark.streaming.stateful import stream_sequence_pack
+
+    indir = str(tmp_path / "docs")
+    _os.makedirs(indir, exist_ok=True)
+    b1 = [
+        {"doc_id": 1, "lang": "en", "n_tokens": 4},
+        {"doc_id": 2, "lang": "en", "n_tokens": 4},
+    ]
+    b2 = [
+        {"doc_id": 3, "lang": "en", "n_tokens": 5},   # spans seq 0 -> 1
+        {"doc_id": 4, "lang": "en", "n_tokens": 3},   # flushes seq 0
+        {"doc_id": 5, "lang": "en", "n_tokens": 12},  # spans seq 1 -> 2
+        {"doc_id": 6, "lang": "en", "n_tokens": 2},   # flushes seq 1
+    ]
+    with open(f"{indir}/b1.json", "w") as f:
+        for r in b1:
+            f.write(_json.dumps(r) + "\n")
+    with open(f"{indir}/b2.json", "w") as f:
+        for r in b2:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    budget = 10
+    q = (
+        stream_sequence_pack(stream, budget)
+        .writeStream.format("memory")
+        .queryName("seq_pack_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(1 for p in q.recentProgress if p.numInputRows > 0) == 2
+    got = {
+        (r.lang, r.seq_id): (r.docs_starting, r.tokens_starting, r.first_offset)
+        for r in spark.table("seq_pack_stream").collect()
+    }
+
+    # batch closed form over the concatenated doc_id-ordered stream
+    cum = 0
+    ref = {}
+    max_seq = 0
+    for r in sorted(b1 + b2, key=lambda r: r["doc_id"]):
+        seq, off = cum // budget, cum % budget
+        d, tk, first = ref.get(("en", seq), (0, 0, off))
+        ref[("en", seq)] = (d + 1, tk + r["n_tokens"], first)
+        cum += r["n_tokens"]
+        max_seq = max(max_seq, seq)
+    expected = {k: v for k, v in ref.items() if k[1] < max_seq}
+
+    assert got == expected
+    # the open tail (seq 2) must NOT have emitted
+    assert ("en", max_seq) not in got
+    # and the boundary-spanning sequence 0 carries batch-1 docs
+    assert got[("en", 0)] == (3, 13, 0)
