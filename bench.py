@@ -15,6 +15,18 @@ Each testdata table is ONE single-row-group file Spark cannot split
 (SCALE.md §6), so the default cold numbers under-report scan
 parallelism; the split mode measures what a real multi-file layout
 gets. BASELINE.md records both (r6 verdict next-7).
+
+First-execution adjudication (r11, VERDICT r10 next-5): single-shot
+headline timings are FIRST-EXECUTION numbers — codegen + scratch
+first-touch + host contention can read 2-3x the steady band (the r9
+semdedup dispute and the r10 shipping_priority/pricing_summary phantom
+regressions were exactly this). Every headline query whose cold
+reading is >= ADJUDICATE_ABOVE_S is re-executed once and the pair is
+emitted under "adjudication" {name: {"first": s, "second": s}} — a
+large first/second ratio marks a first-execution artifact, a second
+reading still above the BASELINE.md band marks a real regression.
+The headline "value"/"queries" stay the cold numbers (comparable to
+every earlier round); adjudication is additive.
 """
 
 from __future__ import annotations
@@ -28,6 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# headline queries at/above this cold reading get a second execution
+# (the adjudication block in the payload — module docstring)
+ADJUDICATE_ABOVE_S = 1.0
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -164,6 +179,24 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 3)
 
+    # first-vs-second adjudication for the headline set (module
+    # docstring): second executions of queries whose cold reading could
+    # plausibly be first-execution skew. Runs AFTER the whole cold loop
+    # so the second readings don't warm later cold ones.
+    adjudication: dict[str, dict[str, float]] = {}
+    for name, first in timings.items():
+        if first < ADJUDICATE_ABOVE_S:
+            continue
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, SF_DIR).count()
+            adjudication[name] = {
+                "first": first,
+                "second": round(time.time() - t0, 3),
+            }
+        except Exception as exc:  # noqa: BLE001 — same containment
+            errors[f"adjudicate_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # extended section: steady-state cost of the registry's heaviest
     # queries (prewarm untimed; include_clusters because dedup_semdedup
     # and the graph queries ride the cluster/knn scratch tables). A
@@ -203,6 +236,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "adjudication": adjudication,
         "sf": float(sf) if sf else None,
         "extended": {
             "what": "top-10 heaviest steady-state queries, scratch prewarmed untimed",
