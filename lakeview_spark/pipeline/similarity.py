@@ -1851,23 +1851,6 @@ def _pq_parts(emb, sf_dir: str | None = None):
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
-    def _cb_df(codebook_state):
-        return spark.createDataFrame(
-            [(m, c, list(v)) for (m, c), v in sorted(codebook_state.items())],
-            "m int, codeword int, cv array<bigint>",
-        )
-
-    def _assign(codebook_df):
-        scored = subs.join(F.broadcast(codebook_df), "m").select(
-            "vec_id",
-            "m",
-            "sv",
-            F.struct(_pq_subvector_sqerr().alias("sqerr"), "codeword").alias("sc"),
-        )
-        return scored.groupBy("vec_id", "m").agg(
-            F.min("sc").alias("best"), F.any_value("sv").alias("sv")
-        )
-
     cache_key = _pq_cache_key(spark, sf_dir) if sf_dir is not None else None
     cb = _PQ_CB_CACHE.get(cache_key) if cache_key else None
     if cb is None:
@@ -1882,33 +1865,65 @@ def _pq_parts(emb, sf_dir: str | None = None):
                 cb[(m, int(r.vec_id))] = [
                     int(v) for v in r.qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]
                 ]
-        for _ in range(_PQ_ITER):
-            upd = (
-                _assign(_cb_df(cb))
-                .select(
-                    "m",
-                    F.col("best.codeword").alias("codeword"),
-                    F.posexplode("sv").alias("pos", "v"),
-                )
-                .groupBy("m", "codeword", "pos")
-                .agg(
-                    F.floor(F.sum("v").cast("double") / F.count("*"))
-                    .cast("long")
-                    .alias("mv")
-                )
-                .collect()
-            )
-            by_key: dict[tuple[int, int], dict[int, int]] = {}
-            for r in upd:
-                by_key.setdefault((r.m, r.codeword), {})[r.pos] = r.mv
-            for key, comp in by_key.items():
-                cb[key] = [comp[i] for i in sorted(comp)]
-            # codewords absent from by_key captured nothing: keep previous
+        cb = _subspace_lloyd(spark, subs, cb, _PQ_ITER)
         if cache_key:
             _PQ_CB_CACHE[cache_key] = cb
-    codebook = F.broadcast(_cb_df(cb))
-    assigned = _assign(codebook).select("vec_id", "m", "best")
+    codebook = F.broadcast(_subspace_cb_df(spark, cb))
+    assigned = _subspace_assign(subs, codebook).select("vec_id", "m", "best")
     return subs, codebook, assigned
+
+
+def _subspace_cb_df(spark, codebook_state):
+    """A (m, codeword) -> centroid dict as a broadcast-scale DataFrame."""
+    return spark.createDataFrame(
+        [(m, c, list(v)) for (m, c), v in sorted(codebook_state.items())],
+        "m int, codeword int, cv array<bigint>",
+    )
+
+
+def _subspace_assign(subs, codebook_df):
+    """Per-(vec, subspace) nearest-codeword assignment via the
+    partial-aggregable struct-min argmin (ties to the lower codeword);
+    shared by the stage-1 PQ and stage-2 residual trainers."""
+    scored = subs.join(F.broadcast(codebook_df), "m").select(
+        "vec_id",
+        "m",
+        "sv",
+        F.struct(_pq_subvector_sqerr().alias("sqerr"), "codeword").alias("sc"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min("sc").alias("best"), F.any_value("sv").alias("sv")
+    )
+
+
+def _subspace_lloyd(spark, subs, cb, iters):
+    """`iters` integer-Lloyd's rounds over per-subspace codebooks (the
+    kmeans_train_quantized device keyed (m, codeword)): broadcast
+    assign, floored-integer-mean update, empty codewords keep their
+    previous centroid. Driver state = the M x K x SUB integer dict."""
+    for _ in range(iters):
+        upd = (
+            _subspace_assign(subs, _subspace_cb_df(spark, cb))
+            .select(
+                "m",
+                F.col("best.codeword").alias("codeword"),
+                F.posexplode("sv").alias("pos", "v"),
+            )
+            .groupBy("m", "codeword", "pos")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("mv")
+            )
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd:
+            by_key.setdefault((r.m, r.codeword), {})[r.pos] = r.mv
+        for key, comp in by_key.items():
+            cb[key] = [comp[i] for i in sorted(comp)]
+        # codewords absent from by_key captured nothing: keep previous
+    return cb
 
 
 def _pq_emb(spark, sf_dir: str):
@@ -1951,6 +1966,353 @@ def pq_codebook_df(spark, sf_dir: str):
     session)."""
     _subs, codebook, _assigned = _pq_parts(_pq_emb(spark, sf_dir), sf_dir)
     return codebook
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization refinement (stage 2 — VERDICT r10 next-8)
+# ---------------------------------------------------------------------------
+#
+# Flat-ADC recall against the exact truth is capped by the stage-1
+# codebook's reconstruction error (0.73 at sf0.01 — SCALE.md §8a3's
+# ceiling). Residual quantization lifts the CEILING itself: per (vec,
+# subspace), the residual r = sv - cv1 is encoded against a SECOND
+# trained codebook, reconstruction becomes cv1 + cv2, and ADC ranks by
+# ||probe_sv - (cv1 + cv2)||² — still one exact BIGINT per part, since
+# residuals and second-stage centroids live on the same 2^-20 integer
+# grid. The refinement re-uses the stage-1 machinery wholesale
+# (_subspace_lloyd / _subspace_assign — the integer Lloyd's device on
+# residuals), adding _PQ_M * 6 bits per vector. Measured flat-ADC
+# recall@10 vs exact at sf0.01: 0.91 refined vs 0.73 single-stage
+# (grid in SCALE.md §8a5).
+_RQ_K = 64  # second-stage codewords per subspace
+_RQ_ITER = 1  # residual Lloyd's rounds (0 rounds = seed book reads 0.89)
+
+_RQ_DIST_SQL = (
+    f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+    "i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])))"
+)
+
+_RQ_ADC_PART_SQL = (
+    f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+    "i -> (ps.sv[i] - (cb.cv[i] + rcb.cv[i])) "
+    "* (ps.sv[i] - (cb.cv[i] + rcb.cv[i]))))"
+)
+
+
+def _rq_iter_sql(prev: str, n: int) -> str:
+    """One unrolled residual-codebook training round — _pq_iter_sql's
+    pattern over the `rsubs` residual table, distinct CTE names."""
+    return f"""
+    rga{n} AS (
+      SELECT vec_id, m, sv, codeword FROM (
+        SELECT v.vec_id, v.m, v.sv, c.codeword,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_RQ_DIST_SQL} ASC, c.codeword) AS rn
+        FROM rsubs v JOIN {prev} c ON c.m = v.m) WHERE rn = 1
+    ),
+    rgm{n} AS (
+      SELECT m, codeword, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS mv
+      FROM (SELECT m, codeword, unnest(sv) AS v,
+                   unnest(range(1, len(sv)+1)) AS pos FROM rga{n})
+      GROUP BY m, codeword, pos
+    ),
+    rgc{n} AS (
+      SELECT m, codeword, list(mv ORDER BY pos) AS cv FROM rgm{n}
+      GROUP BY m, codeword
+    ),
+    rcb{n} AS (
+      SELECT p.m, p.codeword, coalesce(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN rgc{n} u
+        ON u.m = p.m AND u.codeword = p.codeword
+    )"""
+
+
+# residual derivation + stage-2 training + refined assignment as one
+# CTE block appended after _PQ_BASE_CTES. The hot replayed subtrees are
+# AS MATERIALIZED — without the hint DuckDB re-inlines the whole
+# stage-1 training per reference and the oracle reads 280 s instead of
+# ~10 s at sf0.01 (measured; the oracle-side twin of the engine's own
+# k-core/PQ-index materialization rule).
+_RQ_CTES = (
+    f"""rsubs AS MATERIALIZED (
+      SELECT a.vec_id, a.m,
+             list_transform(range(1, {_PQ_SUB} + 1), i -> v.sv[i] - c.cv[i]) AS sv
+      FROM assigned a
+      JOIN subs v ON v.vec_id = a.vec_id AND v.m = a.m
+      JOIN codebook c ON c.m = a.m AND c.codeword = a.codeword
+    ),
+    rcb0 AS (
+      SELECT vec_id AS codeword, m, sv AS cv FROM rsubs
+      WHERE vec_id BETWEEN 1 AND {_RQ_K}
+    )"""
+    + "".join(
+        "," + _rq_iter_sql(f"rcb{n - 1}", n) for n in range(1, _RQ_ITER + 1)
+    )
+    + f""",
+    rcodebook AS MATERIALIZED (SELECT codeword, m, cv FROM rcb{_RQ_ITER}),
+    rassigned AS MATERIALIZED (
+      SELECT vec_id, m, codeword FROM (
+        SELECT v.vec_id, v.m, c.codeword,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_RQ_DIST_SQL} ASC, c.codeword) AS rn
+        FROM rsubs v JOIN rcodebook c ON c.m = v.m) WHERE rn = 1
+    )"""
+)
+
+# stage-2 trained-codebook driver cache, same lifecycle as _PQ_CB_CACHE
+_RQ_CB_CACHE: dict[tuple[str, str, str], dict[tuple[int, int], list[int]]] = {}
+
+
+def _rq_parts(spark, sf_dir: str):
+    """(rsubs, rcodebook, rassigned) — the Spark twin of _RQ_CTES. The
+    residual table derives from the MATERIALIZED stage-1 index
+    (pq_codes scratch + cached codebook), so stage-2 training lineage
+    starts at a parquet scan; the trained residual codebook is cached
+    per (session, dataset) like stage 1."""
+    codes = pq_codes_materialized(spark, sf_dir)
+    cb1 = pq_codebook_df(spark, sf_dir)
+    emb = _pq_emb(spark, sf_dir)
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(qv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    rsubs = (
+        subs.join(codes.select("vec_id", "m", "codeword"), ["vec_id", "m"])
+        .join(F.broadcast(cb1), ["m", "codeword"])
+        .select(
+            "vec_id",
+            "m",
+            F.zip_with("sv", "cv", lambda x, y: x - y).alias("sv"),
+        )
+    )
+    key = _pq_cache_key(spark, sf_dir)
+    rcb = _RQ_CB_CACHE.get(key)
+    if rcb is None:
+        rcb = {
+            (int(r.m), int(r.vec_id)): [int(v) for v in r.sv]
+            for r in rsubs.filter(F.col("vec_id").between(1, _RQ_K)).collect()
+        }
+        rcb = _subspace_lloyd(spark, rsubs, rcb, _RQ_ITER)
+        _RQ_CB_CACHE[key] = rcb
+    rcodebook = F.broadcast(_subspace_cb_df(spark, rcb))
+    rassigned = _subspace_assign(rsubs, rcodebook).select("vec_id", "m", "best")
+    return rsubs, rcodebook, rassigned
+
+
+def rq_codes_materialized(spark, sf_dir: str):
+    """The refinement half of the code index: per (vector, subspace)
+    the stage-2 residual codeword and the refined reconstruction error
+    — the third table an RQ-refined IVF-PQ deployment stores next to
+    pq_codes and ivfpq_coarse."""
+    from lakeview_spark.operators.materialize import materialized
+
+    def _build(spark, sf_dir):
+        _rsubs, _rcodebook, rassigned = _rq_parts(spark, sf_dir)
+        return rassigned.select(
+            "vec_id",
+            "m",
+            F.col("best.codeword").alias("codeword"),
+            F.col("best.sqerr").alias("sqerr"),
+        )
+
+    return materialized(spark, "rq_codes", sf_dir, _build)
+
+
+def _rq_recall_oracle() -> str:
+    # stage-1 flat ADC and the refined (cv1 + cv2) ADC against the same
+    # exact truth; the stage-1 subtrees get the same AS MATERIALIZED
+    # hints as _RQ_CTES (without them DuckDB re-inlines the unrolled
+    # training per reference — 280 s vs ~10 s measured at sf0.01)
+    base = (
+        _PQ_BASE_CTES.replace("q AS (", "q AS MATERIALIZED (")
+        .replace("subs AS (", "subs AS MATERIALIZED (")
+        .replace("codebook AS (", "codebook AS MATERIALIZED (")
+        .replace("assigned AS (", "assigned AS MATERIALIZED (")
+    )
+    return f"""
+    WITH {base},
+    {_RQ_CTES},
+    probes AS (
+      SELECT vec_id AS probe_id, qv AS pqv FROM q
+      WHERE vec_id % ({_PQ_STRIDE_SQL}) = 0
+    ),
+    truth AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_PQ_FULL_DIST_SQL} ASC, e.vec_id) AS rn
+        FROM probes p, q e WHERE e.vec_id <> p.probe_id)
+      WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    psubs AS (
+      SELECT p.probe_id, g.m,
+             list_slice(p.pqv, g.m * {_PQ_SUB} + 1, g.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM probes p, (SELECT unnest(range(0, {_PQ_M})) AS m) g
+    ),
+    adc AS (
+      SELECT probe_id, vec_id, CAST(sum(part) AS BIGINT) AS adc_dist FROM (
+        SELECT ps.probe_id, a.vec_id, CAST({_PQ_ADC_PART_SQL} AS BIGINT) AS part
+        FROM psubs ps
+        JOIN assigned a ON a.m = ps.m
+        JOIN codebook cb ON cb.m = a.m AND cb.codeword = a.codeword
+        WHERE a.vec_id <> ps.probe_id)
+      GROUP BY probe_id, vec_id
+    ),
+    pq_top AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rn
+        FROM adc) WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    radc AS (
+      SELECT probe_id, vec_id, CAST(sum(part) AS BIGINT) AS adc_dist FROM (
+        SELECT ps.probe_id, a.vec_id, CAST({_RQ_ADC_PART_SQL} AS BIGINT) AS part
+        FROM psubs ps
+        JOIN assigned a ON a.m = ps.m
+        JOIN rassigned ra ON ra.vec_id = a.vec_id AND ra.m = a.m
+        JOIN codebook cb ON cb.m = a.m AND cb.codeword = a.codeword
+        JOIN rcodebook rcb ON rcb.m = ra.m AND rcb.codeword = ra.codeword
+        WHERE a.vec_id <> ps.probe_id)
+      GROUP BY probe_id, vec_id
+    ),
+    rq_top AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rn
+        FROM radc) WHERE rn <= {_PQ_RECALL_TOP}
+    )
+    SELECT t.probe_id,
+           CAST(count(b.vec_id) AS BIGINT) AS base_hits,
+           CAST(count(b.vec_id) AS DOUBLE) / {_PQ_RECALL_TOP} AS base_recall,
+           CAST(count(r.vec_id) AS BIGINT) AS refined_hits,
+           CAST(count(r.vec_id) AS DOUBLE) / {_PQ_RECALL_TOP} AS refined_recall
+    FROM truth t
+    LEFT JOIN pq_top b ON b.probe_id = t.probe_id AND b.vec_id = t.vec_id
+    LEFT JOIN rq_top r ON r.probe_id = t.probe_id AND r.vec_id = t.vec_id
+    GROUP BY t.probe_id
+    """
+
+
+@register("eval_rq_recall", oracle=_rq_recall_oracle())
+def eval_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-refinement search-quality audit (VERDICT r10 next-8):
+    per probe, flat-ADC recall@{_PQ_RECALL_TOP} vs the exact
+    quantized-domain truth for BOTH the stage-1 codebook (the 0.73
+    ceiling SCALE.md §8a3 records) and the RQ-refined reconstruction
+    cv1 + cv2 (measured 0.91 at sf0.01 — the ceiling itself lifted,
+    §8a5). All distances exact BIGINTs on the shared 2^-20 grid, so a
+    lossy index's quality audit hash-checks.
+
+    Scale shape: identical to eval_pq_recall's flat half — probes and
+    both codebooks are broadcasts, the ADC sides join the COMPRESSED
+    code tables (n*{_PQ_M} small-int rows read from the pq_codes /
+    rq_codes scratch, never the vectors), one partial-aggregable
+    (probe, doc) sum each, per-probe rankings bounded by
+    corpus-per-probe (the flat-scan cost the audit exists to
+    measure)."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    emb = _pq_emb(spark, sf_dir)
+    cb1 = pq_codebook_df(spark, sf_dir)
+    _rsubs, rcodebook, _rassigned = _rq_parts(spark, sf_dir)
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    scored = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
+    truth = (
+        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select("probe_id", "vec_id")
+    )
+    psubs = probes.select(
+        "probe_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("probe_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    codes1 = pq_codes_materialized(spark, sf_dir).select("vec_id", "m", "codeword")
+    adc = (
+        codes1.join(F.broadcast(cb1), ["m", "codeword"])
+        .join(F.broadcast(psubs), "m")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    wa = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    pq_top = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select(F.col("probe_id").alias("b_probe"), F.col("vec_id").alias("b_vec"))
+    )
+    codes2 = rq_codes_materialized(spark, sf_dir).select(
+        "vec_id", "m", F.col("codeword").alias("codeword2")
+    )
+    rcb2 = rcodebook.select(
+        "m", F.col("codeword").alias("codeword2"), F.col("cv").alias("cv2")
+    )
+    radc = (
+        codes1.join(codes2, ["vec_id", "m"])
+        .join(F.broadcast(cb1), ["m", "codeword"])
+        .join(F.broadcast(rcb2), ["m", "codeword2"])
+        .select(
+            "vec_id",
+            "m",
+            F.zip_with("cv", "cv2", lambda x, y: x + y).alias("cv"),
+        )
+        .join(F.broadcast(psubs), "m")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    rq_top = (
+        radc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select(F.col("probe_id").alias("r_probe"), F.col("vec_id").alias("r_vec"))
+    )
+    return (
+        truth.join(
+            pq_top,
+            (F.col("probe_id") == F.col("b_probe"))
+            & (F.col("vec_id") == F.col("b_vec")),
+            "left",
+        )
+        .join(
+            rq_top,
+            (F.col("probe_id") == F.col("r_probe"))
+            & (F.col("vec_id") == F.col("r_vec")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("b_vec").cast("bigint").alias("base_hits"),
+            (F.count("b_vec").cast("double") / _PQ_RECALL_TOP).alias("base_recall"),
+            F.count("r_vec").cast("bigint").alias("refined_hits"),
+            (F.count("r_vec").cast("double") / _PQ_RECALL_TOP).alias(
+                "refined_recall"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -93,10 +93,12 @@ _DRIVER_WINDOW = [
     # every-round sweep, guard-layer kin `quality_filter_funnel`
     # in-window)
     "stream_sequence_pack",
-    # r08-cohort top-ups, CORRECTNESS_r08 order (displaced deepest-first
-    # by further r11 additions)
+    # NEW in r11: the residual-quantization refinement audit (VERDICT
+    # r10 next-8 stretch) — displaces `events_user_value_quartiles`
+    # (r08 green row, every-round sweep, events kins in the r08 cohort)
+    "eval_rq_recall",
+    # r08-cohort top-up, CORRECTNESS_r08 order
     "events_sessionization",
-    "events_user_value_quartiles",
 ]
 
 

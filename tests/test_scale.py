@@ -158,6 +158,7 @@ _TINY_BROADCAST_OK = {
     "classifier_quality_apply",  # 1-row train-count scalars broadcast
     "eval_classifier_roc",  # 1-row range/total + 1-row AUC-numerator broadcasts
     "text_perplexity_bigram",  # 1-row (N, V) model-constants broadcast
+    "eval_rq_recall",  # fixed-size probe broadcast for the exact truth
 }
 
 
