@@ -280,30 +280,56 @@ def eval_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the scored table is the shared inference plan; the
     histogram is one 256-key aggregation and the cumulative window
     runs over <= 256 rows (the mix_curriculum_schedule device)."""
-    ev = (
+    # collapse the eval split to per-SCORE counts in ONE pass — the
+    # corpus-sized scored subtree would otherwise be replayed once per
+    # downstream reference (range scalars, binning, AUC numerator: 4
+    # lazy references — the k-core/PQ-index replay rule); after this
+    # groupBy every later stage runs on <= distinct-score rows
+    sc = (
         _clf_scored(spark, sf_dir)
         .filter(F.col("holdout") == "eval")
-        .select("y", "score")
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos_c"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg_c"),
+        )
     )
-    rng = ev.agg(
-        F.min("score").cast("bigint").alias("mn"),
-        F.max("score").cast("bigint").alias("mx"),
-        F.sum("y").cast("bigint").alias("p"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("n"),
+    # every downstream scalar (range, totals, the AUC numerator) is a
+    # full-frame window over the tiny per-score/per-bin tables, NOT an
+    # agg + crossJoin — each agg+crossJoin pair would reference the
+    # subtree twice and Catalyst replays lazy subtrees per reference
+    # (2 of them would put FOUR corpus passes in the plan; this shape
+    # keeps exactly one). The unpartitioned windows run over <= 256
+    # rows, the mix_curriculum histogram precedent.
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    binned = ev.crossJoin(F.broadcast(rng)).select(
-        "y",
+    binned = sc.select(
+        "pos_c",
+        "neg_c",
+        "score",
+        F.sum("pos_c").over(w_all).cast("bigint").alias("p"),
+        F.sum("neg_c").over(w_all).cast("bigint").alias("n"),
+        F.min("score").over(w_all).alias("mn"),
+        F.max("score").over(w_all).alias("mx"),
+    ).select(
+        "pos_c",
+        "neg_c",
         "p",
         "n",
+        # integer div, exactly the oracle's `//` (operands non-negative)
         F.expr("(score - mn) * 255 div greatest(mx - mn, 1)").alias("bin"),
     )
     bins = binned.groupBy("bin").agg(
-        F.sum("y").cast("bigint").alias("pos_in"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("neg_in"),
+        F.sum("pos_c").cast("bigint").alias("pos_in"),
+        F.sum("neg_c").cast("bigint").alias("neg_in"),
         F.any_value("p").alias("p"),
         F.any_value("n").alias("n"),
     )
     w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    w_full = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = bins.select(
         "bin",
         "pos_in",
@@ -313,14 +339,15 @@ def eval_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos_in").over(w).cast("bigint").alias("cum_pos"),
         F.sum("neg_in").over(w).cast("bigint").alias("cum_neg"),
     )
-    auc2 = cum.agg(
+    cum = cum.withColumn(
+        "auc2",
         F.sum(
             F.col("pos_in") * (2 * (F.col("n") - F.col("cum_neg")) + F.col("neg_in"))
         )
-        .cast("bigint")
-        .alias("auc2")
+        .over(w_full)
+        .cast("bigint"),
     )
-    return cum.crossJoin(F.broadcast(auc2)).select(
+    return cum.select(
         "bin",
         "pos_in",
         "neg_in",
