@@ -1641,6 +1641,19 @@ _PQ_BASE_CTES = f"""q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
         FROM subs v JOIN codebook c ON c.m = v.m) WHERE rn = 1
     )"""
 
+# the same derivation with AS MATERIALIZED hints on the subtrees the
+# recall/search oracles reference repeatedly — without them DuckDB
+# re-inlines the whole unrolled training per reference (eval_pq_recall
+# oracle: 34.9 s plain vs 6.6 s hinted at sf0.01, measured r11). The
+# single-reference stats oracle keeps the plain block (hints cost it
+# ~1 s of materialization for no replay saved).
+_PQ_BASE_CTES_MAT = (
+    _PQ_BASE_CTES.replace("q AS (SELECT vec_id", "q AS MATERIALIZED (SELECT vec_id")
+    .replace("subs AS (", "subs AS MATERIALIZED (")
+    .replace("codebook AS (SELECT codeword", "codebook AS MATERIALIZED (SELECT codeword")
+    .replace("assigned AS (", "assigned AS MATERIALIZED (")
+)
+
 _PQ_STATS_SQL = f"""
     WITH {_PQ_BASE_CTES}
     SELECT m AS subspace, codeword,
@@ -2126,17 +2139,11 @@ def rq_codes_materialized(spark, sf_dir: str):
 
 def _rq_recall_oracle() -> str:
     # stage-1 flat ADC and the refined (cv1 + cv2) ADC against the same
-    # exact truth; the stage-1 subtrees get the same AS MATERIALIZED
-    # hints as _RQ_CTES (without them DuckDB re-inlines the unrolled
-    # training per reference — 280 s vs ~10 s measured at sf0.01)
-    base = (
-        _PQ_BASE_CTES.replace("q AS (", "q AS MATERIALIZED (")
-        .replace("subs AS (", "subs AS MATERIALIZED (")
-        .replace("codebook AS (", "codebook AS MATERIALIZED (")
-        .replace("assigned AS (", "assigned AS MATERIALIZED (")
-    )
+    # exact truth; the stage-1 subtrees carry the shared AS MATERIALIZED
+    # hints (without them DuckDB re-inlines the unrolled training per
+    # reference — 280 s vs ~10 s measured at sf0.01)
     return f"""
-    WITH {base},
+    WITH {_PQ_BASE_CTES_MAT},
     {_RQ_CTES},
     probes AS (
       SELECT vec_id AS probe_id, qv AS pqv FROM q
@@ -2517,7 +2524,7 @@ def _ivfpq_pclusters(probes, cents):
     )
 
 
-@register("similarity_ann_ivf_pq", oracle=_IVFPQ_SQL.format(base=_PQ_BASE_CTES))
+@register("similarity_ann_ivf_pq", oracle=_IVFPQ_SQL.format(base=_PQ_BASE_CTES_MAT))
 def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN search with multiprobe: for each
     deterministic-stride probe, rank the members of its
@@ -2601,7 +2608,7 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "eval_pq_recall",
-    oracle=_PQ_RECALL_SQL.format(base=_PQ_BASE_CTES, coarse=_IVFPQ_COARSE_CTES),
+    oracle=_PQ_RECALL_SQL.format(base=_PQ_BASE_CTES_MAT, coarse=_IVFPQ_COARSE_CTES),
 )
 def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search-quality audit, per probe: recall@{_PQ_RECALL_TOP} of
