@@ -59,7 +59,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeview_spark.plans.registry import register, t
-from lakeview_spark.pipeline.curation import _EN_STOP
+# LITERAL copy of curation._EN_STOP (pinned by tests/test_classifier.py
+# test_en_stop_literal_matches_curation): this module is imported by
+# plans/streaming_twins' oracle builder, which runs while
+# pipeline/__init__ is still mid-import — importing curation here would
+# re-enter the half-initialized dedup module (the r10 circular-import
+# incident; the stream funnel twin uses the same literal device).
+_EN_STOP = "'the','and','of','to','a','in','is','it','for','on'"
 
 # feature-hash buckets: tokenizer-scale constant (weights stay a
 # broadcast table at ANY corpus size — the vocabulary is capped by
@@ -117,12 +123,11 @@ _CLF_BLOCK = f"""lab AS (
     )"""
 
 
-def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, y, holdout, score) — the shared Spark half of
-    _CLF_BLOCK. Weights are a <= CLF_BUCKETS-row broadcast; the scoring
-    join is feature-keyed; score is an exact BIGINT."""
+def _clf_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, toks, y, holdout) — weak labels + the 75/25
+    train/eval holdout."""
     ltoks = F.split(F.lower("text"), " ")
-    lab = t(spark, sf_dir, "documents").select(
+    return t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         ltoks.alias("toks"),
@@ -141,10 +146,12 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("eval")
         .alias("holdout"),
     )
-    feats = (
-        lab.select(
-            "doc_id", "lang", "y", "holdout", F.explode("toks").alias("tok")
-        )
+
+
+def _clf_feats(lab: DataFrame) -> DataFrame:
+    """Per-document DISTINCT hashed feature buckets (binary features)."""
+    return (
+        lab.select("doc_id", "lang", "y", "holdout", F.explode("toks").alias("tok"))
         .select(
             "doc_id",
             "lang",
@@ -157,24 +164,49 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "fid"])
     )
-    train = feats.filter(F.col("holdout") == "train")
-    trc = (
-        lab.filter(F.col("holdout") == "train")
+
+
+def _clf_weights(lab: DataFrame, feats: DataFrame) -> DataFrame:
+    """(fid, w) — the trained model: centroid-difference integer
+    weights from one aggregation over the train split (<= CLF_BUCKETS
+    rows, the broadcast/publishable artifact a deployment ships to its
+    streaming gate)."""
+    trc = lab.filter(F.col("holdout") == "train").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    cnt = (
+        feats.filter(F.col("holdout") == "train")
+        .groupBy("fid")
         .agg(
-            F.sum("y").cast("bigint").alias("n_pos"),
-            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+            F.sum("y").cast("bigint").alias("pos_c"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg_c"),
         )
     )
-    cnt = train.groupBy("fid").agg(
-        F.sum("y").cast("bigint").alias("pos_c"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("neg_c"),
-    )
-    wts = cnt.crossJoin(F.broadcast(trc)).select(
+    return cnt.crossJoin(F.broadcast(trc)).select(
         "fid",
         (
             F.col("pos_c") * F.col("n_neg") - F.col("neg_c") * F.col("n_pos")
         ).alias("w"),
     )
+
+
+def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-published model table (fid, w) — what the streaming
+    classifier gate (streaming/pipeline_stream.py
+    stream_classifier_gate) joins against, so live and batch verdicts
+    cannot disagree."""
+    lab = _clf_lab(spark, sf_dir)
+    return _clf_weights(lab, _clf_feats(lab))
+
+
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, y, holdout, score) — the shared Spark half of
+    _CLF_BLOCK. Weights are a <= CLF_BUCKETS-row broadcast; the scoring
+    join is feature-keyed; score is an exact BIGINT."""
+    lab = _clf_lab(spark, sf_dir)
+    feats = _clf_feats(lab)
+    wts = _clf_weights(lab, feats)
     return (
         feats.join(F.broadcast(wts), "fid", "left")
         .groupBy("doc_id")

@@ -97,8 +97,12 @@ _DRIVER_WINDOW = [
     # r10 next-8 stretch) — displaces `events_user_value_quartiles`
     # (r08 green row, every-round sweep, events kins in the r08 cohort)
     "eval_rq_recall",
-    # r08-cohort top-up, CORRECTNESS_r08 order
-    "events_sessionization",
+    # NEW in r11: live model-based quality gating (the batch-trained
+    # classifier's weights applied at ingestion) — displaces
+    # `events_sessionization`, the last r08 top-up (r08 green row,
+    # every-round sweep; the events layer's freshest rows are the r10
+    # cohort, all refreshed last round)
+    "stream_classifier_gate",
 ]
 
 

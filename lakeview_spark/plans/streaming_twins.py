@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from lakeview_spark.plans.registry import events_ts_us, register, t
 from lakeview_spark.streaming.pipeline_stream import (
+    stream_classifier_gate,
     stream_curation_funnel,
     stream_document_dedup,
     stream_event_sessions,
@@ -1041,4 +1042,55 @@ def stream_sequence_pack_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("docs_starting").cast("bigint").alias("docs_starting"),
         F.col("tokens_starting").cast("bigint").alias("tokens_starting"),
         F.col("first_offset").cast("bigint").alias("first_offset"),
+    )
+
+
+def _clf_gate_oracle() -> str:
+    # the batch classifier's shared CTE block scores every doc with
+    # the same trained weights the gate consumes (import inside the
+    # builder — the _pack_oracle precedent; registration runs after
+    # pipeline is fully initialized), binned on the stream_token_stats
+    # window grid; update mode -> every open window emits once.
+    from lakeview_spark.pipeline.classifier import _CLF_BLOCK
+
+    return f"""
+    WITH {_CLF_BLOCK}
+    SELECT lang,
+           {_BASE_SQL} + ((CAST(doc_id AS BIGINT) % {_SPREAD_MIN})
+             * 60000000 // 600000000) * 600000000 AS window_start_us,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           CAST(sum(score) AS BIGINT) AS total_score
+    FROM scored
+    GROUP BY lang, window_start_us
+    """
+
+
+@register("stream_classifier_gate", oracle=_clf_gate_oracle())
+def stream_classifier_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gating at ingestion (streaming/
+    pipeline_stream.py stream_classifier_gate) run to completion: the
+    BATCH-trained hashed linear model (classifier_quality_apply's
+    weights, published as a <= CLF_BUCKETS-row table) scores every
+    arriving document row-locally — distinct hashed feature buckets,
+    one fold against the broadcast weights map — and the windowed
+    rollup counts kept (score >= 0) docs per (window, lang). The
+    oracle replays the identical score via the batch classifier's
+    shared CTE block, so the live gate and the batch apply query can
+    never disagree on a verdict (the stream_curation_funnel
+    stream-static device, applied to trained weights)."""
+    from lakeview_spark.pipeline.classifier import CLF_BUCKETS, classifier_weights
+
+    wts = classifier_weights(spark, sf_dir)
+    gate = stream_classifier_gate(
+        _doc_stream(spark, sf_dir), wts, buckets=CLF_BUCKETS
+    )
+    out = _run_available_now(gate, "update")
+    return out.select(
+        "lang",
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.col("docs").cast("bigint").alias("docs"),
+        F.col("kept_docs").cast("bigint").alias("kept_docs"),
+        F.col("total_score").cast("bigint").alias("total_score"),
     )

@@ -20,4 +20,5 @@ from lakeview_spark.streaming.pipeline_stream import (  # noqa: F401
     stream_anomaly_zscore,
     boilerplate_screen,
     stream_boilerplate_filter,
+    stream_classifier_gate,
 )

@@ -500,3 +500,59 @@ def stream_session_rollup(
         F.count("*").alias("sessions"),
         F.sum("events").alias("tot_events"),
     )
+
+
+def stream_classifier_gate(
+    stream: DataFrame,
+    weights: DataFrame,
+    buckets: int = 1024,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Live model-based quality gating: score every arriving document
+    with the BATCH-published hashed linear model
+    (pipeline/classifier.py classifier_weights — the stream-static
+    pattern stream_curation_funnel uses for its contaminated-id list,
+    applied to trained weights), then roll verdicts up per (window,
+    lang). The per-doc score is fully ROW-LOCAL: distinct hashed
+    feature buckets via array_distinct over the token transform, one
+    aggregate fold against the weights as a broadcast MAP column —
+    no stateful op before the windowed rollup, so the gate composes
+    anywhere in a live funnel. ``buckets`` must equal the trainer's
+    CLF_BUCKETS (pinned by tests/test_classifier.py).
+
+    State: open windows only (watermark-evicted). The weights map is
+    <= ``buckets`` entries — broadcast metadata at any corpus size."""
+    vm = weights.agg(
+        F.map_from_entries(F.collect_list(F.struct("fid", "w"))).alias("wm")
+    ).withColumn("_k", F.lit(1))
+    fids = (
+        "array_distinct(transform(split(lower(text), ' '), "
+        f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {buckets}))"
+    )
+    score = F.expr(
+        f"aggregate({fids}, CAST(0 AS BIGINT), "
+        "(acc, f) -> acc + coalesce(try_element_at(wm, f), CAST(0 AS BIGINT)))"
+    )
+    scored = (
+        stream.withColumn("_k", F.lit(1))
+        .join(F.broadcast(vm), "_k")
+        .withColumn("score", score)
+        .withColumn("kept", (F.col("score") >= 0).cast("int"))
+    )
+    return (
+        scored.withWatermark("ingest_ts", watermark_delay)
+        .groupBy(F.window("ingest_ts", window_duration).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("kept").alias("kept_docs"),
+            F.sum("score").alias("total_score"),
+        )
+        .select(
+            "lang",
+            F.col("win.start").alias("window_start"),
+            "docs",
+            "kept_docs",
+            "total_score",
+        )
+    )

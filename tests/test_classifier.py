@@ -105,3 +105,54 @@ def test_perplexity_bigram_matches_pure_python_replay(spark):
         for r in QUERIES["text_perplexity_bigram"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_stream_gate_bucket_default_matches_trainer():
+    """stream_classifier_gate's `buckets` default is a literal (the
+    streaming module must not import the pipeline package at module
+    level — the r10 circular-import rule); this pin keeps it equal to
+    the trainer's CLF_BUCKETS so the hashed feature spaces can never
+    drift apart."""
+    import inspect
+
+    from lakeview_spark.pipeline.classifier import CLF_BUCKETS
+    from lakeview_spark.streaming.pipeline_stream import stream_classifier_gate
+
+    sig = inspect.signature(stream_classifier_gate)
+    assert sig.parameters["buckets"].default == CLF_BUCKETS
+
+
+def test_stream_gate_verdicts_match_batch_apply(spark):
+    """The live gate's per-lang keep totals must equal the batch apply
+    query's — same weights, same score, same boundary (the oracle
+    already proves this per window; this folds the windows and checks
+    against the independently computed batch rollup)."""
+    from pyspark.sql import functions as F
+
+    gate = (
+        QUERIES["stream_classifier_gate"](spark, SF_DIR)
+        .groupBy("lang")
+        .agg(
+            F.sum("docs").alias("n_docs"),
+            F.sum("kept_docs").alias("n_kept"),
+            F.sum("total_score").alias("total_score"),
+        )
+    )
+    batch = QUERIES["classifier_quality_apply"](spark, SF_DIR).select(
+        "lang", "n_docs", "n_kept", "total_score"
+    )
+    g = {r.lang: (r.n_docs, r.n_kept, r.total_score) for r in gate.collect()}
+    b = {r.lang: (r.n_docs, r.n_kept, r.total_score) for r in batch.collect()}
+    assert g == b
+
+
+def test_en_stop_literal_matches_curation():
+    """classifier._EN_STOP is a literal copy (module docstring: the
+    streaming-twin oracle builder imports this module while
+    pipeline/__init__ is mid-import, so importing curation here would
+    re-enter half-initialized dedup — the r10 rule); this pin is the
+    no-drift guarantee the import used to provide."""
+    from lakeview_spark.pipeline.classifier import _EN_STOP as clf_stop
+    from lakeview_spark.pipeline.curation import _EN_STOP as cur_stop
+
+    assert clf_stop == cur_stop
