@@ -115,6 +115,19 @@ GUARDED = [
     "stream_curation_funnel",
     # truncated-cosine argmax over an empty probe/corpus product
     "eval_matryoshka_truncation",
+    # r11 additions: train counts / weights / ROC range over zero docs
+    # (empty train split, empty score histogram); bigram model + pair
+    # prices over an empty vocabulary; NDCG truth/ranking over an empty
+    # probe set; two-stage PQ training over empty seeds; streaming
+    # packer + classifier gate over an empty file source / empty
+    # weights map
+    "classifier_quality_apply",
+    "eval_classifier_roc",
+    "text_perplexity_bigram",
+    "eval_retrieval_ndcg",
+    "eval_rq_recall",
+    "stream_sequence_pack",
+    "stream_classifier_gate",
 ]
 
 
