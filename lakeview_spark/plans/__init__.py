@@ -29,7 +29,7 @@ from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline:
 # r08 green row, the every-round sweep, and same-layer kins in-window
 # — the r7 displacement device).
 _DRIVER_WINDOW = [
-    # the 42-query r07 cohort, CORRECTNESS_r07 order
+    # the r07 cohort, CORRECTNESS_r07 order
     "archived_batching",
     "checkpoint_filter",
     "contamination_ngram_overlap",
@@ -59,7 +59,6 @@ _DRIVER_WINDOW = [
     "quality_filter_funnel",
     "sample_stratified",
     "similarity_ann_ivf",
-    "similarity_ann_multiprobe",
     "similarity_lsh_buckets",
     "similarity_topk_cosine",
     "table_health_summary",
@@ -103,6 +102,12 @@ _DRIVER_WINDOW = [
     # every-round sweep; the events layer's freshest rows are the r10
     # cohort, all refreshed last round)
     "stream_classifier_gate",
+    # NEW in r11: the Q8 national-market-share star join (J7 breadth:
+    # the dual-role nation join) — displaces `similarity_ann_multiprobe`
+    # from the r07 cohort (r07 green row, every-round sweep, ANN kins
+    # `similarity_ann_ivf`/`eval_ann_recall` in-window); displaced r07
+    # members lead the r12 rotation
+    "market_share_q8",
 ]
 
 

@@ -1811,3 +1811,103 @@ def events_ewma_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.getField("s").alias("ewma_cents"),
         fold.getField("maxdev").alias("max_abs_dev_cents"),
     )
+
+
+@register(
+    "market_share_q8",
+    oracle="""
+    WITH vols AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ),
+    agg AS (
+      SELECT o_year,
+             ROUND(sum(CASE WHEN supp_nation = 'NATION_9'
+                            THEN vol ELSE 0 END), 2) AS nat,
+             ROUND(sum(vol), 2) AS tot
+      FROM vols GROUP BY o_year
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(nat AS DOUBLE) AS nation_volume,
+           CAST(tot AS DOUBLE) AS total_volume,
+           CASE WHEN tot > 0
+                THEN CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) END AS mkt_share
+    FROM agg
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the two-nation-role join
+    — nation joins the star TWICE, once through the customer side
+    (restricting the market to region ASIA) and once through the
+    supplier side (labeling each sale's origin) — with the share as a
+    conditional aggregation per order year. The classic case where one
+    dim table appears under two aliases with different join keys; the
+    reference's star joins never need this, so it rounds out J7.
+
+    Determinism: volumes are DECIMAL(18,2)-exact products, per-year
+    sums ROUND to scale 2 in both engines before the double edge cast
+    (the 2^53 rule), and the share is one guarded division of those
+    identical doubles.
+
+    Scale shape: region/nation/part/supplier broadcast; the
+    customer⋈orders and orders⋈lineitem joins are the same key-partitioned
+    fact joins local_supplier_volume plans; the final agg is a
+    handful-of-years groupBy."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vols = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("vol"),
+            "supp_nation",
+        )
+    )
+    agg = vols.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_9", F.col("vol")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ),
+            2,
+        ).alias("nat"),
+        F.round(F.sum("vol"), 2).alias("tot"),
+    )
+    return agg.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        F.col("nat").cast("double").alias("nation_volume"),
+        F.col("tot").cast("double").alias("total_volume"),
+        F.when(
+            F.col("tot") > 0,
+            F.col("nat").cast("double") / F.col("tot").cast("double"),
+        ).alias("mkt_share"),
+    )
