@@ -715,3 +715,113 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("importance_bits"), "doc_id")
         .limit(_DSIR_KEEP)
     )
+
+
+@register(
+    "corpus_source_similarity",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM ns a JOIN ns b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT x.source AS sa, y.source AS sb,
+             CAST(count(*) AS BIGINT) AS shared_tokens,
+             CAST(sum(LEAST(x.c * ny.n, y.c * nx.n)) AS BIGINT) AS inter_scaled
+      FROM st x
+      JOIN st y ON x.token = y.token AND x.source < y.source
+      JOIN ns nx ON nx.source = x.source
+      JOIN ns ny ON ny.source = y.source
+      GROUP BY 1, 2
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           p.na AS n_tokens_a, p.nb AS n_tokens_b,
+           CAST(coalesce(i.shared_tokens, 0) AS BIGINT) AS shared_tokens,
+           CAST(coalesce(i.inter_scaled, 0) AS BIGINT) AS inter_scaled,
+           CASE WHEN p.na > 0 AND p.nb > 0
+                THEN CAST(coalesce(i.inter_scaled, 0) AS DOUBLE)
+                     / CAST(p.na * p.nb AS DOUBLE) END AS hist_intersection
+    FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    """,
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-DISTRIBUTION similarity via histogram
+    intersection — the frequency-weighted complement of
+    `corpus_source_overlap_theta` (which measures distinct-shingle SET
+    overlap): two sources can share most of their vocabulary yet have
+    very different token DISTRIBUTIONS, and the mixing decision
+    (mix_datasets weights, DSIR targets) cares about the latter.
+    Histogram intersection of the normalized distributions,
+    sum_t min(p_a(t), p_b(t)), is computed division-free by
+    cross-multiplication: min(c_a * N_b, c_b * N_a) summed as exact
+    BIGINTs, with ONE guarded double division by N_a * N_b at the
+    output edge (unscaled values stay far below 2^53 at audit scales;
+    an extreme-scale deployment rescales counts first, the 2^53 rule).
+    Every unordered pair appears even with zero shared tokens.
+
+    Scale shape: one partial-aggregable (source, token) count, the
+    per-source totals derived from that VOCAB-sized table (not a
+    second corpus pass), a token-keyed self-join bounded by
+    sources-per-token, and a sources^2-row output frame from a
+    broadcast pair grid. No all-pairs over documents."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").cast("bigint").alias("c"))
+    ns = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = ns.select(
+        F.col("source").alias("sa"), F.col("n").alias("na")
+    )
+    b = ns.select(
+        F.col("source").alias("sb"), F.col("n").alias("nb")
+    )
+    pair_grid = a.join(F.broadcast(b), F.col("sa") < F.col("sb"))
+    x = st.select(
+        F.col("source").alias("sa"), "token", F.col("c").alias("ca")
+    )
+    y = st.select(
+        F.col("source").alias("sb"),
+        F.col("token").alias("token_b"),
+        F.col("c").alias("cb"),
+    )
+    inter = (
+        x.join(y, (F.col("token") == F.col("token_b")) & (F.col("sa") < F.col("sb")))
+        .join(F.broadcast(a), "sa")
+        .join(F.broadcast(b), "sb")
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_tokens"),
+            F.sum(F.least(F.col("ca") * F.col("nb"), F.col("cb") * F.col("na")))
+            .cast("bigint")
+            .alias("inter_scaled"),
+        )
+    )
+    return (
+        pair_grid.join(inter, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            F.coalesce("shared_tokens", F.lit(0)).cast("bigint").alias(
+                "shared_tokens"
+            ),
+            F.coalesce("inter_scaled", F.lit(0)).cast("bigint").alias(
+                "inter_scaled"
+            ),
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.coalesce("inter_scaled", F.lit(0)).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+            ).alias("hist_intersection"),
+        )
+    )

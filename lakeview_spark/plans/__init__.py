@@ -51,7 +51,6 @@ _DRIVER_WINDOW = [
     "eval_dedup_reduction",
     "eval_embedding_bucket_health",
     "eval_language_id_confusion",
-    "eval_lsh_bucket_health",
     "minhash_similarity_estimate",
     "multimodal_metadata",
     "partition_skew",
@@ -108,6 +107,12 @@ _DRIVER_WINDOW = [
     # `similarity_ann_ivf`/`eval_ann_recall` in-window); displaced r07
     # members lead the r12 rotation
     "market_share_q8",
+    # NEW in r11: pairwise source-distribution histogram intersection
+    # (the frequency-weighted complement of the theta set-overlap op)
+    # — displaces `eval_lsh_bucket_health` from the r07 cohort (r07
+    # green row, every-round sweep, bucket-health kin
+    # `eval_embedding_bucket_health` in-window)
+    "corpus_source_similarity",
 ]
 
 

@@ -128,6 +128,8 @@ GUARDED = [
     "eval_rq_recall",
     "stream_sequence_pack",
     "stream_classifier_gate",
+    # pair grid / totals over zero sources
+    "corpus_source_similarity",
 ]
 
 

@@ -159,6 +159,7 @@ _TINY_BROADCAST_OK = {
     "eval_classifier_roc",  # 1-row range/total + 1-row AUC-numerator broadcasts
     "text_perplexity_bigram",  # 1-row (N, V) model-constants broadcast
     "eval_rq_recall",  # fixed-size probe broadcast for the exact truth
+    "corpus_source_similarity",  # sources^2 pair grid from a k-row totals broadcast
 }
 
 
