@@ -394,3 +394,147 @@ def eval_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("auc2").cast("double") / (2.0 * F.col("p") * F.col("n")),
         ).alias("auc"),
     )
+
+
+# reliability-diagram bins (coarser than the 256-bin ROC histogram:
+# calibration needs enough docs per bin for the rate to mean anything)
+CLF_CALIB_BINS = 16
+
+
+@register(
+    "eval_classifier_calibration",
+    oracle=f"""
+    WITH {_CLF_BLOCK},
+    ev AS (SELECT y, score FROM scored WHERE holdout = 'eval'),
+    sc AS (
+      SELECT score, CAST(sum(y) AS BIGINT) AS pos_c,
+             CAST(sum(1 - y) AS BIGINT) AS neg_c
+      FROM ev GROUP BY score
+    ),
+    rng AS (
+      SELECT CAST(min(score) AS BIGINT) AS mn, CAST(max(score) AS BIGINT) AS mx,
+             CAST(sum(pos_c) AS BIGINT) AS p,
+             CAST(sum(pos_c + neg_c) AS BIGINT) AS nt
+      FROM sc
+    ),
+    bins AS (
+      SELECT ((score - mn) * {CLF_CALIB_BINS - 1}) // greatest(mx - mn, 1) AS bin,
+             CAST(sum(pos_c) AS BIGINT) AS n_pos,
+             CAST(sum(pos_c + neg_c) AS BIGINT) AS n_docs,
+             CAST(sum(score * (pos_c + neg_c)) AS BIGINT) AS sum_score
+      FROM sc, rng GROUP BY 1
+    ),
+    gaps AS (
+      SELECT bin, n_pos, n_docs, sum_score, p, nt,
+             CAST(abs(n_pos * nt - p * n_docs) AS BIGINT) AS gap_num,
+             CAST(sum(abs(n_pos * nt - p * n_docs)) OVER () AS BIGINT)
+               AS resolution_num
+      FROM bins, rng
+    )
+    SELECT bin, n_docs, n_pos, sum_score,
+           CASE WHEN n_docs > 0
+                THEN CAST(n_pos AS DOUBLE) / n_docs END AS pos_rate,
+           CASE WHEN n_docs > 0
+                THEN CAST(sum_score AS DOUBLE) / n_docs END AS mean_score,
+           gap_num, resolution_num,
+           CASE WHEN nt > 0
+                THEN CAST(resolution_num AS DOUBLE)
+                     / (CAST(nt AS DOUBLE) * nt) END AS resolution_l1
+    FROM gaps
+    """,
+)
+def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier's HELD-OUT split
+    — the companion audit to eval_classifier_roc: ROC/AUC measures
+    RANKING quality, this measures whether the score LEVELS carry
+    meaning (does a higher score bin actually contain a higher
+    fraction of positives — the property a downstream threshold choice
+    relies on). One row per non-empty score bin (16 bins over the
+    observed integer score range): doc count, positive count,
+    positive rate, mean raw score, and the bin's deviation from the
+    base rate kept as an exact BIGINT cross-multiplication
+    ``|n_pos_b * N - P * n_b|``. The full-frame sum of those gaps is
+    the L1 resolution mass (the discrimination term of the Brier
+    decomposition in L1 form — honest naming: without a probability
+    calibration map there is no ECE against predicted probabilities;
+    this is calibration-curve telemetry on the raw integer scores),
+    divided ONCE by N² at the output edge, guarded.
+
+    Scale shape: the eval split collapses to per-SCORE counts in ONE
+    corpus pass (the eval_classifier_roc device); range scalars, the
+    16-bin histogram, and the resolution sum are all full-frame
+    windows over <= distinct-score / <= 16-row frames — no agg +
+    crossJoin subtree replay, no global sort."""
+    from pyspark.sql import Window
+
+    sc = (
+        _clf_scored(spark, sf_dir)
+        .filter(F.col("holdout") == "eval")
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos_c"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg_c"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned = sc.select(
+        "score",
+        "pos_c",
+        "neg_c",
+        F.sum("pos_c").over(w_all).cast("bigint").alias("p"),
+        F.sum(F.col("pos_c") + F.col("neg_c"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("nt"),
+        F.min("score").over(w_all).alias("mn"),
+        F.max("score").over(w_all).alias("mx"),
+    ).select(
+        "pos_c",
+        "neg_c",
+        "score",
+        "p",
+        "nt",
+        F.expr(
+            f"(score - mn) * {CLF_CALIB_BINS - 1} div greatest(mx - mn, 1)"
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        F.sum(F.col("pos_c") + F.col("neg_c")).cast("bigint").alias("n_docs"),
+        F.sum(F.col("score") * (F.col("pos_c") + F.col("neg_c")))
+        .cast("bigint")
+        .alias("sum_score"),
+        F.any_value("p").alias("p"),
+        F.any_value("nt").alias("nt"),
+    )
+    gap = F.abs(F.col("n_pos") * F.col("nt") - F.col("p") * F.col("n_docs"))
+    gaps = bins.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sum_score",
+        "p",
+        "nt",
+        gap.cast("bigint").alias("gap_num"),
+        F.sum(gap).over(w_all).cast("bigint").alias("resolution_num"),
+    )
+    return gaps.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sum_score",
+        F.when(
+            F.col("n_docs") > 0, F.col("n_pos").cast("double") / F.col("n_docs")
+        ).alias("pos_rate"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("sum_score").cast("double") / F.col("n_docs"),
+        ).alias("mean_score"),
+        "gap_num",
+        "resolution_num",
+        F.when(
+            F.col("nt") > 0,
+            F.col("resolution_num").cast("double")
+            / (F.col("nt").cast("double") * F.col("nt")),
+        ).alias("resolution_l1"),
+    )

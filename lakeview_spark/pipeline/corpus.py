@@ -1481,3 +1481,419 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("hybrid_rank"),
         )
     )
+
+
+# Zipf fit: rank cap + hapax floor — the head is where the power law
+# holds, and both bounds keep the per-lang rank window constant-sized
+ZIPF_RANK_CAP = 4096
+ZIPF_MIN_COUNT = 2
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token HAVING count(*) >= {ZIPF_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, token) AS rn
+      FROM cnt
+    ),
+    xy AS (
+      SELECT lang,
+             CAST(length(printf('%b', CAST(rn AS BIGINT))) - 1 AS BIGINT) AS x,
+             CAST(length(printf('%b', c)) - 1 AS BIGINT) AS y
+      FROM ranked WHERE rn <= {ZIPF_RANK_CAP}
+    ),
+    fit AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_ranked,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_xx
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, n_ranked, sum_x, sum_y, sum_xy, sum_xx,
+           n_ranked * sum_xy - sum_x * sum_y AS slope_num,
+           n_ranked * sum_xx - sum_x * sum_x AS slope_den,
+           CASE WHEN n_ranked * sum_xx - sum_x * sum_x > 0
+                THEN -CAST(n_ranked * sum_xy - sum_x * sum_y AS DOUBLE)
+                     / CAST(n_ranked * sum_xx - sum_x * sum_x AS DOUBLE)
+           END AS zipf_exponent
+    FROM fit
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf-law exponent — the corpus-shape telemetry that
+    catches a distribution drifting from natural-language shape (s ~ 1)
+    toward boilerplate (s >> 1, a few types dominate) or toward salad
+    (s ~ 0, flat head). Least-squares slope of log-frequency vs
+    log-rank, computed ENTIRELY in the integer bit-length space
+    (text_surprisal_bits's device): x = floor(log2(rank)),
+    y = floor(log2(count)) are exact in both engines
+    (length(bin(v)) - 1), the five regression sums are BIGINTs, the
+    slope numerator/denominator stay BIGINT, and the one double
+    division happens at the output edge, guarded. No log()/exp()
+    anywhere, so the fit hash-checks cross-engine.
+
+    Fit window: ranks <= 4096 with count >= 2 — the Zipf head (the
+    hapax tail is flat, not power-law, and the floor keeps the rank
+    window input vocabulary-bounded).
+
+    Scale shape: one partial-aggregable (lang, token) count; the rank
+    window orders each lang's count-floored head (vocabulary-bounded,
+    never the corpus); the regression collapses to langs-sized rows
+    map-side."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    cnt = (
+        tok.groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= ZIPF_MIN_COUNT)
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "token")
+    ranked = cnt.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= ZIPF_RANK_CAP
+    )
+    bl = lambda col: (F.length(F.bin(col)) - 1).cast("bigint")  # noqa: E731
+    xy = ranked.select(
+        "lang",
+        bl(F.col("rn").cast("bigint")).alias("x"),
+        bl(F.col("c")).alias("y"),
+    )
+    fit = xy.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_ranked"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+    )
+    num = F.col("n_ranked") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    den = F.col("n_ranked") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    return fit.select(
+        "lang",
+        "n_ranked",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, -num.cast("double") / den.cast("double")).alias(
+            "zipf_exponent"
+        ),
+    )
+
+
+# Heaps'-law growth curve: 8 doc-prefix checkpoints
+HEAPS_CHECKPOINTS = 8
+
+
+@register(
+    "corpus_heaps_growth",
+    oracle=f"""
+    WITH scal AS (
+      SELECT CAST(coalesce(max(doc_id) + 1, 0) AS BIGINT) AS nd FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+      FROM tok GROUP BY doc_id
+    ),
+    bt AS (
+      SELECT (doc_id * {HEAPS_CHECKPOINTS}) // nd AS k,
+             CAST(sum(n_toks) AS BIGINT) AS toks
+      FROM dl, scal WHERE nd > 0 GROUP BY 1
+    ),
+    ft AS (
+      SELECT token, CAST(min(doc_id) AS BIGINT) AS fd
+      FROM tok GROUP BY token
+    ),
+    fv AS (
+      SELECT (fd * {HEAPS_CHECKPOINTS}) // nd AS k,
+             CAST(count(*) AS BIGINT) AS v
+      FROM ft, scal WHERE nd > 0 GROUP BY 1
+    ),
+    grid AS (
+      SELECT CAST(j AS BIGINT) AS j,
+             (nd * j + {HEAPS_CHECKPOINTS - 1}) // {HEAPS_CHECKPOINTS}
+               AS n_docs_prefix
+      FROM scal, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS j)
+    ),
+    pt AS (
+      SELECT j, n_docs_prefix,
+             CAST(coalesce(sum(toks), 0) AS BIGINT) AS n_tokens_prefix
+      FROM grid LEFT JOIN bt ON bt.k < grid.j GROUP BY j, n_docs_prefix
+    ),
+    pv AS (
+      SELECT j, CAST(coalesce(sum(v), 0) AS BIGINT) AS vocab_prefix
+      FROM grid LEFT JOIN fv ON fv.k < grid.j GROUP BY j
+    ),
+    pts AS (
+      SELECT pt.j, pt.n_docs_prefix, pt.n_tokens_prefix, pv.vocab_prefix,
+             CASE WHEN pt.n_tokens_prefix > 0 AND pv.vocab_prefix > 0
+                  THEN 1 ELSE 0 END AS ok,
+             CAST(length(printf('%b', greatest(pt.n_tokens_prefix, 1))) - 1
+                  AS BIGINT) AS x,
+             CAST(length(printf('%b', greatest(pv.vocab_prefix, 1))) - 1
+                  AS BIGINT) AS y
+      FROM pt JOIN pv ON pv.j = pt.j
+    ),
+    fit AS (
+      SELECT j, n_docs_prefix, n_tokens_prefix, vocab_prefix,
+             CAST(sum(ok) OVER () AS BIGINT) AS n_fit,
+             CAST(sum(CASE WHEN ok = 1 THEN x END) OVER () AS BIGINT) AS sx,
+             CAST(sum(CASE WHEN ok = 1 THEN y END) OVER () AS BIGINT) AS sy,
+             CAST(sum(CASE WHEN ok = 1 THEN x * y END) OVER () AS BIGINT) AS sxy,
+             CAST(sum(CASE WHEN ok = 1 THEN x * x END) OVER () AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT j, n_docs_prefix, n_tokens_prefix, vocab_prefix,
+           CASE WHEN n_fit * sxx - sx * sx > 0
+                THEN CAST(n_fit * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_fit * sxx - sx * sx AS DOUBLE)
+           END AS heaps_beta
+    FROM fit
+    """,
+)
+def corpus_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct type count after
+    each eighth of the corpus (doc_id-prefix checkpoints, ingestion
+    order) plus the fitted growth exponent beta (V ~ N^beta, ~0.5 for
+    natural text; beta falling toward 0 means new data has stopped
+    contributing vocabulary — the "is more data still worth
+    ingesting" telemetry; beta ~ 1 means unbounded junk types).
+
+    NO global token sort and NO theta join against corpus-sized
+    tables: each doc (and each type's FIRST containing doc —
+    min(doc_id), duplicate-insensitive) is assigned its corpus-eighth
+    by integer bucket arithmetic (doc_id * 8 div n_docs), the eighths
+    collapse to <= 8-row tables, and prefixes are tiny grid-vs-bucket
+    cumulative joins. A doc is in prefix j iff doc_id * 8 < nd * j,
+    so n_docs_prefix = ceil(nd * j / 8) exactly. The beta fit rides
+    the bit-length least-squares device (corpus_zipf_fit) over the 8
+    checkpoint rows via full-frame windows: all sums BIGINT, one
+    guarded edge division.
+
+    Scale shape: one narrow doc_id scan collapsed to a 1-row
+    broadcast; the token stream feeds TWO partial-aggregable
+    aggregations (per-doc length, per-type first-doc — different
+    keys, so this is honestly two passes of the narrow tokenize map);
+    everything downstream operates on <= 8-row frames."""
+    docs = t(spark, sf_dir, "documents")
+    scal = docs.select("doc_id").agg(
+        F.coalesce(F.max("doc_id") + 1, F.lit(0)).cast("bigint").alias("nd")
+    )
+    grid = scal.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("j"),
+                        F.expr(
+                            f"(nd * {j} + {HEAPS_CHECKPOINTS - 1})"
+                            f" div {HEAPS_CHECKPOINTS}"
+                        ).alias("n_docs_prefix"),
+                    )
+                    for j in range(1, HEAPS_CHECKPOINTS + 1)
+                ]
+            )
+        ).alias("g")
+    ).select("g.j", "g.n_docs_prefix")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_toks"))
+    bt = (
+        dl.crossJoin(F.broadcast(scal))
+        .filter(F.col("nd") > 0)
+        .groupBy(
+            F.expr(f"(doc_id * {HEAPS_CHECKPOINTS}) div nd").alias("k")
+        )
+        .agg(F.sum("n_toks").cast("bigint").alias("toks"))
+    )
+    ft = tok.groupBy("token").agg(F.min("doc_id").cast("bigint").alias("fd"))
+    fv = (
+        ft.crossJoin(F.broadcast(scal))
+        .filter(F.col("nd") > 0)
+        .groupBy(F.expr(f"(fd * {HEAPS_CHECKPOINTS}) div nd").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    pt = (
+        grid.join(F.broadcast(bt), F.col("k") < F.col("j"), "left")
+        .groupBy("j", "n_docs_prefix")
+        .agg(F.coalesce(F.sum("toks"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_prefix"
+        ))
+    )
+    pv = (
+        grid.join(F.broadcast(fv), F.col("k") < F.col("j"), "left")
+        .groupBy("j")
+        .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias(
+            "vocab_prefix"
+        ))
+    )
+    bl = lambda col: (F.length(F.bin(col)) - 1).cast("bigint")  # noqa: E731
+    pts = pt.join(pv, "j").select(
+        "j",
+        "n_docs_prefix",
+        "n_tokens_prefix",
+        "vocab_prefix",
+        F.when(
+            (F.col("n_tokens_prefix") > 0) & (F.col("vocab_prefix") > 0), 1
+        )
+        .otherwise(0)
+        .alias("ok"),
+        bl(F.greatest(F.col("n_tokens_prefix"), F.lit(1))).alias("x"),
+        bl(F.greatest(F.col("vocab_prefix"), F.lit(1))).alias("y"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ok1 = F.col("ok") == 1
+    fit = pts.select(
+        "j",
+        "n_docs_prefix",
+        "n_tokens_prefix",
+        "vocab_prefix",
+        F.sum("ok").over(w_all).cast("bigint").alias("n_fit"),
+        F.sum(F.when(ok1, F.col("x"))).over(w_all).cast("bigint").alias("sx"),
+        F.sum(F.when(ok1, F.col("y"))).over(w_all).cast("bigint").alias("sy"),
+        F.sum(F.when(ok1, F.col("x") * F.col("y")))
+        .over(w_all)
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum(F.when(ok1, F.col("x") * F.col("x")))
+        .over(w_all)
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    num = F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return fit.select(
+        "j",
+        "n_docs_prefix",
+        "n_tokens_prefix",
+        "vocab_prefix",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "heaps_beta"
+        ),
+    )
+
+
+@register(
+    "corpus_snapshot_drift",
+    oracle="""
+    WITH scal AS (
+      SELECT CAST(coalesce(max(doc_id) + 1, 0) AS BIGINT) AS nd FROM documents
+    ),
+    tok AS (
+      SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT lang, token,
+             CAST(sum(CASE WHEN doc_id * 2 < nd THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN doc_id * 2 >= nd THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM tok, scal GROUP BY lang, token
+    ),
+    ns AS (
+      SELECT lang, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM st GROUP BY lang
+    )
+    SELECT s.lang,
+           any_value(n.na) AS n_tokens_a,
+           any_value(n.nb) AS n_tokens_b,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN s.cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS types_only_a,
+           CAST(sum(CASE WHEN s.ca = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS types_only_b,
+           CAST(sum(abs(s.ca * n.nb - s.cb * n.na)) AS BIGINT) AS tv_num,
+           CASE WHEN any_value(n.na) > 0 AND any_value(n.nb) > 0
+                THEN CAST(sum(abs(s.ca * n.nb - s.cb * n.na)) AS DOUBLE)
+                     / (2.0 * any_value(n.na) * any_value(n.nb))
+           END AS tv_distance
+    FROM st s JOIN ns n ON n.lang = s.lang
+    GROUP BY s.lang
+    """,
+)
+def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the corpus's FIRST and SECOND
+    halves (doc_id order = ingestion order): per language, the total
+    variation distance TV = (1/2) sum_t |p_a(t) - p_b(t)| between the
+    two halves' token distributions, plus the one-sided vocabulary
+    deltas (types that vanished / appeared). The snapshot-drift
+    monitor a continuously-ingesting pipeline alarms on — TV near 0
+    means the new data looks like the old; a jump means the source
+    mix changed. TV is chosen over chi-square / KL precisely because
+    it is EXACT in integers: |c_a * N_b - c_b * N_a| summed as
+    BIGINTs (the corpus_source_similarity cross-multiplication
+    device), ONE guarded double division by 2 * N_a * N_b at the
+    output edge. (Unscaled magnitudes stay far below 2^53 at audit
+    scales; an extreme-scale deployment rescales counts first — the
+    2^53 rule.)
+
+    Scale shape: the half threshold comes from a separate NARROW
+    doc_id scan collapsed to a 1-row broadcast (not an agg over the
+    exploded stream — that would replay the tokenize subtree, the
+    k-core scalar rule); the token stream is scanned ONCE into a
+    partial-aggregable (lang, token) count carrying both halves as
+    conditional sums; totals derive from that vocab-sized table; the
+    final join is lang-keyed with a langs-sized broadcast side."""
+    docs = t(spark, sf_dir, "documents")
+    scal = docs.select("doc_id").agg(
+        F.coalesce(F.max("doc_id") + 1, F.lit(0)).cast("bigint").alias("nd")
+    )
+    tok = docs.select(
+        "lang", "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    st = (
+        tok.crossJoin(F.broadcast(scal))
+        .groupBy("lang", "token")
+        .agg(
+            F.sum(F.when(F.col("doc_id") * 2 < F.col("nd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("doc_id") * 2 >= F.col("nd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    ns = st.groupBy("lang").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    dev = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return (
+        st.join(F.broadcast(ns), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("na").alias("n_tokens_a"),
+            F.any_value("nb").alias("n_tokens_b"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("cb") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("types_only_a"),
+            F.sum(F.when(F.col("ca") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("types_only_b"),
+            F.sum(dev).cast("bigint").alias("tv_num"),
+            F.when(
+                (F.any_value("na") > 0) & (F.any_value("nb") > 0),
+                F.sum(dev).cast("double")
+                / (F.lit(2.0) * F.any_value("na") * F.any_value("nb")),
+            ).alias("tv_distance"),
+        )
+    )

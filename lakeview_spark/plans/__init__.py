@@ -33,17 +33,14 @@ _DRIVER_WINDOW = [
     "archived_batching",
     "checkpoint_filter",
     "contamination_ngram_overlap",
-    "corpus_cube_stats",
     "corpus_distinct_kmv",
     "corpus_top_tokens",
     "dedup_apply",
-    "dedup_cluster_stats",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_incremental_lsh",
     "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
     "dedup_simhash_hamming_pairs",
     "embedding_centroid_assign",
@@ -59,12 +56,10 @@ _DRIVER_WINDOW = [
     "sample_stratified",
     "similarity_ann_ivf",
     "similarity_lsh_buckets",
-    "similarity_topk_cosine",
     "table_health_summary",
     "text_fingerprint",
     "text_token_count",
     "timeline_parse",
-    "timeline_search",
     "uuid3_table_ids",
     "dedup_simhash",
     "eval_ann_recall",
@@ -113,6 +108,25 @@ _DRIVER_WINDOW = [
     # green row, every-round sweep, bucket-health kin
     # `eval_embedding_bucket_health` in-window)
     "corpus_source_similarity",
+    # NEW late-r11 (this session): the corpus-law telemetry trio, the
+    # classifier reliability diagram, and the Q9 star join — each
+    # displaces an r07-cohort sentinel (r07 green row, every-round
+    # sweep, kins in-window):
+    # corpus_zipf_fit displaces `corpus_cube_stats` (corpus kins
+    # `corpus_top_tokens`/`corpus_distinct_kmv` in-window)
+    "corpus_zipf_fit",
+    # corpus_heaps_growth displaces `dedup_cluster_stats` (cluster kin
+    # `dedup_clusters` in-window)
+    "corpus_heaps_growth",
+    # corpus_snapshot_drift displaces `dedup_minhash_signatures`
+    # (signature kin `dedup_minhash_lsh_pairs` in-window)
+    "corpus_snapshot_drift",
+    # eval_classifier_calibration displaces `similarity_topk_cosine`
+    # (ANN kins `similarity_ann_ivf`/`eval_ann_recall` in-window)
+    "eval_classifier_calibration",
+    # supplier_profit_q9 displaces `timeline_search` (timeline kins
+    # `timeline_parse`/`checkpoint_filter` in-window)
+    "supplier_profit_q9",
 ]
 
 

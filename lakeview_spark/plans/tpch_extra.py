@@ -1911,3 +1911,80 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nat").cast("double") / F.col("tot").cast("double"),
         ).alias("mkt_share"),
     )
+
+
+@register(
+    "supplier_profit_q9",
+    oracle="""
+    WITH profit AS (
+      SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    """,
+)
+def supplier_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the DEEPEST star join in
+    the family — lineitem fans out to part (name-substring filter),
+    supplier -> nation (profit attribution), and orders (fiscal year)
+    in one plan, grouped (nation, year). The reference's star joins
+    top out at two dims; Q9's four-way fan-out is the canonical
+    "measure joins every dimension at once" plan, and the one where
+    join ORDER matters most at scale (the part filter must prune the
+    fact rows before the orders fact-fact join pays its shuffle).
+
+    Adaptation: the testdata has no partsupp table, so the cost side
+    of the TPC-H profit expression (ps_supplycost * l_quantity) uses
+    the part's retail price as the unit cost — same join shape, same
+    DECIMAL-exact arithmetic, profit may legitimately be negative.
+    Determinism: amounts are DECIMAL(18,2)-exact products; per-group
+    sums ROUND to scale 2 in both engines before the double edge cast
+    (the 2^53 rule).
+
+    Scale shape: part (filtered), supplier, and nation broadcast into
+    the lineitem scan — the name filter prunes the fact stream BEFORE
+    the only key-partitioned join (orders ⋈ lineitem on orderkey);
+    the final agg is a (nations x years)-key groupBy, partial
+    map-side. Filters push to the part/lineitem parquet scans."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    profit = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"),
+    ).select(
+        "nation",
+        F.col("o_year").cast("bigint").alias("o_year"),
+        "n_lines",
+        "sum_profit",
+    )

@@ -1,0 +1,201 @@
+"""Semantic tests for the corpus-law telemetry operators
+(corpus_zipf_fit, corpus_heaps_growth, corpus_snapshot_drift), the
+classifier reliability diagram (eval_classifier_calibration), and the
+Q9-shape profit star join — beyond the oracle-parity harness: pure
+Python replays of the integer devices and the invariants each law must
+satisfy."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from lakeview_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    return list(zip(t["doc_id"], t["lang"], t["text"]))
+
+
+def test_zipf_fit_matches_python_replay(spark):
+    """The whole fit — rank, bitlengths, regression sums, exponent —
+    replays exactly in pure Python (the integer least-squares device)."""
+    from lakeview_spark.pipeline.corpus import ZIPF_MIN_COUNT, ZIPF_RANK_CAP
+
+    cnt: dict[str, Counter] = {}
+    for _, lang, text in _docs(SF_DIR):
+        cnt.setdefault(lang, Counter()).update(text.lower().split(" "))
+    expect = {}
+    for lang, c in cnt.items():
+        head = sorted(
+            ((tok, n) for tok, n in c.items() if n >= ZIPF_MIN_COUNT),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:ZIPF_RANK_CAP]
+        xy = [
+            ((rn).bit_length() - 1, n.bit_length() - 1)
+            for rn, (_, n) in enumerate(head, start=1)
+        ]
+        n_r = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        num, den = n_r * sxy - sx * sy, n_r * sxx - sx * sx
+        expect[lang] = (n_r, sx, sy, sxy, sxx, num, den)
+    rows = QUERIES["corpus_zipf_fit"](spark, SF_DIR).collect()
+    assert {r.lang for r in rows} == set(expect)
+    for r in rows:
+        n_r, sx, sy, sxy, sxx, num, den = expect[r.lang]
+        assert (r.n_ranked, r.sum_x, r.sum_y, r.sum_xy, r.sum_xx) == (
+            n_r,
+            sx,
+            sy,
+            sxy,
+            sxx,
+        )
+        assert (r.slope_num, r.slope_den) == (num, den)
+        if den > 0:
+            assert abs(r.zipf_exponent - (-num / den)) < 1e-15
+            # a frequency-ranked head always slopes DOWN: exponent > 0
+            assert r.zipf_exponent > 0
+
+
+def test_heaps_growth_matches_python_replay(spark):
+    """All 8 checkpoint rows replay exactly: the doc-bucket prefix rule
+    (doc_id * 8 < nd * j), per-prefix token totals, first-seen
+    vocabulary counts, and the shared beta."""
+    docs = _docs(SF_DIR)
+    nd = max(d for d, _, _ in docs) + 1
+    first_doc: dict[str, int] = {}
+    doc_len: dict[int, int] = {}
+    for doc_id, _, text in docs:
+        toks = text.lower().split(" ")
+        doc_len[doc_id] = len(toks)
+        for tok in toks:
+            if tok not in first_doc or doc_id < first_doc[tok]:
+                first_doc[tok] = doc_id
+    expect = {}
+    for j in range(1, 9):
+        n_docs = -(-nd * j // 8)  # ceil
+        toks = sum(n for d, n in doc_len.items() if d * 8 < nd * j)
+        voc = sum(1 for d in first_doc.values() if d * 8 < nd * j)
+        expect[j] = (n_docs, toks, voc)
+    pts = [
+        (t.bit_length() - 1, v.bit_length() - 1)
+        for _, t, v in expect.values()
+        if t > 0 and v > 0
+    ]
+    n_f = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n_f * sxx - sx * sx
+    beta = (n_f * sxy - sx * sy) / den if den > 0 else None
+    rows = {r.j: r for r in QUERIES["corpus_heaps_growth"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 9))
+    for j, (n_docs, toks, voc) in expect.items():
+        r = rows[j]
+        assert (r.n_docs_prefix, r.n_tokens_prefix, r.vocab_prefix) == (
+            n_docs,
+            toks,
+            voc,
+        )
+        if beta is None:
+            assert r.heaps_beta is None
+        else:
+            assert abs(r.heaps_beta - beta) < 1e-15
+    # growth curves are monotone and end at the corpus totals
+    seq = [rows[j] for j in range(1, 9)]
+    assert all(
+        a.vocab_prefix <= b.vocab_prefix and a.n_tokens_prefix <= b.n_tokens_prefix
+        for a, b in zip(seq, seq[1:])
+    )
+    assert seq[-1].vocab_prefix == len(first_doc)
+    assert seq[-1].n_tokens_prefix == sum(doc_len.values())
+
+
+def test_snapshot_drift_matches_python_replay(spark):
+    docs = _docs(SF_DIR)
+    nd = max(d for d, _, _ in docs) + 1
+    per_lang: dict[str, dict[str, list[int]]] = {}
+    for doc_id, lang, text in docs:
+        side = 0 if doc_id * 2 < nd else 1
+        d = per_lang.setdefault(lang, {})
+        for tok in text.lower().split(" "):
+            d.setdefault(tok, [0, 0])[side] += 1
+    rows = {r.lang: r for r in QUERIES["corpus_snapshot_drift"](spark, SF_DIR).collect()}
+    assert set(rows) == set(per_lang)
+    for lang, d in per_lang.items():
+        na = sum(v[0] for v in d.values())
+        nb = sum(v[1] for v in d.values())
+        tv_num = sum(abs(v[0] * nb - v[1] * na) for v in d.values())
+        r = rows[lang]
+        assert (r.n_tokens_a, r.n_tokens_b, r.n_types) == (na, nb, len(d))
+        assert r.types_only_a == sum(1 for v in d.values() if v[1] == 0)
+        assert r.types_only_b == sum(1 for v in d.values() if v[0] == 0)
+        assert r.tv_num == tv_num
+        if na > 0 and nb > 0:
+            assert abs(r.tv_distance - tv_num / (2.0 * na * nb)) < 1e-15
+            assert 0.0 <= r.tv_distance <= 1.0
+
+
+def test_calibration_bins_are_consistent_with_the_scored_split(spark):
+    """Bin totals reconcile with the eval split, the resolution mass is
+    the shared full-frame sum of the per-bin gaps, and every rate is a
+    valid probability."""
+    from lakeview_spark.pipeline.classifier import _clf_scored
+
+    ev = [
+        (r.y, r.score)
+        for r in _clf_scored(spark, SF_MED).collect()
+        if r.holdout == "eval"
+    ]
+    n_eval, n_pos = len(ev), sum(y for y, _ in ev)
+    rows = QUERIES["eval_classifier_calibration"](spark, SF_MED).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == n_eval
+    assert sum(r.n_pos for r in rows) == n_pos
+    assert sum(r.sum_score for r in rows) == sum(s for _, s in ev)
+    res = {r.resolution_num for r in rows}
+    assert res == {sum(r.gap_num for r in rows)}
+    for r in rows:
+        assert 0 <= r.bin <= 15
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert abs(r.pos_rate - r.n_pos / r.n_docs) < 1e-12
+        assert abs(r.resolution_l1 - r.resolution_num / (n_eval * float(n_eval))) < 1e-12
+    # a discriminating model concentrates positives unevenly: the
+    # resolution mass must be strictly positive
+    assert rows[0].resolution_num > 0
+
+
+def test_q9_profit_join_shape_and_grain(spark):
+    """Q9 star join: (nation, year) grain is unique, every nation is
+    real, years lie in the orders range, and line counts reconcile
+    with an independent count of the filtered join."""
+    import duckdb
+
+    rows = QUERIES["supplier_profit_q9"](spark, SF_DIR).collect()
+    assert rows
+    assert len({(r.nation, r.o_year) for r in rows}) == len(rows)
+    con = duckdb.connect()
+    nations = {
+        r[0]
+        for r in con.sql(
+            f"SELECT n_name FROM '{SF_DIR}/nation.parquet'"
+        ).fetchall()
+    }
+    assert {r.nation for r in rows} <= nations
+    expected_lines = con.sql(
+        f"""
+        SELECT count(*) FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/part.parquet' p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+        """
+    ).fetchone()[0]
+    assert sum(r.n_lines for r in rows) == expected_lines

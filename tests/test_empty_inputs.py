@@ -130,6 +130,15 @@ GUARDED = [
     "stream_classifier_gate",
     # pair grid / totals over zero sources
     "corpus_source_similarity",
+    # late-r11 additions: rank window / regression sums over an empty
+    # vocabulary; checkpoint grid over a zero-doc corpus (nd = 0);
+    # half-split totals over zero tokens; calibration range/bins over
+    # an empty eval split; the Q9 star join over empty facts
+    "corpus_zipf_fit",
+    "corpus_heaps_growth",
+    "corpus_snapshot_drift",
+    "eval_classifier_calibration",
+    "supplier_profit_q9",
 ]
 
 

@@ -160,6 +160,9 @@ _TINY_BROADCAST_OK = {
     "text_perplexity_bigram",  # 1-row (N, V) model-constants broadcast
     "eval_rq_recall",  # fixed-size probe broadcast for the exact truth
     "corpus_source_similarity",  # sources^2 pair grid from a k-row totals broadcast
+    "corpus_heaps_growth",  # 1-row corpus-size + 8-row grid/bucket broadcasts
+    "corpus_snapshot_drift",  # 1-row half-threshold broadcast onto the token stream
+    "eval_classifier_calibration",  # 1-row train-count scalars broadcast (shared scorer)
 }
 
 
