@@ -1897,3 +1897,36 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance"),
         )
     )
+
+
+# fixed-width drift-sketch buckets: per-(window, lang) streaming state
+# is exactly this many counters regardless of vocabulary size
+DRIFT_BUCKETS = 16
+
+
+def drift_reference(spark: SparkSession, sf_dir: str, buckets: int = DRIFT_BUCKETS) -> DataFrame:
+    """The batch-published drift reference: per language, the corpus's
+    token distribution collapsed to a ``buckets``-slot md5 histogram
+    (the CMS hashing device) plus its total — the static side the
+    streaming drift monitor (streaming/pipeline_stream.py
+    stream_drift_monitor) broadcasts, so live and batch drift math
+    cannot disagree. ONE corpus pass (conditional sums per slot), a
+    langs-sized output."""
+    b = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).select("lang", b.alias("b"))
+    agg = tok.groupBy("lang").agg(
+        *[
+            F.sum((F.col("b") == i).cast("bigint")).cast("bigint").alias(f"r{i}")
+            for i in range(buckets)
+        ]
+    )
+    rc = F.array(*[F.coalesce(F.col(f"r{i}"), F.lit(0)) for i in range(buckets)])
+    n_ref = rc[0]
+    for i in range(1, buckets):
+        n_ref = n_ref + rc[i]
+    return agg.select("lang", rc.alias("rc"), n_ref.cast("bigint").alias("n_ref"))

@@ -396,3 +396,163 @@ def kmeans_train_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sqdist").alias("min_sqdist"),
         F.max("sqdist").alias("max_sqdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez farthest-point traversal)
+# ---------------------------------------------------------------------------
+_KC_K = 4  # selected coreset size (seed + 3 unrolled selection rounds)
+
+_KC_DIST = (
+    "list_sum(list_transform(range(1, len(e.qv)+1), "
+    "i -> (e.qv[i]-c.qv[i])*(e.qv[i]-c.qv[i])))"
+)
+
+
+def _kc_round_sql(prev_d: str, prev_s: str, n: int) -> str:
+    """One unrolled Gonzalez round: fold the newest center into the
+    running min-distance, then pick the farthest point (ties to the
+    lower vec_id). AS MATERIALIZED — without it DuckDB re-inlines the
+    whole selection chain per reference (the eval_rq_recall lesson)."""
+    return f"""
+    d{n} AS MATERIALIZED (
+      SELECT e.vec_id, e.qv, LEAST(e.d, {_KC_DIST}) AS d
+      FROM {prev_d} e, {prev_s} c
+    ),
+    s{n} AS MATERIALIZED (
+      SELECT vec_id, qv FROM d{n} ORDER BY d DESC, vec_id LIMIT 1
+    )"""
+
+
+_KCENTER_SQL = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s0 AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.qv, {_KC_DIST} AS d FROM q e, s0 c
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, qv FROM d1 ORDER BY d DESC, vec_id LIMIT 1
+),{_kc_round_sql('d1', 's1', 2)},{_kc_round_sql('d2', 's2', 3)},
+cent AS (
+  SELECT CAST(0 AS BIGINT) AS center_order, vec_id, qv FROM s0
+  UNION ALL SELECT 1, vec_id, qv FROM s1
+  UNION ALL SELECT 2, vec_id, qv FROM s2
+  UNION ALL SELECT 3, vec_id, qv FROM s3
+),
+fin AS (
+  SELECT vec_id, center_order, cid, CAST(d AS BIGINT) AS d FROM (
+    SELECT e.vec_id, c.center_order, c.vec_id AS cid, {_KC_DIST} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_KC_DIST} ASC, c.center_order) AS rn
+    FROM q e, cent c) WHERE rn = 1
+)
+SELECT center_order,
+       CAST(cid AS BIGINT) AS center_vec_id,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(max(d) AS BIGINT) AS radius,
+       CAST(sum(d) AS BIGINT) AS sum_sqdist
+FROM fin GROUP BY center_order, cid
+"""
+
+
+@register("sample_kcenter_select", oracle=_KCENTER_SQL)
+def sample_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal) over the embedding corpus — the geometric data-PRUNING
+    selector next to the distribution-matching one (sample_dsir_select):
+    pick the seed, then repeatedly the point FARTHEST from everything
+    selected so far, giving a 2-approximation of the k-center cover.
+    Selecting for coverage (not density) is the "keep the rare stuff"
+    pruning rule — the complement of SemDeDup's "drop the crowded
+    stuff". Output: each selected center with its coverage population,
+    radius (the k-center objective), and total squared distance.
+
+    Determinism (the kmeans_train_quantized device end-to-end):
+    coordinates quantize ONCE to the 2^-20 integer grid, distances are
+    exact BIGINT folds, the per-round farthest pick is an exact
+    argmax with (distance DESC, vec_id) ties — so the FULL iterative
+    selection replays bit-for-bit in a DuckDB unrolled-CTE oracle (AS
+    MATERIALIZED on the chain, the eval_rq_recall rule) and in a
+    pure-Python replay test. sum_sqdist stays < 2^63 at audit scales
+    (n * 64 dims * 2^40); an extreme-scale run rescales first.
+
+    Scale shape: selection is k-1 scans, each a partial-aggregable
+    struct-max that collapses map-side (never a sort); the running
+    center set is <= k driver rows broadcast back as literals; the
+    final assignment is the _kq_assign shape (struct-min, ties to the
+    lower selection order). Repartitions the unsplittable single-file
+    local scan before the n*k*dim folds — the shingle-builder
+    exception (SCALE.md §6). At 100 TB greedy selection is k
+    sequential scans by nature; production k-center uses a sampled
+    candidate pool, same arithmetic."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _kq_quantize("embedding").alias("qv"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    seed_row = emb.select(
+        F.min(F.struct("vec_id", "qv")).alias("s")
+    ).collect()[0].s
+    if seed_row is None:
+        return spark.createDataFrame(
+            [],
+            "center_order bigint, center_vec_id bigint, n_assigned bigint,"
+            " radius bigint, sum_sqdist bigint",
+        )
+    centers = [(0, int(seed_row.vec_id), [int(v) for v in seed_row.qv])]
+    for i in range(1, _KC_K):
+        cdf = spark.createDataFrame(
+            [(o, cid, cv) for o, cid, cv in centers],
+            "center_order bigint, cid bigint, cv array<bigint>",
+        )
+        # running min-distance to the selected set, then the farthest
+        # point: max(struct(d, -vec_id, ...)) IS the (d DESC, vec_id
+        # ASC) total order — partial-aggregable, no sort
+        far = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "qv", _kq_sqdist("qv", "cv").alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("d"), F.any_value("qv").alias("qv"))
+            .select(
+                F.max(
+                    F.struct(
+                        "d",
+                        (-F.col("vec_id")).alias("neg_id"),
+                        "vec_id",
+                        "qv",
+                    )
+                ).alias("s")
+            )
+            .collect()[0]
+            .s
+        )
+        centers.append((i, int(far.vec_id), [int(v) for v in far.qv]))
+    cdf = spark.createDataFrame(
+        [(o, cid, cv) for o, cid, cv in centers],
+        "center_order bigint, cid bigint, cv array<bigint>",
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            F.struct(
+                _kq_sqdist("qv", "cv").alias("d"), "center_order", "cid"
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("b"))
+    )
+    return assigned.groupBy(
+        F.col("b.center_order").alias("center_order"),
+        F.col("b.cid").alias("center_vec_id"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_assigned"),
+        F.max("b.d").cast("bigint").alias("radius"),
+        F.sum("b.d").cast("bigint").alias("sum_sqdist"),
+    )

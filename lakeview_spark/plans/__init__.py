@@ -42,12 +42,9 @@ _DRIVER_WINDOW = [
     "dedup_incremental_lsh",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
-    "dedup_simhash_hamming_pairs",
     "embedding_centroid_assign",
-    "embedding_centroid_stats",
     "eval_dedup_reduction",
     "eval_embedding_bucket_health",
-    "eval_language_id_confusion",
     "minhash_similarity_estimate",
     "multimodal_metadata",
     "partition_skew",
@@ -127,6 +124,16 @@ _DRIVER_WINDOW = [
     # supplier_profit_q9 displaces `timeline_search` (timeline kins
     # `timeline_parse`/`checkpoint_filter` in-window)
     "supplier_profit_q9",
+    # promo_type_share_q14 displaces `dedup_simhash_hamming_pairs`
+    # (simhash kin `dedup_simhash` in-window)
+    "promo_type_share_q14",
+    # sample_kcenter_select displaces `embedding_centroid_stats`
+    # (centroid kin `embedding_centroid_assign` in-window)
+    "sample_kcenter_select",
+    # stream_drift_monitor displaces `eval_language_id_confusion`
+    # (eval kins `eval_dedup_reduction`/`eval_embedding_bucket_health`
+    # in-window; stream kin `stream_value_cusum` in-window)
+    "stream_drift_monitor",
 ]
 
 

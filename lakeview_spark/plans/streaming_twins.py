@@ -1094,3 +1094,103 @@ def stream_classifier_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_docs").cast("bigint").alias("kept_docs"),
         F.col("total_score").cast("bigint").alias("total_score"),
     )
+
+
+# LITERAL copy of pipeline.corpus.DRIFT_BUCKETS (pinned by
+# tests/test_corpus_laws.py): importing corpus at registration time
+# would re-enter the half-initialized dedup module on a Python
+# worker's import path (the r10 circular-import incident — corpus
+# imports dedup at module level; the funnel twin uses the same
+# literal device for its shared constants).
+_DRIFT_BUCKETS_TWIN = 16
+
+
+def _drift_oracle() -> str:
+    # replays the fixed-width md5 bucket histogram per (window, lang)
+    # against the whole-corpus reference; the TV sum iterates the
+    # reference support, which covers every window bucket (window docs
+    # are a subset of the corpus), and absent window buckets enter as
+    # c = 0 — exactly the engine's zip over the full fixed-slot arrays
+    # (slots with r = 0 and c = 0 contribute 0 on both sides).
+    DRIFT_BUCKETS = _DRIFT_BUCKETS_TWIN
+
+    return f"""
+    WITH tok AS (
+      SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(list_transform(string_split(lower(text), ' '),
+                    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                         % {DRIFT_BUCKETS})) AS b
+      FROM documents
+    ),
+    ref AS (
+      SELECT lang, b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY lang, b
+    ),
+    nref AS (SELECT lang, CAST(sum(r) AS BIGINT) AS n_ref FROM ref GROUP BY lang),
+    win AS (
+      SELECT lang,
+             {_BASE_SQL} + ((doc_id % {_SPREAD_MIN})
+               * 60000000 // 600000000) * 600000000 AS window_start_us,
+             b
+      FROM tok
+    ),
+    wc AS (
+      SELECT lang, window_start_us, b, CAST(count(*) AS BIGINT) AS c
+      FROM win GROUP BY 1, 2, 3
+    ),
+    nwin AS (
+      SELECT lang, window_start_us, CAST(sum(c) AS BIGINT) AS n_win
+      FROM wc GROUP BY 1, 2
+    ),
+    tvj AS (
+      SELECT nw.lang, nw.window_start_us, nw.n_win, nr.n_ref,
+             coalesce(wc.c, 0) AS c, r.r
+      FROM nwin nw
+      JOIN ref r ON r.lang = nw.lang
+      JOIN nref nr ON nr.lang = nw.lang
+      LEFT JOIN wc ON wc.lang = nw.lang
+                  AND wc.window_start_us = nw.window_start_us
+                  AND wc.b = r.b
+    ),
+    tv AS (
+      SELECT lang, window_start_us,
+             any_value(n_win) AS n_win, any_value(n_ref) AS n_ref,
+             CAST(sum(abs(c * n_ref - r * n_win)) AS BIGINT) AS tv_num
+      FROM tvj GROUP BY lang, window_start_us
+    )
+    SELECT lang, window_start_us, n_win, n_ref, tv_num,
+           CASE WHEN n_win > 0 AND n_ref > 0
+                THEN CAST(tv_num AS DOUBLE) / (2.0 * n_win * n_ref)
+           END AS tv_distance
+    FROM tv
+    """
+
+
+@register("stream_drift_monitor", oracle=_drift_oracle())
+def stream_drift_monitor_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live distribution-drift monitor (streaming/
+    pipeline_stream.py stream_drift_monitor) run to completion under
+    AvailableNow: each window's arriving token stream collapses to a
+    16-slot md5 bucket histogram (per-window state = 16 integers, the
+    sketch that makes drift a legal streaming statistic) and is scored
+    by exact total-variation distance against the batch-published
+    reference distribution (pipeline/corpus.py drift_reference — the
+    stream-static publish pattern of stream_classifier_gate, so live
+    and batch drift math cannot disagree). The oracle replays bucket
+    counts on the synthesized window grid and the cross-multiplied
+    BIGINT TV numerator; one guarded edge division."""
+    from lakeview_spark.pipeline.corpus import drift_reference
+    from lakeview_spark.streaming.pipeline_stream import stream_drift_monitor
+
+    ref = drift_reference(spark, sf_dir, buckets=_DRIFT_BUCKETS_TWIN)
+    mon = stream_drift_monitor(
+        _doc_stream(spark, sf_dir), ref, buckets=_DRIFT_BUCKETS_TWIN
+    )
+    out = _run_available_now(mon, "update")
+    return out.select(
+        "lang",
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.col("n_win").cast("bigint").alias("n_win"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("tv_num").cast("bigint").alias("tv_num"),
+        "tv_distance",
+    )

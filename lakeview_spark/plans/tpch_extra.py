@@ -1988,3 +1988,77 @@ def supplier_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "sum_profit",
     )
+
+
+@register(
+    "promo_type_share_q14",
+    oracle="""
+    WITH rev AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    agg AS (
+      SELECT ship_month,
+             ROUND(sum(CASE WHEN p_type = 'PROMO'
+                            THEN amount ELSE 0 END), 2) AS promo,
+             ROUND(sum(amount), 2) AS total
+      FROM rev GROUP BY ship_month
+    )
+    SELECT ship_month,
+           CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue,
+           CASE WHEN total > 0
+                THEN 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+           END AS promo_share_pct
+    FROM agg
+    """,
+)
+def promo_type_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of each shipping
+    month's discounted revenue that came from PROMO-type parts — the
+    one Q-family member whose output is a conditional-share TIME
+    SERIES rather than a ranking. (The reference's Q14 filters to one
+    month; reporting every month is the same plan with a richer
+    output and no date literals to drift.)
+
+    Determinism: revenue amounts are DECIMAL(18,2)-exact, per-month
+    sums ROUND to scale 2 in both engines before the double edge cast
+    (the 2^53 rule), month keys are formatted strings (identical
+    yyyy-MM rendering in both engines), and the share is one guarded
+    division of identical doubles.
+
+    Scale shape: part broadcasts into the lineitem scan (the only
+    join), the agg is a months-sized groupBy, partial map-side; both
+    scans prune to the referenced columns."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "p_type",
+        (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("amount"),
+    )
+    agg = rev.groupBy("ship_month").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("amount")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ),
+            2,
+        ).alias("promo"),
+        F.round(F.sum("amount"), 2).alias("total"),
+    )
+    return agg.select(
+        "ship_month",
+        F.col("promo").cast("double").alias("promo_revenue"),
+        F.col("total").cast("double").alias("total_revenue"),
+        F.when(
+            F.col("total") > 0,
+            F.lit(100.0)
+            * F.col("promo").cast("double")
+            / F.col("total").cast("double"),
+        ).alias("promo_share_pct"),
+    )

@@ -556,3 +556,75 @@ def stream_classifier_gate(
             "total_score",
         )
     )
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    buckets: int = 16,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Live distribution-drift monitor: each tumbling window's arriving
+    token distribution — collapsed to a fixed ``buckets``-slot md5
+    histogram — is compared against the BATCH-published reference
+    distribution (pipeline/corpus.py drift_reference) by exact
+    total-variation distance. The streaming complement of the batch
+    `corpus_snapshot_drift`: a window whose tv_distance jumps is the
+    source-mix-changed alarm, at ingestion time.
+
+    The fixed-width histogram is what makes this a legal STREAMING
+    operator: per-(window, lang) state is exactly ``buckets`` integer
+    counters (never vocabulary-proportional), the reference join is a
+    langs-sized broadcast applied row-locally BEFORE the stateful agg
+    (a stream-static join after an aggregation is not a supported
+    shape), and the TV fold over the two ``buckets``-slot arrays is a
+    stateless projection after the agg. Bucket-TV lower-bounds
+    token-TV (collisions can only cancel mass), the honest sketch
+    statement.
+
+    Determinism: bucket counts and the cross-multiplied TV numerator
+    sum(|c_b * N_ref - r_b * N_win|) are exact BIGINTs; ONE guarded
+    double division at the output edge."""
+    bexpr = (
+        "transform(split(lower(text), ' '), "
+        f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {buckets})"
+    )
+    tok = stream.select(
+        "lang", "ingest_ts", F.explode(F.expr(bexpr)).alias("b")
+    ).join(F.broadcast(reference), "lang", "left")
+    agg = (
+        tok.withWatermark("ingest_ts", watermark_delay)
+        .groupBy(F.window("ingest_ts", window_duration).alias("win"), "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_win"),
+            *[
+                F.sum((F.col("b") == i).cast("bigint"))
+                .cast("bigint")
+                .alias(f"c{i}")
+                for i in range(buckets)
+            ],
+            F.any_value("rc").alias("rc"),
+            F.any_value("n_ref").alias("n_ref"),
+        )
+    )
+    cw = F.array(*[F.col(f"c{i}") for i in range(buckets)])
+    out = agg.withColumn("cw", cw).withColumn(
+        "tv_num",
+        F.expr(
+            "aggregate(zip_with(cw, rc, (c, r) -> abs(c * n_ref - r * n_win)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ),
+    )
+    return out.select(
+        "lang",
+        F.col("win.start").alias("window_start"),
+        "n_win",
+        "n_ref",
+        "tv_num",
+        F.when(
+            (F.col("n_win") > 0) & (F.col("n_ref") > 0),
+            F.col("tv_num").cast("double")
+            / (F.lit(2.0) * F.col("n_win") * F.col("n_ref")),
+        ).alias("tv_distance"),
+    )

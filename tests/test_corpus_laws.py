@@ -199,3 +199,90 @@ def test_q9_profit_join_shape_and_grain(spark):
         """
     ).fetchone()[0]
     assert sum(r.n_lines for r in rows) == expected_lines
+
+
+def test_kcenter_selection_matches_python_replay(spark):
+    """The FULL greedy traversal — quantization, seed, three farthest
+    picks with (d DESC, vec_id) ties, final assignment with selection-
+    order ties — replays exactly in pure Python."""
+    import math
+
+    from lakeview_spark.pipeline.iterative import _KC_K, _QUANT
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    qv = {
+        vid: [math.floor(float(x) * _QUANT) for x in emb]
+        for vid, emb in zip(t["vec_id"], t["embedding"])
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seed = min(qv)
+    centers = [(0, seed)]
+    dist = {vid: d2(v, qv[seed]) for vid, v in qv.items()}
+    for i in range(1, _KC_K):
+        far = max(qv, key=lambda vid: (dist[vid], -vid))
+        centers.append((i, far))
+        dist = {vid: min(dist[vid], d2(v, qv[far])) for vid, v in qv.items()}
+    expect: dict[tuple[int, int], list[int]] = {}
+    for vid, v in qv.items():
+        best = min(
+            ((d2(v, qv[cid]), order, cid) for order, cid in centers)
+        )
+        expect.setdefault((best[1], best[2]), []).append(best[0])
+    rows = QUERIES["sample_kcenter_select"](spark, SF_DIR).collect()
+    got = {(r.center_order, r.center_vec_id): r for r in rows}
+    assert set(got) == set(expect)
+    for key, ds in expect.items():
+        r = got[key]
+        assert (r.n_assigned, r.radius, r.sum_sqdist) == (
+            len(ds),
+            max(ds),
+            sum(ds),
+        )
+    # the k-center objective is non-degenerate: >1 center selected and
+    # every point is covered
+    assert len(rows) > 1
+    assert sum(r.n_assigned for r in rows) == len(qv)
+
+
+def test_q14_share_reconciles_with_unconditional_totals(spark):
+    rows = QUERIES["promo_type_share_q14"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.promo_revenue <= r.total_revenue + 1e-9
+        if r.promo_share_pct is not None:
+            assert abs(
+                r.promo_share_pct - 100.0 * r.promo_revenue / r.total_revenue
+            ) < 1e-9
+
+
+def test_drift_twin_buckets_literal_matches_corpus_constant():
+    """The twin's literal bucket count must track
+    pipeline.corpus.DRIFT_BUCKETS (the circular-import literal device —
+    same pin as the funnel constants)."""
+    from lakeview_spark.pipeline.corpus import DRIFT_BUCKETS
+    from lakeview_spark.plans.streaming_twins import _DRIFT_BUCKETS_TWIN
+
+    assert _DRIFT_BUCKETS_TWIN == DRIFT_BUCKETS
+
+
+def test_stream_drift_windows_fold_to_the_batch_reference(spark):
+    """Stream-vs-batch consistency: the window histograms union to the
+    whole corpus, so summing every window's n_win per lang must equal
+    the published reference total n_ref — the live monitor and the
+    batch publisher cannot disagree on the distribution they compare."""
+    from collections import defaultdict
+
+    rows = QUERIES["stream_drift_monitor"](spark, SF_DIR).collect()
+    assert rows
+    per_lang = defaultdict(int)
+    n_ref = {}
+    for r in rows:
+        per_lang[r.lang] += r.n_win
+        n_ref[r.lang] = r.n_ref
+        assert r.tv_num >= 0
+        if r.tv_distance is not None:
+            assert 0.0 <= r.tv_distance <= 1.0
+    assert per_lang == n_ref

@@ -139,6 +139,12 @@ GUARDED = [
     "corpus_snapshot_drift",
     "eval_classifier_calibration",
     "supplier_profit_q9",
+    # greedy selection over an empty seed (min(struct) of nothing);
+    # monthly share over empty facts; drift windows over an empty
+    # stream + empty published reference
+    "sample_kcenter_select",
+    "promo_type_share_q14",
+    "stream_drift_monitor",
 ]
 
 

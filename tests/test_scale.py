@@ -163,6 +163,7 @@ _TINY_BROADCAST_OK = {
     "corpus_heaps_growth",  # 1-row corpus-size + 8-row grid/bucket broadcasts
     "corpus_snapshot_drift",  # 1-row half-threshold broadcast onto the token stream
     "eval_classifier_calibration",  # 1-row train-count scalars broadcast (shared scorer)
+    "sample_kcenter_select",  # <=k-row selected-centers broadcast (the kmeans shape)
 }
 
 
