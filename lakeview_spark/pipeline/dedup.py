@@ -794,3 +794,99 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+# SymSpell candidate generation: minimum token length (shorter tokens
+# produce degenerate deletion variants and everything matches)
+SYMSPELL_MIN_LEN = 3
+
+
+@register(
+    "dedup_symspell_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE length(tok) >= {SYMSPELL_MIN_LEN} GROUP BY tok
+    ),
+    vars AS (
+      SELECT tok, c, unnest(list_append(
+               list_transform(range(1, length(tok) + 1),
+                 i -> substr(tok, 1, i - 1)
+                      || substr(tok, i + 1, length(tok))),
+               tok)) AS variant
+      FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b, a.c AS c_a, b.c AS c_b
+      FROM vars a JOIN vars b
+        ON a.variant = b.variant AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b, c_a, c_b,
+           CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS edit_distance
+    FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+)
+def dedup_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy STRING-similarity join over the corpus vocabulary — the
+    entity-resolution / typo-detection join class (record linkage,
+    spelling normalization before dedup) the token-set joins (PPJoin,
+    MinHash) can't express because their unit is the token itself.
+    SymSpell candidate generation (Garbe): two strings are within edit
+    distance 1 iff they share an entry in each other's
+    single-DELETION neighborhoods (a substitution is one deletion on
+    each side at the same slot; an insertion/deletion is one side's
+    deletion equal to the other string) — so the candidate join is a
+    bounded equi join on deletion variants, NEVER an all-pairs
+    levenshtein. Every candidate is then VERIFIED with the exact
+    Levenshtein distance (the PPJoin filter-verify shape; both engines
+    implement the standard unit-cost distance, integer-exact).
+
+    Scale shape: the variant table is vocabulary x avg-token-length
+    rows (corpus-INDEPENDENT after the token count); the self-join is
+    keyed on variant strings whose per-key fan-out is bounded by the
+    neighborhood size; verification is a narrow map on the candidate
+    pairs. The del-1 neighborhood generalizes to del-2 for edit
+    distance 2 (variants grow to L + L(L-1)/2 per token — still
+    vocabulary-scale); threshold 1 is the typo-pair sweet spot."""
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = (
+        tok.filter(F.length("tok") >= SYMSPELL_MIN_LEN)
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    vars_ = vocab.select(
+        "tok",
+        "c",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(tok)), "
+                "i -> concat(substring(tok, 1, i - 1), "
+                "substring(tok, i + 1, length(tok)))), tok)"
+            )
+        ).alias("variant"),
+    )
+    a = vars_.select(
+        F.col("tok").alias("tok_a"), F.col("c").alias("c_a"), "variant"
+    )
+    b = vars_.select(
+        F.col("tok").alias("tok_b"), F.col("c").alias("c_b"), "variant"
+    )
+    cand = (
+        a.join(b, ["variant"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "c_a", "c_b")
+        .dropDuplicates(["tok_a", "tok_b"])
+    )
+    ed = F.levenshtein("tok_a", "tok_b")
+    return cand.filter(ed <= 1).select(
+        "tok_a",
+        "tok_b",
+        "c_a",
+        "c_b",
+        ed.cast("bigint").alias("edit_distance"),
+    )

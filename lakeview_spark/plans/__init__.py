@@ -32,14 +32,12 @@ _DRIVER_WINDOW = [
     # the r07 cohort, CORRECTNESS_r07 order
     "archived_batching",
     "checkpoint_filter",
-    "contamination_ngram_overlap",
     "corpus_distinct_kmv",
     "corpus_top_tokens",
     "dedup_apply",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_incremental_lsh",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "embedding_centroid_assign",
@@ -134,6 +132,13 @@ _DRIVER_WINDOW = [
     # (eval kins `eval_dedup_reduction`/`eval_embedding_bucket_health`
     # in-window; stream kin `stream_value_cusum` in-window)
     "stream_drift_monitor",
+    # dedup_symspell_pairs displaces `contamination_ngram_overlap`
+    # (curation kins `quality_filter_apply`/`quality_filter_funnel`
+    # in-window)
+    "dedup_symspell_pairs",
+    # orders_market_basket displaces `dedup_incremental_lsh` (dedup
+    # kins `dedup_exact`/`dedup_minhash_lsh_pairs` in-window)
+    "orders_market_basket",
 ]
 
 

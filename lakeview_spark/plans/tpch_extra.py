@@ -2062,3 +2062,109 @@ def promo_type_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double"),
         ).alias("promo_share_pct"),
     )
+
+
+# market-basket mining: minimum co-order support and report size
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP = 32
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    nord AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+    sup AS (
+      SELECT pkey, CAST(count(*) AS BIGINT) AS orders_with FROM items GROUP BY pkey
+    ),
+    pairs AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b,
+             CAST(count(*) AS BIGINT) AS pair_orders
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT part_a, part_b, pair_orders,
+             sa.orders_with AS orders_a, sb.orders_with AS orders_b, n_orders
+      FROM pairs
+      JOIN sup sa ON sa.pkey = part_a
+      JOIN sup sb ON sb.pkey = part_b
+      CROSS JOIN nord
+    )
+    SELECT part_a, part_b, pair_orders, orders_a, orders_b, n_orders,
+           CAST(pair_orders AS DOUBLE) / orders_a AS confidence_a_to_b,
+           CASE WHEN orders_a * orders_b > 0
+                THEN CAST(pair_orders * n_orders AS DOUBLE)
+                     / CAST(orders_a * orders_b AS DOUBLE) END AS lift
+    FROM scored
+    ORDER BY pair_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over orders: the top co-ordered
+    part pairs with support, confidence, and lift — the classic
+    frequent-itemset (Apriori level-2) analytics workload, a genuinely
+    different self-join class from the star joins: pairs are generated
+    WITHIN order groups (fan-out bounded by basket size, ~4-7 lines
+    per order — cost is sum of per-order size², never corpus²).
+
+    Determinism: supports are exact BIGINT counts; confidence and lift
+    are single divisions of identical exact integers (correctly
+    rounded in both engines — the exact-int double division device);
+    the report ranks by (pair_orders DESC, part_a, part_b) — an
+    all-integer total order, so the LIMIT never ties on a float.
+
+    Scale shape: one distinct (order, part) projection feeds both the
+    supports and the pair join; the pair self-join is keyed on
+    l_orderkey (co-partitioned, one shuffle); item supports and the
+    1-row order count broadcast into the pair table; the report is
+    TakeOrderedAndProject, never a global sort."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    nord = items.agg(F.countDistinct("okey").cast("bigint").alias("n_orders"))
+    sup = items.groupBy("pkey").agg(
+        F.count("*").cast("bigint").alias("orders_with")
+    )
+    a = items.select("okey", F.col("pkey").alias("part_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("pkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= BASKET_MIN_SUPPORT)
+    )
+    sa = sup.select(F.col("pkey").alias("part_a"), F.col("orders_with").alias("orders_a"))
+    sb = sup.select(F.col("pkey").alias("part_b"), F.col("orders_with").alias("orders_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(nord))
+    )
+    return (
+        scored.select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            "orders_a",
+            "orders_b",
+            "n_orders",
+            (F.col("pair_orders").cast("double") / F.col("orders_a")).alias(
+                "confidence_a_to_b"
+            ),
+            F.when(
+                F.col("orders_a") * F.col("orders_b") > 0,
+                (F.col("pair_orders") * F.col("n_orders")).cast("double")
+                / (F.col("orders_a") * F.col("orders_b")).cast("double"),
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )

@@ -286,3 +286,61 @@ def test_stream_drift_windows_fold_to_the_batch_reference(spark):
         if r.tv_distance is not None:
             assert 0.0 <= r.tv_distance <= 1.0
     assert per_lang == n_ref
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_symspell_pairs_equal_the_brute_force_truth(spark):
+    """The deletion-neighborhood join must find EXACTLY the edit-
+    distance<=1 pairs a brute-force O(V^2) Levenshtein sweep finds —
+    lossless candidate generation (no false negatives) and a correct
+    verify (no false positives)."""
+    from collections import Counter
+
+    from lakeview_spark.pipeline.dedup import SYMSPELL_MIN_LEN
+
+    cnt: Counter = Counter()
+    for _, _, text in _docs(SF_DIR):
+        cnt.update(
+            tok for tok in text.lower().split(" ") if len(tok) >= SYMSPELL_MIN_LEN
+        )
+    vocab = sorted(cnt)
+    truth = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if _levenshtein(a, b) <= 1
+    }
+    rows = QUERIES["dedup_symspell_pairs"](spark, SF_DIR).collect()
+    got = {(r.tok_a, r.tok_b) for r in rows}
+    assert got == truth
+    for r in rows:
+        assert r.edit_distance == 1  # a < b excludes ed = 0
+        assert (r.c_a, r.c_b) == (cnt[r.tok_a], cnt[r.tok_b])
+
+
+def test_market_basket_invariants(spark):
+    """Support/confidence/lift arithmetic reconciles and the report
+    order is the documented all-integer total order."""
+    rows = QUERIES["orders_market_basket"](spark, SF_MED).collect()
+    assert rows
+    keys = [(-r.pair_orders, r.part_a, r.part_b) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 2 <= r.pair_orders <= min(r.orders_a, r.orders_b)
+        assert max(r.orders_a, r.orders_b) <= r.n_orders
+        assert abs(r.confidence_a_to_b - r.pair_orders / r.orders_a) < 1e-15
+        assert abs(
+            r.lift - (r.pair_orders * r.n_orders) / (r.orders_a * r.orders_b)
+        ) < 1e-12

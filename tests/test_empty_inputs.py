@@ -145,6 +145,10 @@ GUARDED = [
     "sample_kcenter_select",
     "promo_type_share_q14",
     "stream_drift_monitor",
+    # deletion-variant join over an empty vocabulary; basket pairs +
+    # 1-row order-count broadcast over empty facts
+    "dedup_symspell_pairs",
+    "orders_market_basket",
 ]
 
 

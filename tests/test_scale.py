@@ -164,6 +164,7 @@ _TINY_BROADCAST_OK = {
     "corpus_snapshot_drift",  # 1-row half-threshold broadcast onto the token stream
     "eval_classifier_calibration",  # 1-row train-count scalars broadcast (shared scorer)
     "sample_kcenter_select",  # <=k-row selected-centers broadcast (the kmeans shape)
+    "orders_market_basket",  # 1-row order-count broadcast onto the pair table
 }
 
 
