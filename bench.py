@@ -115,6 +115,24 @@ EXTENDED_R9 = [
 ]
 
 
+# FROZEN late-r11 session-2 cohort: the ten queries added after the
+# r11 close sweep, tracked round-over-round like EXTENDED_R9; nominal
+# bands live in BASELINE.md "Late-r11 session-2 additions". Timed after
+# the same untimed scratch prewarm.
+EXTENDED_LATE_R11 = [
+    "corpus_zipf_fit",  # bitlength Zipf-exponent fit
+    "corpus_heaps_growth",  # Heaps'-law vocabulary growth checkpoints
+    "corpus_snapshot_drift",  # exact TV drift between ingestion halves
+    "eval_classifier_calibration",  # classifier reliability diagram
+    "supplier_profit_q9",  # deepest star-join fan-out (Q9)
+    "promo_type_share_q14",  # monthly promo share (Q14)
+    "sample_kcenter_select",  # greedy k-center coreset selection
+    "stream_drift_monitor",  # live bucket-histogram TV monitor
+    "dedup_symspell_pairs",  # deletion-neighborhood fuzzy string join
+    "orders_market_basket",  # level-2 association mining
+]
+
+
 def _split_copy(spark, sf_dir: str, n_files: int) -> str:
     """Rewrite every table as n_files parquet parts under a temp dir —
     the multi-file layout a real deployment scans — and return it.
@@ -210,7 +228,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["extended_prewarm"] = f"{type(exc).__name__}: {exc}"[:200]
     else:
-        for name in EXTENDED_STEADY + EXTENDED_R9:
+        for name in EXTENDED_STEADY + EXTENDED_R9 + EXTENDED_LATE_R11:
             if name not in QUERIES:
                 continue
             t0 = time.time()
@@ -247,6 +265,11 @@ def main() -> None:
             "what": "frozen r9-cohort queries, same prewarm (BASELINE.md bands)",
             "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R9), 3),
             "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R9},
+        },
+        "extended_late_r11": {
+            "what": "frozen late-r11 session-2 cohort, same prewarm (BASELINE.md bands)",
+            "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_LATE_R11), 3),
+            "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_LATE_R11},
         },
     }
     if split_files > 1:

@@ -115,9 +115,15 @@ def test_bench_query_lists_are_registered():
     assert not missing, f"extended bench names not registered: {missing}"
     missing = [n for n in bench.EXTENDED_R9 if n not in QUERIES]
     assert not missing, f"extended-r9 bench names not registered: {missing}"
+    missing = [n for n in bench.EXTENDED_LATE_R11 if n not in QUERIES]
+    assert not missing, f"extended-late-r11 bench names not registered: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
     assert len(set(bench.EXTENDED_STEADY)) == len(bench.EXTENDED_STEADY)
     assert len(set(bench.EXTENDED_R9)) == len(bench.EXTENDED_R9)
+    assert len(set(bench.EXTENDED_LATE_R11)) == len(bench.EXTENDED_LATE_R11)
     # the two extended sections are timed in one pooled loop — a name in
     # both would double-count its seconds in both section totals
     assert not set(bench.EXTENDED_STEADY) & set(bench.EXTENDED_R9)
+    assert not (set(bench.EXTENDED_STEADY) | set(bench.EXTENDED_R9)) & set(
+        bench.EXTENDED_LATE_R11
+    )
