@@ -1930,3 +1930,122 @@ def drift_reference(spark: SparkSession, sf_dir: str, buckets: int = DRIFT_BUCKE
     for i in range(1, buckets):
         n_ref = n_ref + rc[i]
     return agg.select("lang", rc.alias("rc"), n_ref.cast("bigint").alias("n_ref"))
+
+
+# collocation extraction: pair-support floor and report size
+PMI_MIN_SUPPORT = 4
+PMI_TOP = 32
+
+
+@register(
+    "corpus_collocations_pmi",
+    oracle=f"""
+    WITH np AS (
+      SELECT CAST(coalesce(sum(greatest(
+               len(string_split(lower(text), ' ')) - 1, 0)), 0) AS BIGINT)
+               AS n_pairs
+      FROM documents
+    ),
+    toks AS (
+      SELECT string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+               i -> struct_pack(x := ts[i], y := ts[i + 1]))) AS p
+      FROM toks WHERE len(ts) >= 2
+    ),
+    cxy AS (
+      SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT x, y, c,
+             CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS cl,
+             CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS cr
+      FROM cxy
+    ),
+    scored AS (
+      SELECT x, y, c, cl, cr, n_pairs,
+             CAST(c * n_pairs AS BIGINT) AS ratio_num,
+             CAST(cl * cr AS BIGINT) AS ratio_den,
+             CAST(c * n_pairs AS DOUBLE) / CAST(cl * cr AS DOUBLE)
+               AS pmi_ratio,
+             CAST(length(printf('%b', CAST(c * n_pairs AS BIGINT)))
+                  - length(printf('%b', CAST(cl * cr AS BIGINT)))
+                  AS BIGINT) AS pmi_bits
+      FROM marg, np WHERE c >= {PMI_MIN_SUPPORT}
+    )
+    SELECT x AS tok_x, y AS tok_y, c AS pair_count, cl AS left_count,
+           cr AS right_count, n_pairs, ratio_num, ratio_den, pmi_ratio,
+           pmi_bits
+    FROM scored
+    ORDER BY pmi_ratio DESC, tok_x, tok_y
+    LIMIT {PMI_TOP}
+    """,
+)
+def corpus_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the top adjacent-token pairs by pointwise
+    mutual information — lexicon induction (multi-word expressions,
+    named entities) over the corpus, the association-strength
+    complement of the raw `corpus_bigram_counts`. PMI is computed over
+    the BIGRAM event space (directional: p(x in the left slot), p(y in
+    the right slot)), so one total N suffices:
+    ratio = c_xy * N / (c_left(x) * c_right(y)).
+
+    Determinism: the ratio numerator/denominator stay exact BIGINTs in
+    the output; the ranking key is ONE division of exact integers —
+    correctly rounded to the identical double in both engines — with
+    the (tok_x, tok_y) tiebreak, so the LIMIT is stable; pmi_bits is
+    the floor-log2 integer twin (bit-length difference, within 1 bit
+    of log2(ratio)). Unscaled products stay far below 2^63 at audit
+    scales (the 2^53/2^63 rescale rule documented for extreme scale).
+
+    Scale shape: marginals are WINDOWS over the bigram-TYPE table
+    (vocabulary-bounded, partition fan-out = types per left/right
+    token), never joins that would re-reference the corpus subtree
+    (the k-core replay rule); N comes from a separate NARROW doc scan
+    collapsed to a 1-row broadcast (the drift-threshold device); the
+    report is TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    np_ = docs.select(
+        F.greatest(
+            F.size(F.split(F.lower("text"), " ")) - 1, F.lit(0)
+        ).alias("k")
+    ).agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_pairs"))
+    toks = docs.select(F.split(F.lower("text"), " ").alias("ts"))
+    pair = F.expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), "
+        "(a, b) -> struct(a AS x, b AS y))"
+    )
+    pairs = toks.filter(F.size("ts") >= 2).select(F.explode(pair).alias("p"))
+    cxy = pairs.groupBy(
+        F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wl = Window.partitionBy("x")
+    wr = Window.partitionBy("y")
+    marg = cxy.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(wl).cast("bigint").alias("cl"),
+        F.sum("c").over(wr).cast("bigint").alias("cr"),
+    ).filter(F.col("c") >= PMI_MIN_SUPPORT)
+    bl = lambda col: F.length(F.bin(col)).cast("bigint")  # noqa: E731
+    scored = marg.crossJoin(F.broadcast(np_)).select(
+        F.col("x").alias("tok_x"),
+        F.col("y").alias("tok_y"),
+        F.col("c").alias("pair_count"),
+        F.col("cl").alias("left_count"),
+        F.col("cr").alias("right_count"),
+        "n_pairs",
+        (F.col("c") * F.col("n_pairs")).cast("bigint").alias("ratio_num"),
+        (F.col("cl") * F.col("cr")).cast("bigint").alias("ratio_den"),
+        (
+            (F.col("c") * F.col("n_pairs")).cast("double")
+            / (F.col("cl") * F.col("cr")).cast("double")
+        ).alias("pmi_ratio"),
+        (
+            bl(F.col("c") * F.col("n_pairs")) - bl(F.col("cl") * F.col("cr"))
+        ).alias("pmi_bits"),
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), "tok_x", "tok_y").limit(PMI_TOP)

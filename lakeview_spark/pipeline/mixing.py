@@ -825,3 +825,123 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hist_intersection"),
         )
     )
+
+
+# data-constrained repetition cap (Muennighoff et al.: value of repeated
+# tokens decays; ~4 epochs is where repetition stops paying)
+MIX_EPOCH_CAP = 4
+
+
+@register(
+    "mix_budget_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS avail
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      GROUP BY source
+    ),
+    w AS (
+      SELECT source, avail,
+             CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS r0
+      FROM tok
+    ),
+    iw AS (
+      SELECT source, avail,
+             r0 - CASE WHEN r0 * r0 > avail THEN 1 ELSE 0 END
+                + CASE WHEN (r0 + 1) * (r0 + 1) <= avail THEN 1 ELSE 0 END
+               AS weight
+      FROM w
+    ),
+    tot AS (
+      SELECT source, avail, weight,
+             CAST(sum(weight) OVER () AS BIGINT) AS total_weight,
+             CAST(sum(avail) OVER () // 2 AS BIGINT) AS budget
+      FROM iw
+    ),
+    plan AS (
+      SELECT source, avail, weight, budget,
+             budget * weight // greatest(total_weight, 1) AS target
+      FROM tot
+    )
+    SELECT source, avail, weight, budget, target,
+           CAST(LEAST((target + greatest(avail, 1) - 1) // greatest(avail, 1),
+                      {MIX_EPOCH_CAP}) AS BIGINT) AS epochs,
+           CAST(LEAST(target, {MIX_EPOCH_CAP} * avail) AS BIGINT) AS planned,
+           CAST(target - LEAST(target, {MIX_EPOCH_CAP} * avail) AS BIGINT)
+             AS shortfall,
+           CASE WHEN avail > 0
+                THEN CAST(LEAST(target, {MIX_EPOCH_CAP} * avail) AS DOUBLE)
+                     / avail END AS upsample_factor
+    FROM plan
+    """,
+)
+def mix_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture PLANNING (Muennighoff et al. 2023): given
+    a token budget (half the corpus here — the budget is data-derived
+    and deterministic) and per-source availability, allocate each
+    source its temperature-weighted token target, the epoch count
+    needed to fill it, the epoch-CAPPED planned allocation, and the
+    unfillable shortfall. This emits the PLAN a training run executes
+    — the artifact the row-level ops (mix_datasets / upsample_to /
+    sample_temperature) consume; those mix actual rows, this decides
+    the numbers.
+
+    Determinism: temperature alpha = 0.5 weights are EXACT integer
+    square roots — floor(sqrt(double)) corrected by one compare in
+    each direction (r - [r² > x] + [(r+1)² <= x]), identical integer
+    in both engines with no float-sum normalizer at all (the
+    sample_temperature sorted-fold device made unnecessary: integer
+    weights sum exactly in any order). Targets are integer divisions;
+    epochs the ceil-div; the one double division (upsample_factor) is
+    exact-int, guarded.
+
+    Scale shape: ONE corpus pass collapses to a sources-sized table;
+    every scalar (total weight, budget) is a full-frame window over
+    those <= sources rows — no agg + crossJoin subtree replay, no
+    second corpus scan."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    avail = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("avail"))
+    r0 = F.floor(F.sqrt(F.col("avail").cast("double"))).cast("bigint")
+    w = avail.withColumn("r0", r0).withColumn(
+        "weight",
+        F.col("r0")
+        - F.when(F.col("r0") * F.col("r0") > F.col("avail"), 1).otherwise(0)
+        + F.when(
+            (F.col("r0") + 1) * (F.col("r0") + 1) <= F.col("avail"), 1
+        ).otherwise(0),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = w.select(
+        "source",
+        "avail",
+        "weight",
+        F.sum("weight").over(w_all).cast("bigint").alias("total_weight"),
+        F.expr("sum(avail) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND "
+               "UNBOUNDED FOLLOWING) div 2").cast("bigint").alias("budget"),
+    )
+    plan = tot.withColumn(
+        "target",
+        F.expr("budget * weight div greatest(total_weight, 1)"),
+    )
+    planned = F.least(F.col("target"), F.lit(MIX_EPOCH_CAP) * F.col("avail"))
+    return plan.select(
+        "source",
+        "avail",
+        "weight",
+        "budget",
+        "target",
+        F.least(
+            F.expr("(target + greatest(avail, 1) - 1) div greatest(avail, 1)"),
+            F.lit(MIX_EPOCH_CAP).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("epochs"),
+        planned.cast("bigint").alias("planned"),
+        (F.col("target") - planned).cast("bigint").alias("shortfall"),
+        F.when(
+            F.col("avail") > 0, planned.cast("double") / F.col("avail")
+        ).alias("upsample_factor"),
+    )

@@ -43,9 +43,7 @@ _DRIVER_WINDOW = [
     "embedding_centroid_assign",
     "eval_dedup_reduction",
     "eval_embedding_bucket_health",
-    "minhash_similarity_estimate",
     "multimodal_metadata",
-    "partition_skew",
     "quality_filter_apply",
     "quality_filter_funnel",
     "sample_stratified",
@@ -139,6 +137,13 @@ _DRIVER_WINDOW = [
     # orders_market_basket displaces `dedup_incremental_lsh` (dedup
     # kins `dedup_exact`/`dedup_minhash_lsh_pairs` in-window)
     "orders_market_basket",
+    # mix_budget_plan displaces `minhash_similarity_estimate` (minhash
+    # kin `dedup_minhash_lsh_pairs` in-window)
+    "mix_budget_plan",
+    # corpus_collocations_pmi displaces `partition_skew` (lakehouse
+    # kins `table_health_summary`/`archived_batching` in-window; the
+    # partition family's freshest rows are the r10 cohort)
+    "corpus_collocations_pmi",
 ]
 
 

@@ -344,3 +344,83 @@ def test_market_basket_invariants(spark):
         assert abs(
             r.lift - (r.pair_orders * r.n_orders) / (r.orders_a * r.orders_b)
         ) < 1e-12
+
+
+def test_budget_plan_matches_python_replay(spark):
+    """Exact-integer replay of the whole plan: isqrt weights, windowed
+    totals, integer-division targets, capped epochs, shortfall."""
+    import math
+
+    from collections import Counter
+
+    from lakeview_spark.pipeline.mixing import MIX_EPOCH_CAP
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    avail: Counter = Counter()
+    for source, text in zip(t["source"], t["text"]):
+        avail[source] += len(text.lower().split(" "))
+    weights = {s: math.isqrt(a) for s, a in avail.items()}
+    total_w = sum(weights.values())
+    budget = sum(avail.values()) // 2
+    rows = {r.source: r for r in QUERIES["mix_budget_plan"](spark, SF_DIR).collect()}
+    assert set(rows) == set(avail)
+    planned_total = 0
+    for s, a in avail.items():
+        r = rows[s]
+        target = budget * weights[s] // max(total_w, 1)
+        planned = min(target, MIX_EPOCH_CAP * a)
+        assert (r.avail, r.weight, r.budget, r.target) == (
+            a,
+            weights[s],
+            budget,
+            target,
+        )
+        assert r.epochs == min(-(-target // max(a, 1)), MIX_EPOCH_CAP)
+        assert (r.planned, r.shortfall) == (planned, target - planned)
+        assert abs(r.upsample_factor - planned / a) < 1e-15
+        planned_total += planned
+    # the plan never allocates more than the budget
+    assert planned_total <= budget
+
+
+def test_collocations_pmi_matches_python_replay(spark):
+    """The full extraction — directional marginals, exact ratio
+    integers, the (pmi_ratio DESC, keys) top-32 — replays in Python."""
+    from collections import Counter
+
+    from lakeview_spark.pipeline.corpus import PMI_MIN_SUPPORT, PMI_TOP
+
+    cxy: Counter = Counter()
+    n_pairs = 0
+    for _, _, text in _docs(SF_DIR):
+        ts = text.lower().split(" ")
+        n_pairs += max(len(ts) - 1, 0)
+        cxy.update(zip(ts, ts[1:]))
+    cl, cr = Counter(), Counter()
+    for (x, y), c in cxy.items():
+        cl[x] += c
+        cr[y] += c
+    scored = [
+        (
+            (c * n_pairs) / (cl[x] * cr[y]),
+            x,
+            y,
+            c,
+            cl[x],
+            cr[y],
+            c * n_pairs,
+            cl[x] * cr[y],
+            (c * n_pairs).bit_length() - (cl[x] * cr[y]).bit_length(),
+        )
+        for (x, y), c in cxy.items()
+        if c >= PMI_MIN_SUPPORT
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expect = scored[:PMI_TOP]
+    rows = QUERIES["corpus_collocations_pmi"](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r, e in zip(rows, expect):
+        assert (r.tok_x, r.tok_y, r.pair_count) == (e[1], e[2], e[3])
+        assert (r.left_count, r.right_count, r.n_pairs) == (e[4], e[5], n_pairs)
+        assert (r.ratio_num, r.ratio_den, r.pmi_bits) == (e[6], e[7], e[8])
+        assert abs(r.pmi_ratio - e[0]) < 1e-15

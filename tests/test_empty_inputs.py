@@ -149,6 +149,10 @@ GUARDED = [
     # 1-row order-count broadcast over empty facts
     "dedup_symspell_pairs",
     "orders_market_basket",
+    # allocator windows over zero sources; PMI pairs + 1-row N
+    # broadcast over zero docs
+    "mix_budget_plan",
+    "corpus_collocations_pmi",
 ]
 
 

@@ -165,6 +165,7 @@ _TINY_BROADCAST_OK = {
     "eval_classifier_calibration",  # 1-row train-count scalars broadcast (shared scorer)
     "sample_kcenter_select",  # <=k-row selected-centers broadcast (the kmeans shape)
     "orders_market_basket",  # 1-row order-count broadcast onto the pair table
+    "corpus_collocations_pmi",  # 1-row bigram-total broadcast onto the type table
 }
 
 
