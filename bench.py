@@ -115,7 +115,7 @@ EXTENDED_R9 = [
 ]
 
 
-# FROZEN late-r11 session-2 cohort: the twelve queries added after the
+# FROZEN late-r11 session-2 cohort: the queries added after the
 # r11 close sweep, tracked round-over-round like EXTENDED_R9; nominal
 # bands live in BASELINE.md "Late-r11 session-2 additions". Timed after
 # the same untimed scratch prewarm.
@@ -132,6 +132,8 @@ EXTENDED_LATE_R11 = [
     "orders_market_basket",  # level-2 association mining
     "mix_budget_plan",  # data-constrained mixture planning
     "corpus_collocations_pmi",  # PMI collocation extraction
+    "eval_community_conductance",  # community boundary-leak audit
+    "eval_lsh_scurve",  # empirical LSH transfer function
 ]
 
 

@@ -183,6 +183,150 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S-curve buckets: Jaccard deciles, assigned DIVISION-FREE
+_SCURVE_BUCKETS = 10
+
+
+@register(
+    "eval_lsh_scurve",
+    oracle=f"""
+    WITH {_CAPPED_PAIRS_SQL},
+    j AS (
+      SELECT doc1, doc2, inter,
+             CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+      FROM p
+      JOIN sizes sa ON sa.doc_id = doc1
+      JOIN sizes sb ON sb.doc_id = doc2
+    ),
+    pred AS (
+      {_MINHASH_SIG_SQL}
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    u AS (
+      SELECT coalesce(j.doc1, pr.doc1) AS doc1,
+             coalesce(j.doc2, pr.doc2) AS doc2,
+             CAST(coalesce(j.inter, 0) AS BIGINT) AS inter,
+             j.uni,
+             CASE WHEN pr.doc1 IS NULL THEN 0 ELSE 1 END AS in_pred
+      FROM j FULL OUTER JOIN pred pr
+        ON pr.doc1 = j.doc1 AND pr.doc2 = j.doc2
+    ),
+    bucketed AS (
+      SELECT LEAST((CAST({_SCURVE_BUCKETS} AS BIGINT) * inter)
+                   // coalesce(uni, sa.n + sb.n),
+                   {_SCURVE_BUCKETS - 1}) AS bucket,
+             in_pred
+      FROM u
+      JOIN sizes sa ON sa.doc_id = u.doc1
+      JOIN sizes sb ON sb.doc_id = u.doc2
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) / {_SCURVE_BUCKETS} AS jaccard_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(in_pred) AS BIGINT) AS detected,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(in_pred) AS DOUBLE) / count(*)
+           END AS detection_rate
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def eval_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical LSH S-CURVE: banded-MinHash detection rate per
+    exact-Jaccard decile — the curve the (bands, rows) parameter choice
+    is supposed to produce (steep near the target threshold, ~0 below,
+    ~1 above). eval_lsh_precision_recall collapses candidate quality to
+    one operating point; this measures the whole transfer function, the
+    readout that tells a tuner WHERE the banding's soft threshold
+    actually sits. Jaccard here is the df-capped measure
+    (dedup_ngram_jaccard's semantics) — consistent on both sides.
+
+    Division-free bucketing: decile = least(10 * inter div union, 9)
+    on exact BIGINTs — no float threshold edge anywhere; counts are
+    integers and the per-bucket rate is one guarded edge division.
+
+    Scale shape: the same two zero-exchange bucketed-scratch self-joins
+    as the precision/recall audit (shingle index + signature bands)
+    union into one pair-keyed aggregation; set sizes ride broadcast
+    joins; the final agg is <= 10 groups."""
+    from lakeview_spark.pipeline.dedup import (
+        jaccard_index_materialized,
+        shingle_set_sizes,
+    )
+
+    e = jaccard_index_materialized(spark, sf_dir)
+    sig = minhash_signatures_materialized(spark, sf_dir)
+    shingle_hits = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.lit(1).alias("is_shingle"),
+            F.lit(0).alias("is_band"),
+        )
+    )
+    band_hits = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.lit(0).alias("is_shingle"),
+            F.lit(1).alias("is_band"),
+        )
+    )
+    pairs = (
+        shingle_hits.unionByName(band_hits)
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.sum("is_shingle").cast("long").alias("inter"),
+            F.max("is_band").alias("in_pred"),
+        )
+    )
+    sizes = shingle_set_sizes(spark, sf_dir)
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
+    bucket = F.least(
+        F.expr(
+            f"CAST({_SCURVE_BUCKETS} AS BIGINT) * inter div (na + nb - inter)"
+        ),
+        F.lit(_SCURVE_BUCKETS - 1).cast("bigint"),
+    )
+    bucketed = (
+        pairs.join(F.broadcast(sa), "doc1")
+        .join(F.broadcast(sb), "doc2")
+        .select(bucket.alias("bucket"), "in_pred")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("in_pred").cast("long").alias("detected"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / _SCURVE_BUCKETS).alias("jaccard_lo"),
+            "n_pairs",
+            "detected",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("detected").cast("double") / F.col("n_pairs"),
+            ).alias("detection_rate"),
+        )
+    )
+
+
 @register(
     "eval_dedup_reduction",
     oracle="""

@@ -1540,6 +1540,94 @@ def eval_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONDUCTANCE_SQL = f"""
+    {_LPA_CTES},
+    deg AS (SELECT src AS vec_id, count(*) AS degree FROM und GROUP BY src),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS vol_total FROM und),
+    intra AS (
+      SELECT la.lbl AS community,
+             CAST(count(*) AS BIGINT) AS internal_directed
+      FROM und e
+      JOIN l{_LPA_ITERATIONS} la ON la.vec_id = e.src
+      JOIN l{_LPA_ITERATIONS} lb ON lb.vec_id = e.dst
+      WHERE la.lbl = lb.lbl GROUP BY la.lbl
+    ),
+    dsum AS (
+      SELECT l.lbl AS community,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(coalesce(d.degree, 0)) AS BIGINT) AS volume
+      FROM l{_LPA_ITERATIONS} l LEFT JOIN deg d ON d.vec_id = l.vec_id
+      GROUP BY l.lbl
+    )
+    SELECT ds.community, ds.n_members, ds.volume,
+           CAST(ds.volume - coalesce(i.internal_directed, 0) AS BIGINT)
+             AS cut_edges,
+           CASE WHEN LEAST(ds.volume, mm.vol_total - ds.volume) > 0
+                THEN CAST(ds.volume - coalesce(i.internal_directed, 0) AS DOUBLE)
+                     / LEAST(ds.volume, mm.vol_total - ds.volume)
+           END AS conductance
+    FROM dsum ds CROSS JOIN mm
+    LEFT JOIN intra i ON i.community = ds.community
+"""
+
+
+@register("eval_community_conductance", oracle=_CONDUCTANCE_SQL)
+def eval_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance audit of the LPA partition — the BOUNDARY-quality
+    complement of `eval_community_modularity` (which scores density vs
+    chance): per community, phi = cut / min(vol, vol_total - vol),
+    the fraction of the community's incident edge endpoints that LEAK
+    across its boundary. This is the metric that decides whether
+    community-restricted dedup is SAFE — a low-conductance community
+    loses almost no near-dup pairs to the boundary, a high-conductance
+    one leaks candidates the restriction will miss.
+
+    All-integer until the edge: the symmetric edge set makes
+    cut(c) = degree_sum(c) - internal_directed(c) exactly (each
+    internal edge contributes two directed endpoints, each cut edge
+    one from c's side), volumes are directed-degree BIGINT sums, and
+    the one conductance division is guarded (an isolated or
+    whole-graph community has min(vol, rest) = 0 and reports NULL).
+
+    Scale shape: identical to the modularity audit — rides the
+    materialized _lpa_labels walk, one same-label edge count, one
+    degree-sum agg, the 1-row total-volume broadcast; no new shuffle
+    class."""
+    und, labels = _lpa_labels(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("vec_id")).agg(F.count("*").alias("degree"))
+    mm = und.agg(F.count("*").cast("long").alias("vol_total"))
+    la = labels.select(F.col("vec_id").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("vec_id").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").cast("long").alias("internal_directed"))
+    )
+    dsum = (
+        labels.join(deg, "vec_id", "left")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.coalesce("degree", F.lit(0))).cast("long").alias("volume"),
+        )
+    )
+    cut = F.col("volume") - F.coalesce("internal_directed", F.lit(0))
+    denom = F.least(F.col("volume"), F.col("vol_total") - F.col("volume"))
+    return (
+        dsum.crossJoin(F.broadcast(mm))
+        .join(intra, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            "volume",
+            cut.cast("long").alias("cut_edges"),
+            F.when(denom > 0, cut.cast("double") / denom).alias("conductance"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) codebook audit
 # ---------------------------------------------------------------------------

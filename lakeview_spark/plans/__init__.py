@@ -41,12 +41,10 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "embedding_centroid_assign",
-    "eval_dedup_reduction",
     "eval_embedding_bucket_health",
     "multimodal_metadata",
     "quality_filter_apply",
     "quality_filter_funnel",
-    "sample_stratified",
     "similarity_ann_ivf",
     "similarity_lsh_buckets",
     "table_health_summary",
@@ -144,6 +142,12 @@ _DRIVER_WINDOW = [
     # kins `table_health_summary`/`archived_batching` in-window; the
     # partition family's freshest rows are the r10 cohort)
     "corpus_collocations_pmi",
+    # eval_community_conductance displaces `eval_dedup_reduction` (eval
+    # kins `eval_embedding_bucket_health`/`eval_ann_recall` in-window)
+    "eval_community_conductance",
+    # eval_lsh_scurve displaces `sample_stratified` (sampling kins
+    # `sample_kcenter_select`/`mix_budget_plan` in-window)
+    "eval_lsh_scurve",
 ]
 
 

@@ -424,3 +424,53 @@ def test_collocations_pmi_matches_python_replay(spark):
         assert (r.left_count, r.right_count, r.n_pairs) == (e[4], e[5], n_pairs)
         assert (r.ratio_num, r.ratio_den, r.pmi_bits) == (e[6], e[7], e[8])
         assert abs(r.pmi_ratio - e[0]) < 1e-15
+
+
+def test_conductance_reconciles_with_modularity_census(spark):
+    """Conductance and modularity audit the SAME partition: shared
+    communities and member counts; cut + internal endpoints = volume;
+    volumes sum to the total directed edge count; phi in [0, 1]."""
+    mod = {
+        r.community: r
+        for r in QUERIES["eval_community_modularity"](spark, SF_MED).collect()
+    }
+    con = {
+        r.community: r
+        for r in QUERIES["eval_community_conductance"](spark, SF_MED).collect()
+    }
+    assert set(mod) == set(con)
+    vol_total = sum(r.volume for r in con.values())
+    for cid, r in con.items():
+        m = mod[cid]
+        assert r.n_members == m.n_members
+        assert r.volume == m.degree_sum
+        # internal directed endpoints = 2 * intra_edges
+        assert r.cut_edges == r.volume - 2 * m.intra_edges
+        if r.conductance is not None:
+            assert 0.0 <= r.conductance <= 1.0
+            assert abs(
+                r.conductance
+                - r.cut_edges / min(r.volume, vol_total - r.volume)
+            ) < 1e-15
+
+
+def test_lsh_scurve_is_a_transfer_function(spark):
+    """Bucket grain, count reconciliation against the single-point
+    precision/recall audit, and the S shape's defining endpoints: the
+    top decile must detect (near-)everything, the bottom decile must
+    detect (near-)nothing."""
+    rows = sorted(
+        QUERIES["eval_lsh_scurve"](spark, SF_MED).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    pr = QUERIES["eval_lsh_precision_recall"](spark, SF_MED).collect()[0]
+    assert sum(r.detected for r in rows) == pr.predicted_pairs
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert abs(r.jaccard_lo - r.bucket / 10.0) < 1e-15
+        assert 0 <= r.detected <= r.n_pairs
+        assert abs(r.detection_rate - r.detected / r.n_pairs) < 1e-15
+    lo, hi = rows[0], rows[-1]
+    assert lo.bucket == 0 and lo.detection_rate <= 0.2
+    assert hi.bucket >= 5 and hi.detection_rate >= 0.8

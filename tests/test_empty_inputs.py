@@ -153,6 +153,10 @@ GUARDED = [
     # broadcast over zero docs
     "mix_budget_plan",
     "corpus_collocations_pmi",
+    # conductance over an empty label walk (min(vol, rest) = 0 guard);
+    # S-curve buckets over zero pairs
+    "eval_community_conductance",
+    "eval_lsh_scurve",
 ]
 
 

@@ -166,6 +166,7 @@ _TINY_BROADCAST_OK = {
     "sample_kcenter_select",  # <=k-row selected-centers broadcast (the kmeans shape)
     "orders_market_basket",  # 1-row order-count broadcast onto the pair table
     "corpus_collocations_pmi",  # 1-row bigram-total broadcast onto the type table
+    "eval_community_conductance",  # 1-row total-volume broadcast (the modularity shape)
 }
 
 
