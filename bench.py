@@ -134,6 +134,7 @@ EXTENDED_LATE_R11 = [
     "corpus_collocations_pmi",  # PMI collocation extraction
     "eval_community_conductance",  # community boundary-leak audit
     "eval_lsh_scurve",  # empirical LSH transfer function
+    "eval_ivfpq_nprobe_sweep",  # recall-vs-cost tuning curve
 ]
 
 

@@ -2506,7 +2506,7 @@ _IVFPQ_COARSE_CTES = f"""cents0 AS (
         FROM q e, cents c) WHERE rn = 1
     ),
     pclusters AS (
-      SELECT probe_id, cluster_id AS pcluster FROM (
+      SELECT probe_id, cluster_id AS pcluster, CAST(rn AS BIGINT) AS crank FROM (
         SELECT p.probe_id, c.cluster_id,
                row_number() OVER (PARTITION BY p.probe_id
                                   ORDER BY {_IVFPQ_PROBE_DIST_SQL} ASC, c.cluster_id) AS rn
@@ -2608,7 +2608,11 @@ def _ivfpq_pclusters(probes, cents):
         .select("probe_id", "cluster_id", _kq_sqdist("pqv", "cv").alias("cdist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _IVFPQ_NPROBE)
-        .select("probe_id", F.col("cluster_id").alias("pcluster"))
+        .select(
+            "probe_id",
+            F.col("cluster_id").alias("pcluster"),
+            F.col("rn").cast("bigint").alias("crank"),
+        )
     )
 
 
@@ -3128,3 +3132,211 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return materialized(spark, "kcore_peel", sf_dir, _build)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ nprobe sweep: the recall-vs-cost tuning curve, oracle-checked
+# ---------------------------------------------------------------------------
+_NPROBE_GRID = tuple(range(1, _IVFPQ_NPROBE + 1))
+
+_NPROBE_SWEEP_SQL = f"""
+    WITH {_PQ_BASE_CTES_MAT},
+    probes AS (
+      SELECT vec_id AS probe_id, qv AS pqv FROM q
+      WHERE vec_id % ({_PQ_STRIDE_SQL}) = 0
+    ),
+    {_IVFPQ_COARSE_CTES},
+    truth AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_PQ_FULL_DIST_SQL} ASC, e.vec_id) AS rn
+        FROM probes p, q e WHERE e.vec_id <> p.probe_id)
+      WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    psubs AS (
+      SELECT p.probe_id, pc.pcluster, pc.crank, g.m,
+             list_slice(p.pqv, g.m * {_PQ_SUB} + 1, g.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM probes p JOIN pclusters pc USING (probe_id),
+           (SELECT unnest(range(0, {_PQ_M})) AS m) g
+    ),
+    adc AS (
+      SELECT probe_id, vec_id,
+             CAST(min(crank) AS BIGINT) AS crank,
+             CAST(sum(part) AS BIGINT) AS adc_dist
+      FROM (
+        SELECT ps.probe_id, a.vec_id, ps.crank,
+               CAST({_PQ_ADC_PART_SQL} AS BIGINT) AS part
+        FROM psubs ps
+        JOIN assigned a ON a.m = ps.m
+        JOIN coarse ca ON ca.vec_id = a.vec_id AND ca.cluster_id = ps.pcluster
+        JOIN codebook cb ON cb.m = a.m AND cb.codeword = a.codeword
+        WHERE a.vec_id <> ps.probe_id)
+      GROUP BY probe_id, vec_id
+    ),
+    grid AS (SELECT CAST(unnest([{", ".join(str(p) for p in _NPROBE_GRID)}])
+                         AS BIGINT) AS np),
+    swept AS (
+      SELECT g.np, probe_id, vec_id, adc_dist FROM adc, grid g
+      WHERE crank <= g.np
+    ),
+    ranked AS (
+      SELECT np, probe_id, vec_id FROM (
+        SELECT np, probe_id, vec_id,
+               row_number() OVER (PARTITION BY np, probe_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rn
+        FROM swept) WHERE rn <= {_PQ_RECALL_TOP}
+    ),
+    cands AS (
+      SELECT np, CAST(count(*) AS BIGINT) AS total_candidates
+      FROM swept GROUP BY np
+    ),
+    nprobes AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+    hits AS (
+      SELECT r.np, CAST(count(*) AS BIGINT) AS total_hits
+      FROM ranked r
+      JOIN truth t ON t.probe_id = r.probe_id AND t.vec_id = r.vec_id
+      GROUP BY r.np
+    )
+    SELECT g.np AS nprobe, n_probes,
+           CAST(coalesce(c.total_candidates, 0) AS BIGINT) AS total_candidates,
+           CAST(coalesce(h.total_hits, 0) AS BIGINT) AS total_hits,
+           CASE WHEN n_probes > 0
+                THEN CAST(coalesce(h.total_hits, 0) AS DOUBLE)
+                     / (n_probes * {_PQ_RECALL_TOP}) END AS mean_recall
+    FROM grid g CROSS JOIN nprobes
+    LEFT JOIN cands c ON c.np = g.np
+    LEFT JOIN hits h ON h.np = g.np
+"""
+
+
+@register("eval_ivfpq_nprobe_sweep", oracle=_NPROBE_SWEEP_SQL)
+def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ recall-vs-cost TUNING CURVE, oracle-checked: composed
+    recall@{_PQ_RECALL_TOP} against the exact quantized truth AND the
+    candidate count actually scanned, for every nprobe in
+    {_NPROBE_GRID} — the two columns an index tuner trades against
+    each other. SCALE.md §8a3's grid was driver-measured; this makes
+    the sweep a registered, hash-checked artifact.
+
+    ONE search pass serves every sweep point: the ADC ranking runs
+    once at nprobe = {_IVFPQ_NPROBE} with each candidate tagged by the
+    RANK of the visited cluster that admitted it (a candidate's single
+    coarse id matches at most one visited cluster, so min(crank) is
+    exact), and smaller sweep points are crank-prefix restrictions of
+    that one candidate pool — never a re-search. The pool triples
+    through a {len(_NPROBE_GRID)}-row grid explode, windows rank per
+    (np, probe) over visited-cluster occupancy.
+
+    Scale shape: identical to similarity_ann_ivf_pq (materialized
+    pq_codes/ivfpq_coarse scratch, broadcast codebook/probe sides,
+    partial-aggregable ADC sums) plus the exact-truth scan
+    eval_rq_recall already pays — the flat probes x corpus cost the
+    audit exists to measure."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    n = corpus_n(spark, sf_dir)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    emb = _pq_emb(spark, sf_dir)
+    cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    scored = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    wt = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
+    truth = (
+        scored.select(
+            "probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist")
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select(F.col("probe_id").alias("t_probe"), F.col("vec_id").alias("t_vec"))
+    )
+    pclusters = _ivfpq_pclusters(probes, cents)
+    psubs = (
+        probes.join(pclusters, "probe_id")
+        .select(
+            "probe_id",
+            "pcluster",
+            "crank",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), "
+                    f"m -> struct(m AS m, slice(pqv, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "probe_id",
+            "pcluster",
+            "crank",
+            F.col("s.m").alias("pm"),
+            F.col("s.sv").alias("sv"),
+        )
+    )
+    codebook = pq_codebook_df(spark, sf_dir)
+    cand = (
+        pq_codes_materialized(spark, sf_dir)
+        .select("vec_id", "m", "codeword")
+        .join(coarse, "vec_id")
+    )
+    adc = (
+        cand.join(F.broadcast(codebook), ["m", "codeword"])
+        .join(
+            F.broadcast(psubs),
+            (F.col("m") == F.col("pm")) & (F.col("cluster_id") == F.col("pcluster")),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "crank", _kq_sqdist("sv", "cv").alias("part"))
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.min("crank").cast("bigint").alias("crank"),
+            F.sum("part").cast("bigint").alias("adc_dist"),
+        )
+    )
+    swept = adc.withColumn(
+        "np",
+        F.explode(F.array(*[F.lit(p).cast("bigint") for p in _NPROBE_GRID])),
+    ).filter(F.col("crank") <= F.col("np"))
+    wr = _W.partitionBy("np", "probe_id").orderBy("adc_dist", "vec_id")
+    ranked = (
+        swept.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select("np", "probe_id", "vec_id")
+    )
+    nprobes = probes.agg(F.count("*").cast("bigint").alias("n_probes"))
+    cands = swept.groupBy("np").agg(
+        F.count("*").cast("bigint").alias("total_candidates")
+    )
+    hits = (
+        ranked.join(
+            truth,
+            (F.col("probe_id") == F.col("t_probe"))
+            & (F.col("vec_id") == F.col("t_vec")),
+        )
+        .groupBy("np")
+        .agg(F.count("*").cast("bigint").alias("total_hits"))
+    )
+    grid = spark.createDataFrame([(int(p),) for p in _NPROBE_GRID], "np bigint")
+    return (
+        grid.crossJoin(F.broadcast(nprobes))
+        .join(cands, "np", "left")
+        .join(hits, "np", "left")
+        .select(
+            F.col("np").alias("nprobe"),
+            "n_probes",
+            F.coalesce("total_candidates", F.lit(0)).cast("bigint").alias(
+                "total_candidates"
+            ),
+            F.coalesce("total_hits", F.lit(0)).cast("bigint").alias("total_hits"),
+            F.when(
+                F.col("n_probes") > 0,
+                F.coalesce("total_hits", F.lit(0)).cast("double")
+                / (F.col("n_probes") * _PQ_RECALL_TOP),
+            ).alias("mean_recall"),
+        )
+    )

@@ -34,7 +34,6 @@ _DRIVER_WINDOW = [
     "checkpoint_filter",
     "corpus_distinct_kmv",
     "corpus_top_tokens",
-    "dedup_apply",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -148,6 +147,10 @@ _DRIVER_WINDOW = [
     # eval_lsh_scurve displaces `sample_stratified` (sampling kins
     # `sample_kcenter_select`/`mix_budget_plan` in-window)
     "eval_lsh_scurve",
+    # eval_ivfpq_nprobe_sweep displaces `dedup_apply` (cluster kin
+    # `dedup_clusters` in-window; ANN kins `similarity_ann_ivf`/
+    # `eval_ann_recall`/`eval_rq_recall` in-window)
+    "eval_ivfpq_nprobe_sweep",
 ]
 
 

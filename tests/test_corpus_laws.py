@@ -474,3 +474,60 @@ def test_lsh_scurve_is_a_transfer_function(spark):
     lo, hi = rows[0], rows[-1]
     assert lo.bucket == 0 and lo.detection_rate <= 0.2
     assert hi.bucket >= 5 and hi.detection_rate >= 0.8
+
+
+def test_nprobe_sweep_is_monotone_and_pins_the_composed_search(spark):
+    """The sweep's defining laws: recall and candidate cost are
+    nondecreasing in nprobe, and the nprobe = max point's hit count
+    reconciles with the composed search similarity_ann_ivf_pq (its
+    top-10 intersected with the same exact truth) — one candidate
+    pool, never a divergent re-search."""
+    from lakeview_spark.pipeline.similarity import _IVFPQ_NPROBE, _PQ_RECALL_TOP
+
+    rows = sorted(
+        QUERIES["eval_ivfpq_nprobe_sweep"](spark, SF_MED).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == list(range(1, _IVFPQ_NPROBE + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.total_candidates <= b.total_candidates
+        assert a.total_hits <= b.total_hits
+        assert a.n_probes == b.n_probes
+    for r in rows:
+        assert 0 <= r.total_hits <= r.n_probes * _PQ_RECALL_TOP
+        assert abs(
+            r.mean_recall - r.total_hits / (r.n_probes * _PQ_RECALL_TOP)
+        ) < 1e-15
+    # reconcile the max-nprobe point against the composed search: same
+    # pool, same ranking -> the emitted top-10 sets coincide
+    search = QUERIES["similarity_ann_ivf_pq"](spark, SF_MED).collect()
+    top = {(r.probe_id, r.vec_id) for r in search}
+    # recompute exact quantized truth via the rq audit's truth columns:
+    # every truth hit the sweep counts at np=max must be a search result
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+    from lakeview_spark.pipeline.similarity import (
+        _PQ_PROBE_TARGET,
+        _pq_emb,
+        corpus_n,
+    )
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    n = corpus_n(spark, SF_MED)
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    emb = _pq_emb(spark, SF_MED)
+    probes = emb.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
+    truth = {
+        (r.probe_id, r.vec_id)
+        for r in emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_RECALL_TOP)
+        .select("probe_id", "vec_id")
+        .collect()
+    }
+    assert rows[-1].total_hits == len(top & truth)

@@ -157,6 +157,8 @@ GUARDED = [
     # S-curve buckets over zero pairs
     "eval_community_conductance",
     "eval_lsh_scurve",
+    # sweep grid over an empty index (empty probes/truth/candidates)
+    "eval_ivfpq_nprobe_sweep",
 ]
 
 

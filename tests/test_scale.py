@@ -167,6 +167,7 @@ _TINY_BROADCAST_OK = {
     "orders_market_basket",  # 1-row order-count broadcast onto the pair table
     "corpus_collocations_pmi",  # 1-row bigram-total broadcast onto the type table
     "eval_community_conductance",  # 1-row total-volume broadcast (the modularity shape)
+    "eval_ivfpq_nprobe_sweep",  # fixed-size probe + k-row centroid broadcasts (the PQ shape)
 }
 
 
