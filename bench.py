@@ -135,6 +135,7 @@ EXTENDED_LATE_R11 = [
     "eval_community_conductance",  # community boundary-leak audit
     "eval_lsh_scurve",  # empirical LSH transfer function
     "eval_ivfpq_nprobe_sweep",  # recall-vs-cost tuning curve
+    "customer_rfm_segments",  # RFM quartile segmentation
 ]
 
 

@@ -32,7 +32,6 @@ _DRIVER_WINDOW = [
     # the r07 cohort, CORRECTNESS_r07 order
     "archived_batching",
     "checkpoint_filter",
-    "corpus_distinct_kmv",
     "corpus_top_tokens",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -151,6 +150,10 @@ _DRIVER_WINDOW = [
     # `dedup_clusters` in-window; ANN kins `similarity_ann_ivf`/
     # `eval_ann_recall`/`eval_rq_recall` in-window)
     "eval_ivfpq_nprobe_sweep",
+    # customer_rfm_segments displaces `corpus_distinct_kmv` (corpus kin
+    # `corpus_top_tokens` in-window; the KMV sketch's HLL twin holds an
+    # r09 green row)
+    "customer_rfm_segments",
 ]
 
 

@@ -2168,3 +2168,212 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_orders"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+# RFM quartile machinery: 256-bin integer histograms (the
+# mix_curriculum_schedule threshold device), scores 1..4 per axis
+RFM_BINS = 256
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH scal AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', max(o_orderdate), (SELECT maxd FROM scal))
+                  AS BIGINT) AS rec,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    meas AS (
+      SELECT custkey, mon, m, v FROM (
+        SELECT custkey, mon,
+               unnest(['r', 'f', 'm']) AS m,
+               unnest([rec, freq, mon]) AS v
+        FROM cust)
+    ),
+    mv AS (SELECT m, v, CAST(count(*) AS BIGINT) AS cnt FROM meas GROUP BY m, v),
+    rng AS (
+      SELECT m, v, cnt,
+             CAST(min(v) OVER (PARTITION BY m) AS BIGINT) AS mn,
+             CAST(max(v) OVER (PARTITION BY m) AS BIGINT) AS mx,
+             CAST(sum(cnt) OVER (PARTITION BY m) AS BIGINT) AS n
+      FROM mv
+    ),
+    binned AS (
+      SELECT m, ((v - mn) * {RFM_BINS - 1}) // greatest(mx - mn, 1) AS b,
+             cnt, n
+      FROM rng
+    ),
+    bins AS (
+      SELECT m, b, CAST(sum(cnt) AS BIGINT) AS c, any_value(n) AS n
+      FROM binned GROUP BY m, b
+    ),
+    cum AS (
+      SELECT m, b, n,
+             CAST(sum(c) OVER (PARTITION BY m ORDER BY b
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+      FROM bins
+    ),
+    thr AS (
+      SELECT m,
+             CAST(min(CASE WHEN 4 * cumc >= 1 * n THEN b END) AS BIGINT) AS t1,
+             CAST(min(CASE WHEN 4 * cumc >= 2 * n THEN b END) AS BIGINT) AS t2,
+             CAST(min(CASE WHEN 4 * cumc >= 3 * n THEN b END) AS BIGINT) AS t3
+      FROM cum GROUP BY m
+    ),
+    ranges AS (
+      SELECT m, any_value(mn) AS mn, any_value(mx) AS mx FROM rng GROUP BY m
+    ),
+    scored AS (
+      SELECT v.custkey, v.mon, v.m,
+             CASE WHEN ((v.v - r.mn) * {RFM_BINS - 1})
+                       // greatest(r.mx - r.mn, 1) > t.t1 THEN 1 ELSE 0 END
+           + CASE WHEN ((v.v - r.mn) * {RFM_BINS - 1})
+                       // greatest(r.mx - r.mn, 1) > t.t2 THEN 1 ELSE 0 END
+           + CASE WHEN ((v.v - r.mn) * {RFM_BINS - 1})
+                       // greatest(r.mx - r.mn, 1) > t.t3 THEN 1 ELSE 0 END
+               AS above
+      FROM (SELECT custkey, mon, m, v FROM (
+              SELECT custkey, mon, unnest(['r', 'f', 'm']) AS m,
+                     unnest([rec, freq, mon]) AS v FROM cust)) v
+      JOIN thr t ON t.m = v.m
+      JOIN ranges r ON r.m = v.m
+    ),
+    rfm AS (
+      SELECT custkey, any_value(mon) AS mon,
+             CAST(4 - max(CASE WHEN m = 'r' THEN above END) AS BIGINT)
+               AS r_score,
+             CAST(1 + max(CASE WHEN m = 'f' THEN above END) AS BIGINT)
+               AS f_score,
+             CAST(1 + max(CASE WHEN m = 'm' THEN above END) AS BIGINT)
+               AS m_score
+      FROM scored GROUP BY custkey
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS total_monetary_cents,
+           CASE WHEN count(*) > 0
+                THEN CAST(CAST(sum(mon) AS BIGINT) AS DOUBLE) / count(*)
+           END AS avg_monetary_cents
+    FROM rfm GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    workload: per customer, Recency (days since last order), Frequency
+    (order count), and Monetary (lifetime spend), each scored 1..4 by
+    corpus quartile, rolled up per (R, F, M) segment (<= 64 cells)
+    with customer counts and spend. Recency is inverted (recent = 4).
+
+    NO global sort anywhere: quartile thresholds come from the
+    mix_curriculum_schedule 256-bin integer histogram device — collapse
+    the three measures to per-(measure, value) counts in ONE pass,
+    derive min/max/n as per-measure windows over that collapsed table,
+    bin, take thresholds by the division-free rule (smallest bin with
+    4*cum >= q*n), and score each customer by three integer bin
+    compares. Bin-resolution quartiles are deterministic in both
+    engines (the documented device trade); monetary is exact integer
+    CENTS (DECIMAL(18,2) sum * 100), the one division is guarded.
+
+    Scale shape: two passes over the per-customer aggregate's lineage
+    (histogram build + scoring — the ROC collapse device bounds it at
+    two) plus one narrow max-date scan; thresholds/ranges are 3-row
+    broadcasts; the final agg is <= 64 groups."""
+    o = t(spark, sf_dir, "orders")
+    scal = o.select("o_orderdate").agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count("*").cast("bigint").alias("freq"),
+            (F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("mon"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "custkey",
+            F.datediff("maxd", "last_date").cast("bigint").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    three = F.explode(
+        F.array(
+            F.struct(F.lit("r").alias("m"), F.col("rec").alias("v")),
+            F.struct(F.lit("f").alias("m"), F.col("freq").alias("v")),
+            F.struct(F.lit("m").alias("m"), F.col("mon").alias("v")),
+        )
+    )
+    meas = cust.select("custkey", "mon", three.alias("x")).select(
+        "custkey", "mon", F.col("x.m").alias("m"), F.col("x.v").alias("v")
+    )
+    mv = meas.groupBy("m", "v").agg(F.count("*").cast("bigint").alias("cnt"))
+    wm = Window.partitionBy("m")
+    rng = mv.select(
+        "m",
+        "v",
+        "cnt",
+        F.min("v").over(wm).cast("bigint").alias("mn"),
+        F.max("v").over(wm).cast("bigint").alias("mx"),
+        F.sum("cnt").over(wm).cast("bigint").alias("n"),
+    )
+    binned = rng.select(
+        "m",
+        F.expr(f"(v - mn) * {RFM_BINS - 1} div greatest(mx - mn, 1)").alias("b"),
+        "cnt",
+        "n",
+    )
+    bins = binned.groupBy("m", "b").agg(
+        F.sum("cnt").cast("bigint").alias("c"), F.any_value("n").alias("n")
+    )
+    wc = Window.partitionBy("m").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        "m", "b", "n", F.sum("c").over(wc).cast("bigint").alias("cumc")
+    )
+    thr = cum.groupBy("m").agg(
+        *[
+            F.min(F.when(4 * F.col("cumc") >= q * F.col("n"), F.col("b")))
+            .cast("bigint")
+            .alias(f"t{q}")
+            for q in (1, 2, 3)
+        ]
+    )
+    ranges = rng.groupBy("m").agg(
+        F.any_value("mn").alias("mn"), F.any_value("mx").alias("mx")
+    )
+    b_expr = F.expr(f"(v - mn) * {RFM_BINS - 1} div greatest(mx - mn, 1)")
+    above = (
+        (b_expr > F.col("t1")).cast("int")
+        + (b_expr > F.col("t2")).cast("int")
+        + (b_expr > F.col("t3")).cast("int")
+    )
+    scored = (
+        meas.join(F.broadcast(thr), "m")
+        .join(F.broadcast(ranges), "m")
+        .select("custkey", "mon", "m", above.alias("above"))
+    )
+    rfm = scored.groupBy("custkey").agg(
+        F.any_value("mon").alias("mon"),
+        (
+            4 - F.max(F.when(F.col("m") == "r", F.col("above")))
+        ).cast("bigint").alias("r_score"),
+        (
+            1 + F.max(F.when(F.col("m") == "f", F.col("above")))
+        ).cast("bigint").alias("f_score"),
+        (
+            1 + F.max(F.when(F.col("m") == "m", F.col("above")))
+        ).cast("bigint").alias("m_score"),
+    )
+    return rfm.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("mon").cast("bigint").alias("total_monetary_cents"),
+        F.when(
+            F.count("*") > 0,
+            F.sum("mon").cast("bigint").cast("double") / F.count("*"),
+        ).alias("avg_monetary_cents"),
+    )

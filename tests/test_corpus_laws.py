@@ -531,3 +531,67 @@ def test_nprobe_sweep_is_monotone_and_pins_the_composed_search(spark):
         .collect()
     }
     assert rows[-1].total_hits == len(top & truth)
+
+
+def test_rfm_segments_match_python_replay(spark):
+    """Exact replay of the whole RFM device: per-customer measures,
+    256-bin histograms, division-free quartile thresholds, the three
+    bin compares, and the segment rollup."""
+    import duckdb
+
+    from lakeview_spark.plans.tpch_extra import RFM_BINS
+
+    con = duckdb.connect()
+    cust = con.sql(f"""
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate),
+                    (SELECT max(o_orderdate)
+                     FROM '{SF_DIR}/orders.parquet')) AS BIGINT) AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS mon
+        FROM '{SF_DIR}/orders.parquet' GROUP BY o_custkey
+    """).fetchall()
+    assert cust
+
+    def scores(vals):
+        mn, mx, n = min(vals), max(vals), len(vals)
+        bins = sorted({(v - mn) * (RFM_BINS - 1) // max(mx - mn, 1) for v in vals})
+        from collections import Counter
+
+        bc = Counter(
+            (v - mn) * (RFM_BINS - 1) // max(mx - mn, 1) for v in vals
+        )
+        cum, cumc, thr = 0, {}, {}
+        for b in bins:
+            cum += bc[b]
+            cumc[b] = cum
+        for q in (1, 2, 3):
+            thr[q] = min(b for b in bins if 4 * cumc[b] >= q * n)
+        out = []
+        for v in vals:
+            b = (v - mn) * (RFM_BINS - 1) // max(mx - mn, 1)
+            out.append(sum(1 for q in (1, 2, 3) if b > thr[q]))
+        return out
+
+    recs = scores([r[1] for r in cust])
+    freqs = scores([r[2] for r in cust])
+    mons = scores([r[3] for r in cust])
+    from collections import defaultdict
+
+    seg = defaultdict(lambda: [0, 0])
+    for (ck, rec, fq, mn_), ra, fa, ma in zip(cust, recs, freqs, mons):
+        key = (4 - ra, 1 + fa, 1 + ma)
+        seg[key][0] += 1
+        seg[key][1] += mn_
+    rows = QUERIES["customer_rfm_segments"](spark, SF_DIR).collect()
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.total_monetary_cents)
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in seg.items()}
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+        assert abs(
+            r.avg_monetary_cents - r.total_monetary_cents / r.n_customers
+        ) < 1e-9

@@ -159,6 +159,8 @@ GUARDED = [
     "eval_lsh_scurve",
     # sweep grid over an empty index (empty probes/truth/candidates)
     "eval_ivfpq_nprobe_sweep",
+    # quartile thresholds over zero customers (empty histograms)
+    "customer_rfm_segments",
 ]
 
 
