@@ -136,6 +136,7 @@ EXTENDED_LATE_R11 = [
     "eval_lsh_scurve",  # empirical LSH transfer function
     "eval_ivfpq_nprobe_sweep",  # recall-vs-cost tuning curve
     "customer_rfm_segments",  # RFM quartile segmentation
+    "events_markov_transitions",  # in-session transition matrix
 ]
 
 

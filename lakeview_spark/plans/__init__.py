@@ -32,7 +32,6 @@ _DRIVER_WINDOW = [
     # the r07 cohort, CORRECTNESS_r07 order
     "archived_batching",
     "checkpoint_filter",
-    "corpus_top_tokens",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -151,9 +150,14 @@ _DRIVER_WINDOW = [
     # `eval_ann_recall`/`eval_rq_recall` in-window)
     "eval_ivfpq_nprobe_sweep",
     # customer_rfm_segments displaces `corpus_distinct_kmv` (corpus kin
-    # `corpus_top_tokens` in-window; the KMV sketch's HLL twin holds an
+    # `corpus_zipf_fit` in-window; the KMV sketch's HLL twin holds an
     # r09 green row)
     "customer_rfm_segments",
+    # events_markov_transitions displaces `corpus_top_tokens` (corpus
+    # kins `corpus_zipf_fit`/`corpus_collocations_pmi` in-window;
+    # events kins `stream_value_cusum` in-window, the events layer's
+    # freshest rows are the r10 cohort)
+    "events_markov_transitions",
 ]
 
 

@@ -2377,3 +2377,125 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mon").cast("bigint").cast("double") / F.count("*"),
         ).alias("avg_monetary_cents"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id, event_type)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id, event_type
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM lagged
+    ),
+    seq AS (
+      SELECT user_id, sid, event_type, ts_us, event_id,
+             lead(event_type) OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts_us, event_id, event_type)
+               AS next_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts_us, event_id, event_type) AS rn
+      FROM sess
+    ),
+    trans AS (
+      SELECT event_type AS from_type,
+             coalesce(next_type, '_end_') AS to_type
+      FROM seq
+      UNION ALL
+      SELECT '_start_' AS from_type, event_type AS to_type
+      FROM seq WHERE rn = 1
+    ),
+    cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM trans GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS from_total
+      FROM cnt GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions, t.from_total,
+           CASE WHEN t.from_total > 0
+                THEN CAST(c.n_transitions AS DOUBLE) / t.from_total
+           END AS prob
+    FROM cnt c JOIN tot t ON t.from_type = c.from_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over in-session event
+    sequences — the aggregated structure behind the path histograms
+    (`events_session_paths` reports the top whole journeys; this
+    reports where users GO from each state, incl. synthetic
+    ``_start_``/``_end_`` states so session entry/exit are first-class
+    transitions — the input to funnel leak analysis and removal-effect
+    attribution). Sessions use the shared 30-min gap rule; in-session
+    order is totalized on (ts_us, event_id, event_type) because the
+    synthetic keys are not unique (CLAUDE.md).
+
+    Determinism: transition counts are exact integers; the row
+    probability is ONE guarded division of identical exact integers.
+
+    Scale shape: every window (lag, running session sum, lead, rank)
+    is keyed on user_id — one shuffle class, per-user partitions
+    bounded by a user's history; the matrix is a (types+2)^2-key
+    groupBy and the row totals derive from the matrix itself
+    (types-sized), never a second corpus pass."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", events_ts_us(ev).alias("ts_us")
+    )
+    order = [F.col("ts_us"), F.col("event_id"), F.col("event_type")]
+    wl = Window.partitionBy("user_id").orderBy(*order)
+    lagged = e.withColumn(
+        "brk",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(wl) > 1_800_000_000, 1
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = lagged.withColumn("sid", F.sum("brk").over(ws).cast("bigint"))
+    wse = Window.partitionBy("user_id", "sid").orderBy(*order)
+    seq = sess.select(
+        "event_type",
+        F.lead("event_type").over(wse).alias("next_type"),
+        F.row_number().over(wse).alias("rn"),
+    )
+    trans = seq.select(
+        F.col("event_type").alias("from_type"),
+        F.coalesce("next_type", F.lit("_end_")).alias("to_type"),
+    ).unionByName(
+        seq.filter(F.col("rn") == 1).select(
+            F.lit("_start_").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+    )
+    cnt = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("from_total")
+    )
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "from_total",
+        F.when(
+            F.col("from_total") > 0,
+            F.col("n_transitions").cast("double") / F.col("from_total"),
+        ).alias("prob"),
+    )

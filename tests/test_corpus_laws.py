@@ -595,3 +595,37 @@ def test_rfm_segments_match_python_replay(spark):
         assert abs(
             r.avg_monetary_cents - r.total_monetary_cents / r.n_customers
         ) < 1e-9
+
+
+def test_markov_transitions_matrix_laws(spark):
+    """Row-stochastic structure: every from-state's probabilities sum
+    to 1; _start_ transitions equal session count; _end_ arrivals equal
+    session count; total in-session transitions reconcile with event
+    and session counts (|transitions| = n_events - n_sessions)."""
+    import duckdb
+
+    from collections import defaultdict
+
+    rows = QUERIES["events_markov_transitions"](spark, SF_MED).collect()
+    assert rows
+    by_from = defaultdict(float)
+    n_by_from = defaultdict(int)
+    for r in rows:
+        by_from[r.from_type] += r.prob
+        n_by_from[r.from_type] += r.n_transitions
+        assert r.from_total == sum(
+            x.n_transitions for x in rows if x.from_type == r.from_type
+        )
+    for f, s in by_from.items():
+        assert abs(s - 1.0) < 1e-9, f
+    starts = n_by_from["_start_"]
+    ends = sum(r.n_transitions for r in rows if r.to_type == "_end_")
+    assert starts == ends  # every session that starts, ends
+    con = duckdb.connect()
+    n_events = con.sql(
+        f"SELECT count(*) FROM '/root/testdata/sf0.01/events.parquet'"
+    ).fetchone()[0]
+    # rows from seq = n_events (each event emits exactly one from-row)
+    assert sum(
+        r.n_transitions for r in rows if r.from_type != "_start_"
+    ) == n_events

@@ -161,6 +161,8 @@ GUARDED = [
     "eval_ivfpq_nprobe_sweep",
     # quartile thresholds over zero customers (empty histograms)
     "customer_rfm_segments",
+    # lead/lag session windows over zero events
+    "events_markov_transitions",
 ]
 
 
