@@ -27,6 +27,13 @@ large first/second ratio marks a first-execution artifact, a second
 reading still above the BASELINE.md band marks a real regression.
 The headline "value"/"queries" stay the cold numbers (comparable to
 every earlier round); adjudication is additive.
+
+Output protocol (r12): the verbose payload prints first, then a COMPACT
+summary JSON prints as the FINAL stdout line — the driver's tail
+capture truncated the grown verbose line at r11 ("parsed": null in
+BENCH_r11.json), so the tail now always ends with a small record
+carrying the headline value, sf, canaries, and the adjudication
+verdict.
 """
 
 from __future__ import annotations
@@ -283,7 +290,37 @@ def main() -> None:
         payload["split_files"] = split_files
     if errors:
         payload["errors"] = errors
+    # Verbose payload first; then a COMPACT summary as the FINAL stdout
+    # line (r11 verdict next-2: the one-line payload outgrew the
+    # driver's tail capture and BENCH_r11.json archived "parsed": null —
+    # the tail must always end with a small parseable record carrying
+    # the headline value). Canaries = the two lightest fixed headline
+    # queries; adjudication verdict = worst second/first ratio observed
+    # (second >> band marks a real regression, second << first marks
+    # first-execution skew — BASELINE.md r11 rule).
     print(json.dumps(payload))
+    summary = {
+        "metric": "lakeview_spark bench: headline query wall-clock",
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "canaries": {
+            k: timings[k]
+            for k in ("text_token_count", "multimodal_metadata")
+            if k in timings
+        },
+        "adjudication_max_second": (
+            round(max(v["second"] for v in adjudication.values()), 3)
+            if adjudication
+            else None
+        ),
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "errors": len(errors),
+    }
+    if split_files > 1:
+        summary["split_files"] = split_files
+    print(json.dumps(summary))
     spark.stop()
     if errors:
         sys.exit(1)

@@ -945,3 +945,142 @@ def mix_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avail") > 0, planned.cast("double") / F.col("avail")
         ).alias("upsample_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document caps: the one standard curation lever the funnel
+# lacked (VERDICT r11 next-9) — bound any single source's share of the
+# training set by an absolute per-source document budget (the
+# per-domain cap every web-scale curation pipeline applies so one giant
+# crawl domain cannot dominate the mixture; cf. the url/domain caps in
+# RefinedWeb/Gopher-style curation). Which docs survive is a
+# deterministic hash subsample (md5 key — no RNG, reproducible under
+# any partitioning), selected by the HISTOGRAM-THRESHOLD device: a
+# 256-bin histogram of hash keys per source picks the threshold bin,
+# docs below it are kept outright, and only the BOUNDARY bin (~1/256 of
+# a source) pays a row_number — never a per-source global sort.
+_CAP_BINS = 256
+# cap = half the mean source size (corpus-derived so it binds at every
+# scale factor; greatest(1, total // (2 * n_sources)) in both engines)
+_CAP_SQL = (
+    "greatest(1, (SELECT count(*) FROM documents) "
+    "// (2 * (SELECT count(DISTINCT source) FROM documents)))"
+)
+
+_CAP_HEX_FOLD_SQL = (
+    "list_reduce(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('scap:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(acc, x) -> acc * 16 + x)"
+)
+
+
+def apply_source_caps(docs: DataFrame, bins: int = _CAP_BINS) -> DataFrame:
+    """Cap documents per source at greatest(1, total // (2 * n_sources))
+    via the histogram-threshold device; returns the kept (doc_id, lang,
+    source) rows. Shared by the registered query and the funnel
+    composition test so the stage cannot drift from its audit.
+
+    Scale shape: pass 1 collapses the corpus map-side to a <=
+    sources x {_CAP_BINS} histogram (partial-aggregable groupBy); the
+    cap and per-source thresholds derive from full-frame/per-source
+    windows over that tiny table (the r11 one-corpus-pass scalar rule —
+    no agg+crossJoin subtree replay); pass 2 re-scans the corpus once,
+    broadcast-joins the <= n_sources-row threshold table, keeps
+    below-threshold bins with a columnar filter, and ranks ONLY the
+    boundary bin (~1/{_CAP_BINS} of each source) through a window —
+    never a per-source sort of the corpus. Deterministic under any
+    partitioning (md5 keys, total-order tiebreaks)."""
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("scap:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    binned = docs.select(
+        "doc_id", "lang", "source", hkey.alias("hkey"), (hkey % bins).alias("bin")
+    )
+    hist = binned.groupBy("source", "bin").agg(F.count("*").alias("c"))
+    wfull = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.partitionBy("source").orderBy("bin")
+    cum = (
+        hist.withColumn("total", F.sum("c").over(wfull))
+        .withColumn("nsrc", F.size(F.collect_set("source").over(wfull)))
+        .withColumn("cap", F.expr("greatest(1, total div (2 * nsrc))"))
+        .withColumn("cum", F.sum("c").over(wcum))
+    )
+    # threshold bin + boundary quota via the struct-min argmin (the
+    # first bin whose cumulative count reaches the cap; min() over the
+    # struct orders by bin, so the quota rides along exactly)
+    thr = cum.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.col("cap"),
+                F.struct(
+                    F.col("bin").alias("tbin"),
+                    (F.col("cap") - (F.col("cum") - F.col("c"))).alias("quota"),
+                ),
+            )
+        ).alias("t")
+    ).select("source", F.col("t.tbin").alias("tbin"), F.col("t.quota").alias("quota"))
+    joined = binned.join(F.broadcast(thr), "source")
+    below = joined.filter(F.col("tbin").isNull() | (F.col("bin") < F.col("tbin")))
+    wb = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    boundary = (
+        joined.filter(F.col("bin") == F.col("tbin"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= F.col("quota"))
+    )
+    return below.select("doc_id", "lang", "source").unionByName(
+        boundary.select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "mix_source_caps",
+    oracle=f"""
+    WITH binned AS (
+      SELECT doc_id, lang, source,
+             CAST({_CAP_HEX_FOLD_SQL} AS BIGINT) AS hkey,
+             CAST({_CAP_HEX_FOLD_SQL} AS BIGINT) % {_CAP_BINS} AS bin
+      FROM documents
+    ),
+    hist AS (SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT source, bin, c, ({_CAP_SQL}) AS cap,
+             sum(c) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    thr AS (
+      SELECT source, min(CASE WHEN cum >= cap THEN bin END) AS tbin
+      FROM cum GROUP BY source
+    ),
+    quota AS (
+      SELECT c2.source, CAST(c2.cap - (c2.cum - c2.c) AS BIGINT) AS quota
+      FROM cum c2 JOIN thr ON thr.source = c2.source AND c2.bin = thr.tbin
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM binned b JOIN thr ON thr.source = b.source
+    WHERE thr.tbin IS NULL OR b.bin < thr.tbin
+    UNION ALL
+    SELECT doc_id, lang, source FROM (
+      SELECT b.doc_id, b.lang, b.source, q.quota,
+             row_number() OVER (PARTITION BY b.source
+                                ORDER BY b.hkey, b.doc_id) AS rn
+      FROM binned b
+      JOIN thr ON thr.source = b.source
+      JOIN quota q ON q.source = b.source
+      WHERE b.bin = thr.tbin)
+    WHERE rn <= quota
+    """,
+)
+def mix_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (section comment above): keep at most
+    greatest(1, total // (2 * n_sources)) documents per source — a
+    deterministic hash subsample selected by the histogram-threshold
+    device, the per-domain dominance bound a curation funnel applies
+    before mixing. Composes over any doc frame via apply_source_caps
+    (the funnel-composition pytest drives it over the quality-filter
+    stage's survivors)."""
+    return apply_source_caps(t(spark, sf_dir, "documents"))

@@ -2417,10 +2417,11 @@ def eval_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The production ANN composition the two audits above promise: an
 # IVF-PQ index stores, per vector, (a) its coarse cluster id — nearest
 # of k TRAINED coarse centroids — and (b) its _PQ_M-byte PQ code. A
-# search visits the probe's _IVFPQ_NPROBE nearest coarse clusters
-# (multiprobe, r10 — nprobe=1 bounded composed recall by a single
-# cluster's hit rate; the measured recall-vs-nprobe grid is in
-# SCALE.md) and ranks their members by asymmetric distance (the
+# search visits the probe's _nprobe_for_k(k) nearest coarse clusters
+# (multiprobe, r10; scale-adaptive fraction rule r12 — nprobe=1 bounded
+# composed recall by a single cluster's hit rate; the measured
+# recall-vs-nprobe grids are in SCALE.md §8a3/§8a3b) and ranks their
+# members by asymmetric distance (the
 # probe's exact subvectors against each member's codeword vectors),
 # never touching stored payloads. Everything rides the established
 # integer devices: the coarse quantizer trains by
@@ -2434,8 +2435,48 @@ def eval_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # directly (composed_recall vs the exact top-k; ivf_retention vs the
 # flat-ADC ceiling).
 _IVFPQ_TOP = 10
-_IVFPQ_NPROBE = 3  # coarse clusters visited per probe (retention 0.89 @ sf0.01)
+# Scale-adaptive nprobe (r12, VERDICT r11 next-3): a FIXED probe count
+# shrinks the visited fraction nprobe/k as the corpus grows (k = n/128),
+# and the registered sweep measured composed recall@10 collapsing
+# 0.67 -> 0.47 -> 0.11 across sf0.01/0.1/1 at the old fixed nprobe=3.
+# A production index holds the visited FRACTION: visit ceil(k /
+# _IVFPQ_NPROBE_FRAC) coarse clusters, floored at _IVFPQ_NPROBE_MIN.
+# FRAC=4 (25% of clusters) chosen from the measured sf1 grid
+# (scripts/nprobe_grid_sf1.py, SCALE.md §8a3b): refined recall@10 0.71
+# at k=156, vs 0.51 at k//8 and 0.11 at fixed 3. The driver correctness
+# scales keep k=4 -> nprobe=3 byte-identically (ceil(4/4)=1 < MIN).
+_IVFPQ_NPROBE_MIN = 3
+_IVFPQ_NPROBE_FRAC = 4  # visit ceil(k/4) coarse clusters per probe
 _IVFPQ_COARSE_ROUNDS = 3  # integer-Lloyd's rounds for the coarse quantizer
+
+
+def _nprobe_for_k(k: int) -> int:
+    """Coarse clusters visited per probe for a k-cluster index."""
+    return max(_IVFPQ_NPROBE_MIN, -(-k // _IVFPQ_NPROBE_FRAC))
+
+
+def _nprobe_for(spark: SparkSession, sf_dir: str) -> int:
+    """The corpus's nprobe — one cached count, same device as k."""
+    return _nprobe_for_k(_k_for_n(corpus_n(spark, sf_dir)))
+
+
+# the SQL twin of _nprobe_for: GREATEST(min, ceil(k / frac)) with k
+# computed exactly as _IVFPQ_K_SQL computes it (integer ceil via
+# (k + frac - 1) // frac)
+_IVFPQ_NPROBE_SQL = (
+    f"SELECT GREATEST({_IVFPQ_NPROBE_MIN}, "
+    f"(GREATEST({_K_MIN}, LEAST({_K_MAX}, count(*) // {_CLUSTER_TARGET})) "
+    f"+ {_IVFPQ_NPROBE_FRAC} - 1) // {_IVFPQ_NPROBE_FRAC}) FROM embeddings"
+)
+
+
+def _nprobe_grid(np_max: int) -> tuple[int, ...]:
+    """Sweep points for the nprobe tuning curve: the QUARTILES of the
+    shipped nprobe, ceil(np_max * i / 4) for i in 1..4, deduped — at
+    np_max = 3 this is exactly the historical (1, 2, 3) grid, and at
+    any scale it stays <= 4 points (a dense 1..np_max grid would
+    multiply the swept pool by np_max as k grows)."""
+    return tuple(sorted({(np_max * i + 3) // 4 for i in (1, 2, 3, 4)}))
 
 # the corpus-sized coarse-centroid count, identical to _k_for_n (the
 # kmeans/SemDeDup sizing rule — constants live in this module)
@@ -2510,12 +2551,14 @@ _IVFPQ_COARSE_CTES = f"""cents0 AS (
         SELECT p.probe_id, c.cluster_id,
                row_number() OVER (PARTITION BY p.probe_id
                                   ORDER BY {_IVFPQ_PROBE_DIST_SQL} ASC, c.cluster_id) AS rn
-        FROM probes p, cents c) WHERE rn <= {_IVFPQ_NPROBE}
+        FROM probes p, cents c) WHERE rn <= ({_IVFPQ_NPROBE_SQL})
     )"""
 
-_IVFPQ_SQL = f"""
-    WITH {{base}},
-    probes AS (
+# the composed search's whole candidate derivation (probes -> trained
+# coarse index -> probe subvectors -> ADC sums) as one CTE block shared
+# by the shipped search and its r12 exact-rerank refinement, so the two
+# cannot drift (the _PQ_BASE_CTES device again)
+_IVFPQ_ADC_CTES = f"""probes AS (
       SELECT vec_id AS probe_id, qv AS pqv FROM q
       WHERE vec_id % ({_PQ_STRIDE_SQL}) = 0
     ),
@@ -2537,12 +2580,48 @@ _IVFPQ_SQL = f"""
     adc AS (
       SELECT probe_id, vec_id, CAST(sum(part) AS BIGINT) AS adc_dist
       FROM adc_parts GROUP BY probe_id, vec_id
-    )
+    )"""
+
+_IVFPQ_SQL = f"""
+    WITH {{base}},
+    {_IVFPQ_ADC_CTES}
     SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rank, adc_dist FROM (
       SELECT probe_id, vec_id, adc_dist,
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY adc_dist ASC, vec_id) AS rn
       FROM adc) WHERE rn <= {_IVFPQ_TOP}
+"""
+
+# exact-rerank refinement (r12): take the ADC top-_IVFPQ_REFINE_C
+# shortlist per probe and rerank it by exact quantized distance read
+# from the stored vectors (faiss IndexRefineFlat — the standard recall
+# lift when the PQ ranking quality, not cluster retention, is the
+# binding constraint; the sf1 grid measured the pure-ADC ceiling at
+# 0.60 while the refined path reads 0.71 at the shipped nprobe).
+_IVFPQ_REFINE_C = 4 * _IVFPQ_TOP
+
+_IVFPQ_REFINED_SQL = f"""
+    WITH {{base}},
+    {_IVFPQ_ADC_CTES},
+    shortlist AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rn
+        FROM adc) WHERE rn <= {_IVFPQ_REFINE_C}
+    ),
+    rr AS (
+      SELECT s.probe_id, s.vec_id,
+             CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS exact_dist
+      FROM shortlist s
+      JOIN q e ON e.vec_id = s.vec_id
+      JOIN probes p ON p.probe_id = s.probe_id
+    )
+    SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rank, exact_dist FROM (
+      SELECT probe_id, vec_id, exact_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY exact_dist ASC, vec_id) AS rn
+      FROM rr) WHERE rn <= {_IVFPQ_TOP}
 """
 
 
@@ -2593,11 +2672,12 @@ def _ivfpq_coarse_parts(spark, sf_dir, emb):
     return cents, coarse
 
 
-def _ivfpq_pclusters(probes, cents):
+def _ivfpq_pclusters(probes, cents, nprobe: int):
     """Per-probe visited clusters: rank the k broadcast centroids by
-    exact-BIGINT distance to each probe and keep the _IVFPQ_NPROBE
-    nearest. The row_number window runs over probes x k rows — both
-    broadcast-scale — never the corpus."""
+    exact-BIGINT distance to each probe and keep the `nprobe` nearest
+    (scale-adaptive: callers pass _nprobe_for(spark, sf_dir)). The
+    row_number window runs over probes x k rows — both broadcast-scale
+    — never the corpus."""
     from pyspark.sql import Window as _W
 
     from lakeview_spark.pipeline.iterative import _kq_sqdist
@@ -2607,7 +2687,7 @@ def _ivfpq_pclusters(probes, cents):
         probes.crossJoin(F.broadcast(cents))
         .select("probe_id", "cluster_id", _kq_sqdist("pqv", "cv").alias("cdist"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select(
             "probe_id",
             F.col("cluster_id").alias("pcluster"),
@@ -2619,12 +2699,13 @@ def _ivfpq_pclusters(probes, cents):
 @register("similarity_ann_ivf_pq", oracle=_IVFPQ_SQL.format(base=_PQ_BASE_CTES_MAT))
 def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN search with multiprobe: for each
-    deterministic-stride probe, rank the members of its
-    {_IVFPQ_NPROBE} nearest TRAINED coarse clusters by exact-BIGINT
-    asymmetric distance over their {_PQ_M}-byte PQ codes;
-    top-{_IVFPQ_TOP} per probe (section comment above — the shipped
-    search path the PQ/IVF audits bound; eval_pq_recall audits this
-    exact composition).
+    deterministic-stride probe, rank the members of its nprobe =
+    max({_IVFPQ_NPROBE_MIN}, ceil(k/{_IVFPQ_NPROBE_FRAC})) nearest
+    TRAINED coarse clusters (scale-adaptive, r12 — the visited FRACTION
+    of the index holds as k grows with n) by exact-BIGINT asymmetric
+    distance over their {_PQ_M}-byte PQ codes; top-{_IVFPQ_TOP} per
+    probe (section comment above — the shipped search path the PQ/IVF
+    audits bound; eval_pq_recall audits this exact composition).
 
     Scale shape: the index (coarse id + code per vector) is built by
     narrow maps — coarse training is {_IVFPQ_COARSE_ROUNDS} broadcast
@@ -2634,14 +2715,36 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook; the code⋈coarse join is one vec_id-keyed equi shuffle (at
     100 TB both live in ONE index table written together, so it
     disappears); probes, their subvectors, and their visited-cluster
-    pairs are ~{_PQ_PROBE_TARGET}x{_IVFPQ_NPROBE} broadcast rows, so
+    pairs are ~{_PQ_PROBE_TARGET} x nprobe broadcast rows, so
     candidate selection is a broadcast-hash filter on (m, cluster) —
     never all-pairs (a candidate's single coarse id matches at most
     one visited cluster per probe, so multiprobe adds no duplicate
-    pairs) — and the per-probe ranking windows are bounded by
-    {_IVFPQ_NPROBE} coarse clusters' occupancy. Payload vectors never
+    pairs) — and the per-probe ranking windows are bounded by the
+    visited clusters' occupancy (~1/{_IVFPQ_NPROBE_FRAC} of the corpus
+    by the fraction rule). Payload vectors never
     shuffle; repartitions the unsplittable single-file local scan
     before the n*k fold (the trainers' documented exception)."""
+    from pyspark.sql import Window as _W
+
+    _emb, _probes, adc = _ivfpq_adc_frame(spark, sf_dir)
+    w = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_TOP)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rn").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )
+
+
+def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str):
+    """The composed search's candidate pool (engine twin of
+    _IVFPQ_ADC_CTES, shared by the shipped search and its exact-rerank
+    refinement): per (probe, candidate-in-visited-clusters) exact-BIGINT
+    asymmetric distance. Returns (emb, probes, adc)."""
     from lakeview_spark.pipeline.iterative import _kq_sqdist
 
     n = corpus_n(spark, sf_dir)
@@ -2651,7 +2754,7 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter((F.col("vec_id") % stride) == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
     )
-    pclusters = _ivfpq_pclusters(probes, cents)
+    pclusters = _ivfpq_pclusters(probes, cents, _nprobe_for(spark, sf_dir))
     psubs = (
         probes.join(pclusters, "probe_id")
         .select(
@@ -2683,17 +2786,56 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("part").alias("adc_dist"))
     )
+    return emb, probes, adc
+
+
+@register(
+    "similarity_ann_ivf_pq_refined",
+    oracle=_IVFPQ_REFINED_SQL.format(base=_PQ_BASE_CTES_MAT),
+)
+def similarity_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search + exact-rerank refinement (r12, VERDICT r11
+    next-3's recall bar): the composed search's ADC top-{_IVFPQ_REFINE_C}
+    shortlist per probe, reranked by exact-BIGINT quantized distance
+    read from the stored vectors — the faiss IndexRefineFlat pattern.
+    The sf1 grid (SCALE.md §8a3b) measured the pure-ADC ranking as the
+    binding constraint at scale (ceiling 0.60 even scanning every
+    cluster); refinement lifts recall@10 to 0.71 at the shipped
+    nprobe = ceil(k/{_IVFPQ_NPROBE_FRAC}) and 0.98 at nprobe = k.
+
+    Scale shape: identical to similarity_ann_ivf_pq up to the ADC pool
+    (same shared candidate derivation — the two queries cannot drift),
+    plus one vec_id-keyed equi join of the ~{_PQ_PROBE_TARGET} x
+    {_IVFPQ_REFINE_C}-row shortlist against the stored vectors (at
+    100 TB: a point-lookup read of C vectors per probe, the refine
+    stage every production IVF deployment budgets) and a per-probe
+    window over {_IVFPQ_REFINE_C} rows."""
     from pyspark.sql import Window as _W
 
-    w = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    emb, probes, adc = _ivfpq_adc_frame(spark, sf_dir)
+    ws = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _IVFPQ_REFINE_C)
+        .select("probe_id", "vec_id")
+    )
+    wr = _W.partitionBy("probe_id").orderBy("exact_dist", "vec_id")
     return (
-        adc.withColumn("rn", F.row_number().over(w))
+        shortlist.join(emb, "vec_id")
+        .join(
+            F.broadcast(probes.select("probe_id", "pqv")),
+            "probe_id",
+        )
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("exact_dist"))
+        .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _IVFPQ_TOP)
         .select(
             "probe_id",
             "vec_id",
             F.col("rn").cast("long").alias("rank"),
-            "adc_dist",
+            "exact_dist",
         )
     )
 
@@ -2709,15 +2851,15 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path columns — composed_recall (the multiprobe IVF-PQ search of
     similarity_ann_ivf_pq vs the same exact truth) and ivf_retention
     (the composed top-{_PQ_RECALL_TOP} vs the flat-ADC
-    top-{_PQ_RECALL_TOP}: what the nprobe={_IVFPQ_NPROBE} cluster
+    top-{_PQ_RECALL_TOP}: what the scale-adaptive nprobe =
+    max({_IVFPQ_NPROBE_MIN}, ceil(k/{_IVFPQ_NPROBE_FRAC})) cluster
     restriction costs relative to scanning every code). All-integer
     distances end-to-end, so this is a hash-exact audit of a lossy
     index; the composed columns ride the SAME shared coarse-index CTE
     block the shipped search uses, so audit and search cannot drift.
-    Measured recall-vs-nprobe grid: SCALE.md (retention 0.44/0.71/0.85
-    untrained seeds at nprobe 1/2/3; 0.53/0.81/0.89 with the
-    {_IVFPQ_COARSE_ROUNDS}-round trained coarse quantizer — the
-    shipped configuration).
+    Measured recall-vs-nprobe grids: SCALE.md §8a3 (the r10 sf0.01
+    grid — retention 0.89 at k=4/nprobe=3, the shipped config there)
+    and §8a3b (the r12 sf1 grid behind the fraction rule).
 
     Scale shape: probes are a corpus-derived-stride broadcast
     (~{_PQ_PROBE_TARGET} rows of subvectors); the ADC side joins the
@@ -2778,7 +2920,7 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe visited clusters — identical distances, smaller candidate
     # set, exactly what similarity_ann_ivf_pq ranks
     cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
-    pclusters = _ivfpq_pclusters(probes, cents).select(
+    pclusters = _ivfpq_pclusters(probes, cents, _nprobe_for(spark, sf_dir)).select(
         F.col("probe_id").alias("pc_probe"), "pcluster"
     )
     ctop = (
@@ -3136,9 +3278,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF-PQ nprobe sweep: the recall-vs-cost tuning curve, oracle-checked
+# (grid = _nprobe_grid(np_max), the quartiles of the shipped
+# scale-adaptive nprobe — (1, 2, 3) at the driver scales)
 # ---------------------------------------------------------------------------
-_NPROBE_GRID = tuple(range(1, _IVFPQ_NPROBE + 1))
-
 _NPROBE_SWEEP_SQL = f"""
     WITH {_PQ_BASE_CTES_MAT},
     probes AS (
@@ -3174,8 +3316,9 @@ _NPROBE_SWEEP_SQL = f"""
         WHERE a.vec_id <> ps.probe_id)
       GROUP BY probe_id, vec_id
     ),
-    grid AS (SELECT CAST(unnest([{", ".join(str(p) for p in _NPROBE_GRID)}])
-                         AS BIGINT) AS np),
+    grid AS (SELECT DISTINCT CAST((npv.npv * i.i + 3) // 4 AS BIGINT) AS np
+             FROM (SELECT ({_IVFPQ_NPROBE_SQL}) AS npv) npv,
+                  (SELECT unnest([1, 2, 3, 4]) AS i) i),
     swept AS (
       SELECT g.np, probe_id, vec_id, adc_dist FROM adc, grid g
       WHERE crank <= g.np
@@ -3214,18 +3357,19 @@ _NPROBE_SWEEP_SQL = f"""
 def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF-PQ recall-vs-cost TUNING CURVE, oracle-checked: composed
     recall@{_PQ_RECALL_TOP} against the exact quantized truth AND the
-    candidate count actually scanned, for every nprobe in
-    {_NPROBE_GRID} — the two columns an index tuner trades against
-    each other. SCALE.md §8a3's grid was driver-measured; this makes
-    the sweep a registered, hash-checked artifact.
+    candidate count actually scanned, at the QUARTILES of the shipped
+    scale-adaptive nprobe (_nprobe_grid — at the driver scales this is
+    the historical 1/2/3 grid) — the two columns an index tuner trades
+    against each other. SCALE.md §8a3's grid was driver-measured; this
+    makes the sweep a registered, hash-checked artifact.
 
     ONE search pass serves every sweep point: the ADC ranking runs
-    once at nprobe = {_IVFPQ_NPROBE} with each candidate tagged by the
+    once at the shipped nprobe with each candidate tagged by the
     RANK of the visited cluster that admitted it (a candidate's single
     coarse id matches at most one visited cluster, so min(crank) is
     exact), and smaller sweep points are crank-prefix restrictions of
-    that one candidate pool — never a re-search. The pool triples
-    through a {len(_NPROBE_GRID)}-row grid explode, windows rank per
+    that one candidate pool — never a re-search. The pool widens
+    through a <= 4-row grid explode, windows rank per
     (np, probe) over visited-cluster occupancy.
 
     Scale shape: identical to similarity_ann_ivf_pq (materialized
@@ -3256,7 +3400,9 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_RECALL_TOP)
         .select(F.col("probe_id").alias("t_probe"), F.col("vec_id").alias("t_vec"))
     )
-    pclusters = _ivfpq_pclusters(probes, cents)
+    np_max = _nprobe_for(spark, sf_dir)
+    grid_points = _nprobe_grid(np_max)
+    pclusters = _ivfpq_pclusters(probes, cents, np_max)
     psubs = (
         probes.join(pclusters, "probe_id")
         .select(
@@ -3300,7 +3446,7 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = adc.withColumn(
         "np",
-        F.explode(F.array(*[F.lit(p).cast("bigint") for p in _NPROBE_GRID])),
+        F.explode(F.array(*[F.lit(p).cast("bigint") for p in grid_points])),
     ).filter(F.col("crank") <= F.col("np"))
     wr = _W.partitionBy("np", "probe_id").orderBy("adc_dist", "vec_id")
     ranked = (
@@ -3321,7 +3467,7 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("np")
         .agg(F.count("*").cast("bigint").alias("total_hits"))
     )
-    grid = spark.createDataFrame([(int(p),) for p in _NPROBE_GRID], "np bigint")
+    grid = spark.createDataFrame([(int(p),) for p in grid_points], "np bigint")
     return (
         grid.crossJoin(F.broadcast(nprobes))
         .join(cands, "np", "left")

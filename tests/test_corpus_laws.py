@@ -482,13 +482,20 @@ def test_nprobe_sweep_is_monotone_and_pins_the_composed_search(spark):
     reconciles with the composed search similarity_ann_ivf_pq (its
     top-10 intersected with the same exact truth) — one candidate
     pool, never a divergent re-search."""
-    from lakeview_spark.pipeline.similarity import _IVFPQ_NPROBE, _PQ_RECALL_TOP
+    from lakeview_spark.pipeline.similarity import (
+        _PQ_RECALL_TOP,
+        _k_for_n,
+        _nprobe_for_k,
+        _nprobe_grid,
+        corpus_n,
+    )
 
     rows = sorted(
         QUERIES["eval_ivfpq_nprobe_sweep"](spark, SF_MED).collect(),
         key=lambda r: r.nprobe,
     )
-    assert [r.nprobe for r in rows] == list(range(1, _IVFPQ_NPROBE + 1))
+    np_max = _nprobe_for_k(_k_for_n(corpus_n(spark, SF_MED)))
+    assert [r.nprobe for r in rows] == list(_nprobe_grid(np_max))
     for a, b in zip(rows, rows[1:]):
         assert a.total_candidates <= b.total_candidates
         assert a.total_hits <= b.total_hits

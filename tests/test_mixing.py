@@ -362,3 +362,68 @@ def test_sample_dsir_select_replay_and_target_affinity(spark):
     corpus_en = sum(1 for lang, _ in occ.values() if lang == "en") / len(occ)
     assert frac_en > corpus_en
     assert frac_en >= 0.5
+
+
+def test_source_caps_matches_pure_python_replay(spark):
+    """mix_source_caps == an independent Python replay at sf0.001: md5
+    hash keys, 256-bin histogram threshold per source, boundary-bin
+    (hkey, doc_id) tiebreak — i.e. exactly the cap smallest-key docs
+    per source, cap = greatest(1, total // (2 * n_sources))."""
+    import duckdb
+
+    from lakeview_spark.plans import QUERIES
+
+    rows = duckdb.sql(
+        "SELECT doc_id, source FROM read_parquet("
+        f"'{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    import hashlib
+
+    def hkey(did):
+        return int(
+            hashlib.md5(f"scap:{did}".encode()).hexdigest()[:15], 16
+        )
+
+    srcs = {}
+    for did, src in rows:
+        srcs.setdefault(src, []).append(did)
+    cap = max(1, len(rows) // (2 * len(srcs)))
+    expected = set()
+    for src, dids in srcs.items():
+        # the histogram-threshold + boundary-rank selection is exactly
+        # the cap smallest (bin, hkey, doc_id) triples — bin-major
+        ranked = sorted(dids, key=lambda d: (hkey(d) % 256, hkey(d), d))
+        expected |= {(d, src) for d in ranked[:cap]}
+    got = QUERIES["mix_source_caps"](spark, SF_DIR).collect()
+    assert {(r.doc_id, r.source) for r in got} == expected
+    per_src = {}
+    for r in got:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert all(v == cap for v in per_src.values())
+
+
+def test_source_caps_compose_over_the_curation_funnel(spark):
+    """The cap stage composes over any doc frame (VERDICT r11 next-9's
+    funnel composition): applied to the quality-filter survivors, the
+    result is a subset of the survivors, respects the per-source cap
+    derived from THAT frame, and is deterministic under repartitioning."""
+    from lakeview_spark.pipeline.curation import quality_filter_apply
+    from lakeview_spark.pipeline.mixing import apply_source_caps
+
+    survivors = quality_filter_apply(spark, SF_DIR).select(
+        "doc_id", "lang", "source"
+    )
+    capped = apply_source_caps(survivors)
+    surv = {(r.doc_id, r.source) for r in survivors.collect()}
+    kept = [(r.doc_id, r.source) for r in capped.collect()]
+    assert set(kept) <= surv
+    assert len(kept) == len(set(kept))
+    n, nsrc = len(surv), len({s for _, s in surv})
+    cap = max(1, n // (2 * nsrc))
+    per_src = {}
+    for _, s in kept:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v <= cap for v in per_src.values())
+    # determinism under a different partitioning
+    again = apply_source_caps(survivors.repartition(7)).collect()
+    assert {(r.doc_id, r.source) for r in again} == set(kept)

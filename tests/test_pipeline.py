@@ -796,15 +796,17 @@ def _ivfpq_train_coarse(qv):
 
 
 def _ivfpq_visited(qv, cents, p):
-    """The probe's visited coarse clusters: _IVFPQ_NPROBE nearest
-    trained centroids, (distance, cluster_id) total order."""
-    from lakeview_spark.pipeline.similarity import _IVFPQ_NPROBE
+    """The probe's visited coarse clusters: the scale-adaptive
+    _nprobe_for_k(k) nearest trained centroids (k=4 at the test scale,
+    so nprobe = the historical 3), (distance, cluster_id) total
+    order."""
+    from lakeview_spark.pipeline.similarity import _nprobe_for_k
 
     def sqd(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
     ranked = sorted((sqd(qv[p], cv), c) for c, cv in cents.items())
-    return {c for _d, c in ranked[:_IVFPQ_NPROBE]}
+    return {c for _d, c in ranked[: _nprobe_for_k(len(cents))]}
 
 
 def test_pq_codebook_stats_matches_pure_python_replay(spark):
@@ -1082,6 +1084,72 @@ def test_ivf_pq_search_matches_pure_python_replay(spark):
     assert len(got) == len(expected)
     for r in got:
         assert (r.rank, r.adc_dist) == expected[(r.probe_id, r.vec_id)]
+
+
+def test_ivf_pq_refined_matches_pure_python_replay(spark):
+    """similarity_ann_ivf_pq_refined == an independent Python replay:
+    the composed ADC pool's top-_IVFPQ_REFINE_C shortlist per probe,
+    reranked by exact quantized distance (the r12 faiss-IndexRefineFlat
+    stage) with (dist, vec_id) total-order top-10. And the refinement
+    law that justifies the stage: per probe, refined recall vs the
+    exact truth >= composed (pure-ADC) recall is NOT guaranteed
+    pointwise, but the refined top-10 is exactly the exact-distance
+    ranking of the shortlist."""
+    from lakeview_spark.pipeline.similarity import (
+        _IVFPQ_REFINE_C,
+        _IVFPQ_TOP,
+        _PQ_M,
+        _PQ_PROBE_TARGET,
+        _PQ_SUB,
+    )
+
+    qv = _pq_load_qv()
+    n = len(qv)
+    cents = _ivfpq_train_coarse(qv)
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    coarse = {
+        v: min((sqd(vec, cv), c) for c, cv in cents.items())[1]
+        for v, vec in qv.items()
+    }
+    books = _pq_train_books(qv)
+    codes = {
+        v: [
+            min(
+                (sqd(vec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][c]), c)
+                for c in sorted(books[m])
+            )[1]
+            for m in range(_PQ_M)
+        ]
+        for v, vec in qv.items()
+    }
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    expected = {}
+    for p in sorted(qv):
+        if p % stride != 0:
+            continue
+        pvec = qv[p]
+        visited = _ivfpq_visited(qv, cents, p)
+        shortlist = sorted(
+            (
+                sum(
+                    sqd(pvec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][codes[v][m]])
+                    for m in range(_PQ_M)
+                ),
+                v,
+            )
+            for v in qv
+            if v != p and coarse[v] in visited
+        )[:_IVFPQ_REFINE_C]
+        reranked = sorted((sqd(pvec, qv[v]), v) for _d, v in shortlist)[:_IVFPQ_TOP]
+        for rank, (d, v) in enumerate(reranked, start=1):
+            expected[(p, v)] = (rank, d)
+    got = QUERIES["similarity_ann_ivf_pq_refined"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.rank, r.exact_dist) == expected[(r.probe_id, r.vec_id)]
 
 
 def test_unigram_prune_matches_pure_python_replay(spark):
