@@ -8,7 +8,7 @@ whole-stage codegen — no UDFs anywhere in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeview_spark.plans.registry import register, t
@@ -453,9 +453,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KenLM-style model prune (r12, VERDICT r11 next-4): bigram TYPES
+# occurring fewer than _BIGRAM_MIN_COUNT times are dropped from the
+# model table — singletons are the bulk of bigram types by Zipf and
+# were the 2.9x-at-10x growth term — and pruned/unseen pairs price
+# through the unigram backoff with c12 = 0 (add-one smoothing makes
+# that bl(1) = 1, so the fallback is exact, never a log(0)). The price
+# decomposes as fb1(w1) + fb2(w2) + adj(w1, w2): two PER-TOKEN prices
+# assembled on the vocabulary table, plus a model adjustment
+# 3*(1 - bl(c12+1)) <= -3 carried only by the BOUNDED kept-model table
+# (a discount for attested collocations).
+_BIGRAM_MIN_COUNT = 2
+
 @register(
     "text_perplexity_bigram",
-    oracle="""
+    oracle=f"""
     WITH tk AS (
       SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
       FROM documents
@@ -477,26 +489,34 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
       FROM uni
     ),
-    big AS (
-      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-      FROM pairs GROUP BY w1, w2
+    fb1 AS (
+      SELECT w AS w1,
+             3 * (CAST(length(printf('%b', c + v)) AS BIGINT) - 1) AS q1
+      FROM uni CROSS JOIN consts
     ),
-    priced AS (
-      SELECT b.w1, b.w2,
-             3 * (CAST(length(printf('%b', u1.c + v)) AS BIGINT)
-                  - CAST(length(printf('%b', b.c12 + 1)) AS BIGINT))
-             + (CAST(length(printf('%b', n + v)) AS BIGINT)
-                - CAST(length(printf('%b', u2.c + 1)) AS BIGINT)) AS qbits
-      FROM big b
-      JOIN uni u1 ON u1.w = b.w1
-      JOIN uni u2 ON u2.w = b.w2
-      CROSS JOIN consts
+    fb2 AS (
+      SELECT w AS w2,
+             CAST(length(printf('%b', n + v)) AS BIGINT)
+             - CAST(length(printf('%b', c + 1)) AS BIGINT) AS q2
+      FROM uni CROSS JOIN consts
+    ),
+    model AS (
+      SELECT w1, w2,
+             3 * (1 - CAST(length(printf('%b', c12 + 1)) AS BIGINT)) AS adj
+      FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY w1, w2)
+      WHERE c12 >= {_BIGRAM_MIN_COUNT}
     )
     SELECT p.doc_id, p.lang,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(pr.qbits) AS BIGINT) AS total_qbits,
-           CAST(sum(pr.qbits) AS DOUBLE) / (4.0 * count(*)) AS bits_per_bigram
-    FROM pairs p JOIN priced pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+           CAST(sum(f1.q1 + f2.q2 + coalesce(m.adj, 0)) AS BIGINT)
+             AS total_qbits,
+           CAST(sum(f1.q1 + f2.q2 + coalesce(m.adj, 0)) AS DOUBLE)
+             / (4.0 * count(*)) AS bits_per_bigram
+    FROM pairs p
+    JOIN fb1 f1 ON f1.w1 = p.w1
+    JOIN fb2 f2 ON f2.w2 = p.w2
+    LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
     GROUP BY p.doc_id, p.lang
     """,
 )
@@ -513,22 +533,34 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
               +     [bl(N + V)     - bl(c(w2) + 1)]    -- unigram
 
     where bl = bitlength (floor-log2 + 1, exact in both engines), c12
-    the corpus bigram count, c() unigram counts, N total tokens, V
-    vocabulary size — add-one smoothing everywhere, so no log(0) and
-    every term a positive BIGINT. Per-doc total_qbits is an exact
-    BIGINT sum; the single guarded double division (quarter-bits ->
-    bits per bigram) happens at the output edge on identical integers.
-    High bits_per_bigram = improbable word sequences under the corpus
-    model (noise / shuffled text); low = stock phrasing. Every doc has
-    >= 10 tokens in the synthetic corpus, so the pair stream covers
-    all docs (no n_bigrams = 0 branch to keep).
+    the corpus bigram count (0 for pairs PRUNED from the model — the
+    r12 min-count prune, section comment above), c() unigram counts,
+    N total tokens, V vocabulary size — add-one smoothing everywhere,
+    so no log(0) and every term a positive BIGINT. Per-doc total_qbits
+    is an exact BIGINT sum; the single guarded double division
+    (quarter-bits -> bits per bigram) happens at the output edge on
+    identical integers. High bits_per_bigram = improbable word
+    sequences under the corpus model (noise / shuffled text); low =
+    stock phrasing. Every doc has >= 10 tokens in the synthetic
+    corpus, so the pair stream covers all docs (no n_bigrams = 0
+    branch to keep).
 
-    Scale shape (the sample_dsir_select economics): bigram + unigram
-    counts are two partial-aggregable groupBys; the per-pair price is
-    assembled on the BIGRAM TABLE (vocabulary-sized) via two
-    vocab-keyed equi joins + the 1-row constants broadcast, so the
-    corpus pair stream crosses exactly one feature-keyed equi join and
-    one doc-keyed aggregation. No global sort, no all-pairs."""
+    Scale shape (the sample_dsir_select economics, r12-bounded): the
+    MODEL table keeps only bigram types with c12 >= {_BIGRAM_MIN_COUNT}
+    — the KenLM prune; singleton types were the unbounded 2.9x-at-10x
+    growth term (VERDICT r11 next-4). The trained LM is two
+    MATERIALIZED scratch tables (the index-materialization rule: the
+    lazy uni/pairs subtrees were referenced 3x/2x in one plan, and the
+    derived-plan replay re-tokenized the corpus per reference — 4.3 s
+    -> ~1 s steady at sf1): `ppl_prices` (per-token backoff prices,
+    one corpus pass — corpus totals come from full-frame windows over
+    the vocab-sized agg, never a second scan) and `ppl_model` (the
+    pruned bigram adjustments, one corpus pass). Steady state the pair
+    stream crosses two vocab-keyed price joins + one left join against
+    the bounded model (all build sides scratch scans), then one
+    doc-keyed aggregation. No global sort, no all-pairs."""
+    from lakeview_spark.operators.materialize import materialized
+
     tk = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
     )
@@ -541,41 +573,50 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tk.select(
         "doc_id", "lang", F.explode(pair_structs).alias("p")
     ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    uni = (
-        tk.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    # corpus totals from the (small) vocab table, not a third corpus scan
-    consts = uni.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count("*").cast("bigint").alias("v"),
-    )
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
     bl = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
-    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
-    priced = (
-        big.join(u1, "w1")
-        .join(u2, "w2")
-        .crossJoin(F.broadcast(consts))
-        .select(
-            "w1",
-            "w2",
-            (
-                3 * (bl(F.col("c1") + F.col("v")) - bl(F.col("c12") + 1))
-                + (bl(F.col("n") + F.col("v")) - bl(F.col("c2") + 1))
-            ).alias("qbits"),
+
+    def _build_prices(spark, sf_dir):
+        uni = (
+            tk.select(F.explode("toks").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").cast("bigint").alias("c"))
         )
-    )
+        wfull = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            uni.withColumn("n", F.sum("c").over(wfull).cast("bigint"))
+            .withColumn("v", F.count("*").over(wfull).cast("bigint"))
+            .select(
+                "w",
+                (3 * (bl(F.col("c") + F.col("v")) - 1)).alias("q1"),
+                (bl(F.col("n") + F.col("v")) - bl(F.col("c") + 1)).alias("q2"),
+            )
+        )
+
+    def _build_model(spark, sf_dir):
+        return (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").cast("bigint").alias("c12"))
+            .filter(F.col("c12") >= _BIGRAM_MIN_COUNT)
+            .select("w1", "w2", (3 * (1 - bl(F.col("c12") + 1))).alias("adj"))
+        )
+
+    prices = materialized(spark, "ppl_prices", sf_dir, _build_prices)
+    model = materialized(spark, "ppl_model", sf_dir, _build_model)
+    fb1 = prices.select(F.col("w").alias("w1"), "q1")
+    fb2 = prices.select(F.col("w").alias("w2"), "q2")
+    qbits = F.col("q1") + F.col("q2") + F.coalesce(F.col("adj"), F.lit(0))
     return (
-        pairs.join(priced, ["w1", "w2"])
+        pairs.join(fb1, "w1")
+        .join(fb2, "w2")
+        .join(model, ["w1", "w2"], "left")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("qbits").cast("bigint").alias("total_qbits"),
+            F.sum(qbits).cast("bigint").alias("total_qbits"),
             (
-                F.sum("qbits").cast("double")
+                F.sum(qbits).cast("double")
                 / (4.0 * F.count("*").cast("double"))
             ).alias("bits_per_bigram"),
         )

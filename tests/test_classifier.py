@@ -73,10 +73,15 @@ def test_holdout_split_is_disjoint_and_both_sides_nonempty(spark):
 def test_perplexity_bigram_matches_pure_python_replay(spark):
     """text_perplexity_bigram == an independent Python replay of the
     quarter-bit interpolated bigram cost at sf0.001 (the VERDICT r10
-    next-3 'property-test vs a pure-Python replay' bar)."""
+    next-3 'property-test vs a pure-Python replay' bar), with the r12
+    KenLM-style model prune: bigram types below _BIGRAM_MIN_COUNT are
+    absent from the model, so those pairs price through the unigram
+    backoff with c12 = 0."""
     from collections import Counter
 
     import pyarrow.parquet as pq
+
+    from lakeview_spark.pipeline.text import _BIGRAM_MIN_COUNT
 
     docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
     uni, big = Counter(), Counter()
@@ -89,13 +94,14 @@ def test_perplexity_bigram_matches_pure_python_replay(spark):
         doc_pairs[doc_id] = prs
     n = sum(uni.values())
     v = len(uni)
+    model = {p: c for p, c in big.items() if c >= _BIGRAM_MIN_COUNT}
     bl = lambda x: x.bit_length()  # noqa: E731
     expected = {}
     for doc_id, prs in doc_pairs.items():
         if not prs:
             continue
         q = sum(
-            3 * (bl(uni[w1] + v) - bl(big[(w1, w2)] + 1))
+            3 * (bl(uni[w1] + v) - bl(model.get((w1, w2), 0) + 1))
             + (bl(n + v) - bl(uni[w2] + 1))
             for w1, w2 in prs
         )
@@ -105,6 +111,9 @@ def test_perplexity_bigram_matches_pure_python_replay(spark):
         for r in QUERIES["text_perplexity_bigram"](spark, SF_DIR).collect()
     }
     assert got == expected
+    # the prune must actually bind at this scale (otherwise the test is
+    # vacuous about the fallback path)
+    assert len(model) < len(big)
 
 
 def test_stream_gate_bucket_default_matches_trainer():

@@ -168,6 +168,7 @@ _TINY_BROADCAST_OK = {
     "corpus_collocations_pmi",  # 1-row bigram-total broadcast onto the type table
     "eval_community_conductance",  # 1-row total-volume broadcast (the modularity shape)
     "eval_ivfpq_nprobe_sweep",  # fixed-size probe + k-row centroid broadcasts (the PQ shape)
+    "similarity_ann_ivf_pq_refined",  # same k-row centroid broadcast via the shared ADC frame
     "customer_rfm_segments",  # 1-row max-date broadcast onto the customer aggregate
 }
 
