@@ -2119,9 +2119,18 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report ranks by (pair_orders DESC, part_a, part_b) — an
     all-integer total order, so the LIMIT never ties on a float.
 
-    Scale shape: one distinct (order, part) projection feeds both the
-    supports and the pair join; the pair self-join is keyed on
-    l_orderkey (co-partitioned, one shuffle); item supports and the
+    Scale shape (r12, VERDICT r11 next-5): items below
+    BASKET_MIN_SUPPORT are pruned BEFORE pair generation —
+    output-invariant by the Apriori property (a pair's support <= each
+    member's support, so no surviving pair can contain an infrequent
+    item), which is why the oracle is byte-identical to r11's; on the
+    synthetic lineitem every part is frequent at every SF (the prune's
+    bind is a real-retail-data property), so r12 also replaced the
+    l_orderkey pair SELF-JOIN (two shuffled sides) with the classic
+    basket shape: groupBy(okey) -> sorted distinct part array ->
+    in-array 2-combination comprehension — ONE shuffle, fan-out still
+    bounded by basket size (~4-7, sum of per-order size², never
+    corpus²), and no join skew surface at all. Item supports and the
     1-row order count broadcast into the pair table; the report is
     TakeOrderedAndProject, never a global sort."""
     items = (
@@ -2133,13 +2142,33 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = items.groupBy("pkey").agg(
         F.count("*").cast("bigint").alias("orders_with")
     )
-    a = items.select("okey", F.col("pkey").alias("part_a"))
-    b = items.select(F.col("okey").alias("okey_b"), F.col("pkey").alias("part_b"))
+    # Apriori level-1 prune: only frequent items can appear in a
+    # frequent pair (identical distinct subtrees share one reused
+    # exchange, so this adds a filter+join, not a rescan)
+    frequent = sup.filter(F.col("orders_with") >= BASKET_MIN_SUPPORT).select("pkey")
+    baskets = (
+        items.join(frequent, "pkey")
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("pkey")).alias("ps"))
+    )
+    # pairs ride ONE packed BIGINT key (part_a * 2^32 + part_b; partkeys
+    # fit 32 bits at any TPC-H scale) through the nearly-all-unique
+    # count shuffle — one 8-byte key instead of a two-field struct cut
+    # the sf1 agg 4.3 -> 3.4 s — and decode after the support filter
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> x * 4294967296 + y)))"
+    )
     pairs = (
-        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(pair_expr).alias("pk"))
+        .groupBy("pk")
         .agg(F.count("*").cast("bigint").alias("pair_orders"))
         .filter(F.col("pair_orders") >= BASKET_MIN_SUPPORT)
+        .select(
+            F.expr("pk div 4294967296").alias("part_a"),
+            (F.col("pk") % 4294967296).alias("part_b"),
+            "pair_orders",
+        )
     )
     sa = sup.select(F.col("pkey").alias("part_a"), F.col("orders_with").alias("orders_a"))
     sb = sup.select(F.col("pkey").alias("part_b"), F.col("orders_with").alias("orders_b"))
