@@ -63,6 +63,13 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         builders.append(
             lambda s, d: _ivfpq_coarse_parts(s, d, _pq_emb(s, d))[1]
         )
+        # the RQ stage-2 half (r12, VERDICT r11 next-8): rq_codes rides
+        # the same lifecycle — building it here also trains + caches
+        # the stage-2 codebook, so eval_rq_recall reads the index
+        # instead of re-training it on first execution
+        from lakeview_spark.pipeline.similarity import rq_codes_materialized
+
+        builders.append(rq_codes_materialized)
         # the packed-batch table (the inherently-sequential per-table
         # Python packer) backs active_batch_packing AND
         # checkpoint_lookback — both in the extended steady set, and
