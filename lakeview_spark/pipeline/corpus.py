@@ -1681,7 +1681,15 @@ def corpus_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     by integer bucket arithmetic (doc_id * 8 div n_docs), the eighths
     collapse to <= 8-row tables, and prefixes are tiny grid-vs-bucket
     cumulative joins. A doc is in prefix j iff doc_id * 8 < nd * j,
-    so n_docs_prefix = ceil(nd * j / 8) exactly. The beta fit rides
+    so n_docs_prefix = ceil(nd * j / 8) exactly — under the DENSE
+    doc_id assumption (ids 0..nd-1, which the synthetic corpus and any
+    ingestion-ordered assignment satisfy; ADVICE r11): with GAPS in
+    the id space the emitted n_docs_prefix is the POSITIONAL prefix
+    size (ids below the threshold), an overstatement of actual
+    document count — engine and oracle stay consistent either way
+    because both compute the same closed form, and the checkpoint
+    MEMBERSHIP (which docs/types land in which eighth) is gap-correct
+    by construction. The beta fit rides
     the bit-length least-squares device (corpus_zipf_fit) over the 8
     checkpoint rows via full-frame windows: all sums BIGINT, one
     guarded edge division.
@@ -1843,7 +1851,12 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     device), ONE guarded double division by 2 * N_a * N_b at the
     output edge. (Unscaled magnitudes stay far below 2^53 at audit
     scales; an extreme-scale deployment rescales counts first — the
-    2^53 rule.)
+    2^53 rule. ADVICE r11: the rule is now ENFORCED, not just
+    documented — each cross term is guarded by a conditional
+    raise_error keyed on the half magnitudes (na, nb < 2^31 keeps
+    2*na*nb < 2^63), so a run past the exact-BIGINT range fails
+    deterministically with the rescale instruction instead of by ANSI
+    overflow mid-sum.)
 
     Scale shape: the half threshold comes from a separate NARROW
     doc_id scan collapsed to a 1-row broadcast (not an agg over the
@@ -1875,7 +1888,21 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
     )
-    dev = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    # exact-range guard (docstring): beyond na/nb < 2^31 the BIGINT TV
+    # numerator can overflow 2^63 — degrade deterministically with the
+    # rescale instruction, never by ANSI overflow mid-sum
+    in_range = (F.col("na") < F.lit(1 << 31)) & (F.col("nb") < F.lit(1 << 31))
+    dev = F.when(
+        in_range, F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "corpus_snapshot_drift: half sizes exceed the exact-BIGINT "
+                "TV range (na/nb >= 2^31); rescale counts first (the 2^53 "
+                "rule, SCALE.md)"
+            )
+        )
+    )
     return (
         st.join(F.broadcast(ns), "lang")
         .groupBy("lang")

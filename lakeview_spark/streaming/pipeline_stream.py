@@ -585,7 +585,15 @@ def stream_drift_monitor(
 
     Determinism: bucket counts and the cross-multiplied TV numerator
     sum(|c_b * N_ref - r_b * N_win|) are exact BIGINTs; ONE guarded
-    double division at the output edge."""
+    double division at the output edge.
+
+    A lang with NO reference row (a genuinely new language at
+    ingestion — the strongest possible drift signal) must not report
+    silently-NULL drift (ADVICE r11): such windows emit
+    ref_missing = true and tv_distance = 1.0 (the TV maximum — a
+    never-seen distribution is at full distance from an absent
+    reference); tv_num/n_ref stay NULL, honestly (no numerator
+    exists)."""
     bexpr = (
         "transform(split(lower(text), ' '), "
         f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {buckets})"
@@ -622,9 +630,12 @@ def stream_drift_monitor(
         "n_win",
         "n_ref",
         "tv_num",
-        F.when(
+        F.col("n_ref").isNull().alias("ref_missing"),
+        F.when(F.col("n_ref").isNull(), F.lit(1.0))
+        .when(
             (F.col("n_win") > 0) & (F.col("n_ref") > 0),
             F.col("tv_num").cast("double")
             / (F.lit(2.0) * F.col("n_win") * F.col("n_ref")),
-        ).alias("tv_distance"),
+        )
+        .alias("tv_distance"),
     )

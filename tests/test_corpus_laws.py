@@ -288,6 +288,59 @@ def test_stream_drift_windows_fold_to_the_batch_reference(spark):
     assert per_lang == n_ref
 
 
+def test_stream_drift_flags_a_lang_missing_from_the_reference(spark):
+    """ADVICE r11: a lang with NO reference row — a genuinely new
+    language at ingestion, the strongest possible drift signal — must
+    not report silently-NULL drift. The live operator (driven here with
+    a reference that deliberately drops one lang) emits
+    ref_missing = true and tv_distance = 1.0 for that lang's windows,
+    NULL n_ref/tv_num (no numerator exists), and the covered langs are
+    byte-identical to the full-reference run."""
+    from lakeview_spark.pipeline.corpus import drift_reference
+    from lakeview_spark.plans.streaming_twins import (
+        _DRIFT_BUCKETS_TWIN,
+        _doc_stream,
+        _run_available_now,
+    )
+    from lakeview_spark.streaming.pipeline_stream import stream_drift_monitor
+
+    from pyspark.sql import functions as F
+
+    full_ref = drift_reference(spark, SF_DIR, buckets=_DRIFT_BUCKETS_TWIN)
+    langs = sorted(r.lang for r in full_ref.select("lang").distinct().collect())
+    assert len(langs) >= 2
+    dropped = langs[0]
+    rows = _run_available_now(
+        stream_drift_monitor(
+            _doc_stream(spark, SF_DIR),
+            full_ref.filter(F.col("lang") != dropped),
+            buckets=_DRIFT_BUCKETS_TWIN,
+        ),
+        "update",
+    ).collect()
+    missing = [r for r in rows if r.lang == dropped]
+    covered = [r for r in rows if r.lang != dropped]
+    assert missing and covered
+    for r in missing:
+        assert r.ref_missing is True
+        assert r.tv_distance == 1.0
+        assert r.n_ref is None and r.tv_num is None
+    # the registered twin reports unix micros (session TZ pinned UTC,
+    # Python datetimes tz-naive — normalize via timegm)
+    import calendar
+
+    full = {
+        (r.lang, r.window_start_us): (r.n_win, r.n_ref, r.tv_num, r.tv_distance)
+        for r in QUERIES["stream_drift_monitor"](spark, SF_DIR).collect()
+        if r.lang != dropped
+    }
+    for r in covered:
+        assert r.ref_missing is False
+        key_us = calendar.timegm(r.window_start.timetuple()) * 1_000_000
+        got = full[(r.lang, key_us)]
+        assert (r.n_win, r.n_ref, r.tv_num, r.tv_distance) == got
+
+
 def _levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
