@@ -147,6 +147,20 @@ EXTENDED_LATE_R11 = [
 ]
 
 
+# FROZEN r12 cohort: the round's new/changed queries, tracked
+# round-over-round like EXTENDED_R9/EXTENDED_LATE_R11; nominal bands in
+# BASELINE.md "r12 additions". Timed after the same untimed prewarm
+# (rq_codes now builds in the prewarm, so eval_rq_recall reads steady).
+EXTENDED_R12 = [
+    "similarity_ann_ivf_pq_refined",  # exact-rerank refinement stage
+    "eval_rq_recall",  # now reads the prewarmed rq_codes index
+    "text_perplexity_bigram",  # KenLM-pruned materialized LM
+    "mix_source_caps",  # per-source histogram-threshold caps
+    "cheapest_supplier_q2",  # Q2 argmin-lookup star shape
+    "promo_stock_suppliers_q20",  # Q20 threshold semi-join shape
+]
+
+
 def _split_copy(spark, sf_dir: str, n_files: int) -> str:
     """Rewrite every table as n_files parquet parts under a temp dir —
     the multi-file layout a real deployment scans — and return it.
@@ -242,7 +256,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["extended_prewarm"] = f"{type(exc).__name__}: {exc}"[:200]
     else:
-        for name in EXTENDED_STEADY + EXTENDED_R9 + EXTENDED_LATE_R11:
+        for name in EXTENDED_STEADY + EXTENDED_R9 + EXTENDED_LATE_R11 + EXTENDED_R12:
             if name not in QUERIES:
                 continue
             t0 = time.time()
@@ -284,6 +298,11 @@ def main() -> None:
             "what": "frozen late-r11 session-2 cohort, same prewarm (BASELINE.md bands)",
             "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_LATE_R11), 3),
             "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_LATE_R11},
+        },
+        "extended_r12": {
+            "what": "frozen r12 new/changed cohort, same prewarm (BASELINE.md bands)",
+            "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R12), 3),
+            "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R12},
         },
     }
     if split_files > 1:

@@ -52,6 +52,13 @@ _DRIVER_WINDOW = [
     "eval_rq_recall",
     # NEW in r12 (VERDICT r11 next-9): per-source document caps
     "mix_source_caps",
+    # NEW in r12 (J7 breadth): the Q2 argmin-lookup and Q20
+    # threshold-semi-join shapes — displace the two deepest r08
+    # top-ups (`text_quality_score`, `text_repetition_score`; both
+    # keep r08 green rows + the every-round sweep, text kins
+    # `text_language_id` in-window)
+    "cheapest_supplier_q2",
+    "promo_stock_suppliers_q20",
     # the r07-stale cohort — every query whose newest green row is
     # CORRECTNESS_r07, in CORRECTNESS_r07 order
     "contamination_ngram_overlap",
@@ -95,8 +102,6 @@ _DRIVER_WINDOW = [
     "top_partitions",
     "union_dedup_discovery",
     "text_language_id",
-    "text_quality_score",
-    "text_repetition_score",
 ]
 
 

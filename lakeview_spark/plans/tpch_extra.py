@@ -2528,3 +2528,184 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("from_total"),
         ).alias("prob"),
     )
+
+
+# Q2/Q20 analogs (r12): the two classic TPC-H shapes still missing from
+# J7 — the per-group ARGMIN-then-join-back lookup (Q2's min-cost
+# supplier; partsupp doesn't ship in this schema, so supply cost is the
+# observed integer unit price from lineitem) and the
+# share-of-group-total threshold semi-join (Q20's excess-stock rule as
+# a shipped-quantity dominance test). Both all-integer end-to-end.
+Q2_TOP = 100
+
+
+@register(
+    "cheapest_supplier_q2",
+    oracle=f"""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    unit AS (
+      SELECT l_partkey AS pkey, l_suppkey AS skey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // CAST(l_quantity AS BIGINT) AS unit_cents
+      FROM lineitem JOIN eu ON s_suppkey = l_suppkey
+    ),
+    best AS (
+      SELECT pkey, skey, unit_cents FROM (
+        SELECT pkey, skey, unit_cents,
+               row_number() OVER (PARTITION BY pkey
+                                  ORDER BY unit_cents, skey) AS rn
+        FROM unit) WHERE rn = 1
+    )
+    SELECT p_partkey, p_brand, p_type, s_name AS supplier, n_name AS nation,
+           unit_cents AS unit_cost_cents
+    FROM best
+    JOIN part ON p_partkey = pkey
+    JOIN eu ON s_suppkey = skey
+    WHERE p_type = 'STANDARD'
+    ORDER BY unit_cents, p_partkey LIMIT {Q2_TOP}
+    """,
+)
+def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): per STANDARD part, the
+    cheapest EUROPE-region supplier by observed integer unit price —
+    the per-group argmin THEN join-back-for-details lookup Q2's
+    correlated subquery expresses (ref: no analog; J7 breadth). Unit
+    price is an integer-defined metric (extendedprice cents div
+    quantity — floor division, identical in both engines), the argmin
+    is min(struct(unit_cents, suppkey)) — partial-aggregable, ties to
+    the lower suppkey (Q2's deterministic tiebreak role), never a
+    corpus-sorting window in the engine — and the report order
+    (unit_cents, p_partkey) is an all-integer total order.
+
+    Scale shape: supplier⋈nation⋈region collapses to a broadcast
+    ~supplier-count row filter applied ON the lineitem scan; the argmin
+    collapses map-side per part; the join-back sides are the part dim
+    (key-partitioned) and the tiny supplier broadcast; the report is
+    TakeOrderedAndProject."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    unit = li.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        F.col("l_partkey").alias("pkey"),
+        F.col("l_suppkey").alias("skey"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div CAST(l_quantity AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    best = (
+        unit.select(
+            "pkey", F.struct("unit_cents", F.col("skey")).alias("us")
+        )
+        .groupBy("pkey")
+        .agg(F.min("us").alias("best"))
+        .select(
+            "pkey",
+            F.col("best.unit_cents").alias("unit_cost_cents"),
+            F.col("best.skey").alias("skey"),
+        )
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        best.join(p, F.col("p_partkey") == F.col("pkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("skey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "unit_cost_cents",
+        )
+        .orderBy("unit_cost_cents", "p_partkey")
+        .limit(Q2_TOP)
+    )
+
+
+@register(
+    "promo_stock_suppliers_q20",
+    oracle="""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    sp AS (
+      SELECT l_suppkey AS skey, l_partkey AS pkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sp
+      FROM lineitem JOIN promo ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT skey, pkey, qty_sp,
+             CAST(sum(qty_sp) OVER (PARTITION BY pkey) AS BIGINT) AS qty_p
+      FROM sp
+    ),
+    dom AS (SELECT skey, pkey, qty_sp, qty_p FROM tot WHERE 8 * qty_sp > qty_p)
+    SELECT s_name AS supplier, n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_dominated_parts,
+           CAST(sum(qty_sp) AS BIGINT) AS dominated_qty
+    FROM dom
+    JOIN supplier ON s_suppkey = skey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY s_name, n_name
+    """,
+)
+def promo_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock threshold semi-join): suppliers
+    whose shipped share of a PROMO part is CONCENTRATED — more than an
+    eighth of that part's total shipped quantity, ~2x the fair share
+    at this schema's ~16 suppliers per part (Q20's
+    availqty > 0.5 * sum(qty) threshold rule re-expressed over
+    observed shipments; partsupp doesn't ship in this schema, and a
+    strict majority never occurs in the synthetic data — measured 0
+    pairs at every SF, so the 1/8 threshold is what keeps the check
+    non-vacuous: 123/51/71 flagged pairs at sf0.001/0.01/0.1) — with
+    how many parts each supplier concentrates and the concentrated
+    quantity. The share-of-group-total threshold is the division-free
+    integer compare 8 * qty_sp > qty_p (the curriculum 4*cum >= q*n
+    device), so the surviving set is engine-identical.
+
+    Scale shape: the PROMO filter broadcasts into the lineitem scan;
+    per-(supplier, part) quantities are one partial-aggregable
+    groupBy; part totals come from a window over THAT collapsed table
+    (partitions = suppliers-per-part, bounded — never a second corpus
+    pass, the one-corpus-pass scalar rule); the supplier/nation
+    decorations are broadcasts on a suppliers-sized frame."""
+    promo = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem")
+    sp = (
+        li.join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("l_suppkey").alias("skey"), F.col("l_partkey").alias("pkey")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_sp")
+        )
+    )
+    w = Window.partitionBy("pkey")
+    dom = (
+        sp.withColumn("qty_p", F.sum("qty_sp").over(w).cast("bigint"))
+        .filter(8 * F.col("qty_sp") > F.col("qty_p"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        dom.join(F.broadcast(s), F.col("s_suppkey") == F.col("skey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_dominated_parts"),
+            F.sum("qty_sp").cast("bigint").alias("dominated_qty"),
+        )
+    )

@@ -689,3 +689,79 @@ def test_markov_transitions_matrix_laws(spark):
     assert sum(
         r.n_transitions for r in rows if r.from_type != "_start_"
     ) == n_events
+
+
+def test_q2_cheapest_supplier_matches_independent_replay(spark):
+    """Q2 argmin-lookup: each reported part appears once, the
+    (unit_cents, suppkey)-argmin and the EUROPE region restriction
+    replay exactly in an independent DuckDB computation, and the
+    report order is the all-integer (unit_cost_cents, p_partkey)."""
+    import duckdb
+
+    rows = QUERIES["cheapest_supplier_q2"](spark, SF_DIR).collect()
+    assert rows
+    assert len({r.p_partkey for r in rows}) == len(rows)
+    keys = [(r.unit_cost_cents, r.p_partkey) for r in rows]
+    assert keys == sorted(keys)
+    con = duckdb.connect()
+    expected = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            f"""
+            WITH eu AS (
+              SELECT s_suppkey, s_name, n_name
+              FROM '{SF_DIR}/supplier.parquet'
+              JOIN '{SF_DIR}/nation.parquet' ON n_nationkey = s_nationkey
+              JOIN '{SF_DIR}/region.parquet' ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'),
+            unit AS (
+              SELECT l_partkey, s_name, n_name,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) // CAST(l_quantity AS BIGINT) AS uc,
+                     l_suppkey
+              FROM '{SF_DIR}/lineitem.parquet' JOIN eu ON s_suppkey = l_suppkey)
+            SELECT l_partkey, uc, s_name, n_name FROM (
+              SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                           ORDER BY uc, l_suppkey) AS rn
+              FROM unit) WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        uc, sn, nn = expected[r.p_partkey]
+        assert r.unit_cost_cents == uc
+        assert (r.supplier, r.nation) == (sn, nn)
+        assert r.p_type == "STANDARD"
+
+
+def test_q20_dominance_threshold_replays_exactly(spark):
+    """Q20 threshold semi-join: every reported supplier's dominated
+    parts satisfy the strict 2*qty_sp > qty_p rule in an independent
+    DuckDB replay, counts/quantities reconcile, and no dominating
+    (supplier, part) pair is missed."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = QUERIES["promo_stock_suppliers_q20"](spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"""
+        WITH sp AS (
+          SELECT l_suppkey, l_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM '{SF_DIR}/lineitem.parquet'
+          JOIN '{SF_DIR}/part.parquet' ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO' GROUP BY 1, 2)
+        SELECT s_name, n_name, q FROM sp
+        JOIN '{SF_DIR}/supplier.parquet' ON s_suppkey = l_suppkey
+        JOIN '{SF_DIR}/nation.parquet' ON n_nationkey = s_nationkey
+        WHERE 8 * q > (SELECT sum(q) FROM sp i WHERE i.l_partkey = sp.l_partkey)
+        """
+    ).fetchall()
+    expect = defaultdict(lambda: [0, 0])
+    for sn, nn, q in pairs:
+        expect[(sn, nn)][0] += 1
+        expect[(sn, nn)][1] += q
+    got = {(r.supplier, r.nation): (r.n_dominated_parts, r.dominated_qty) for r in rows}
+    assert got == {k: tuple(v) for k, v in expect.items()}

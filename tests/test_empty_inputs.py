@@ -163,6 +163,15 @@ GUARDED = [
     "customer_rfm_segments",
     # lead/lag session windows over zero events
     "events_markov_transitions",
+    # r12 additions: refined rerank over an empty shortlist; per-source
+    # caps over zero docs (nsrc = 0 guard in the cap expression); Q2
+    # argmin + Q20 dominance window over empty facts; pruned-LM prices
+    # over an empty vocabulary (covered via text_perplexity_bigram
+    # above)
+    "similarity_ann_ivf_pq_refined",
+    "mix_source_caps",
+    "cheapest_supplier_q2",
+    "promo_stock_suppliers_q20",
 ]
 
 
