@@ -59,6 +59,11 @@ _DRIVER_WINDOW = [
     # `text_language_id` in-window)
     "cheapest_supplier_q2",
     "promo_stock_suppliers_q20",
+    # NEW in r12: Markov removal-effect attribution (displaces
+    # `text_language_id`, the deepest remaining r08 top-up; r08 green
+    # row + every-round sweep; events kins `events_sessionization`
+    # in-window)
+    "events_attribution_markov",
     # the r07-stale cohort — every query whose newest green row is
     # CORRECTNESS_r07, in CORRECTNESS_r07 order
     "contamination_ngram_overlap",
@@ -80,8 +85,8 @@ _DRIVER_WINDOW = [
     "similarity_ann_multiprobe",
     "similarity_topk_cosine",
     "timeline_search",
-    # r08-cohort top-ups, CORRECTNESS_r08 order (22 of the 45 stale
-    # r08 rows fit; the remainder leads the r13 rotation)
+    # r08-cohort top-ups, CORRECTNESS_r08 order (19 of the 45 stale
+    # r08 rows fit; the 26 remaining lead the r13 rotation)
     "events_sessionization",
     "events_user_value_quartiles",
     "exactly_one_guard",
@@ -101,7 +106,6 @@ _DRIVER_WINDOW = [
     "timeline_trends",
     "top_partitions",
     "union_dedup_discovery",
-    "text_language_id",
 ]
 
 

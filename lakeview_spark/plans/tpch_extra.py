@@ -2408,10 +2408,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_markov_transitions",
-    oracle="""
-    WITH e AS (
+# The shared in-session transition-count derivation (30-min gap rule,
+# (ts_us, event_id, event_type) total order, synthetic _start_/_end_
+# states) — one CTE block used by the transition matrix AND the r12
+# removal-effect attribution walk, so the two cannot drift.
+_MARKOV_CNT_CTES = """e AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
     ),
     lagged AS (
@@ -2452,7 +2453,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS from_total
       FROM cnt GROUP BY from_type
-    )
+    )"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH {_MARKOV_CNT_CTES}
     SELECT c.from_type, c.to_type, c.n_transitions, t.from_total,
            CASE WHEN t.from_total > 0
                 THEN CAST(c.n_transitions AS DOUBLE) / t.from_total
@@ -2479,6 +2486,26 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by a user's history; the matrix is a (types+2)^2-key
     groupBy and the row totals derive from the matrix itself
     (types-sized), never a second corpus pass."""
+    cnt = _markov_counts(spark, sf_dir)
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("from_total")
+    )
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "from_total",
+        F.when(
+            F.col("from_total") > 0,
+            F.col("n_transitions").cast("double") / F.col("from_total"),
+        ).alias("prob"),
+    )
+
+
+def _markov_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared engine twin of _MARKOV_CNT_CTES: in-session
+    transition counts (from_type, to_type, n_transitions) with
+    synthetic _start_/_end_ states."""
     ev = t(spark, sf_dir, "events")
     e = ev.select(
         "user_id", "event_id", "event_type", events_ts_us(ev).alias("ts_us")
@@ -2515,19 +2542,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = trans.groupBy("from_type", "to_type").agg(
         F.count("*").cast("bigint").alias("n_transitions")
     )
-    tot = cnt.groupBy("from_type").agg(
-        F.sum("n_transitions").cast("bigint").alias("from_total")
-    )
-    return cnt.join(F.broadcast(tot), "from_type").select(
-        "from_type",
-        "to_type",
-        "n_transitions",
-        "from_total",
-        F.when(
-            F.col("from_total") > 0,
-            F.col("n_transitions").cast("double") / F.col("from_total"),
-        ).alias("prob"),
-    )
+    return cnt
 
 
 # Q2/Q20 analogs (r12): the two classic TPC-H shapes still missing from
@@ -2708,4 +2723,164 @@ def promo_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_dominated_parts"),
             F.sum("qty_sp").cast("bigint").alias("dominated_qty"),
         )
+    )
+
+
+# Markov removal-effect attribution (r12): the standard multi-touch
+# attribution model (Anderl et al. 2014) on top of the transition
+# matrix — a channel's credit is how much CONVERSION disappears when
+# journeys can no longer pass through it. Exact-integer absorption
+# walk: 2^40 micro-units of mass start at _start_ and flow K steps
+# along the counted transition edges (per-edge floor division — the
+# graph_pagerank integer-mass device), with `purchase` (conversion)
+# and `_end_` absorbing; the removal walk for channel c additionally
+# absorbs (discards) mass entering c. Every quantity BIGINT until the
+# two guarded edge divisions, so the whole 5-walk computation
+# hash-checks against a DuckDB unrolled-CTE oracle riding the SAME
+# _MARKOV_CNT_CTES count derivation as the transition matrix.
+_ATTR_CONV = "purchase"
+# the removable channels — pinned to the testdata's non-conversion
+# event types by tests/test_corpus_laws.py (the funnel-twin
+# literal-constant device: the oracle SQL needs literals)
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+_ATTR_STEPS = 16
+_ATTR_MASS = 1 << 40
+
+
+def _attr_walk_sql(tag: str, absorbing: tuple[str, ...]) -> str:
+    """The K-step unrolled walk CTE chain for one absorbing set. Each
+    step is AS MATERIALIZED (referenced by the next step AND the conv
+    union — without the hint DuckDB re-inlines the whole prefix per
+    reference, the eval_rq_recall lesson)."""
+    absorb = ", ".join(f"'{a}'" for a in absorbing)
+    ctes = [f"{tag}s0 AS (SELECT '_start_' AS state, CAST({_ATTR_MASS} AS BIGINT) AS m)"]
+    for i in range(1, _ATTR_STEPS + 1):
+        ctes.append(f"""{tag}s{i} AS MATERIALIZED (
+      SELECT cnt.to_type AS state,
+             CAST(sum(s.m * cnt.n_transitions // t.from_total) AS BIGINT) AS m
+      FROM {tag}s{i - 1} s
+      JOIN cnt ON cnt.from_type = s.state
+      JOIN tot t ON t.from_type = s.state
+      WHERE s.state NOT IN ({absorb})
+      GROUP BY cnt.to_type
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT m FROM {tag}s{i} WHERE state = '{_ATTR_CONV}'"
+        for i in range(1, _ATTR_STEPS + 1)
+    )
+    ctes.append(
+        f"{tag}conv AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS conv "
+        f"FROM ({union}))"
+    )
+    return ",\n    ".join(ctes)
+
+
+def _attr_oracle() -> str:
+    base_absorb = (_ATTR_CONV, "_end_")
+    walks = [_attr_walk_sql("wb", base_absorb)]
+    removed_rows = []
+    for i, ch in enumerate(_ATTR_CHANNELS):
+        walks.append(_attr_walk_sql(f"w{i}", base_absorb + (ch,)))
+        removed_rows.append(
+            f"SELECT '{ch}' AS channel, (SELECT conv FROM w{i}conv) AS conv_removed"
+        )
+    removed = "\n      UNION ALL ".join(removed_rows)
+    walks_sql = ",\n    ".join(walks)
+    return f"""
+    WITH {_MARKOV_CNT_CTES},
+    {walks_sql},
+    removed AS (
+      {removed}
+    ),
+    final AS (
+      SELECT channel, (SELECT conv FROM wbconv) AS conv_base, conv_removed
+      FROM removed
+    )
+    SELECT channel, conv_base, conv_removed,
+           conv_base - conv_removed AS removed_delta,
+           CASE WHEN conv_base > 0
+                THEN CAST(conv_base - conv_removed AS DOUBLE) / conv_base
+           END AS removal_effect,
+           CASE WHEN sum(conv_base - conv_removed) OVER () > 0
+                THEN CAST(conv_base - conv_removed AS DOUBLE)
+                     / sum(conv_base - conv_removed) OVER ()
+           END AS attribution_share
+    FROM final
+    """
+
+
+def _attr_walk(cnt: dict, tot: dict, absorbing: set) -> int:
+    """Pure-integer K-step absorption walk over the counted edges;
+    returns the mass absorbed at the conversion state."""
+    conv = 0
+    moving = {"_start_": _ATTR_MASS}
+    edges: dict = {}
+    for (u, v), n in cnt.items():
+        edges.setdefault(u, []).append((v, n))
+    for _ in range(_ATTR_STEPS):
+        nxt: dict = {}
+        for u, mu in moving.items():
+            if u in absorbing or mu <= 0 or u not in tot:
+                continue
+            tu = tot[u]
+            for v, n in edges.get(u, ()):
+                nxt[v] = nxt.get(v, 0) + mu * n // tu
+        conv += nxt.get(_ATTR_CONV, 0)
+        moving = {v: m for v, m in nxt.items() if v not in absorbing}
+    return conv
+
+
+@register("events_attribution_markov", oracle=_attr_oracle())
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution (section comment
+    above): per non-conversion channel, conversion mass of the base
+    chain vs the chain with that channel removed (absorbed-and-
+    discarded), the removal effect 1 - conv_removed/conv_base, and
+    the normalized attribution share — the model that replaces
+    last-touch heuristics in funnel analysis, built directly on
+    events_markov_transitions' counted chain.
+
+    Determinism: the walk is exact integer mass (per-edge floor
+    division, K={_ATTR_STEPS} truncation — per-step floor leakage is
+    bounded by the edge count and replayed identically in both
+    engines); the two output divisions are guarded doubles of
+    identical BIGINTs.
+
+    Scale shape: the data-scale work — sessionization windows + the
+    (types+2)^2 transition count — is the distributed lineage shared
+    with events_markov_transitions; the walk itself runs on the
+    collected <= (types+2)^2-row count matrix (bounded iterative
+    driver state, the kmeans/codebook precedent — a 7-state chain IS
+    driver state by any honest design), and the 4-row report is a
+    driver-created frame. Removing a channel never requires
+    re-counting: all five walks share one matrix."""
+    cnt_rows = _markov_counts(spark, sf_dir).collect()
+    cnt = {(r.from_type, r.to_type): int(r.n_transitions) for r in cnt_rows}
+    tot: dict = {}
+    for (u, _v), n in cnt.items():
+        tot[u] = tot.get(u, 0) + n
+    base_absorb = {_ATTR_CONV, "_end_"}
+    conv_base = _attr_walk(cnt, tot, base_absorb)
+    rows = []
+    deltas = []
+    for ch in _ATTR_CHANNELS:
+        conv_removed = _attr_walk(cnt, tot, base_absorb | {ch})
+        deltas.append(conv_base - conv_removed)
+        rows.append((ch, conv_base, conv_removed, conv_base - conv_removed))
+    total_delta = sum(deltas)
+    out = [
+        (
+            ch,
+            cb,
+            cr,
+            d,
+            (float(d) / cb) if cb > 0 else None,
+            (float(d) / total_delta) if total_delta > 0 else None,
+        )
+        for (ch, cb, cr, d) in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, conv_base long, conv_removed long, "
+        "removed_delta long, removal_effect double, attribution_share double",
     )

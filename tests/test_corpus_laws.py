@@ -765,3 +765,56 @@ def test_q20_dominance_threshold_replays_exactly(spark):
         expect[(sn, nn)][1] += q
     got = {(r.supplier, r.nation): (r.n_dominated_parts, r.dominated_qty) for r in rows}
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_attribution_walk_replays_from_the_registered_matrix(spark):
+    """events_attribution_markov's integer walk replays exactly from
+    the REGISTERED transition matrix's counts (an independent path:
+    the matrix query output, not the shared helper — catching drift
+    between the two), the channel literals pin to the data's
+    non-conversion event types, every removal can only lose
+    conversion mass, and shares normalize."""
+    from lakeview_spark.plans.tpch_extra import (
+        _ATTR_CHANNELS,
+        _ATTR_CONV,
+        _ATTR_MASS,
+        _ATTR_STEPS,
+    )
+
+    mat = QUERIES["events_markov_transitions"](spark, SF_DIR).collect()
+    cnt = {(r.from_type, r.to_type): r.n_transitions for r in mat}
+    tot = {}
+    for (u, _v), n in cnt.items():
+        tot[u] = tot.get(u, 0) + n
+    types = {u for u, _ in cnt} | {v for _, v in cnt}
+    assert set(_ATTR_CHANNELS) == types - {_ATTR_CONV, "_start_", "_end_"}
+
+    def walk(absorbing):
+        conv, moving = 0, {"_start_": _ATTR_MASS}
+        for _ in range(_ATTR_STEPS):
+            nxt = {}
+            for u, mu in moving.items():
+                if u in absorbing or u not in tot:
+                    continue
+                for (uu, v), n in cnt.items():
+                    if uu == u:
+                        nxt[v] = nxt.get(v, 0) + mu * n // tot[u]
+            conv += nxt.get(_ATTR_CONV, 0)
+            moving = {v: m for v, m in nxt.items() if v not in absorbing}
+        return conv
+
+    base = walk({_ATTR_CONV, "_end_"})
+    rows = {r.channel: r for r in QUERIES["events_attribution_markov"](spark, SF_DIR).collect()}
+    assert set(rows) == set(_ATTR_CHANNELS)
+    assert 0 < base <= _ATTR_MASS
+    deltas = []
+    for ch, r in rows.items():
+        assert r.conv_base == base
+        assert r.conv_removed == walk({_ATTR_CONV, "_end_", ch})
+        assert r.removed_delta == r.conv_base - r.conv_removed
+        assert 0 <= r.conv_removed <= r.conv_base
+        deltas.append(r.removed_delta)
+        assert abs(r.removal_effect - r.removed_delta / base) < 1e-15
+    total = sum(deltas)
+    if total > 0:
+        assert abs(sum(r.attribution_share for r in rows.values()) - 1.0) < 1e-12

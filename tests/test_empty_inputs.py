@@ -172,6 +172,8 @@ GUARDED = [
     "mix_source_caps",
     "cheapest_supplier_q2",
     "promo_stock_suppliers_q20",
+    # attribution walk over an empty chain (conv_base = 0, NULL shares)
+    "events_attribution_markov",
 ]
 
 
