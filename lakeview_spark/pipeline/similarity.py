@@ -2840,6 +2840,198 @@ def similarity_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (r12): maximal marginal relevance (Carbonell &
+# Goldstein 1998) over the composed search's refined shortlist — the
+# production retrieval stage that trades pure relevance for coverage
+# when near-duplicate hits crowd the top-k (exactly this corpus's
+# failure mode: the synthetic embeddings carry near-dup bucket
+# structure). Greedy: pick the exact-distance nearest; each later pick
+# minimizes the INTEGER key 2*d(probe, c) - min_{s in S} d(c, s) —
+# relevance weighted 2:1 against redundancy, all BIGINT squared-L2 on
+# the shared 2^-20 grid, (key, vec_id) total-order ties — so the whole
+# iterative selection hash-checks against a DuckDB unrolled-CTE oracle
+# (AS MATERIALIZED rounds; each round references the prior selected set
+# twice — the k-core replay rule — so the engine materializes per-round
+# picks the way graph_kcore materializes its alive sets).
+_MMR_C = 20  # candidate shortlist per probe (ADC top-C)
+_MMR_K = 5  # selections per probe
+
+
+def _mmr_round_sql(i: int) -> str:
+    prev = f"sel{i - 1}all"
+    return f"""scored{i} AS MATERIALIZED (
+      SELECT c.probe_id, c.vec_id, any_value(c.pdist) AS pdist,
+             min(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 j -> (c.qv[j] - sq.qv[j]) * (c.qv[j] - sq.qv[j])))) AS msd
+      FROM mcand c
+      JOIN {prev} s ON s.probe_id = c.probe_id
+      JOIN mcand sq ON sq.probe_id = s.probe_id AND sq.vec_id = s.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.probe_id = c.probe_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.probe_id, c.vec_id
+    ),
+    pick{i} AS MATERIALIZED (
+      SELECT probe_id, vec_id, CAST({i} AS BIGINT) AS mmr_rank FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY 2 * pdist - msd, vec_id) AS rn
+        FROM scored{i}) WHERE rn = 1
+    ),
+    sel{i}all AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i}
+    )"""
+
+
+def _mmr_oracle() -> str:
+    rounds = ",\n    ".join(_mmr_round_sql(i) for i in range(2, _MMR_K + 1))
+    return f"""
+    WITH {_PQ_BASE_CTES_MAT},
+    {_IVFPQ_ADC_CTES},
+    mshort AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rn
+        FROM adc) WHERE rn <= {_MMR_C}
+    ),
+    mcand AS MATERIALIZED (
+      SELECT s.probe_id, s.vec_id, e.qv,
+             CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS pdist
+      FROM mshort s
+      JOIN q e ON e.vec_id = s.vec_id
+      JOIN probes p ON p.probe_id = s.probe_id
+    ),
+    sel1all AS MATERIALIZED (
+      SELECT probe_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY pdist, vec_id) AS rn
+        FROM mcand) WHERE rn = 1
+    ),
+    {rounds}
+    SELECT s.probe_id, s.vec_id, s.mmr_rank, c.pdist AS exact_dist
+    FROM sel{_MMR_K}all s
+    JOIN mcand c ON c.probe_id = s.probe_id AND c.vec_id = s.vec_id
+    """
+
+
+@register("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank of the IVF-PQ refined shortlist (section
+    comment above): per probe, {_MMR_K} greedy picks from the ADC
+    top-{_MMR_C} candidates — first the exact nearest, then whatever
+    minimizes 2*d(probe, c) - min d(c, selected) — so crowded near-dup
+    hits stop monopolizing the top-k. All-integer keys, hash-exact.
+
+    Scale shape: candidates ride the shared _IVFPQ_ADC_CTES pool (the
+    search/refine economics) and materialize once
+    (~{_PQ_PROBE_TARGET} x {_MMR_C} rows WITH their vectors — the
+    point-lookup read the refine stage already budgets); each greedy
+    round joins that scratch against the <= probes x round selected
+    set (per-probe candidate-pair fan-out <= {_MMR_C} x {_MMR_K}) and
+    collapses through the partial-aggregable struct-min argmin;
+    per-round picks materialize (the graph_kcore device) because the
+    round's plan references the prior selected set twice — exclusion
+    anti-join + redundancy min — and would otherwise replay the whole
+    prefix exponentially."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    def _cand_build(s, d):
+        emb2, probes2, adc2 = _ivfpq_adc_frame(s, d)
+        ws = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+        sl = (
+            adc2.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") <= _MMR_C)
+            .select("probe_id", "vec_id")
+        )
+        return (
+            sl.join(emb2, "vec_id")
+            .join(F.broadcast(probes2.select("probe_id", "pqv")), "probe_id")
+            .select(
+                "probe_id", "vec_id", "qv", _kq_sqdist("qv", "pqv").alias("pdist")
+            )
+        )
+
+    cands = materialized(spark, "mmr_cands", sf_dir, _cand_build)
+    sel = (
+        cands.select("probe_id", F.struct("pdist", "vec_id").alias("pv"))
+        .groupBy("probe_id")
+        .agg(F.min("pv").alias("b"))
+        .select(
+            "probe_id",
+            F.col("b.vec_id").alias("vec_id"),
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+        )
+    )
+    selected = materialized(
+        spark, "mmr_sel1", sf_dir, lambda _s, _d, sel=sel: sel
+    )
+    for i in range(2, _MMR_K + 1):
+
+        def _round_build(_s, _d, selected=selected, i=i):
+            s_side = selected.select(
+                F.col("probe_id").alias("s_probe"), F.col("vec_id").alias("s_vec")
+            ).join(
+                cands.select(
+                    F.col("probe_id").alias("s_probe"),
+                    F.col("vec_id").alias("s_vec"),
+                    F.col("qv").alias("sqv"),
+                ),
+                ["s_probe", "s_vec"],
+            )
+            remaining = cands.join(
+                selected.select("probe_id", "vec_id"),
+                ["probe_id", "vec_id"],
+                "left_anti",
+            )
+            scored = (
+                remaining.join(s_side, F.col("probe_id") == F.col("s_probe"))
+                .select(
+                    "probe_id",
+                    "vec_id",
+                    "pdist",
+                    _kq_sqdist("qv", "sqv").alias("sdist"),
+                )
+                .groupBy("probe_id", "vec_id")
+                .agg(
+                    F.any_value("pdist").alias("pdist"),
+                    F.min("sdist").alias("msd"),
+                )
+            )
+            return (
+                scored.select(
+                    "probe_id",
+                    F.struct(
+                        (2 * F.col("pdist") - F.col("msd")).alias("key"), "vec_id"
+                    ).alias("kv"),
+                )
+                .groupBy("probe_id")
+                .agg(F.min("kv").alias("b"))
+                .select(
+                    "probe_id",
+                    F.col("b.vec_id").alias("vec_id"),
+                    F.lit(i).cast("bigint").alias("mmr_rank"),
+                )
+            )
+
+        pick = materialized(spark, f"mmr_pick{i}", sf_dir, _round_build)
+        selected = materialized(
+            spark,
+            f"mmr_sel{i}",
+            sf_dir,
+            lambda _s, _d, selected=selected, pick=pick: selected.unionByName(pick),
+        )
+    return selected.join(
+        cands.select("probe_id", "vec_id", F.col("pdist").alias("exact_dist")),
+        ["probe_id", "vec_id"],
+    ).select("probe_id", "vec_id", "mmr_rank", "exact_dist")
+
+
 @register(
     "eval_pq_recall",
     oracle=_PQ_RECALL_SQL.format(base=_PQ_BASE_CTES_MAT, coarse=_IVFPQ_COARSE_CTES),

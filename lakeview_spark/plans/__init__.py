@@ -64,6 +64,11 @@ _DRIVER_WINDOW = [
     # row + every-round sweep; events kins `events_sessionization`
     # in-window)
     "events_attribution_markov",
+    # NEW in r12: MMR diversified rerank (displaces
+    # `union_dedup_discovery`, the deepest remaining r08 top-up; r08
+    # green row + every-round sweep; retrieval kins
+    # `similarity_ann_ivf_pq`/`similarity_ann_ivf_pq_refined` in-window)
+    "retrieval_mmr_rerank",
     # the r07-stale cohort — every query whose newest green row is
     # CORRECTNESS_r07, in CORRECTNESS_r07 order
     "contamination_ngram_overlap",
@@ -105,7 +110,6 @@ _DRIVER_WINDOW = [
     "timeline_completeness",
     "timeline_trends",
     "top_partitions",
-    "union_dedup_discovery",
 ]
 
 

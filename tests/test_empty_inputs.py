@@ -174,6 +174,8 @@ GUARDED = [
     "promo_stock_suppliers_q20",
     # attribution walk over an empty chain (conv_base = 0, NULL shares)
     "events_attribution_markov",
+    # greedy MMR rounds over an empty candidate scratch
+    "retrieval_mmr_rerank",
 ]
 
 

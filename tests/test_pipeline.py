@@ -1887,3 +1887,96 @@ def test_matryoshka_truncation_matches_pure_python_replay(spark):
         assert got[w].n_top1_match == expected[w]
         assert got[w].recall_at_1 == expected[w] / n_probes
     assert got[_MRL_WIDTHS[-1]].recall_at_1 == 1.0
+
+
+def test_mmr_rerank_matches_pure_python_replay(spark):
+    """retrieval_mmr_rerank == an independent Python replay: rebuild
+    the composed ADC pool (trained coarse quantizer, scale-adaptive
+    nprobe, trained codebooks), take each probe's ADC top-_MMR_C
+    shortlist, then replay the greedy MMR selection — exact-nearest
+    first, then argmin of 2*d(probe,c) - min d(c,selected) with
+    (key, vec_id) ties — and the emitted exact distances."""
+    from lakeview_spark.pipeline.similarity import (
+        _MMR_C,
+        _MMR_K,
+        _PQ_M,
+        _PQ_PROBE_TARGET,
+        _PQ_SUB,
+    )
+
+    qv = _pq_load_qv()
+    n = len(qv)
+    cents = _ivfpq_train_coarse(qv)
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    coarse = {
+        v: min((sqd(vec, cv), c) for c, cv in cents.items())[1]
+        for v, vec in qv.items()
+    }
+    books = _pq_train_books(qv)
+    codes = {
+        v: [
+            min(
+                (sqd(vec[m * _PQ_SUB : (m + 1) * _PQ_SUB], books[m][c]), c)
+                for c in sorted(books[m])
+            )[1]
+            for m in range(_PQ_M)
+        ]
+        for v, vec in qv.items()
+    }
+    stride = max(1, n // _PQ_PROBE_TARGET)
+    expected = {}
+    for p in sorted(qv):
+        if p % stride != 0:
+            continue
+        pvec = qv[p]
+        visited = _ivfpq_visited(qv, cents, p)
+        shortlist = [
+            v
+            for _d, v in sorted(
+                (
+                    sum(
+                        sqd(
+                            pvec[m * _PQ_SUB : (m + 1) * _PQ_SUB],
+                            books[m][codes[v][m]],
+                        )
+                        for m in range(_PQ_M)
+                    ),
+                    v,
+                )
+                for v in qv
+                if v != p and coarse[v] in visited
+            )[:_MMR_C]
+        ]
+        if not shortlist:
+            continue
+        pd = {v: sqd(pvec, qv[v]) for v in shortlist}
+        selected = [min(shortlist, key=lambda v: (pd[v], v))]
+        while len(selected) < _MMR_K and len(selected) < len(shortlist):
+            rest = [v for v in shortlist if v not in selected]
+            pick = min(
+                rest,
+                key=lambda v: (
+                    2 * pd[v] - min(sqd(qv[v], qv[s]) for s in selected),
+                    v,
+                ),
+            )
+            selected.append(pick)
+        for rank, v in enumerate(selected, start=1):
+            expected[(p, v)] = (rank, pd[v])
+    got = QUERIES["retrieval_mmr_rerank"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.mmr_rank, r.exact_dist) == expected[(r.probe_id, r.vec_id)]
+    # the diversification law: for at least one probe the MMR order
+    # departs from the pure-relevance order (otherwise the stage is a
+    # no-op and the test is vacuous)
+    by_probe: dict = {}
+    for (p, v), (rank, d) in expected.items():
+        by_probe.setdefault(p, []).append((rank, d))
+    assert any(
+        [d for _r, d in sorted(rs)] != sorted(d for _r, d in rs)
+        for rs in by_probe.values()
+    )

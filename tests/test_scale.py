@@ -169,6 +169,7 @@ _TINY_BROADCAST_OK = {
     "eval_community_conductance",  # 1-row total-volume broadcast (the modularity shape)
     "eval_ivfpq_nprobe_sweep",  # fixed-size probe + k-row centroid broadcasts (the PQ shape)
     "similarity_ann_ivf_pq_refined",  # same k-row centroid broadcast via the shared ADC frame
+    "retrieval_mmr_rerank",  # same shared ADC frame (mmr_cands builder)
     "customer_rfm_segments",  # 1-row max-date broadcast onto the customer aggregate
 }
 
