@@ -2884,10 +2884,11 @@ def _mmr_round_sql(i: int) -> str:
     )"""
 
 
-def _mmr_oracle() -> str:
+def _mmr_ctes() -> str:
+    """Everything through the final selected set — shared by the rerank
+    oracle and its diversity audit so the two cannot drift."""
     rounds = ",\n    ".join(_mmr_round_sql(i) for i in range(2, _MMR_K + 1))
-    return f"""
-    WITH {_PQ_BASE_CTES_MAT},
+    return f"""{_PQ_BASE_CTES_MAT},
     {_IVFPQ_ADC_CTES},
     mshort AS (
       SELECT probe_id, vec_id FROM (
@@ -2910,11 +2911,44 @@ def _mmr_oracle() -> str:
                                   ORDER BY pdist, vec_id) AS rn
         FROM mcand) WHERE rn = 1
     ),
-    {rounds}
+    {rounds}"""
+
+
+def _mmr_oracle() -> str:
+    return f"""
+    WITH {_mmr_ctes()}
     SELECT s.probe_id, s.vec_id, s.mmr_rank, c.pdist AS exact_dist
     FROM sel{_MMR_K}all s
     JOIN mcand c ON c.probe_id = s.probe_id AND c.vec_id = s.vec_id
     """
+
+
+def _mmr_cands(spark: SparkSession, sf_dir: str):
+    """The MATERIALIZED candidate scratch (probe_id, vec_id, qv, pdist)
+    — the ADC top-_MMR_C shortlist per probe WITH its vectors and exact
+    probe distances; shared by the rerank and its diversity audit."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    def _cand_build(s, d):
+        emb2, probes2, adc2 = _ivfpq_adc_frame(s, d)
+        ws = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+        sl = (
+            adc2.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") <= _MMR_C)
+            .select("probe_id", "vec_id")
+        )
+        return (
+            sl.join(emb2, "vec_id")
+            .join(F.broadcast(probes2.select("probe_id", "pqv")), "probe_id")
+            .select(
+                "probe_id", "vec_id", "qv", _kq_sqdist("qv", "pqv").alias("pdist")
+            )
+        )
+
+    return materialized(spark, "mmr_cands", sf_dir, _cand_build)
 
 
 @register("retrieval_mmr_rerank", oracle=_mmr_oracle())
@@ -2941,23 +2975,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.pipeline.iterative import _kq_sqdist
 
-    def _cand_build(s, d):
-        emb2, probes2, adc2 = _ivfpq_adc_frame(s, d)
-        ws = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
-        sl = (
-            adc2.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") <= _MMR_C)
-            .select("probe_id", "vec_id")
-        )
-        return (
-            sl.join(emb2, "vec_id")
-            .join(F.broadcast(probes2.select("probe_id", "pqv")), "probe_id")
-            .select(
-                "probe_id", "vec_id", "qv", _kq_sqdist("qv", "pqv").alias("pdist")
-            )
-        )
-
-    cands = materialized(spark, "mmr_cands", sf_dir, _cand_build)
+    cands = _mmr_cands(spark, sf_dir)
     sel = (
         cands.select("probe_id", F.struct("pdist", "vec_id").alias("pv"))
         .groupBy("probe_id")
@@ -3030,6 +3048,160 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select("probe_id", "vec_id", F.col("pdist").alias("exact_dist")),
         ["probe_id", "vec_id"],
     ).select("probe_id", "vec_id", "mmr_rank", "exact_dist")
+
+
+_MMR_PAIR_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(ca.qv) + 1), "
+    "j -> (ca.qv[j] - cb.qv[j]) * (ca.qv[j] - cb.qv[j])))"
+)
+
+
+def _mmr_div_set_sql(name: str, src: str) -> str:
+    """Per-probe relevance/diversity stats of one selected set: exact
+    BIGINT sum of probe distances plus min/sum of within-set pairwise
+    distances (k*(k-1)/2 pairs per probe — bounded by _MMR_K)."""
+    return f"""{name}stats AS (
+      SELECT s.probe_id,
+             CAST(count(*) AS BIGINT) AS n_sel,
+             CAST(sum(c.pdist) AS BIGINT) AS sum_dist
+      FROM {src} s
+      JOIN mcand c ON c.probe_id = s.probe_id AND c.vec_id = s.vec_id
+      GROUP BY s.probe_id
+    ),
+    {name}pairs AS (
+      SELECT a.probe_id,
+             CAST(min({_MMR_PAIR_DIST_SQL}) AS BIGINT) AS min_pair,
+             CAST(sum({_MMR_PAIR_DIST_SQL}) AS BIGINT) AS sum_pair
+      FROM {src} a
+      JOIN {src} b ON b.probe_id = a.probe_id AND a.vec_id < b.vec_id
+      JOIN mcand ca ON ca.probe_id = a.probe_id AND ca.vec_id = a.vec_id
+      JOIN mcand cb ON cb.probe_id = b.probe_id AND cb.vec_id = b.vec_id
+      GROUP BY a.probe_id
+    )"""
+
+
+def _mmr_diversity_oracle() -> str:
+    return f"""
+    WITH {_mmr_ctes()},
+    plainsel AS MATERIALIZED (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY pdist, vec_id) AS rn
+        FROM mcand) WHERE rn <= {_MMR_K}
+    ),
+    mmrsel AS (SELECT probe_id, vec_id FROM sel{_MMR_K}all),
+    {_mmr_div_set_sql("p", "plainsel")},
+    {_mmr_div_set_sql("m", "mmrsel")}
+    SELECT ps.probe_id,
+           ps.n_sel,
+           ps.sum_dist AS plain_sum_dist,
+           ms.sum_dist AS mmr_sum_dist,
+           pp.min_pair AS plain_min_pair,
+           pp.sum_pair AS plain_sum_pair,
+           mp.min_pair AS mmr_min_pair,
+           mp.sum_pair AS mmr_sum_pair,
+           CASE WHEN ps.sum_dist > 0
+                THEN CAST(ms.sum_dist - ps.sum_dist AS DOUBLE) / ps.sum_dist
+           END AS relevance_cost,
+           CASE WHEN pp.min_pair > 0
+                THEN CAST(mp.min_pair AS DOUBLE) / pp.min_pair
+           END AS diversity_gain
+    FROM pstats ps
+    JOIN mstats ms ON ms.probe_id = ps.probe_id
+    JOIN ppairs pp ON pp.probe_id = ps.probe_id
+    JOIN mpairs mp ON mp.probe_id = ps.probe_id
+    """
+
+
+@register("eval_mmr_diversity", oracle=_mmr_diversity_oracle())
+def eval_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMR stage's quality audit: per probe, the relevance COST the
+    diversification pays (total exact distance of the MMR top-{_MMR_K}
+    vs the pure-relevance top-{_MMR_K}) against the diversity it buys
+    (min/sum of within-set pairwise distances — min-pairwise is the
+    crowding metric near-dup sets fail). The two guarded edge ratios
+    make the trade one row per probe; everything else exact BIGINTs,
+    both selected sets riding the SAME shared candidate scratch and
+    selection CTEs as the rerank itself, so audit and stage cannot
+    drift.
+
+    Scale shape: both set-stats are per-probe aggregations over
+    <= {_MMR_K} rows, the pairwise joins fan out to
+    {_MMR_K}*{_MMR_K - 1}/2 pairs per probe (constant), and everything
+    reads the materialized mmr_cands / per-round pick scratch — no new
+    corpus work at all."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    mmr = retrieval_mmr_rerank(spark, sf_dir).select("probe_id", "vec_id")
+    cands = _mmr_cands(spark, sf_dir)
+    wp = _W.partitionBy("probe_id").orderBy("pdist", "vec_id")
+    plain = (
+        cands.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _MMR_K)
+        .select("probe_id", "vec_id")
+    )
+
+    def _set_stats(sel, prefix):
+        stats = (
+            sel.join(cands.select("probe_id", "vec_id", "pdist"), ["probe_id", "vec_id"])
+            .groupBy("probe_id")
+            .agg(
+                F.count("*").cast("bigint").alias(f"{prefix}_n"),
+                F.sum("pdist").cast("bigint").alias(f"{prefix}_sum_dist"),
+            )
+        )
+        a = sel.join(
+            cands.select("probe_id", "vec_id", F.col("qv").alias("aqv")),
+            ["probe_id", "vec_id"],
+        ).select("probe_id", F.col("vec_id").alias("a_vec"), "aqv")
+        b = sel.join(
+            cands.select("probe_id", "vec_id", F.col("qv").alias("bqv")),
+            ["probe_id", "vec_id"],
+        ).select(F.col("probe_id").alias("b_probe"), F.col("vec_id").alias("b_vec"), "bqv")
+        pairs = (
+            a.join(
+                b,
+                (F.col("probe_id") == F.col("b_probe"))
+                & (F.col("a_vec") < F.col("b_vec")),
+            )
+            .select("probe_id", _kq_sqdist("aqv", "bqv").alias("pd"))
+            .groupBy("probe_id")
+            .agg(
+                F.min("pd").cast("bigint").alias(f"{prefix}_min_pair"),
+                F.sum("pd").cast("bigint").alias(f"{prefix}_sum_pair"),
+            )
+        )
+        return stats, pairs
+
+    ps, pp = _set_stats(plain, "plain")
+    ms, mp = _set_stats(mmr, "mmr")
+    return (
+        ps.join(ms, "probe_id")
+        .join(pp, "probe_id")
+        .join(mp, "probe_id")
+        .select(
+            "probe_id",
+            F.col("plain_n").alias("n_sel"),
+            "plain_sum_dist",
+            "mmr_sum_dist",
+            "plain_min_pair",
+            "plain_sum_pair",
+            "mmr_min_pair",
+            "mmr_sum_pair",
+            F.when(
+                F.col("plain_sum_dist") > 0,
+                (F.col("mmr_sum_dist") - F.col("plain_sum_dist")).cast("double")
+                / F.col("plain_sum_dist"),
+            ).alias("relevance_cost"),
+            F.when(
+                F.col("plain_min_pair") > 0,
+                F.col("mmr_min_pair").cast("double") / F.col("plain_min_pair"),
+            ).alias("diversity_gain"),
+        )
+    )
 
 
 @register(

@@ -69,6 +69,10 @@ _DRIVER_WINDOW = [
     # green row + every-round sweep; retrieval kins
     # `similarity_ann_ivf_pq`/`similarity_ann_ivf_pq_refined` in-window)
     "retrieval_mmr_rerank",
+    # NEW in r12: the MMR stage's relevance-vs-diversity audit
+    # (displaces `top_partitions`, the deepest remaining r08 top-up;
+    # r08 green row + every-round sweep; partition kins hold r10 rows)
+    "eval_mmr_diversity",
     # the r07-stale cohort — every query whose newest green row is
     # CORRECTNESS_r07, in CORRECTNESS_r07 order
     "contamination_ngram_overlap",
@@ -109,7 +113,6 @@ _DRIVER_WINDOW = [
     "table_counts_rollup",
     "timeline_completeness",
     "timeline_trends",
-    "top_partitions",
 ]
 
 

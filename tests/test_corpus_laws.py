@@ -818,3 +818,30 @@ def test_attribution_walk_replays_from_the_registered_matrix(spark):
     total = sum(deltas)
     if total > 0:
         assert abs(sum(r.attribution_share for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_mmr_diversity_audit_reconciles_with_the_stage(spark):
+    """The audit's sets reconcile with the registered rerank (mmr sums
+    = sums over retrieval_mmr_rerank's exact distances), plain never
+    beats MMR on min-pairwise diversity in aggregate (the stage's
+    reason to exist), and relevance_cost >= 0 (pure-relevance top-k is
+    the distance optimum by construction)."""
+    rows = QUERIES["eval_mmr_diversity"](spark, SF_DIR).collect()
+    assert rows
+    sel = {}
+    for r in QUERIES["retrieval_mmr_rerank"](spark, SF_DIR).collect():
+        sel.setdefault(r.probe_id, []).append(r.exact_dist)
+    for r in rows:
+        assert r.mmr_sum_dist == sum(sel[r.probe_id])
+        assert r.n_sel == len(sel[r.probe_id])
+        assert r.relevance_cost is None or r.relevance_cost >= 0.0
+        assert 0 < r.plain_min_pair <= r.plain_sum_pair
+        assert 0 < r.mmr_min_pair <= r.mmr_sum_pair
+    # aggregate laws (a PER-probe gain >= 1 is NOT guaranteed: the 2:1
+    # relevance weighting can trade a slightly tighter pair for much
+    # better relevance on probes whose nearest-k is already spread):
+    # diversification must buy diversity somewhere, and on average
+    assert any(r.mmr_min_pair > r.plain_min_pair for r in rows)
+    assert sum(r.mmr_min_pair for r in rows) > sum(
+        r.plain_min_pair for r in rows
+    )

@@ -176,6 +176,7 @@ GUARDED = [
     "events_attribution_markov",
     # greedy MMR rounds over an empty candidate scratch
     "retrieval_mmr_rerank",
+    "eval_mmr_diversity",
 ]
 
 

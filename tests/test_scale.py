@@ -170,6 +170,7 @@ _TINY_BROADCAST_OK = {
     "eval_ivfpq_nprobe_sweep",  # fixed-size probe + k-row centroid broadcasts (the PQ shape)
     "similarity_ann_ivf_pq_refined",  # same k-row centroid broadcast via the shared ADC frame
     "retrieval_mmr_rerank",  # same shared ADC frame (mmr_cands builder)
+    "eval_mmr_diversity",  # rides retrieval_mmr_rerank + the same scratch
     "customer_rfm_segments",  # 1-row max-date broadcast onto the customer aggregate
 }
 
