@@ -158,6 +158,9 @@ EXTENDED_R12 = [
     "mix_source_caps",  # per-source histogram-threshold caps
     "cheapest_supplier_q2",  # Q2 argmin-lookup star shape
     "promo_stock_suppliers_q20",  # Q20 threshold semi-join shape
+    "events_attribution_markov",  # removal-effect attribution walk
+    "retrieval_mmr_rerank",  # greedy diversified rerank (5 materialized rounds)
+    "eval_mmr_diversity",  # its relevance-vs-diversity audit
 ]
 
 
