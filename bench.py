@@ -161,6 +161,7 @@ EXTENDED_R12 = [
     "events_attribution_markov",  # removal-effect attribution walk
     "retrieval_mmr_rerank",  # greedy diversified rerank (5 materialized rounds)
     "eval_mmr_diversity",  # its relevance-vs-diversity audit
+    "stream_source_caps",  # live admission-cap twin (AvailableNow floor class)
 ]
 
 

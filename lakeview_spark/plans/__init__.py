@@ -73,6 +73,11 @@ _DRIVER_WINDOW = [
     # (displaces `top_partitions`, the deepest remaining r08 top-up;
     # r08 green row + every-round sweep; partition kins hold r10 rows)
     "eval_mmr_diversity",
+    # NEW in r12: live per-source admission caps (displaces
+    # `timeline_trends`, the deepest remaining r08 top-up; r08 green
+    # row + every-round sweep; timeline kins `timeline_completeness`
+    # in-window)
+    "stream_source_caps",
     # the r07-stale cohort — every query whose newest green row is
     # CORRECTNESS_r07, in CORRECTNESS_r07 order
     "contamination_ngram_overlap",
@@ -112,7 +117,6 @@ _DRIVER_WINDOW = [
     "stream_quality_filter",
     "table_counts_rollup",
     "timeline_completeness",
-    "timeline_trends",
 ]
 
 

@@ -1194,3 +1194,72 @@ def stream_drift_monitor_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv_num").cast("bigint").alias("tv_num"),
         "tv_distance",
     )
+
+
+# the r12 per-source admission-cap twin shares the BATCH operator's
+# correctness statement — under one AvailableNow batch the admitted set
+# is the batch selection exactly. The oracle is a LITERAL copy of
+# mix_source_caps' (the funnel-twin literal-constant device: reading
+# the registry or importing pipeline.mixing at module scope re-enters
+# half-initialized pipeline on the `import lakeview_spark.pipeline`
+# path — the r11 lesson, re-hit and re-fixed here); the pin test
+# tests/test_corpus_laws.py asserts the two strings stay IDENTICAL.
+_SRC_CAPS_ORACLE_TWIN = """
+    WITH binned AS (
+      SELECT doc_id, lang, source,
+             CAST(list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substr(md5('scap:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (acc, x) -> acc * 16 + x) AS BIGINT) AS hkey,
+             CAST(list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substr(md5('scap:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (acc, x) -> acc * 16 + x) AS BIGINT) % 256 AS bin
+      FROM documents
+    ),
+    hist AS (SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT source, bin, c, (greatest(1, (SELECT count(*) FROM documents) // (2 * (SELECT count(DISTINCT source) FROM documents)))) AS cap,
+             sum(c) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    thr AS (
+      SELECT source, min(CASE WHEN cum >= cap THEN bin END) AS tbin
+      FROM cum GROUP BY source
+    ),
+    quota AS (
+      SELECT c2.source, CAST(c2.cap - (c2.cum - c2.c) AS BIGINT) AS quota
+      FROM cum c2 JOIN thr ON thr.source = c2.source AND c2.bin = thr.tbin
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM binned b JOIN thr ON thr.source = b.source
+    WHERE thr.tbin IS NULL OR b.bin < thr.tbin
+    UNION ALL
+    SELECT doc_id, lang, source FROM (
+      SELECT b.doc_id, b.lang, b.source, q.quota,
+             row_number() OVER (PARTITION BY b.source
+                                ORDER BY b.hkey, b.doc_id) AS rn
+      FROM binned b
+      JOIN thr ON thr.source = b.source
+      JOIN quota q ON q.source = b.source
+      WHERE b.bin = thr.tbin)
+    WHERE rn <= quota
+    """
+
+
+@register("stream_source_caps", oracle=_SRC_CAPS_ORACLE_TWIN)
+def stream_source_caps_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live per-source document cap (streaming/stateful.py
+    stream_source_caps) run to completion under AvailableNow: admit at
+    most cap = greatest(1, total // (2 * n_sources)) documents per
+    source, selected by the SAME md5 (bin, hkey, doc_id) total order
+    as the batch mix_source_caps — whose oracle this twin reuses
+    VERBATIM, because one micro-batch covering the corpus admits the
+    batch selection byte-identically. The cap is BATCH-PUBLISHED (one
+    corpus count, the stream_classifier_gate published-parameter
+    pattern). State per source is ONE integer; emitted rows are
+    append-once admissions."""
+    from lakeview_spark.streaming.stateful import stream_source_caps
+
+    docs = t(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.count("*").alias("n"), F.countDistinct("source").alias("s")
+    ).collect()[0]
+    cap = max(1, int(row.n) // (2 * max(1, int(row.s))))
+    out = stream_source_caps(_doc_stream(spark, sf_dir), cap)
+    return _run_available_now(out, "update").select("doc_id", "lang", "source")

@@ -302,3 +302,70 @@ def stream_sequence_pack(stream: DataFrame, budget: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source admission caps at ingestion (r12): the streaming twin of
+# pipeline/mixing.py mix_source_caps — admit at most `cap` documents
+# per source, chosen by the SAME deterministic total order the batch
+# op selects by ((hash bin, hash key, doc_id) — md5, no RNG), with the
+# cap BATCH-PUBLISHED (one corpus count — the stream_classifier_gate
+# published-parameter pattern, so live and batch caps cannot disagree).
+# State per source is ONE integer (admitted so far), independent of
+# stream age; under a single AvailableNow batch the admitted set is
+# byte-identical to the batch operator's (shared oracle), and across
+# batches the carry makes admission greedy in arrival order within the
+# same total order per batch (the documented streaming semantics).
+
+SRC_CAP_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+
+SRC_CAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def source_cap_admitter(cap: int, bins: int = 256):
+    """Build the per-source update function: sort the batch by the
+    batch op's (bin, hkey, doc_id) total order, admit up to the
+    remaining per-source budget, carry the admitted count."""
+    import hashlib
+
+    def _hkey(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"scap:{int(doc_id)}".encode()).hexdigest()[:15], 16
+        )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (admitted,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        hk = batch["doc_id"].map(_hkey)
+        batch = batch.assign(_hk=hk, _bin=hk % bins)
+        batch = batch.sort_values(["_bin", "_hk", "doc_id"], kind="mergesort")
+        room = max(0, int(cap) - int(admitted))
+        keep = batch.head(room)
+        state.update((int(admitted) + len(keep),))
+        yield keep[["doc_id", "lang", "source"]]
+
+    return update
+
+
+def stream_source_caps(stream: DataFrame, cap: int, bins: int = 256) -> DataFrame:
+    """documents stream (doc_id, lang, source) -> the admitted rows
+    under the per-source document cap (section comment above)."""
+    return (
+        stream.select("doc_id", "lang", "source")
+        .groupBy("source")
+        .applyInPandasWithState(
+            source_cap_admitter(cap, bins),
+            outputStructType=SRC_CAP_OUTPUT_SCHEMA,
+            stateStructType=SRC_CAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -845,3 +845,34 @@ def test_mmr_diversity_audit_reconciles_with_the_stage(spark):
     assert sum(r.mmr_min_pair for r in rows) > sum(
         r.plain_min_pair for r in rows
     )
+
+
+def test_stream_source_caps_twin_oracle_pins_to_the_batch_oracle():
+    """The twin's literal oracle must stay IDENTICAL (modulo
+    whitespace) to the batch mix_source_caps oracle — the
+    literal-constant device's pin (importing pipeline.mixing at
+    streaming_twins module scope re-enters half-initialized pipeline
+    on the `import lakeview_spark.pipeline` path)."""
+    import re
+
+    from lakeview_spark.plans.registry import ORACLES
+
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+    assert norm(ORACLES["stream_source_caps"]) == norm(
+        ORACLES["mix_source_caps"]
+    )
+
+
+def test_stream_source_caps_equals_the_batch_selection(spark):
+    """One AvailableNow batch covering the corpus admits EXACTLY the
+    batch operator's selection — the stream/batch shared-statement
+    rule, checked row-for-row."""
+    batch = {
+        (r.doc_id, r.source)
+        for r in QUERIES["mix_source_caps"](spark, SF_DIR).collect()
+    }
+    live = {
+        (r.doc_id, r.source)
+        for r in QUERIES["stream_source_caps"](spark, SF_DIR).collect()
+    }
+    assert live == batch

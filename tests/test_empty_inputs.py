@@ -177,6 +177,8 @@ GUARDED = [
     # greedy MMR rounds over an empty candidate scratch
     "retrieval_mmr_rerank",
     "eval_mmr_diversity",
+    # stateful admission over an empty file source (cap from zero docs)
+    "stream_source_caps",
 ]
 
 

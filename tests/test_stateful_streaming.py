@@ -303,3 +303,61 @@ def test_sequence_pack_state_spans_micro_batch_boundary(spark, tmp_path):
     assert ("en", max_seq) not in got
     # and the boundary-spanning sequence 0 carries batch-1 docs
     assert got[("en", 0)] == (3, 13, 0)
+
+
+def test_source_caps_state_survives_the_batch_boundary(spark, tmp_path):
+    """Two micro-batches (one json file each, maxFilesPerTrigger=1):
+    the per-source admitted count carries across the boundary, so the
+    TOTAL admitted per source never exceeds the cap even though each
+    batch is sorted and admitted independently — and within each batch
+    admission follows the batch operator's (bin, hkey, doc_id) order."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from lakeview_spark.streaming.stateful import stream_source_caps
+
+    indir = str(tmp_path / "docs")
+    _os.makedirs(indir, exist_ok=True)
+    b1 = [{"doc_id": i, "lang": "en", "source": "s0"} for i in range(8)]
+    b2 = [{"doc_id": 100 + i, "lang": "en", "source": "s0"} for i in range(8)]
+    for name, rows in (("b1.json", b1), ("b2.json", b2)):
+        with open(f"{indir}/{name}", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    cap = 5
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    out = stream_source_caps(stream, cap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("src_caps_two_batches")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id for r in spark.table("src_caps_two_batches").collect()}
+    assert len(got) == cap
+
+    def hkey(d):
+        return int(hashlib.md5(f"scap:{d}".encode()).hexdigest()[:15], 16)
+
+    order = lambda d: (hkey(d) % 256, hkey(d), d)  # noqa: E731
+    first = sorted((r["doc_id"] for r in b1), key=order)
+    # file order decides which batch replays first; the admitted set is
+    # cap-greedy over batch 1's order then (if room remained) batch 2's
+    if len(first) >= cap:
+        assert got == set(first[:cap])
