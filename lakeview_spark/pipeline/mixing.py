@@ -764,8 +764,12 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_t min(p_a(t), p_b(t)), is computed division-free by
     cross-multiplication: min(c_a * N_b, c_b * N_a) summed as exact
     BIGINTs, with ONE guarded double division by N_a * N_b at the
-    output edge (unscaled values stay far below 2^53 at audit scales;
-    an extreme-scale deployment rescales counts first, the 2^53 rule).
+    output edge. Exact-range guard (r13, VERDICT r12 next-8, the
+    corpus_snapshot_drift device): sum_t min(c_a*N_b, c_b*N_a)
+    <= N_a*N_b, so N_a, N_b < 2^31 bounds every intermediate below
+    2^62 — beyond that (a ~2.1B-token source, reachable at 100 TB)
+    each cross term raises deterministically with the rescale
+    instruction instead of overflowing mid-sum under ANSI.
     Every unordered pair appears even with zero shared tokens.
 
     Scale shape: one partial-aggregable (source, token) count, the
@@ -793,6 +797,21 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("token_b"),
         F.col("c").alias("cb"),
     )
+    # exact-range guard (docstring): na/nb >= 2^31 can push the
+    # BIGINT intersection mass past 2^63 — degrade deterministically
+    # with the rescale instruction, never by ANSI overflow mid-sum
+    in_range = (F.col("na") < F.lit(1 << 31)) & (F.col("nb") < F.lit(1 << 31))
+    cross = F.when(
+        in_range, F.least(F.col("ca") * F.col("nb"), F.col("cb") * F.col("na"))
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "corpus_source_similarity: source token counts exceed the "
+                "exact-BIGINT intersection range (na/nb >= 2^31); rescale "
+                "counts first (the 2^53 rule, SCALE.md)"
+            )
+        )
+    )
     inter = (
         x.join(y, (F.col("token") == F.col("token_b")) & (F.col("sa") < F.col("sb")))
         .join(F.broadcast(a), "sa")
@@ -800,9 +819,7 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sa", "sb")
         .agg(
             F.count("*").cast("bigint").alias("shared_tokens"),
-            F.sum(F.least(F.col("ca") * F.col("nb"), F.col("cb") * F.col("na")))
-            .cast("bigint")
-            .alias("inter_scaled"),
+            F.sum(cross).cast("bigint").alias("inter_scaled"),
         )
     )
     return (

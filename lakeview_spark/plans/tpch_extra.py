@@ -2738,6 +2738,14 @@ def promo_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two guarded edge divisions, so the whole 5-walk computation
 # hash-checks against a DuckDB unrolled-CTE oracle riding the SAME
 # _MARKOV_CNT_CTES count derivation as the transition matrix.
+# Exact-range note (r13, ADVICE r12): the oracle's per-edge product
+# m * n_transitions is computed in HUGEINT — with _ATTR_MASS = 2^40,
+# a BIGINT product overflows 2^63 once any edge count reaches ~2^23
+# while its source state still holds near-full mass (reachable at
+# large SFs); DuckDB BIGINT*BIGINT raises, it does not promote. The
+# per-state mass after the floor division is always <= _ATTR_MASS, so
+# the CAST back to BIGINT is exact at every scale. The Python engine
+# walk is arbitrary-precision and needs no guard.
 _ATTR_CONV = "purchase"
 # the removable channels — pinned to the testdata's non-conversion
 # event types by tests/test_corpus_laws.py (the funnel-twin
@@ -2757,7 +2765,7 @@ def _attr_walk_sql(tag: str, absorbing: tuple[str, ...]) -> str:
     for i in range(1, _ATTR_STEPS + 1):
         ctes.append(f"""{tag}s{i} AS MATERIALIZED (
       SELECT cnt.to_type AS state,
-             CAST(sum(s.m * cnt.n_transitions // t.from_total) AS BIGINT) AS m
+             CAST(sum(CAST(s.m AS HUGEINT) * cnt.n_transitions // t.from_total) AS BIGINT) AS m
       FROM {tag}s{i - 1} s
       JOIN cnt ON cnt.from_type = s.state
       JOIN tot t ON t.from_type = s.state

@@ -585,7 +585,13 @@ def stream_drift_monitor(
 
     Determinism: bucket counts and the cross-multiplied TV numerator
     sum(|c_b * N_ref - r_b * N_win|) are exact BIGINTs; ONE guarded
-    double division at the output edge.
+    double division at the output edge. Exact-range guard (r13,
+    VERDICT r12 next-8, the corpus_snapshot_drift device): each term
+    is <= N_win * N_ref and the bucket sum is <= 2 * N_win * N_ref,
+    so N_win, N_ref < 2^31 bounds everything below 2^63 — beyond that
+    (a ~2.1B-token reference corpus, reachable at 100 TB) the fold
+    raises deterministically with the rescale instruction instead of
+    overflowing mid-sum under ANSI.
 
     A lang with NO reference row (a genuinely new language at
     ingestion — the strongest possible drift signal) must not report
@@ -620,8 +626,16 @@ def stream_drift_monitor(
     out = agg.withColumn("cw", cw).withColumn(
         "tv_num",
         F.expr(
-            "aggregate(zip_with(cw, rc, (c, r) -> abs(c * n_ref - r * n_win)), "
-            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+            # exact-range guard (docstring): n_win/n_ref >= 2^31 can
+            # push the BIGINT TV terms past 2^63 — raise with the
+            # rescale instruction, never ANSI overflow mid-fold
+            "aggregate(zip_with(cw, rc, (c, r) -> CASE "
+            "WHEN n_win < 2147483648 AND n_ref < 2147483648 "
+            "THEN abs(c * n_ref - r * n_win) "
+            "ELSE raise_error('stream_drift_monitor: window/reference "
+            "token counts exceed the exact-BIGINT TV range (n_win/n_ref "
+            ">= 2^31); rescale counts first (the 2^53 rule, SCALE.md)') "
+            "END), CAST(0 AS BIGINT), (a, x) -> a + x)"
         ),
     )
     return out.select(

@@ -736,9 +736,10 @@ def test_q2_cheapest_supplier_matches_independent_replay(spark):
 
 def test_q20_dominance_threshold_replays_exactly(spark):
     """Q20 threshold semi-join: every reported supplier's dominated
-    parts satisfy the strict 2*qty_sp > qty_p rule in an independent
-    DuckDB replay, counts/quantities reconcile, and no dominating
-    (supplier, part) pair is missed."""
+    parts satisfy the strict 8*qty_sp > qty_p rule (the 1/8
+    concentration threshold) in an independent DuckDB replay,
+    counts/quantities reconcile, and no dominating (supplier, part)
+    pair is missed."""
     import duckdb
     from collections import defaultdict
 
