@@ -113,7 +113,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = s.filter(
-        (F.col("doc_id") % _PROBE_MOD != 0) & (F.size("shingles") > 0)
+        (F.col("doc_id") % _PROBE_MOD != 0) & (F.col("n_shingles") > 0)
     )
     matched = (
         corpus.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -122,7 +122,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("matched"))
     )
     return (
-        corpus.select("doc_id", F.size("shingles").alias("n_shingles"))
+        corpus.select("doc_id", "n_shingles")
         .join(matched, "doc_id", "left")
         .select(
             "doc_id",
@@ -190,7 +190,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("top_token_count"))
     )
     sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("distinct_shingles")
+        "doc_id", F.col("n_shingles").alias("distinct_shingles")
     )
     raw = F.col("n_tokens") - 2
     return (
@@ -712,7 +712,7 @@ def contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = s.filter(
-        (F.col("doc_id") % _PROBE_MOD != 0) & (F.size("shingles") > 0)
+        (F.col("doc_id") % _PROBE_MOD != 0) & (F.col("n_shingles") > 0)
     )
     matched = (
         corpus.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -721,7 +721,7 @@ def contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("matched"))
     )
     scored = (
-        corpus.select("doc_id", F.size("shingles").alias("n_sh"))
+        corpus.select("doc_id", F.col("n_shingles").alias("n_sh"))
         .join(matched, "doc_id", "left")
         .select(
             "doc_id",

@@ -108,9 +108,10 @@ def capped_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_set_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the `sizes` CTE: (doc_id, n) — full UNCAPPED
     shingle-set sizes (denominators stay exact even when hot shingles
-    were dropped from the index)."""
+    were dropped from the index). Reads the stored n_shingles column,
+    so the scan prunes the array column entirely."""
     return _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("n")
+        "doc_id", F.col("n_shingles").alias("n")
     )
 
 
@@ -128,9 +129,16 @@ def _doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", _tokens(F.col("text")).alias("toks"))
     )
+    # n_shingles is stored alongside the array (r13, VERDICT r12
+    # next-5): size-only consumers (Jaccard denominators, prefix-filter
+    # sizes, novelty normalizers) then column-prune the scratch scan to
+    # two int columns instead of decoding the full shingle arrays —
+    # at sf1 the array column is ~10x the testdata text, so the pruned
+    # read is the difference between a metadata-light scan and a
+    # corpus-sized one.
     return docs.select(
         "doc_id", F.array_distinct(F.expr(_shingles_expr())).alias("shingles")
-    )
+    ).withColumn("n_shingles", F.size("shingles"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,15 +380,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass posting-collapse (r13, VERDICT r12 next-5): the
+    # previous groupBy-df + join-back form referenced the exploded
+    # shingle stream TWICE (two full scans of the shingle-array scratch
+    # + two corpus-sized exchanges on `shingle`); collapsing to posting
+    # lists applies the df cap and yields the capped postings in ONE
+    # scan and ONE exchange, and the explode back to (doc_id, shingle)
+    # is partition-local. Set-identical output (collect_list order is
+    # nondeterministic but the explode restores row-set semantics).
     s = _doc_shingles(spark, sf_dir)
     e0 = s.select("doc_id", F.explode("shingles").alias("shingle"))
-    live = (
+    posting = (
         e0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= JACCARD_DF_CAP)
-        .select("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= JACCARD_DF_CAP)
     )
-    return e0.join(live, "shingle")
+    return posting.select("shingle", F.explode("docs").alias("doc_id"))
 
 
 def jaccard_index_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,7 +754,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _doc_shingles(spark, sf_dir)
     e = s.select("doc_id", F.explode("shingles").alias("shingle"))
     df_tab = e.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = s.select("doc_id", F.size("shingles").alias("n"))
+    sizes = s.select("doc_id", F.col("n_shingles").alias("n"))
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("doc_id").orderBy("df", "shingle")
