@@ -414,3 +414,148 @@ def test_azure_page_client_translation():
     assert paths.asked_token == "tok0"
     assert ("f1", datetime(2026, 3, 1, 12, 0, 0), False, 11) in entries
     assert ("sub", EPOCH, True, 0) in entries
+
+
+# --- Azure default-wiring + typed-error matrix (r13, VERDICT r12
+# next-6): the semantic cases of the reference's
+# AzureAsyncStorageClientTest.java ported to the PageClient surface ---
+
+
+class _AzureListError(Exception):
+    def __init__(self, status_code, error_code=None):
+        super().__init__(f"status={status_code} code={error_code}")
+        self.status_code = status_code
+        self.error_code = error_code
+
+
+class _RaisingAzureFs:
+    def __init__(self, exc):
+        self._exc = exc
+
+    def get_paths(self, path=None, recursive=False):
+        raise self._exc
+
+
+@pytest.mark.parametrize(
+    "status,code,expected",
+    [
+        # generateDataLakeStorageExceptionTestCases
+        # (AzureAsyncStorageClientTest.java:270-309) — list-path form:
+        (403, None, AccessDeniedError),
+        (401, None, AccessDeniedError),
+        (429, None, RateLimitError),
+        (503, None, RateLimitError),  # 503 IS throttle (:211)
+        (500, None, ObjectStoreError),
+    ],
+)
+def test_azure_typed_error_matrix(status, code, expected):
+    from lakeview_spark.sources.object_store import AzurePageClient
+
+    client = AzurePageClient(lambda c: _RaisingAzureFs(_AzureListError(status, code)))
+    with pytest.raises(expected):
+        client.fetch_page("cont", "d/", None, None)
+
+
+@pytest.mark.parametrize(
+    "status,code",
+    [
+        (404, "PathNotFound"),
+        (404, "FilesystemNotFound"),
+        (404, None),
+        # error-code match alone (status carried by a wrapper layer)
+        (None, "PathNotFound"),
+    ],
+)
+def test_azure_list_404_is_empty_directory(status, code):
+    # AzureAsyncStorageClient.java:157-171: listPaths on a missing path
+    # returns an EMPTY page, never an error — a table whose timeline
+    # dir doesn't exist yet lists as empty
+    from lakeview_spark.sources.object_store import AzurePageClient
+
+    client = AzurePageClient(lambda c: _RaisingAzureFs(_AzureListError(status, code)))
+    token, entries = client.fetch_page("cont", "d/", None, None)
+    assert token is None and entries == []
+
+
+def test_azure_default_wiring_requires_account_name():
+    from lakeview_spark.sources.object_store import (
+        AzurePageClient,
+        default_azure_service_client,
+    )
+
+    # no factory, no account_name -> actionable typed error
+    client = AzurePageClient()
+    with pytest.raises(ObjectStoreError, match="account_name"):
+        client.fetch_page("cont", "d/", None, None)
+    # blank account name fails validation BEFORE any SDK import
+    # (AzureStorageClientProvider.java:98-100)
+    with pytest.raises(ValueError, match="account name"):
+        default_azure_service_client("  ")
+
+
+def test_azure_default_wiring_constructs_service_lazily():
+    # with account_name the client self-constructs the service client on
+    # FIRST USE (GcsPageClient symmetry); construction itself never
+    # imports the SDK, so closures ship cleanly to executors
+    from lakeview_spark.sources.object_store import AzurePageClient
+
+    client = AzurePageClient(account_name="acct")
+    assert client._service is None
+    # pickling drops any live service handle (per-executor re-create)
+    client._service = object()
+    state = pickle.loads(pickle.dumps(AzurePageClient(account_name="acct")))
+    assert state._service is None
+    assert state._azure_auth["account_name"] == "acct"
+
+
+def test_azure_credential_chain_order(monkeypatch):
+    # connection string > account key > service principal > default
+    # chain (AzureStorageClientProvider.java:41-79), pinned with a stub
+    # SDK module so the test runs without azure deps installed
+    import sys
+    import types
+
+    from lakeview_spark.sources import object_store as osm
+
+    calls = []
+
+    class _FakeDL:
+        def __init__(self, endpoint=None, credential=None):
+            calls.append(("ctor", endpoint, type(credential).__name__))
+
+        @staticmethod
+        def from_connection_string(cs):
+            calls.append(("connstr", cs, None))
+            return "cs-client"
+
+    fake_fdl = types.ModuleType("azure.storage.filedatalake")
+    fake_fdl.DataLakeServiceClient = _FakeDL
+    fake_identity = types.ModuleType("azure.identity")
+
+    class _CSC:
+        def __init__(self, t, c, s):
+            calls.append(("csc", t, (c, s)))
+
+    class _DAC:
+        def __init__(self):
+            calls.append(("dac", None, None))
+
+    fake_identity.ClientSecretCredential = _CSC
+    fake_identity.DefaultAzureCredential = _DAC
+    fake_azure = types.ModuleType("azure")
+    fake_storage = types.ModuleType("azure.storage")
+    monkeypatch.setitem(sys.modules, "azure", fake_azure)
+    monkeypatch.setitem(sys.modules, "azure.storage", fake_storage)
+    monkeypatch.setitem(sys.modules, "azure.storage.filedatalake", fake_fdl)
+    monkeypatch.setitem(sys.modules, "azure.identity", fake_identity)
+
+    assert osm.default_azure_service_client("a", connection_string="CS") == "cs-client"
+    assert calls[-1][0] == "connstr"
+    osm.default_azure_service_client("a", account_key="K")
+    assert calls[-1] == ("ctor", "https://a.dfs.core.windows.net", "str")
+    osm.default_azure_service_client(
+        "a", tenant_id="t", client_id="c", client_secret="s"
+    )
+    assert calls[-2][0] == "csc" and calls[-1][2] == "_CSC"
+    osm.default_azure_service_client("a")
+    assert calls[-2][0] == "dac" and calls[-1][2] == "_DAC"
