@@ -186,14 +186,26 @@ _TRAIN_SET_SQL = f"""
 
 
 @register("pipeline_train_set", oracle=_TRAIN_SET_SQL)
-def pipeline_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_train_set(
+    spark: SparkSession, sf_dir: str, paragraph_filter: bool = False
+) -> DataFrame:
     """The composed training-set funnel (module docstring): quality ->
     keep-longest dedup -> decontamination -> char-budget selection ->
     sequence packing, one per-language row with retention at every
     stage, the selected character/token mass, and the packed sequence
     count. Stages 1-3 ARE the registered apply halves composed by
     doc_id joins; stages 4-5 re-derive the selection/packing closed
-    forms scoped to the funnel survivors."""
+    forms scoped to the funnel survivors.
+
+    ``paragraph_filter`` (r13, VERDICT r12 next-9, default OFF so the
+    registered query and its oracle are unchanged): when True, the
+    CCNet paragraph stage (text_paragraph_apply) rewrites each stage-3
+    survivor to its kept-paragraph reassembly BEFORE the char-budget
+    selection — stages 4-5 then measure/select/pack the FILTERED text
+    (n_chars/n_stop/n_tokens from filtered_text), the order a real
+    CCNet pipeline applies: doc-level gates first, paragraph surgery
+    on survivors, budget over what remains. Stages 1-3 are untouched.
+    Pinned by tests/test_train_set.py (flag-on invariants)."""
     docs = t(spark, sf_dir, "documents")
     q1 = quality_filter_apply(spark, sf_dir).select("doc_id")
     q2 = q1.join(
@@ -208,15 +220,35 @@ def pipeline_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeview_spark.pipeline.text import _STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
-    mq = docs.join(q3, "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.size(
-            F.expr(f"filter(split(lower(text), ' '), x -> x IN ({stop_list}))")
-        ).alias("n_stop"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-    )
+    if paragraph_filter:
+        from lakeview_spark.pipeline.text import text_paragraph_apply
+
+        # the paragraph stage rewrites each survivor to its
+        # kept-paragraph reassembly; downstream measures read the
+        # filtered text (filtered_text is already lowercased tokens,
+        # so the stopword filter needs no second lower())
+        filt = text_paragraph_apply(spark, sf_dir).select(
+            "doc_id", F.col("filtered_text").alias("text_f")
+        )
+        mq = docs.join(q3, "doc_id").join(filt, "doc_id").select(
+            "doc_id",
+            "lang",
+            F.length("text_f").cast("bigint").alias("n_chars"),
+            F.size(
+                F.expr(f"filter(split(text_f, ' '), x -> x IN ({stop_list}))")
+            ).alias("n_stop"),
+            F.size(F.split("text_f", " ")).alias("n_tokens"),
+        )
+    else:
+        mq = docs.join(q3, "doc_id").select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size(
+                F.expr(f"filter(split(lower(text), ' '), x -> x IN ({stop_list}))")
+            ).alias("n_stop"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
     bud = mq.groupBy("lang").agg(
         F.expr(f"CAST(sum(n_chars) AS BIGINT) div {_BUDGET_DIV}").alias(
             "budget_chars"

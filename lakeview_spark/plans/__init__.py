@@ -17,106 +17,91 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-12 window (COVERAGE.md "Round-12 plan", written at r11 close,
-# executed + amended in-round): the r11 window rotates out (49 + the
-# exemption earned r11 rows). The 50 slots: `kmeans_train` (the
-# permanent rows-only exemption), the queries CHANGED or NEW in r12
-# (the scale-adaptive-nprobe IVF-PQ family + its new exact-rerank
-# refinement, the df-capped bigram perplexity, the Apriori-pruned
-# market basket, the materialized-RQ recall audit), then the FULL
-# 19-query r07-stale cohort (every query whose newest green driver row
-# is CORRECTNESS_r07 — the stalest rows in the registry, the nine
-# r11-displaced sentinels among them; CORRECTNESS_r07 order), then
-# top-ups from the oldest r08-green queries in CORRECTNESS_r08 order.
-# r12 additions displace the deepest r08 top-ups first (each displaced
-# query keeps its r08 green row and the every-round sweep — the r7
-# displacement device).
+# Round-13 window (COVERAGE.md "Round-13 plan", written at r12 close,
+# executed + amended in-round): the r12 window rotates out (50 green
+# rows earned). The 50 slots: `kmeans_train` (the permanent rows-only
+# exemption), the queries NEW or CHANGED in r13 (the paragraph-ppl
+# pair; the overflow-guarded cross-multiplication trio + the
+# HUGEINT-oracle markov; the single-pass Jaccard-index /
+# stored-n_shingles restructure and every query whose engine lineage
+# rides those builders; the flag-extended train-set funnel; the
+# refactored-LM perplexity gate), then the FULL 29-query r08-stale
+# cohort (every query whose newest green driver row is
+# CORRECTNESS_r08 — clears the "no row older than r09" bar the r12
+# verdict re-set; CORRECTNESS_r08 order), then the oldest r09-green
+# query in CORRECTNESS_r09 order. Later r13 additions displace the
+# r09 top-up first, then amend here.
 _DRIVER_WINDOW = [
     # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
-    # CHANGED in r12 (VERDICT r11 next-3): scale-adaptive nprobe =
-    # max(3, ceil(k/4)) in the shared pclusters CTE — all three riders
-    # must re-earn driver rows
-    "similarity_ann_ivf_pq",
-    "eval_pq_recall",
-    "eval_ivfpq_nprobe_sweep",
-    # NEW in r12: exact-rerank refinement of the composed search (the
-    # sf1 ADC ceiling is 0.60; refinement holds recall@10 >= 0.6 at
-    # sf1 — SCALE.md §8a3b)
-    "similarity_ann_ivf_pq_refined",
-    # CHANGED in r12 (VERDICT r11 next-4): df-capped bigram vocabulary
-    "text_perplexity_bigram",
-    # CHANGED in r12 (VERDICT r11 next-5): Apriori item-prune
-    "orders_market_basket",
-    # CHANGED in r12 (VERDICT r11 next-8): materialized rq_codes
-    "eval_rq_recall",
-    # NEW in r12 (VERDICT r11 next-9): per-source document caps
-    "mix_source_caps",
-    # NEW in r12 (J7 breadth): the Q2 argmin-lookup and Q20
-    # threshold-semi-join shapes — displace the two deepest r08
-    # top-ups (`text_quality_score`, `text_repetition_score`; both
-    # keep r08 green rows + the every-round sweep, text kins
-    # `text_language_id` in-window)
-    "cheapest_supplier_q2",
-    "promo_stock_suppliers_q20",
-    # NEW in r12: Markov removal-effect attribution (displaces
-    # `text_language_id`, the deepest remaining r08 top-up; r08 green
-    # row + every-round sweep; events kins `events_sessionization`
-    # in-window)
+    # NEW in r13 (VERDICT r12 next-9): CCNet paragraph-granular
+    # perplexity buckets + the kept-paragraph reassembly apply
+    "text_paragraph_ppl",
+    "text_paragraph_apply",
+    # CHANGED in r13 (VERDICT r12 next-8): exact-range raise/rescale
+    # guards on the BIGINT cross-multiplications
+    "corpus_source_similarity",
+    "eval_classifier_calibration",
+    "stream_drift_monitor",
+    # CHANGED in r13 (ADVICE r12): oracle per-edge mass product in
+    # HUGEINT (engine walk unchanged, arbitrary precision)
     "events_attribution_markov",
-    # NEW in r12: MMR diversified rerank (displaces
-    # `union_dedup_discovery`, the deepest remaining r08 top-up; r08
-    # green row + every-round sweep; retrieval kins
-    # `similarity_ann_ivf_pq`/`similarity_ann_ivf_pq_refined` in-window)
-    "retrieval_mmr_rerank",
-    # NEW in r12: the MMR stage's relevance-vs-diversity audit
-    # (displaces `top_partitions`, the deepest remaining r08 top-up;
-    # r08 green row + every-round sweep; partition kins hold r10 rows)
-    "eval_mmr_diversity",
-    # NEW in r12: live per-source admission caps (displaces
-    # `timeline_trends`, the deepest remaining r08 top-up; r08 green
-    # row + every-round sweep; timeline kins `timeline_completeness`
-    # in-window)
-    "stream_source_caps",
-    # the r07-stale cohort — every query whose newest green row is
-    # CORRECTNESS_r07, in CORRECTNESS_r07 order
+    # CHANGED in r13 (VERDICT r12 next-5): single-pass posting-collapse
+    # index build + stored n_shingles — every query whose engine
+    # lineage reads the restructured builders re-earns its row
+    "dedup_ngram_jaccard",
+    "text_ngram_novelty",
     "contamination_ngram_overlap",
-    "corpus_cube_stats",
-    "corpus_distinct_kmv",
-    "corpus_top_tokens",
-    "dedup_apply",
-    "dedup_cluster_stats",
-    "dedup_incremental_lsh",
-    "dedup_minhash_signatures",
-    "dedup_simhash_hamming_pairs",
-    "embedding_centroid_stats",
+    "contamination_apply",
+    "eval_lsh_precision_recall",
+    "eval_lsh_scurve",
     "eval_dedup_reduction",
-    "eval_language_id_confusion",
-    "eval_lsh_bucket_health",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
     "minhash_similarity_estimate",
-    "partition_skew",
-    "sample_stratified",
-    "similarity_ann_multiprobe",
-    "similarity_topk_cosine",
-    "timeline_search",
-    # r08-cohort top-ups, CORRECTNESS_r08 order (19 of the 45 stale
-    # r08 rows fit; the 26 remaining lead the r13 rotation)
-    "events_sessionization",
-    "events_user_value_quartiles",
-    "exactly_one_guard",
-    "first_incomplete_commit",
-    "instant_sort_order",
-    "manifest_diff",
-    "multimodal_decode_wav",
-    "multimodal_patch_stats",
-    "new_table_detection",
-    "pack_sequence_stats",
-    "pack_training_sequences",
-    "recent_commit_groups",
-    "region_segment_profile",
-    "stream_quality_filter",
-    "table_counts_rollup",
-    "timeline_completeness",
+    "dedup_incremental_lsh",
+    # CHANGED in r13: shared-LM refactor (module-level builders feed
+    # both the doc gate and the paragraph twins)
+    "text_perplexity_bigram",
+    # CHANGED in r13: paragraph_filter flag (default path unchanged;
+    # the flag-on branch is pytest-pinned)
+    "pipeline_train_set",
+    # the FULL r08-stale cohort — every query whose newest green row
+    # is CORRECTNESS_r08, in CORRECTNESS_r08 order (dedup_containment,
+    # dedup_span_apply, dedup_prefix_filter_pairs are ALSO r13-changed
+    # via the shared builders — their slots serve both purposes)
+    "timeline_trends",
+    "top_partitions",
+    "union_dedup_discovery",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "corpus_bigram_counts",
+    "corpus_bigram_cohesion",
+    "multimodal_decode_bmp",
+    "dedup_containment",
+    "dedup_span_apply",
+    "active_batch_packing",
+    "checkpoint_lookback",
+    "kmeans_train_quantized",
+    "corpus_bpe_merges",
+    "graph_pagerank",
+    "eval_jl_distortion",
+    "events_quantile_sketch",
+    "dedup_bloom_prune",
+    "stream_quantile_sketch",
+    "sample_char_budget",
+    "sample_priority_weighted",
+    "dedup_prefix_filter_pairs",
+    "graph_label_propagation",
+    "retrieval_hybrid_rrf",
+    "eval_community_modularity",
+    "events_user_scd2",
+    "events_ewma_quantized",
+    # oldest r09-green top-up, CORRECTNESS_r09 order (the remaining 45
+    # r09-stale rows lead the r14 rotation)
+    "multimodal_frame_sample",
 ]
 
 

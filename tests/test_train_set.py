@@ -119,3 +119,74 @@ def test_train_set_equals_stage_by_stage_composition(spark):
             r.tokens_packed,
             r.n_sequences,
         ) == expected[r.lang], r.lang
+
+
+def test_train_set_paragraph_flag_invariants(spark):
+    """paragraph_filter=True (r13): stages 1-3 are untouched; stages
+    4-5 measure the kept-paragraph reassembly, so per-language selected
+    char mass never exceeds the flag-off selection's raw-text budget
+    base and the filtered token counts are <= the raw ones per doc."""
+    from lakeview_spark.pipeline.train_set import pipeline_train_set
+
+    off = {r["lang"]: r.asDict() for r in pipeline_train_set(spark, SF_DIR).collect()}
+    on = {
+        r["lang"]: r.asDict()
+        for r in pipeline_train_set(spark, SF_DIR, paragraph_filter=True).collect()
+    }
+    assert set(on) == set(off)
+    for lang, o in on.items():
+        f = off[lang]
+        # stages 1-3 identical: the paragraph stage sits after decontam
+        for col in ("docs_raw", "docs_quality", "docs_dedup", "docs_decontam"):
+            assert o[col] == f[col], (lang, col)
+        # filtered text is a subset of raw text, so the 1/BUDGET_DIV
+        # selected char mass can only shrink or hold
+        assert o["chars_selected"] <= f["chars_selected"] + 1, lang
+        assert o["docs_selected"] >= 0 and o["n_sequences"] >= 0
+
+
+def test_paragraph_apply_reassembles_kept_windows(spark):
+    """text_paragraph_apply: filtered_text is exactly the in-order
+    concatenation of the doc's kept 16-token windows; tail-bucket
+    windows are dropped; unscored (<2-token) windows are kept."""
+    from lakeview_spark.pipeline.text import _PARA_TOKENS
+
+    ppl = QUERIES["text_paragraph_ppl"](spark, SF_DIR).collect()
+    tail = {(r.doc_id, r.para_idx) for r in ppl if r.bucket == "tail"}
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    out = {r.doc_id: r for r in QUERIES["text_paragraph_apply"](spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    for doc_id, toks in docs.items():
+        paras = [
+            toks[i : i + _PARA_TOKENS] for i in range(0, len(toks), _PARA_TOKENS)
+        ]
+        kept = [
+            " ".join(p)
+            for i, p in enumerate(paras)
+            if (doc_id, i) not in tail
+        ]
+        r = out[doc_id]
+        assert r.n_paras == len(paras)
+        assert r.kept_paras == len(kept)
+        assert r.filtered_text == " ".join(kept)
+
+
+def test_paragraph_buckets_are_terciles_by_value_threshold(spark):
+    """Buckets come from value thresholds over the score histogram:
+    every paragraph with the same quantized score shares a bucket, the
+    bucket boundaries are the minimal scores whose cumulative count
+    crosses n/3 and 2n/3, and bucket order respects score order."""
+    rows = QUERIES["text_paragraph_ppl"](spark, SF_DIR).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.s)
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    n = len(rows)
+    # threshold rule: head holds at least a third (ties spill INTO head)
+    assert 3 * len(by_bucket["head"]) >= n
+    assert 3 * (len(by_bucket["head"]) + len(by_bucket["middle"])) >= 2 * n
