@@ -80,6 +80,7 @@ COHORT_BANDS_S = {
     "extended_r9": 23.0,
     "extended_late_r11": 24.1,
     "extended_r12": 17.4,
+    "extended_r13": 14.2,  # r13 close quiet reading (BASELINE.md)
 }
 COHORT_CONTENTION_RATIO = 1.7
 
@@ -194,6 +195,25 @@ EXTENDED_R12 = [
     "retrieval_mmr_rerank",  # greedy diversified rerank (5 materialized rounds)
     "eval_mmr_diversity",  # its relevance-vs-diversity audit
     "stream_source_caps",  # live admission-cap twin (AvailableNow floor class)
+]
+
+
+# FROZEN r13 cohort: the round's new/changed queries, tracked
+# round-over-round like the earlier frozen cohorts; nominal bands in
+# BASELINE.md "r13 additions". Timed after the same untimed prewarm
+# (para_scores builds inside text_paragraph_ppl's first execution —
+# charged here, the honest first-touch number).
+EXTENDED_R13 = [
+    "text_paragraph_ppl",  # paragraph LM scores + tercile buckets
+    "text_paragraph_apply",  # kept-paragraph reassembly
+    "corpus_source_similarity",  # now overflow-guarded cross-mult
+    "eval_classifier_calibration",  # guarded gap terms
+    "stream_drift_monitor",  # guarded TV fold (AvailableNow floor class)
+    "events_attribution_markov",  # HUGEINT oracle walk
+    "dedup_ngram_jaccard",  # single-pass index build rider
+    "pipeline_train_set",  # flag-extended funnel (default path)
+    "similarity_ann_graph",  # greedy beam search over the navigable graph
+    "eval_graph_ann_recall",  # its recall@10 audit (exact-truth scan)
 ]
 
 
@@ -312,8 +332,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["extended_prewarm"] = f"{type(exc).__name__}: {exc}"[:200]
     else:
-        for name in EXTENDED_STEADY + EXTENDED_R9 + EXTENDED_LATE_R11 + EXTENDED_R12:
-            if name not in QUERIES:
+        for name in (
+            EXTENDED_STEADY + EXTENDED_R9 + EXTENDED_LATE_R11 + EXTENDED_R12 + EXTENDED_R13
+        ):
+            # names shared across cohorts (eval_classifier_calibration,
+            # dedup_ngram_jaccard) keep their FIRST reading so the
+            # earlier cohorts' measurement protocol is unchanged; the
+            # newer cohort shares that reading
+            if name not in QUERIES or name in ext_timings:
                 continue
             t0 = time.time()
             try:
@@ -343,6 +369,7 @@ def main() -> None:
         "extended_r9": EXTENDED_R9,
         "extended_late_r11": EXTENDED_LATE_R11,
         "extended_r12": EXTENDED_R12,
+        "extended_r13": EXTENDED_R13,
     }
     cohort_retries: dict[str, dict] = {}
     contended = False
@@ -396,6 +423,11 @@ def main() -> None:
             "what": "frozen r12 new/changed cohort, same prewarm (BASELINE.md bands)",
             "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R12), 3),
             "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R12},
+        },
+        "extended_r13": {
+            "what": "frozen r13 new/changed cohort, same prewarm (BASELINE.md bands)",
+            "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R13), 3),
+            "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R13},
         },
     }
     if cohort_retries:

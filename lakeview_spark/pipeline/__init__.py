@@ -79,6 +79,12 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         from lakeview_spark.pipeline.similarity import retrieval_mmr_rerank
 
         builders.append(retrieval_mmr_rerank)
+        # the graph-ANN navigable-graph index + its per-round beam
+        # scratch (r13): builds gann_edges + the 17 beam tables once,
+        # the same lifecycle as the MMR chain above
+        from lakeview_spark.pipeline.similarity import _gann_final_beam
+
+        builders.append(_gann_final_beam)
         # the packed-batch table (the inherently-sequential per-table
         # Python packer) backs active_batch_packing AND
         # checkpoint_lookback — both in the extended steady set, and

@@ -3850,3 +3850,538 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN: greedy beam search over a navigable graph (r13)
+# ---------------------------------------------------------------------------
+#
+# The one ANN family the line-up lacked (LSH buckets, IVF, PQ, RQ, SQ8
+# are all partition/quantization methods): GRAPH search, the
+# HNSW/NSG-style approach that is the modern default for high-recall
+# ANN. The navigable graph has bounded out-degree everywhere and is
+# metrically ORGANIZED at every range (the property that makes greedy
+# routing work — a first cut with a vec_id binary-tree backbone
+# measured recall@10 = 0.30 because tree neighbors are metrically
+# random; the hub design below replaced it):
+#
+#   local   — per vector, its top-_GANN_K neighbors by EXACT integer
+#             distance among the Hamming<=1 multiprobe buckets (the
+#             similarity_ann_multiprobe candidate device — a bucket-
+#             restricted 2.3M-pair scored join at sf0.01, bounded by
+#             (planes+1) x bucket-occupancy per vector at any scale;
+#             the shipped bucket-kNN graph was tried first and capped
+#             recall at ~0.3: its edges never cross bucket boundaries,
+#             so the beam could not follow the metric gradient), PLUS
+#             reverse-local links capped at _GANN_REV per source (the
+#             NSW undirected convention: without reverse links the
+#             beam strands in directed sinks);
+#   up      — every vector -> its coarse cluster's HUB (the cluster's
+#             min-vec_id member; clusters are the trained IVF coarse
+#             quantizer the PQ family already ships);
+#   down    — every hub -> its cluster's {_GANN_DOWN} members nearest
+#             the hub (the descent pointers);
+#   mesh    — every hub -> its {_GANN_MESH} nearest OTHER hubs (the
+#             HNSW upper layer: O(log k) metric hops between regions).
+#
+# Search: per probe, {_GANN_ROUNDS} rounds of
+#   beam_r = top-{_GANN_BEAM} by (exact integer dist, vec_id) of
+#            beam_(r-1) UNION neighbors(beam_(r-1))
+# starting from the two smallest hub ids — monotone (the beam
+# re-enters its own candidate set, so rank-1 distance never worsens),
+# deterministic (integer distances + vec_id tiebreaks throughout), and
+# a fixed point once no neighbor improves the beam, so the unrolled
+# DuckDB oracle replays it exactly.
+#
+# Scale shape: the graph is ONE materialized scratch table with
+# out-degree <= {_KNN_K} + {_GANN_REV} + 1 + {_GANN_DOWN} +
+# {_GANN_MESH}; each search round is a tiny-broadcast join (the beam
+# is probes x {_GANN_BEAM} rows) against that scratch plus one qv
+# lookup per new candidate — the refine-stage point-lookup economics.
+# Rounds materialize (the graph_kcore device: round r references round
+# r-1 twice — the carry and the expansion). Per-probe per-round
+# candidate state is <= {_GANN_BEAM} x (out-degree + 1) rows, bounded.
+_GANN_BEAM = 10  # output top-k (and the recall@k denominator)
+# Search beam width ef is SCALE-ADAPTIVE: max(16, 4 * floor(log2 n)) via
+# the exact bitlength device (length(bin(n)) - 1 in both engines) — a
+# FIXED ef=16 measured recall 0.78 at sf0.01 but the beam converged to
+# a local minimum by round 3 at sf1 (recall 0.13): greedy beam search
+# explores ~ef x degree candidates total, and HNSW theory (and the r12
+# nprobe lesson) says the frontier must grow ~log n to hold recall.
+# ef: 96 at sf0.01 (6k vectors), 120 at sf0.1, 152 at sf1, ~264 at 1e10
+# (mult 4 measured sf1 recall 0.38, mult 8 -> 0.50 at the same wall
+# cost — the build dominates; the shipped point sits where the
+# recall-per-ef slope flattens).
+_GANN_EF_MIN = 16
+_GANN_EF_LOG_MULT = 8
+_GANN_ROUNDS = 12
+_GANN_K = 6  # local links: top-K by exact integer distance, Hamming<=1 buckets
+_GANN_L1 = 16  # sparse-layer stride: long links among vec_id % 16 == 0 nodes
+_GANN_REV = 8  # reverse-local cap per source
+_GANN_DOWN = 8  # hub -> nearest-member descent pointers
+_GANN_MESH = 8  # hub -> nearest-hub mesh links
+# beam0 = the probe's _GANN_EF nearest HUBS (exact coarse routing — the
+# pclusters shape: a per-probe rank over the k broadcast-scale hubs,
+# never the corpus). A fixed 2-hub entry measured recall 0.78 at
+# sf0.01 but COLLAPSED to 0.34/0.16 at sf0.1/sf1 (the r12 nprobe
+# lesson replayed: fixed routing constants break at 10x) — routing
+# depth must not grow with corpus size, so the upper layer is done
+# exactly and the graph rounds refine locally.
+
+_GANN_HUB_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(e.qv)+1), "
+    "i -> (e.qv[i]-h.hqv[i])*(e.qv[i]-h.hqv[i])))"
+)
+_GANN_MESH_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(a.hqv)+1), "
+    "i -> (a.hqv[i]-b.hqv[i])*(a.hqv[i]-b.hqv[i])))"
+)
+
+_GANN_LPAIR_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(ea.qv)+1), "
+    "i -> (ea.qv[i]-eb.qv[i])*(ea.qv[i]-eb.qv[i])))"
+)
+
+_GANN_EDGES_SQL = f"""
+    hubs AS (
+      SELECT cluster_id, CAST(min(vec_id) AS BIGINT) AS hub
+      FROM coarse GROUP BY cluster_id
+    ),
+    hubq AS (
+      SELECT h.cluster_id, h.hub, e.qv AS hqv
+      FROM hubs h JOIN q e ON e.vec_id = h.hub
+    ),
+    gmp AS (
+      SELECT vec_id, bucket AS pb FROM bucketed
+      UNION ALL
+      SELECT b.vec_id, xor(b.bucket, 1 << (p.plane_id - 1)) AS pb
+      FROM bucketed b, planes p
+    ),
+    glp AS MATERIALIZED (
+      SELECT m.vec_id AS src, b.vec_id AS dst,
+             CAST({_GANN_LPAIR_DIST_SQL} AS BIGINT) AS ldist
+      FROM gmp m
+      JOIN bucketed b ON b.bucket = m.pb AND b.vec_id <> m.vec_id
+      JOIN q ea ON ea.vec_id = m.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id
+    ),
+    glocal AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY ldist, dst) AS rn
+        FROM glp)
+      WHERE rn <= {_GANN_K}
+    ),
+    glong AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY ldist, dst) AS rn
+        FROM glp
+        WHERE src % {_GANN_L1} = 0 AND dst % {_GANN_L1} = 0)
+      WHERE rn <= {_GANN_K}
+    ),
+    grev AS (
+      SELECT src, dst FROM (
+        SELECT p.dst AS src, p.src AS dst,
+               row_number() OVER (PARTITION BY p.dst
+                                  ORDER BY p.ldist, p.src) AS rn
+        FROM glp p)
+      WHERE rn <= {_GANN_REV}
+    ),
+    gup AS (
+      SELECT c.vec_id AS src, h.hub AS dst
+      FROM coarse c JOIN hubs h USING (cluster_id)
+      WHERE c.vec_id <> h.hub
+    ),
+    gdown AS (
+      SELECT hub AS src, vec_id AS dst FROM (
+        SELECT h.hub, c.vec_id,
+               row_number() OVER (PARTITION BY h.cluster_id
+                                  ORDER BY {_GANN_HUB_DIST_SQL} ASC, c.vec_id) AS rn
+        FROM coarse c
+        JOIN hubq h USING (cluster_id)
+        JOIN q e ON e.vec_id = c.vec_id
+        WHERE c.vec_id <> h.hub)
+      WHERE rn <= {_GANN_DOWN}
+    ),
+    gmesh AS (
+      SELECT src, dst FROM (
+        SELECT a.hub AS src, b.hub AS dst,
+               row_number() OVER (PARTITION BY a.hub
+                                  ORDER BY {_GANN_MESH_DIST_SQL} ASC, b.hub) AS rn
+        FROM hubq a JOIN hubq b ON a.hub <> b.hub)
+      WHERE rn <= {_GANN_MESH}
+    ),
+    gedges AS (
+      SELECT src, dst FROM glocal
+      UNION SELECT src, dst FROM glong
+      UNION SELECT dst AS src, src AS dst FROM glong
+      UNION SELECT src, dst FROM grev
+      UNION SELECT src, dst FROM gup
+      UNION SELECT src, dst FROM gdown
+      UNION SELECT src, dst FROM gmesh
+    ),
+    gentry AS (
+      SELECT probe_id, hub FROM (
+        SELECT p.probe_id, h.hub,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_sum(list_transform(range(1, len(p.pqv)+1),
+                          i -> (p.pqv[i]-h.hqv[i])*(p.pqv[i]-h.hqv[i]))) ASC,
+                          h.hub) AS rn
+        FROM probes p, hubq h
+        WHERE h.hub <> p.probe_id)
+      WHERE rn <= (SELECT ef FROM efc)
+    )
+"""
+
+
+def _gann_round_sql(r: int) -> str:
+    """One unrolled beam round (AS MATERIALIZED — referenced by the
+    next round twice, the eval_rq_recall lesson)."""
+    return f"""gb{r} AS MATERIALIZED (
+      SELECT probe_id, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dist, vec_id) AS BIGINT) AS rn
+      FROM (
+        SELECT c.probe_id, c.vec_id,
+               CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS dist
+        FROM (
+          SELECT DISTINCT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id FROM gb{r - 1} WHERE rn <= (SELECT ef FROM efc)
+            UNION ALL
+            SELECT b.probe_id, g.dst AS vec_id
+            FROM gb{r - 1} b JOIN gedges g ON g.src = b.vec_id
+            WHERE b.rn <= (SELECT ef FROM efc)
+          ) WHERE vec_id <> probe_id
+        ) c
+        JOIN q e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.probe_id = c.probe_id
+      )
+    )"""
+
+
+def _gann_oracle_ctes() -> str:
+    rounds = ",\n    ".join(_gann_round_sql(r) for r in range(1, _GANN_ROUNDS + 1))
+    return f"""{_KNN_GRAPH_CTE},
+    q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
+    efc AS (
+      SELECT GREATEST({_GANN_EF_MIN},
+                      {_GANN_EF_LOG_MULT} *
+                      (length(printf('%b', CAST(count(*) AS BIGINT))) - 1)) AS ef
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, qv AS pqv FROM q
+      WHERE vec_id % ({_PQ_STRIDE_SQL}) = 0
+    ),
+    {_IVFPQ_COARSE_CTES},
+    {_GANN_EDGES_SQL},
+    gb0 AS MATERIALIZED (
+      SELECT probe_id, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dist, vec_id) AS BIGINT) AS rn
+      FROM (
+        SELECT p.probe_id, e.vec_id,
+               CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS dist
+        FROM gentry g
+        JOIN probes p ON p.probe_id = g.probe_id
+        JOIN q e ON e.vec_id = g.hub
+      )
+    ),
+    {rounds}"""
+
+
+def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigable graph's edge builder (section comment above):
+    capped local + up/down/mesh hub links, union-distinct."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    emb = _pq_emb(spark, sf_dir)
+    n_planes = len(_plane_vectors(spark, sf_dir))
+    bk = _lsh_bucketed(spark, sf_dir).select("vec_id", "bucket")
+    mp = bk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("pb"),
+    )
+    a = mp.join(emb.select(F.col("vec_id"), F.col("qv").alias("qa")), "vec_id")
+    bqe = bk.join(
+        emb.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb")),
+        bk.vec_id == F.col("dst"),
+    ).select("dst", F.col("bucket").alias("db"), "qb")
+    glp = (
+        a.join(bqe, (F.col("pb") == F.col("db")) & (F.col("vec_id") != F.col("dst")))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            _kq_sqdist("qa", "qb").alias("ldist"),
+        )
+    )
+    wloc = _W.partitionBy("src").orderBy("ldist", "dst")
+    glocal = (
+        glp.withColumn("rn", F.row_number().over(wloc))
+        .filter(F.col("rn") <= _GANN_K)
+        .select("src", "dst")
+    )
+    # the sparse layer (HNSW upper-level analog): long-range links
+    # among the 1/_GANN_L1 id-stride subset, ranked from the SAME
+    # multiprobe pair pool — the multiprobe neighborhood is 16x
+    # longer-range at the same bucket occupancy because the subset is
+    # 16x sparser, and planes already scale with n, so the link length
+    # adapts automatically. Undirected (both directions unioned).
+    glong = (
+        glp.filter(
+            (F.col("src") % _GANN_L1 == 0) & (F.col("dst") % _GANN_L1 == 0)
+        )
+        .withColumn("rn", F.row_number().over(wloc))
+        .filter(F.col("rn") <= _GANN_K)
+        .select("src", "dst")
+    )
+    wrev = _W.partitionBy("dst").orderBy("ldist", "src")
+    rev = (
+        glp.withColumn("rn", F.row_number().over(wrev))
+        .filter(F.col("rn") <= _GANN_REV)
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+    hubs = coarse.groupBy("cluster_id").agg(
+        F.min("vec_id").cast("bigint").alias("hub")
+    )
+    hubq = hubs.join(emb, hubs.hub == emb.vec_id).select(
+        "cluster_id", "hub", F.col("qv").alias("hqv")
+    )
+    up = (
+        coarse.join(F.broadcast(hubs), "cluster_id")
+        .filter(F.col("vec_id") != F.col("hub"))
+        .select(F.col("vec_id").alias("src"), F.col("hub").alias("dst"))
+    )
+    wdown = _W.partitionBy("cluster_id").orderBy("hdist", "vec_id")
+    down = (
+        coarse.join(F.broadcast(hubq), "cluster_id")
+        .filter(F.col("vec_id") != F.col("hub"))
+        .join(emb.select(F.col("vec_id").alias("vec_id"), "qv"), "vec_id")
+        .select(
+            "cluster_id", "hub", "vec_id", _kq_sqdist("qv", "hqv").alias("hdist")
+        )
+        .withColumn("rn", F.row_number().over(wdown))
+        .filter(F.col("rn") <= _GANN_DOWN)
+        .select(F.col("hub").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    a = hubq.select(F.col("hub").alias("ha"), F.col("hqv").alias("qa"))
+    b = hubq.select(F.col("hub").alias("hb"), F.col("hqv").alias("qb"))
+    wmesh = _W.partitionBy("ha").orderBy("mdist", "hb")
+    mesh = (
+        a.join(F.broadcast(b), F.col("ha") != F.col("hb"))
+        .select("ha", "hb", _kq_sqdist("qa", "qb").alias("mdist"))
+        .withColumn("rn", F.row_number().over(wmesh))
+        .filter(F.col("rn") <= _GANN_MESH)
+        .select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+    )
+    return (
+        glocal.unionByName(glong)
+        .unionByName(glong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(rev)
+        .unionByName(up)
+        .unionByName(down)
+        .unionByName(mesh)
+        .distinct()
+    )
+
+
+def _gann_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe entry hubs: the probe's _GANN_EF nearest hub VECTORS
+    by exact integer distance (section comment above — the exact upper
+    layer; a rank over probes x k broadcast-scale hub rows)."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    emb = _pq_emb(spark, sf_dir)
+    probes = _gann_probes(spark, sf_dir)
+    _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+    hubs = coarse.groupBy("cluster_id").agg(
+        F.min("vec_id").cast("bigint").alias("hub")
+    )
+    hubq = hubs.join(emb, hubs.hub == emb.vec_id).select(
+        "hub", F.col("qv").alias("hqv")
+    )
+    w = _W.partitionBy("probe_id").orderBy("hdist", "hub")
+    return (
+        probes.crossJoin(F.broadcast(hubq))
+        .filter(F.col("hub") != F.col("probe_id"))
+        .select("probe_id", "hub", _kq_sqdist("pqv", "hqv").alias("hdist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _gann_ef(spark, sf_dir))
+        .select("probe_id", "hub")
+    )
+
+
+def _gann_ef(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive search width (constants comment above): driver
+    int from the cached corpus count; n.bit_length() - 1 ==
+    length(printf('%b', n)) - 1 exactly, the bitlength device."""
+    n = corpus_n(spark, sf_dir)
+    return max(_GANN_EF_MIN, _GANN_EF_LOG_MULT * (n.bit_length() - 1))
+
+
+def _gann_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stride = max(1, corpus_n(spark, sf_dir) // _PQ_PROBE_TARGET)
+    return (
+        _pq_emb(spark, sf_dir)
+        .filter((F.col("vec_id") % stride) == 0)
+        .select(F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"))
+    )
+
+
+def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized final beam (probe_id, vec_id, dist, rn) after
+    _GANN_ROUNDS greedy rounds; the edge table and every round are
+    their own scratch tables (the graph_kcore device)."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    emb = _pq_emb(spark, sf_dir)
+    probes = _gann_probes(spark, sf_dir)
+
+    def _rank(scored):
+        w = _W.partitionBy("probe_id").orderBy("dist", "vec_id")
+        return scored.withColumn(
+            "rn", F.row_number().over(w).cast("bigint")
+        )
+
+    def _score(cand):
+        return (
+            cand.join(emb, "vec_id")
+            .join(F.broadcast(probes), "probe_id")
+            .select(
+                "probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("dist")
+            )
+        )
+
+    def _b0_build(s_, d_):
+        cand = _gann_entries(s_, d_).select(
+            "probe_id", F.col("hub").alias("vec_id")
+        )
+        return _rank(_score(cand))
+
+    beam = materialized(spark, "gann_beam0", sf_dir, _b0_build)
+    edges = materialized(spark, "gann_edges", sf_dir, _gann_edges)
+    for r in range(1, _GANN_ROUNDS + 1):
+
+        ef = _gann_ef(spark, sf_dir)
+
+        def _round_build(s_, d_, beam=beam, ef=ef):
+            kept = beam.filter(F.col("rn") <= ef).select(
+                "probe_id", "vec_id"
+            )
+            nbrs = kept.join(
+                edges, kept.vec_id == edges.src
+            ).select("probe_id", F.col("dst").alias("vec_id"))
+            cand = (
+                kept.unionByName(nbrs)
+                .filter(F.col("vec_id") != F.col("probe_id"))
+                .distinct()
+            )
+            return _rank(_score(cand))
+
+        beam = materialized(spark, f"gann_beam{r}", sf_dir, _round_build)
+    return beam
+
+
+@register(
+    "similarity_ann_graph",
+    oracle=f"""
+    {_gann_oracle_ctes()}
+    SELECT probe_id, vec_id, dist, rn AS graph_rank
+    FROM gb{_GANN_ROUNDS} WHERE rn <= {_GANN_BEAM}
+    """,
+)
+def similarity_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy beam search over the navigable graph (section comment
+    above): per probe, the final {_GANN_BEAM}-wide beam after
+    {_GANN_ROUNDS} rounds of expand-score-prune, exact integer
+    distances throughout — hash-checked against the unrolled DuckDB
+    replay of the same rounds."""
+    return (
+        _gann_final_beam(spark, sf_dir)
+        .filter(F.col("rn") <= _GANN_BEAM)
+        .select("probe_id", "vec_id", "dist", F.col("rn").alias("graph_rank"))
+    )
+
+
+@register(
+    "eval_graph_ann_recall",
+    oracle=f"""
+    {_gann_oracle_ctes()},
+    truth AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_PQ_FULL_DIST_SQL} ASC, e.vec_id) AS rn
+        FROM probes p, q e WHERE e.vec_id <> p.probe_id)
+      WHERE rn <= {_GANN_BEAM}
+    ),
+    found AS (
+      SELECT probe_id, vec_id FROM gb{_GANN_ROUNDS} WHERE rn <= {_GANN_BEAM}
+    )
+    SELECT t.probe_id,
+           CAST(count(f.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(f.vec_id) AS DOUBLE) / {_GANN_BEAM} AS recall
+    FROM truth t
+    LEFT JOIN found f ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+    GROUP BY t.probe_id
+    """,
+)
+def eval_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_GANN_BEAM} of the graph search vs the exact integer
+    top-{_GANN_BEAM} — the honest telemetry for the family (the
+    nprobe-sweep convention: the audit is itself a registered query;
+    its own telemetry drove the round's design change from the
+    tree backbone, recall 0.30, to the hub graph). The exact-truth
+    scan is the audit's own cost, not the search's."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    emb = _pq_emb(spark, sf_dir)
+    probes = _gann_probes(spark, sf_dir)
+    w = _W.partitionBy("probe_id").orderBy("dist", "vec_id")
+    truth = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GANN_BEAM)
+        .select("probe_id", "vec_id")
+    )
+    found = (
+        _gann_final_beam(spark, sf_dir)
+        .filter(F.col("rn") <= _GANN_BEAM)
+        .select("probe_id", F.col("vec_id").alias("f_vec"))
+    )
+    return (
+        truth.join(
+            found,
+            (truth.probe_id == found.probe_id) & (truth.vec_id == found.f_vec),
+            "left",
+        )
+        .drop(found.probe_id)
+        .groupBy("probe_id")
+        .agg(
+            F.count("f_vec").cast("bigint").alias("n_hits"),
+            (F.count("f_vec").cast("double") / _GANN_BEAM).alias("recall"),
+        )
+    )

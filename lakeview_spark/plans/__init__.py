@@ -63,9 +63,15 @@ _DRIVER_WINDOW = [
     # CHANGED in r13: shared-LM refactor (module-level builders feed
     # both the doc gate and the paragraph twins)
     "text_perplexity_bigram",
-    # CHANGED in r13: paragraph_filter flag (default path unchanged;
-    # the flag-on branch is pytest-pinned)
-    "pipeline_train_set",
+    # NEW in r13 (late-round): graph-based ANN — greedy beam search
+    # over the navigable graph (bucket-kNN edges + the binary-tree
+    # backbone) and its recall audit. Displace `multimodal_frame_sample`
+    # (the r09 top-up; its r09 row stands) and `pipeline_train_set`
+    # (r13-changed only by the paragraph_filter FLAG — the default
+    # path is expression-identical, pytest pins the flag branch, and
+    # the every-round sweep covers the registered query)
+    "similarity_ann_graph",
+    "eval_graph_ann_recall",
     # the FULL r08-stale cohort — every query whose newest green row
     # is CORRECTNESS_r08, in CORRECTNESS_r08 order (dedup_containment,
     # dedup_span_apply, dedup_prefix_filter_pairs are ALSO r13-changed
@@ -99,9 +105,6 @@ _DRIVER_WINDOW = [
     "eval_community_modularity",
     "events_user_scd2",
     "events_ewma_quantized",
-    # oldest r09-green top-up, CORRECTNESS_r09 order (the remaining 45
-    # r09-stale rows lead the r14 rotation)
-    "multimodal_frame_sample",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Graph-ANN (r13): beam-search invariants + an independent
+brute-force truth replay for the recall audit, at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeview_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from lakeview_spark.session import get_spark
+
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def beam(spark):
+    return QUERIES["similarity_ann_graph"](spark, SF_DIR).collect()
+
+
+def test_graph_ann_output_shape_and_ordering(spark, beam):
+    from lakeview_spark.pipeline.similarity import _GANN_BEAM
+
+    by_probe = {}
+    for r in beam:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rows in by_probe.items():
+        assert len(rows) == _GANN_BEAM, pid
+        rows.sort(key=lambda r: r.graph_rank)
+        assert [r.graph_rank for r in rows] == list(range(1, _GANN_BEAM + 1))
+        # rank order == (dist, vec_id) order, and the probe never
+        # returns itself
+        keys = [(r.dist, r.vec_id) for r in rows]
+        assert keys == sorted(keys), pid
+        assert all(r.vec_id != pid for r in rows)
+
+
+def test_graph_ann_recall_matches_brute_force_replay(spark, beam):
+    """The audit's n_hits recomputed from scratch: quantize embeddings
+    exactly like the engine (floor(x * 2^20)), brute-force the true
+    top-10 per probe in Python, intersect with the search output."""
+    import math
+
+    from lakeview_spark.pipeline.similarity import _GANN_BEAM
+    from lakeview_spark.pipeline.iterative import _QUANT
+
+    emb = {
+        r.vec_id: [math.floor(float(x) * float(_QUANT)) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    probes = sorted({r.probe_id for r in beam})
+    found = {}
+    for r in beam:
+        found.setdefault(r.probe_id, set()).add(r.vec_id)
+    audit = {
+        r.probe_id: r
+        for r in QUERIES["eval_graph_ann_recall"](spark, SF_DIR).collect()
+    }
+    assert set(audit) == set(probes)
+    recalls = []
+    for pid in probes:
+        pq = emb[pid]
+        scored = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(v, pq)), vid)
+            for vid, v in emb.items()
+            if vid != pid
+        )
+        truth = {vid for _, vid in scored[:_GANN_BEAM]}
+        hits = len(truth & found[pid])
+        assert audit[pid].n_hits == hits, pid
+        recalls.append(hits / _GANN_BEAM)
+    # the adaptive-ef search holds a real bar even at the smallest SF
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_graph_ann_beam_is_monotone_across_rounds(spark):
+    """The greedy rule re-enters its own beam, so the rank-1 distance
+    per probe never worsens round over round."""
+    from lakeview_spark.operators.materialize import _MATERIALIZED
+    from lakeview_spark.pipeline.similarity import _GANN_ROUNDS, _gann_final_beam
+
+    _gann_final_beam(spark, SF_DIR).count()
+    best = None
+    seen_rounds = 0
+    for r in range(_GANN_ROUNDS + 1):
+        keys = [
+            k
+            for k in _MATERIALIZED
+            if k[1] == f"gann_beam{r}" and "sf0.001" in k[2]
+        ]
+        if not keys:
+            continue
+        seen_rounds += 1
+        df = spark.read.parquet(_MATERIALIZED[keys[0]])
+        cur = {
+            row.probe_id: row.dist
+            for row in df.filter("rn = 1").collect()
+        }
+        if best is not None:
+            for pid, d in cur.items():
+                assert d <= best.get(pid, d), (r, pid)
+        best = cur
+    assert seen_rounds == _GANN_ROUNDS + 1

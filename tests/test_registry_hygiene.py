@@ -117,6 +117,10 @@ def test_bench_query_lists_are_registered():
     assert not missing, f"extended-r9 bench names not registered: {missing}"
     missing = [n for n in bench.EXTENDED_LATE_R11 if n not in QUERIES]
     assert not missing, f"extended-late-r11 bench names not registered: {missing}"
+    missing = [n for n in bench.EXTENDED_R12 if n not in QUERIES]
+    assert not missing, f"extended-r12 bench names not registered: {missing}"
+    missing = [n for n in bench.EXTENDED_R13 if n not in QUERIES]
+    assert not missing, f"extended-r13 bench names not registered: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
     assert len(set(bench.EXTENDED_STEADY)) == len(bench.EXTENDED_STEADY)
     assert len(set(bench.EXTENDED_R9)) == len(bench.EXTENDED_R9)
@@ -127,3 +131,8 @@ def test_bench_query_lists_are_registered():
     assert not (set(bench.EXTENDED_STEADY) | set(bench.EXTENDED_R9)) & set(
         bench.EXTENDED_LATE_R11
     )
+    assert len(set(bench.EXTENDED_R12)) == len(bench.EXTENDED_R12)
+    assert len(set(bench.EXTENDED_R13)) == len(bench.EXTENDED_R13)
+    # r13 deliberately shares two names with earlier cohorts; the timing
+    # loop keeps the FIRST reading (bench.py comment), so only within-
+    # list duplicates would double-count — pinned above
