@@ -80,7 +80,7 @@ COHORT_BANDS_S = {
     "extended_r9": 23.0,
     "extended_late_r11": 24.1,
     "extended_r12": 17.4,
-    "extended_r13": 14.2,  # r13 close quiet reading (BASELINE.md)
+    "extended_r13": 16.3,  # r13 close all-ten reading incl. graph ANN (BASELINE.md)
 }
 COHORT_CONTENTION_RATIO = 1.7
 
