@@ -373,10 +373,16 @@ def main() -> None:
     }
     cohort_retries: dict[str, dict] = {}
     contended = False
+    # the frozen bands are sf0.1 readings — at any other SF a cohort
+    # exceeding them is DATA, not contention (the r13 sf1 run fired
+    # two spurious retries before this gate), so adjudicate only at
+    # the band's own scale factor
+    sf_label_now = os.path.basename(sf_label.rstrip("/")).replace("sf", "")
+    bands_apply = sf_label_now == "0.1" and split_files <= 1
     for cname, members in cohort_lists.items():
         first_total = sum(v for k, v in ext_timings.items() if k in members)
         band = COHORT_BANDS_S.get(cname)
-        if not band or first_total <= band * COHORT_CONTENTION_RATIO:
+        if not bands_apply or not band or first_total <= band * COHORT_CONTENTION_RATIO:
             continue
         contended = True
         retry: dict[str, float] = {}
