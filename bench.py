@@ -214,6 +214,7 @@ EXTENDED_R13 = [
     "pipeline_train_set",  # flag-extended funnel (default path)
     "similarity_ann_graph",  # greedy beam search over the navigable graph
     "eval_graph_ann_recall",  # its recall@10 audit (exact-truth scan)
+    "stream_paragraph_gate",  # live CCNet paragraph gate (AvailableNow floor class)
 ]
 
 

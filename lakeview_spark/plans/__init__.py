@@ -59,7 +59,6 @@ _DRIVER_WINDOW = [
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "minhash_similarity_estimate",
-    "dedup_incremental_lsh",
     # CHANGED in r13: shared-LM refactor (module-level builders feed
     # both the doc gate and the paragraph twins)
     "text_perplexity_bigram",
@@ -72,6 +71,12 @@ _DRIVER_WINDOW = [
     # the every-round sweep covers the registered query)
     "similarity_ann_graph",
     "eval_graph_ann_recall",
+    # NEW in r13 (late-round): live CCNet paragraph gate twin
+    # (displaces `dedup_incremental_lsh` — r12-green, its r13 change is
+    # the most indirect of the shingle-builder riders (it reads the
+    # minhash signature scratch one layer removed) and the every-round
+    # sweep covers it)
+    "stream_paragraph_gate",
     # the FULL r08-stale cohort — every query whose newest green row
     # is CORRECTNESS_r08, in CORRECTNESS_r08 order (dedup_containment,
     # dedup_span_apply, dedup_prefix_filter_pairs are ALSO r13-changed

@@ -1263,3 +1263,72 @@ def stream_source_caps_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = max(1, int(row.n) // (2 * max(1, int(row.s))))
     out = stream_source_caps(_doc_stream(spark, sf_dir), cap)
     return _run_available_now(out, "update").select("doc_id", "lang", "source")
+
+
+def _para_gate_oracle() -> str:
+    # replays the live gate's per-paragraph verdicts via the batch LM +
+    # tercile-threshold CTE blocks (imports inside the builder — the
+    # _pack_oracle precedent: registration runs after pipeline is fully
+    # initialized), binned on the synthesized ingest grid. The gate
+    # emits one row per SCORED paragraph (< 2-token paragraphs carry no
+    # bigram evidence; the batch apply keeps them trivially), with the
+    # IDENTICAL s <= t2 verdict rule as text_paragraph_apply, so the
+    # live gate and the batch apply can never disagree.
+    from lakeview_spark.pipeline.text import _PARA_SCORED_CTES, _PPL_LM_CTES
+
+    return f"""
+    WITH {_PPL_LM_CTES},
+    {_PARA_SCORED_CTES}
+    SELECT lang,
+           {_BASE_SQL} + ((CAST(doc_id AS BIGINT) % {_SPREAD_MIN})
+             * 60000000 // 600000000) * 600000000 AS window_start_us,
+           doc_id, para_idx, n_bigrams, total_qbits, s,
+           s <= thr.t2 AS kept
+    FROM pq, thr
+    """
+
+
+@register("stream_paragraph_gate", oracle=_para_gate_oracle())
+def stream_paragraph_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live CCNet paragraph gating (streaming/pipeline_stream.py
+    stream_paragraph_gate) run to completion: the BATCH-trained bigram
+    LM attaches to the exploded paragraph-pair stream via broadcast
+    equi joins and the batch-published tercile threshold decides each
+    scored paragraph's keep/drop — one verdict row per (window, doc,
+    paragraph). The oracle replays the identical verdicts via the
+    batch LM + threshold CTE blocks (text_paragraph_ppl's pq
+    derivation), so the live gate and the batch apply query cannot
+    drift — the stream_classifier_gate device, applied to a trained
+    LM."""
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.text import (
+        _PARA_TOKENS,
+        _PARA_QSCALE,
+        _para_thresholds,
+        _ppl_model_build,
+        _ppl_prices_build,
+    )
+    from lakeview_spark.streaming.pipeline_stream import stream_paragraph_gate
+
+    prices = materialized(spark, "ppl_prices", sf_dir, _ppl_prices_build)
+    model = materialized(spark, "ppl_model", sf_dir, _ppl_model_build)
+    thr = _para_thresholds(spark, sf_dir)
+    gate = stream_paragraph_gate(
+        _doc_stream(spark, sf_dir),
+        prices,
+        model,
+        thr,
+        para_tokens=_PARA_TOKENS,
+        qscale=_PARA_QSCALE,
+    )
+    out = _run_available_now(gate, "update")
+    return out.select(
+        "lang",
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("para_idx").cast("bigint").alias("para_idx"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("total_qbits").cast("bigint").alias("total_qbits"),
+        F.col("s").cast("bigint").alias("s"),
+        "kept",
+    )

@@ -777,3 +777,38 @@ def test_stream_curation_funnel_composes_all_three_screens(spark, tmp_path):
     # doc 2 (quality), doc 3 (contaminated), doc 29 (probe), doc 4
     # (cross-batch duplicate) all screened; 1 and 5 survive
     assert kept == [(1, "en"), (5, "de")]
+
+
+def test_stream_paragraph_gate_matches_batch_apply(spark):
+    """Every live verdict equals the batch rule: the gate's kept flag
+    per scored paragraph is exactly (s <= t2) under the batch
+    thresholds, the scored-paragraph set matches text_paragraph_ppl,
+    and folding verdicts per doc reproduces text_paragraph_apply's
+    kept counts for the scored paragraphs (unscored ones are kept
+    trivially by the batch apply)."""
+    from lakeview_spark.plans import QUERIES
+    from lakeview_spark.pipeline.text import _para_thresholds
+
+    sf_dir = "/root/testdata/sf0.001"
+    live = QUERIES["stream_paragraph_gate"](spark, sf_dir).collect()
+    t2 = _para_thresholds(spark, sf_dir).collect()[0].t2
+    batch_ppl = {
+        (r.doc_id, r.para_idx): r
+        for r in QUERIES["text_paragraph_ppl"](spark, sf_dir).collect()
+    }
+    assert {(r.doc_id, r.para_idx) for r in live} == set(batch_ppl)
+    for r in live:
+        b = batch_ppl[(r.doc_id, r.para_idx)]
+        assert (r.n_bigrams, r.total_qbits, r.s) == (b.n_bigrams, b.total_qbits, b.s)
+        assert r.kept == (r.s <= t2)
+        # the batch bucket rule: kept <=> not tail
+        assert r.kept == (b.bucket != "tail")
+    # fold per doc: kept-scored + unscored == the batch apply's kept
+    kept_scored = {}
+    scored = {}
+    for r in live:
+        kept_scored[r.doc_id] = kept_scored.get(r.doc_id, 0) + int(r.kept)
+        scored[r.doc_id] = scored.get(r.doc_id, 0) + 1
+    for a in QUERIES["text_paragraph_apply"](spark, sf_dir).collect():
+        unscored = a.n_paras - scored.get(a.doc_id, 0)
+        assert a.kept_paras == kept_scored.get(a.doc_id, 0) + unscored, a.doc_id
