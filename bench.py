@@ -80,7 +80,7 @@ COHORT_BANDS_S = {
     "extended_r9": 23.0,
     "extended_late_r11": 24.1,
     "extended_r12": 17.4,
-    "extended_r13": 16.3,  # r13 close all-ten reading incl. graph ANN (BASELINE.md)
+    "extended_r13": 20.4,  # r13 final close (11 queries incl. stream_paragraph_gate)
 }
 COHORT_CONTENTION_RATIO = 1.7
 
