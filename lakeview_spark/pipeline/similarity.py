@@ -3859,7 +3859,8 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The one ANN family the line-up lacked (LSH buckets, IVF, PQ, RQ, SQ8
 # are all partition/quantization methods): GRAPH search, the
 # HNSW/NSG-style approach that is the modern default for high-recall
-# ANN. The navigable graph has bounded out-degree everywhere and is
+# ANN (Malkov & Yashunin 2016, HNSW; Malkov et al. 2014, NSW).
+# The navigable graph has bounded out-degree everywhere and is
 # metrically ORGANIZED at every range (the property that makes greedy
 # routing work — a first cut with a vec_id binary-tree backbone
 # measured recall@10 = 0.30 because tree neighbors are metrically

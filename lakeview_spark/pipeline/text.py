@@ -655,7 +655,8 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Paragraph-granular perplexity filtering (r13, VERDICT r12 next-9 —
-# the CCNet stage the doc-level gate above approximates): CCNet's
+# the CCNet stage the doc-level gate above approximates; Wenzek et
+# al. 2020, CCNet): CCNet's
 # scoring unit is the PARAGRAPH, docs are reassembled from kept
 # paragraphs. The synthetic corpus has no newlines, so the paragraph
 # stand-in is fixed _PARA_TOKENS-token windows (deterministic,
