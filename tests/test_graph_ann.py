@@ -105,3 +105,23 @@ def test_graph_ann_beam_is_monotone_across_rounds(spark):
                 assert d <= best.get(pid, d), (r, pid)
         best = cur
     assert seen_rounds == _GANN_ROUNDS + 1
+
+
+def test_gann_edge_out_degree_respects_documented_bound(spark):
+    """The navigable graph's out-degree bound (similarity.py section
+    comment): <= K local + REV reverse + 1 up + DOWN descent + MESH
+    mesh links per source."""
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.similarity import (
+        _GANN_DOWN,
+        _GANN_K,
+        _GANN_MESH,
+        _GANN_REV,
+        _gann_edges,
+    )
+    from pyspark.sql import functions as F
+
+    edges = materialized(spark, "gann_edges", SF_DIR, _gann_edges)
+    bound = _GANN_K + _GANN_REV + 1 + _GANN_DOWN + _GANN_MESH
+    worst = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert worst <= bound, (worst, bound)

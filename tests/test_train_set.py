@@ -190,3 +190,22 @@ def test_paragraph_buckets_are_terciles_by_value_threshold(spark):
     # threshold rule: head holds at least a third (ties spill INTO head)
     assert 3 * len(by_bucket["head"]) >= n
     assert 3 * (len(by_bucket["head"]) + len(by_bucket["middle"])) >= 2 * n
+
+
+def test_ppl_price_components_fit_the_stream_gate_packing(spark):
+    """stream_paragraph_gate packs per-token prices as q1 * 4096 + q2;
+    the docstring claims q1 <= 186 and q2 <= 63 at any corpus size —
+    derive the structural bound from the trained table and enforce
+    headroom so a future LM-formula change cannot silently corrupt the
+    packing."""
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.text import _ppl_prices_build
+
+    prices = materialized(spark, "ppl_prices", SF_DIR, _ppl_prices_build)
+    row = prices.agg(
+        F.max("q1").alias("q1"), F.max("q2").alias("q2"),
+        F.min("q1").alias("q1min"), F.min("q2").alias("q2min"),
+    ).collect()[0]
+    # structural: q1 = 3*(bl(c+v)-1) <= 3*62, q2 = bl(n+v)-bl(c+1) <= 63
+    assert 0 <= row.q1min and row.q1 <= 186
+    assert 0 <= row.q2min and row.q2 <= 63
