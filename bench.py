@@ -220,18 +220,37 @@ EXTENDED_R13 = [
 
 def _round_number() -> int:
     """Round N for the bench_details_r{N}.json sidecar: explicit
-    SPARK_GRAFT_ROUND, else highest committed BENCH_r*.json + 1 (the
-    driver writes BENCH_r{N} at round close, so at bench time the
-    highest existing artifact is the PREVIOUS round)."""
+    SPARK_GRAFT_ROUND (required for intra-round re-runs after the
+    driver has already written this round's BENCH file), else highest
+    git-TRACKED BENCH_r*.json + 1 — the driver writes BENCH_r{N} at
+    round close, so an on-disk-but-uncommitted BENCH file belongs to
+    the round in flight and must not bump N (it did in r13: a bench
+    re-run after the driver wrote BENCH_r13.json labeled its sidecar
+    bench_details_r14.json). Falls back to the on-disk glob when git
+    is unavailable."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
     import glob
     import re
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
+    names: list[str] = []
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "ls-files", "BENCH_r*.json"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode == 0:
+            names = out.stdout.split()
+    except Exception:
+        names = []
+    if not names:
+        names = [os.path.basename(f)
+                 for f in glob.glob(os.path.join(here, "BENCH_r*.json"))]
     nums = []
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    for f in names:
         m = re.search(r"BENCH_r(\d+)\.json$", f)
         if m:
             nums.append(int(m.group(1)))

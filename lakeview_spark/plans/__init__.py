@@ -63,8 +63,9 @@ _DRIVER_WINDOW = [
     # both the doc gate and the paragraph twins)
     "text_perplexity_bigram",
     # NEW in r13 (late-round): graph-based ANN — greedy beam search
-    # over the navigable graph (bucket-kNN edges + the binary-tree
-    # backbone) and its recall audit. Displace `multimodal_frame_sample`
+    # over the navigable graph (capped multiprobe-local links + reverse
+    # links + hub up/down/mesh + the id-stride sparse layer) and its
+    # recall audit. Displace `multimodal_frame_sample`
     # (the r09 top-up; its r09 row stands) and `pipeline_train_set`
     # (r13-changed only by the paragraph_filter FLAG — the default
     # path is expression-identical, pytest pins the flag branch, and

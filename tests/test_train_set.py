@@ -193,11 +193,11 @@ def test_paragraph_buckets_are_terciles_by_value_threshold(spark):
 
 
 def test_ppl_price_components_fit_the_stream_gate_packing(spark):
-    """stream_paragraph_gate packs per-token prices as q1 * 4096 + q2;
-    the docstring claims q1 <= 186 and q2 <= 63 at any corpus size —
-    derive the structural bound from the trained table and enforce
-    headroom so a future LM-formula change cannot silently corrupt the
-    packing."""
+    """Pin the structural ranges of the trained per-token price table
+    (q1 = 3*(bl(c+v)-1) <= 186, q2 = bl(n+v)-bl(c+1) <= 63) that
+    stream_paragraph_gate's broadcast price joins rely on — a future
+    LM-formula change that widens either component should fail here
+    loudly instead of silently skewing the gate's scores."""
     from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.pipeline.text import _ppl_prices_build
 
