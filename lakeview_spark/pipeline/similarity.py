@@ -3895,13 +3895,39 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle replays it exactly.
 #
 # Scale shape: the graph is ONE materialized scratch table with
-# out-degree <= {_KNN_K} + {_GANN_REV} + 1 + {_GANN_DOWN} +
-# {_GANN_MESH}; each search round is a tiny-broadcast join (the beam
-# is probes x {_GANN_BEAM} rows) against that scratch plus one qv
-# lookup per new candidate — the refine-stage point-lookup economics.
-# Rounds materialize (the graph_kcore device: round r references round
-# r-1 twice — the carry and the expansion). Per-probe per-round
-# candidate state is <= {_GANN_BEAM} x (out-degree + 1) rows, bounded.
+# STRUCTURAL out-degree <= _GANN_K (local) + _GANN_REV (reverse-local)
+# + 1 (up) + _GANN_DOWN + _GANN_MESH, plus — for the 1/_GANN_L1
+# id-stride sparse-layer nodes only — 2 * _GANN_K more (capped forward
+# AND capped reversed long links; the reversed side is ranked per
+# TARGET so a metrically central stride node cannot accumulate
+# unbounded long-link fan-out at large SF — r13 advice). Each search
+# round is a tiny-broadcast join (the beam is probes x ef rows)
+# against that scratch plus one qv lookup per new candidate — the
+# refine-stage point-lookup economics. Rounds materialize (the
+# graph_kcore device: round r references round r-1 twice — the carry
+# and the expansion). Per-probe per-round candidate state is
+# <= ef x (out-degree + 1) rows, bounded.
+#
+# Rerank (r14, VERDICT r13 next-1): greedy beam recall collapsed at
+# scale NOT because navigation misses the right region — per-round
+# diagnostics showed the beam converging INTO the true neighborhood by
+# round 3 — but because discriminating the exact top-10 among hundreds
+# of near-equidistant neighbors needs ef ~ cluster occupancy (measured
+# recall ~ ef/occupancy on a clustered 60k corpus: 0.46 at ef~120 over
+# ~600-member clusters; SCALE.md §8a9). The fix is the refined-IVF-PQ
+# device applied graph-side: a CLUSTER-LOCAL EXACT RERANK — take the
+# coarse clusters of every KEPT beam member (rn <= ef — the regions
+# the graph routed to), exact-score ALL their members plus every beam
+# candidate, and emit the reranked top-k. Per probe that is <= ef
+# distinct clusters x occupancy (~_CLUSTER_TARGET by the _k_for_n
+# sizing rule) extra integer distances — point-lookup economics, not
+# a corpus scan (at n=1e9, ef~240 -> ~30k lookups/probe; the _K_MAX
+# clamp inflating occupancy past n~5e5 is the IVF family's documented
+# caveat — production raises the clamp or goes hierarchical-coarse).
+# Measured (r14): recall@10 0.50 -> 1.00 at sf1 and 0.46 -> 0.99 on
+# the clustered 60k corpus, wall unchanged (the build dominates) —
+# this is the DiskANN/SPANN shape: graph routing picks the regions,
+# exact distances from stored vectors decide the final order.
 _GANN_BEAM = 10  # output top-k (and the recall@k denominator)
 # Search beam width ef is SCALE-ADAPTIVE: max(16, 4 * floor(log2 n)) via
 # the exact bitlength device (length(bin(n)) - 1 in both engines) — a
@@ -3921,6 +3947,11 @@ _GANN_L1 = 16  # sparse-layer stride: long links among vec_id % 16 == 0 nodes
 _GANN_REV = 8  # reverse-local cap per source
 _GANN_DOWN = 8  # hub -> nearest-member descent pointers
 _GANN_MESH = 8  # hub -> nearest-hub mesh links
+# cluster-local exact rerank (section comment above): clusters are
+# sourced from EVERY kept beam member (rn <= ef) — the r14 width grid
+# at sf1 read recall 0.62/0.70/0.80/1.00 for top-16/32/96/kept-beam
+# sources at identical wall (the index build dominates), so the
+# scale-adaptive ef is the one knob and the rerank inherits it.
 # beam0 = the probe's _GANN_EF nearest HUBS (exact coarse routing — the
 # pclusters shape: a per-probe rank over the k broadcast-scale hubs,
 # never the corpus). A fixed 2-hub entry measured recall 0.78 at
@@ -3974,13 +4005,22 @@ _GANN_EDGES_SQL = f"""
         FROM glp)
       WHERE rn <= {_GANN_K}
     ),
-    glong AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
+    glongb AS (
+      SELECT src, dst, ldist FROM (
+        SELECT src, dst, ldist,
                row_number() OVER (PARTITION BY src
                                   ORDER BY ldist, dst) AS rn
         FROM glp
         WHERE src % {_GANN_L1} = 0 AND dst % {_GANN_L1} = 0)
+      WHERE rn <= {_GANN_K}
+    ),
+    glong AS (SELECT src, dst FROM glongb),
+    glongr AS (
+      SELECT dst AS src, src AS dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY ldist, src) AS rn
+        FROM glongb)
       WHERE rn <= {_GANN_K}
     ),
     grev AS (
@@ -4018,7 +4058,7 @@ _GANN_EDGES_SQL = f"""
     gedges AS (
       SELECT src, dst FROM glocal
       UNION SELECT src, dst FROM glong
-      UNION SELECT dst AS src, src AS dst FROM glong
+      UNION SELECT src, dst FROM glongr
       UNION SELECT src, dst FROM grev
       UNION SELECT src, dst FROM gup
       UNION SELECT src, dst FROM gdown
@@ -4063,6 +4103,38 @@ def _gann_round_sql(r: int) -> str:
     )"""
 
 
+def _gann_rerank_sql() -> str:
+    """The cluster-local exact rerank (section comment above): coarse
+    clusters of every kept final-beam member (rn <= ef), all their
+    members unioned with every beam candidate, exact-scored and
+    re-ranked — the refined-IVF-PQ device graph-side."""
+    r = _GANN_ROUNDS
+    return f"""gsrc AS (
+      SELECT DISTINCT b.probe_id, c.cluster_id
+      FROM gb{r} b JOIN coarse c ON c.vec_id = b.vec_id
+      WHERE b.rn <= (SELECT ef FROM efc)
+    ),
+    gfinal AS MATERIALIZED (
+      SELECT probe_id, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dist, vec_id) AS BIGINT) AS rn
+      FROM (
+        SELECT c.probe_id, c.vec_id,
+               CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS dist
+        FROM (
+          SELECT DISTINCT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id FROM gb{r}
+            UNION ALL
+            SELECT s.probe_id, m.vec_id
+            FROM gsrc s JOIN coarse m USING (cluster_id)
+          ) WHERE vec_id <> probe_id
+        ) c
+        JOIN q e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.probe_id = c.probe_id
+      )
+    )"""
+
+
 def _gann_oracle_ctes() -> str:
     rounds = ",\n    ".join(_gann_round_sql(r) for r in range(1, _GANN_ROUNDS + 1))
     return f"""{_KNN_GRAPH_CTE},
@@ -4091,7 +4163,8 @@ def _gann_oracle_ctes() -> str:
         JOIN q e ON e.vec_id = g.hub
       )
     ),
-    {rounds}"""
+    {rounds},
+    {_gann_rerank_sql()}"""
 
 
 def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4141,13 +4214,23 @@ def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longer-range at the same bucket occupancy because the subset is
     # 16x sparser, and planes already scale with n, so the link length
     # adapts automatically. Undirected (both directions unioned).
-    glong = (
+    glongb = (
         glp.filter(
             (F.col("src") % _GANN_L1 == 0) & (F.col("dst") % _GANN_L1 == 0)
         )
         .withColumn("rn", F.row_number().over(wloc))
         .filter(F.col("rn") <= _GANN_K)
-        .select("src", "dst")
+        .select("src", "dst", "ldist")
+    )
+    glong = glongb.select("src", "dst")
+    # reversed long links capped per TARGET (r13 advice: uncapped, a
+    # metrically central stride node's long-link in-degree — and so
+    # its reversed out-fan — grows with the corpus)
+    wlr = _W.partitionBy("dst").orderBy("ldist", "src")
+    glongr = (
+        glongb.withColumn("rn2", F.row_number().over(wlr))
+        .filter(F.col("rn2") <= _GANN_K)
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     wrev = _W.partitionBy("dst").orderBy("ldist", "src")
     rev = (
@@ -4191,7 +4274,7 @@ def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         glocal.unionByName(glong)
-        .unionByName(glong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(glongr)
         .unionByName(rev)
         .unionByName(up)
         .unionByName(down)
@@ -4246,9 +4329,10 @@ def _gann_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized final beam (probe_id, vec_id, dist, rn) after
-    _GANN_ROUNDS greedy rounds; the edge table and every round are
-    their own scratch tables (the graph_kcore device)."""
+    """The materialized search result (probe_id, vec_id, dist, rn):
+    _GANN_ROUNDS greedy rounds then the cluster-local exact rerank;
+    the edge table, every round, and the rerank are their own scratch
+    tables (the graph_kcore device)."""
     from pyspark.sql import Window as _W
 
     from lakeview_spark.operators.materialize import materialized
@@ -4299,7 +4383,35 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _rank(_score(cand))
 
         beam = materialized(spark, f"gann_beam{r}", sf_dir, _round_build)
-    return beam
+
+    # cluster-local exact rerank (section comment above): coarse
+    # clusters of every kept beam member, all members exact-scored
+    # alongside every beam candidate. The cluster-source table is
+    # probes x <= ef rows — broadcast side of the member join; the
+    # member pull is <= sources x occupancy point lookups, never a
+    # corpus scan.
+    _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+    ef = _gann_ef(spark, sf_dir)
+
+    def _rerank_build(s_, d_, beam=beam, coarse=coarse, ef=ef):
+        src = (
+            beam.filter(F.col("rn") <= ef)
+            .join(coarse, "vec_id")
+            .select("probe_id", "cluster_id")
+            .distinct()
+        )
+        members = coarse.join(F.broadcast(src), "cluster_id").select(
+            "probe_id", "vec_id"
+        )
+        cand = (
+            beam.select("probe_id", "vec_id")
+            .unionByName(members)
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .distinct()
+        )
+        return _rank(_score(cand))
+
+    return materialized(spark, "gann_rerank", sf_dir, _rerank_build)
 
 
 @register(
@@ -4307,15 +4419,15 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_gann_oracle_ctes()}
     SELECT probe_id, vec_id, dist, rn AS graph_rank
-    FROM gb{_GANN_ROUNDS} WHERE rn <= {_GANN_BEAM}
+    FROM gfinal WHERE rn <= {_GANN_BEAM}
     """,
 )
 def similarity_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy beam search over the navigable graph (section comment
-    above): per probe, the final {_GANN_BEAM}-wide beam after
-    {_GANN_ROUNDS} rounds of expand-score-prune, exact integer
-    distances throughout — hash-checked against the unrolled DuckDB
-    replay of the same rounds."""
+    above): per probe, {_GANN_ROUNDS} rounds of expand-score-prune
+    followed by the cluster-local exact rerank over the routed-to
+    coarse clusters, exact integer distances throughout — hash-checked
+    against the unrolled DuckDB replay of the same rounds + rerank."""
     return (
         _gann_final_beam(spark, sf_dir)
         .filter(F.col("rn") <= _GANN_BEAM)
@@ -4323,9 +4435,8 @@ def similarity_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "eval_graph_ann_recall",
-    oracle=f"""
+def _gann_recall_oracle() -> str:
+    return f"""
     {_gann_oracle_ctes()},
     truth AS (
       SELECT probe_id, vec_id FROM (
@@ -4336,7 +4447,7 @@ def similarity_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn <= {_GANN_BEAM}
     ),
     found AS (
-      SELECT probe_id, vec_id FROM gb{_GANN_ROUNDS} WHERE rn <= {_GANN_BEAM}
+      SELECT probe_id, vec_id FROM gfinal WHERE rn <= {_GANN_BEAM}
     )
     SELECT t.probe_id,
            CAST(count(f.vec_id) AS BIGINT) AS n_hits,
@@ -4344,8 +4455,10 @@ def similarity_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM truth t
     LEFT JOIN found f ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
     GROUP BY t.probe_id
-    """,
-)
+    """
+
+
+@register("eval_graph_ann_recall", oracle=_gann_recall_oracle())
 def eval_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_GANN_BEAM} of the graph search vs the exact integer
     top-{_GANN_BEAM} — the honest telemetry for the family (the
@@ -4386,3 +4499,111 @@ def eval_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("f_vec").cast("double") / _GANN_BEAM).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN recall on a CLUSTERED corpus (r14, VERDICT r13 next-3)
+# ---------------------------------------------------------------------------
+#
+# The r13 finding that drove the rerank was measured on a one-off
+# scratch corpus (100 Gaussian clusters; SCALE.md §8a9) — this
+# registers it as a permanent, driver-checkable regression gate. The
+# clustered corpus is DERIVED from the embeddings table with pure
+# integer arithmetic, identically in both engines, so the full index
+# build + search + recall replays hash-exactly on it:
+#
+#   cluster(v)    = vec_id % _GANN_CLUST_NC          (fixed cluster count
+#                   -> occupancy GROWS with n: exactly the regime where
+#                   greedy-beam recall collapsed pre-rerank)
+#   centroid(c)   = the quantized embedding of vec_id c + 1
+#   derived qv    = 4 * q(centroid) + q(self)         (centroid dominates
+#                   4:1 -> tight clusters; the "noise" term is the
+#                   vector's own near-uniform embedding)
+#   derived emb   = qv / 2^22                         (exact power-of-two
+#                   division -> bit-identical DOUBLEs in both engines,
+#                   and floor(emb * 2^20) re-derives floor(qv/4) exactly)
+#
+# Engine side: the derived corpus is written once per (session,
+# dataset) as a scratch DATASET directory (embeddings.parquet), and
+# the audit simply recurses into eval_graph_ann_recall with that
+# directory as sf_dir — zero duplicated index machinery, every scratch
+# table and driver cache keys itself on the derived path. Oracle side:
+# the same recall oracle with its corpus reads rewritten to the
+# derived CTE (string-level rewrite of the shared template — the two
+# variants cannot drift because they ARE the same template).
+_GANN_CLUST_NC = 64
+
+_GANN_CLUSTERED_EMB_CTE = f"""cemb AS (
+      SELECT s.vec_id, s.label,
+             list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+               i -> CAST(4 * CAST(floor(CAST(c.embedding[i] AS DOUBLE) * {1 << 20}.0) AS BIGINT)
+                         + CAST(floor(CAST(s.embedding[i] AS DOUBLE) * {1 << 20}.0) AS BIGINT)
+                         AS DOUBLE) / {1 << 22}.0) AS embedding
+      FROM embeddings s
+      JOIN embeddings c ON c.vec_id = s.vec_id % {_GANN_CLUST_NC} + 1
+    )"""
+
+
+def _gann_recall_oracle_clustered() -> str:
+    body = _gann_recall_oracle().replace("FROM embeddings", "FROM cemb")
+    return body.replace(
+        "WITH planes", f"WITH {_GANN_CLUSTERED_EMB_CTE},\n    planes", 1
+    )
+
+
+# (app id, dataset path, fingerprint) -> derived dataset directory;
+# bounded like the other driver caches, cleaned by materialize's
+# atexit hook via _CREATED_PATHS registration
+_CLUSTERED_DIRS: dict[tuple[str, str, str], str] = {}
+
+
+def _clustered_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the derived clustered corpus (section comment
+    above) as a scratch dataset directory and return its path."""
+    import os
+    import uuid
+
+    from lakeview_spark.operators.materialize import _CREATED_PATHS, scratch_dir
+
+    key = _pq_cache_key(spark, sf_dir)
+    got = _CLUSTERED_DIRS.get(key)
+    if got is not None:
+        return got
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qcol = _kq_quantize_col("embedding")
+    cents = (
+        emb.filter(F.col("vec_id").between(1, _GANN_CLUST_NC))
+        .select(F.col("vec_id").alias("cid"), qcol.alias("qc"))
+    )
+    derived = (
+        emb.select("vec_id", "label", qcol.alias("qs"))
+        .withColumn("cid", F.col("vec_id") % _GANN_CLUST_NC + 1)
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with(
+                "qc",
+                "qs",
+                lambda a, b: (a * 4 + b).cast("double") / float(1 << 22),
+            ).alias("embedding"),
+        )
+    )
+    path = os.path.join(scratch_dir(), f"lakeview_clustered_{uuid.uuid4().hex}")
+    derived.write.parquet(os.path.join(path, "embeddings.parquet"))
+    _CREATED_PATHS.append(path)
+    _CLUSTERED_DIRS[key] = path
+    return path
+
+
+@register("eval_graph_ann_recall_clustered", oracle=_gann_recall_oracle_clustered())
+def eval_graph_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_GANN_BEAM} of the graph search on the DERIVED clustered
+    corpus (section comment above) — the permanent form of the r13
+    scratch measurement that exposed the pre-rerank recall collapse
+    (0.46 on clustered 60k vs 0.78 uniform; SCALE.md §8a9). The whole
+    index build + beam search + cluster-local rerank runs on the
+    derived corpus via the scratch-dataset recursion, and the oracle
+    replays it from the same SQL template with the corpus reads
+    rewritten — hash-exact, like the uniform audit."""
+    return eval_graph_ann_recall(spark, _clustered_corpus_dir(spark, sf_dir))

@@ -17,100 +17,82 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-13 window (COVERAGE.md "Round-13 plan", written at r12 close,
-# executed + amended in-round): the r12 window rotates out (50 green
-# rows earned). The 50 slots: `kmeans_train` (the permanent rows-only
-# exemption), the queries NEW or CHANGED in r13 (the paragraph-ppl
-# pair; the overflow-guarded cross-multiplication trio + the
-# HUGEINT-oracle markov; the single-pass Jaccard-index /
-# stored-n_shingles restructure and every query whose engine lineage
-# rides those builders; the flag-extended train-set funnel; the
-# refactored-LM perplexity gate), then the FULL 29-query r08-stale
-# cohort (every query whose newest green driver row is
-# CORRECTNESS_r08 — clears the "no row older than r09" bar the r12
-# verdict re-set; CORRECTNESS_r08 order), then the oldest r09-green
-# query in CORRECTNESS_r09 order. Later r13 additions displace the
-# r09 top-up first, then amend here.
+# Round-14 window (COVERAGE.md "Round-14 plan", written at r13 close,
+# executed in-round): the r13 window rotates out (49 green rows + the
+# exemption earned). The 50 slots: `kmeans_train` (the permanent
+# rows-only exemption), the queries NEW or CHANGED in r14 (the
+# graph-ANN family: cluster-local exact rerank + capped reversed long
+# links change both registered results; the NEW clustered-corpus
+# recall gate promotes the r13 scratch measurement; the df-cap
+# prefilter restructure of the Jaccard index build; the one-pass
+# corpus_source_similarity rewrite), then the oldest r09-green rows
+# in CORRECTNESS_r09 order (44 of the 45 planned top-ups fit;
+# `graph_kcore` leads the r15 rotation). Later r14 additions displace
+# the r09 top-up deepest-first, then amend here.
 _DRIVER_WINDOW = [
     # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
-    # NEW in r13 (VERDICT r12 next-9): CCNet paragraph-granular
-    # perplexity buckets + the kept-paragraph reassembly apply
-    "text_paragraph_ppl",
-    "text_paragraph_apply",
-    # CHANGED in r13 (VERDICT r12 next-8): exact-range raise/rescale
-    # guards on the BIGINT cross-multiplications
-    "corpus_source_similarity",
-    "eval_classifier_calibration",
-    "stream_drift_monitor",
-    # CHANGED in r13 (ADVICE r12): oracle per-edge mass product in
-    # HUGEINT (engine walk unchanged, arbitrary precision)
-    "events_attribution_markov",
-    # CHANGED in r13 (VERDICT r12 next-5): single-pass posting-collapse
-    # index build + stored n_shingles — every query whose engine
-    # lineage reads the restructured builders re-earns its row
-    "dedup_ngram_jaccard",
-    "text_ngram_novelty",
-    "contamination_ngram_overlap",
-    "contamination_apply",
-    "eval_lsh_precision_recall",
-    "eval_lsh_scurve",
-    "eval_dedup_reduction",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "minhash_similarity_estimate",
-    # CHANGED in r13: shared-LM refactor (module-level builders feed
-    # both the doc gate and the paragraph twins)
-    "text_perplexity_bigram",
-    # NEW in r13 (late-round): graph-based ANN — greedy beam search
-    # over the navigable graph (capped multiprobe-local links + reverse
-    # links + hub up/down/mesh + the id-stride sparse layer) and its
-    # recall audit. Displace `multimodal_frame_sample`
-    # (the r09 top-up; its r09 row stands) and `pipeline_train_set`
-    # (r13-changed only by the paragraph_filter FLAG — the default
-    # path is expression-identical, pytest pins the flag branch, and
-    # the every-round sweep covers the registered query)
+    # CHANGED in r14 (VERDICT r13 next-1): cluster-local exact rerank
+    # (kept-beam cluster sources) + the r13-advice reversed-long-link
+    # cap — recall@10 0.50 -> 1.00 at sf1, 0.46 -> 0.99 clustered
     "similarity_ann_graph",
     "eval_graph_ann_recall",
-    # NEW in r13 (late-round): live CCNet paragraph gate twin
-    # (displaces `dedup_incremental_lsh` — r12-green, its r13 change is
-    # the most indirect of the shingle-builder riders (it reads the
-    # minhash signature scratch one layer removed) and the every-round
-    # sweep covers it)
-    "stream_paragraph_gate",
-    # the FULL r08-stale cohort — every query whose newest green row
-    # is CORRECTNESS_r08, in CORRECTNESS_r08 order (dedup_containment,
-    # dedup_span_apply, dedup_prefix_filter_pairs are ALSO r13-changed
-    # via the shared builders — their slots serve both purposes)
-    "timeline_trends",
-    "top_partitions",
-    "union_dedup_discovery",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "corpus_bigram_counts",
-    "corpus_bigram_cohesion",
-    "multimodal_decode_bmp",
-    "dedup_containment",
-    "dedup_span_apply",
-    "active_batch_packing",
-    "checkpoint_lookback",
-    "kmeans_train_quantized",
-    "corpus_bpe_merges",
-    "graph_pagerank",
-    "eval_jl_distortion",
-    "events_quantile_sketch",
-    "dedup_bloom_prune",
-    "stream_quantile_sketch",
-    "sample_char_budget",
-    "sample_priority_weighted",
-    "dedup_prefix_filter_pairs",
-    "graph_label_propagation",
-    "retrieval_hybrid_rrf",
-    "eval_community_modularity",
-    "events_user_scd2",
-    "events_ewma_quantized",
+    # NEW in r14 (VERDICT r13 next-3): the clustered-corpus recall
+    # audit as a permanent driver-checked gate (derived corpus, full
+    # index replay in both engines)
+    "eval_graph_ann_recall_clustered",
+    # CHANGED in r14 (ADVICE r13): df-cap prefilter on the Jaccard
+    # index build (bounded aggregation state; output set-identical)
+    "dedup_ngram_jaccard",
+    # CHANGED in r14 (VERDICT r13 next-7): one-pass keyed-table +
+    # full-frame-window rewrite (hash-identical)
+    "corpus_source_similarity",
+    # the r09-green top-up, in CORRECTNESS_r09 order (COVERAGE.md
+    # "Round-14 plan" list)
+    "events_sliding_window_stats",
+    "events_user_retention",
+    "events_rollup_cascade",
+    "stream_token_stats",
+    "multimodal_resize_bmp",
+    "events_props_json_stats",
+    "events_click_attribution",
+    "partition_histogram",
+    "stream_embedding_neardup",
+    "sample_temperature",
+    "duplicate_wins_join",
+    "dedup_semdedup",
+    "events_funnel_conversion",
+    "compaction_backlog",
+    "events_asof_click_value",
+    "file_size_percentiles",
+    "partition_size_distribution",
+    "top_revenue_supplier",
+    "table_stats_daily",
+    "corpus_distinct_hll",
+    "eval_simhash_band_quality",
+    "pricing_summary",
+    "forecast_revenue",
+    "brand_revenue_share",
+    "local_supplier_volume",
+    "nation_trade_volume",
+    "promo_disjunctive_revenue",
+    "important_parts",
+    "eval_lsh_precision_recall",
+    "stream_event_sessions",
+    "embedding_pq_codebook_stats",
+    "contamination_apply",
+    "stream_bloom_prune",
+    "corpus_bpe_train",
+    "corpus_bpe_apply",
+    "corpus_source_overlap_theta",
+    "stream_interval_join",
+    "similarity_ann_sq8",
+    "text_surprisal_bits",
+    "layout_zorder_stats",
+    "stream_interval_join_outer",
+    "sample_dsir_select",
+    "stream_session_daily_rollup",
+    "text_ngram_novelty",
 ]
 
 

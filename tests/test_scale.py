@@ -148,6 +148,7 @@ _TINY_BROADCAST_OK = {
     "text_paragraph_ppl",  # 1-row tercile-threshold broadcast (r13)
     "text_paragraph_apply",  # same 1-row threshold broadcast
     "eval_graph_ann_recall",  # fixed-size probe-sample broadcast for the exact truth
+    "eval_graph_ann_recall_clustered",  # same audit recursed onto the derived corpus
     "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
     "corpus_source_overlap_theta",  # 20-row per-source sketch-stats pair join
     "similarity_ann_sq8",  # 1-row dim-stats + fixed-size probe broadcasts
