@@ -910,3 +910,86 @@ def text_paragraph_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("filtered_text"),
     )
+
+
+@register(
+    "eval_paragraph_retention",
+    oracle=f"""
+    WITH {_PPL_LM_CTES},
+    {_PARA_SCORED_CTES},
+    pb AS (
+      SELECT lang,
+             CASE WHEN s <= t1 THEN 'head'
+                  WHEN s <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             n_bigrams, total_qbits
+      FROM pq, thr
+    ),
+    g AS (
+      SELECT lang, bucket,
+             CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+             CAST(sum(total_qbits) AS BIGINT) AS total_qbits
+      FROM pb GROUP BY lang, bucket
+    )
+    SELECT lang, bucket, n_paras, n_bigrams, total_qbits,
+           CAST(n_paras AS DOUBLE)
+             / CAST(sum(n_paras) OVER (PARTITION BY lang) AS DOUBLE)
+             AS para_share,
+           CAST(n_bigrams AS DOUBLE)
+             / CAST(sum(n_bigrams) OVER (PARTITION BY lang) AS DOUBLE)
+             AS bigram_share,
+           bucket <> 'tail' AS retained
+    FROM g
+    """,
+)
+def eval_paragraph_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bucket) retention audit rounding out the CCNet
+    paragraph family (r14, VERDICT r13 next-5 — CCNet's published
+    ablation is exactly this table, Wenzek et al. 2020 Table 2): for
+    every language, how many paragraphs and how much bigram mass land
+    in each perplexity tercile, each bucket's share of its language,
+    and whether the apply stage retains it (head/middle kept, tail
+    dropped — text_paragraph_apply's rule, so per lang the retained
+    buckets' n_paras sum to apply's kept SCORED paragraphs; the
+    composed pytest pins that identity including the unscored-kept
+    remainder). Scale shape: reads the materialized para_scores
+    scratch + the broadcast 1-row thresholds, one (lang, bucket)
+    aggregation (<= langs x 3 groups at any corpus size), lang totals
+    from windows over that tiny grouped table — no extra corpus pass.
+    The shares divide identical exact integers in both engines, and
+    every denominator is a group's own positive count."""
+    scored = _para_scores(spark, sf_dir)
+    thr = _para_thresholds(spark, sf_dir)
+    bucket = (
+        F.when(F.col("s") <= F.col("t1"), F.lit("head"))
+        .when(F.col("s") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    g = (
+        scored.crossJoin(F.broadcast(thr))
+        .select("lang", bucket.alias("bucket"), "n_bigrams", "total_qbits")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paras"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.sum("total_qbits").cast("bigint").alias("total_qbits"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "bucket",
+        "n_paras",
+        "n_bigrams",
+        "total_qbits",
+        (
+            F.col("n_paras").cast("double")
+            / F.sum("n_paras").over(wl).cast("double")
+        ).alias("para_share"),
+        (
+            F.col("n_bigrams").cast("double")
+            / F.sum("n_bigrams").over(wl).cast("double")
+        ).alias("bigram_share"),
+        (F.col("bucket") != F.lit("tail")).alias("retained"),
+    )

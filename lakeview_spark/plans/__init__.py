@@ -47,6 +47,10 @@ _DRIVER_WINDOW = [
     # CHANGED in r14 (VERDICT r13 next-7): one-pass keyed-table +
     # full-frame-window rewrite (hash-identical)
     "corpus_source_similarity",
+    # NEW in r14 (VERDICT r13 next-5): per-(lang, bucket) CCNet
+    # retention ablation completing the paragraph family (displaces
+    # `text_ngram_novelty`, the deepest r09 top-up; its r13 row stands)
+    "eval_paragraph_retention",
     # the r09-green top-up, in CORRECTNESS_r09 order (COVERAGE.md
     # "Round-14 plan" list)
     "events_sliding_window_stats",
@@ -92,7 +96,6 @@ _DRIVER_WINDOW = [
     "stream_interval_join_outer",
     "sample_dsir_select",
     "stream_session_daily_rollup",
-    "text_ngram_novelty",
 ]
 
 

@@ -209,3 +209,44 @@ def test_ppl_price_components_fit_the_stream_gate_packing(spark):
     # structural: q1 = 3*(bl(c+v)-1) <= 3*62, q2 = bl(n+v)-bl(c+1) <= 63
     assert 0 <= row.q1min and row.q1 <= 186
     assert 0 <= row.q2min and row.q2 <= 63
+
+
+def test_paragraph_retention_composes_with_apply_kept_counts(spark):
+    """eval_paragraph_retention x text_paragraph_apply identity (the
+    VERDICT r13 next-5 composed check): per language, the retained
+    (head/middle) buckets' paragraph counts plus the unscored-kept
+    remainder (paragraphs with < 2 tokens never enter the score table
+    and apply always keeps them) must equal apply's kept_paras total —
+    and the tail bucket is exactly the dropped count. Also pins the
+    share columns as exact within-lang fractions."""
+    ret = QUERIES["eval_paragraph_retention"](spark, SF_DIR).collect()
+    apply_rows = QUERIES["text_paragraph_apply"](spark, SF_DIR).collect()
+
+    scored = {}
+    retained = {}
+    for r in ret:
+        scored[r.lang] = scored.get(r.lang, 0) + r.n_paras
+        if r.retained:
+            assert r.bucket in ("head", "middle")
+            retained[r.lang] = retained.get(r.lang, 0) + r.n_paras
+        else:
+            assert r.bucket == "tail"
+    total = {}
+    kept = {}
+    for r in apply_rows:
+        total[r.lang] = total.get(r.lang, 0) + r.n_paras
+        kept[r.lang] = kept.get(r.lang, 0) + r.kept_paras
+    assert set(scored) <= set(total)
+    for lang in scored:
+        unscored_kept = total[lang] - scored[lang]
+        assert kept[lang] == retained[lang] + unscored_kept, lang
+
+    by_lang = {}
+    for r in ret:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        n = sum(r.n_paras for r in rows)
+        b = sum(r.n_bigrams for r in rows)
+        for r in rows:
+            assert r.para_share == r.n_paras / n, lang
+            assert r.bigram_share == r.n_bigrams / b, lang
