@@ -559,3 +559,182 @@ def test_azure_credential_chain_order(monkeypatch):
     assert calls[-2][0] == "csc" and calls[-1][2] == "_CSC"
     osm.default_azure_service_client("a")
     assert calls[-2][0] == "dac" and calls[-1][2] == "_DAC"
+
+
+# --- Azure mocked-live end-to-end discovery + timeline (r14, VERDICT
+# r13 next-6): the remaining semantic cases of the reference's
+# AzureAsyncStorageClientTest.java driven through ObjectStoreLister ->
+# discover_tables and a timeline page, not just fetch_page units:
+# continuation tokens mid-listing, directory flags steering the BFS,
+# missing-path-as-empty (404 during listPaths), and the no-startAfter
+# resume path (ADLS has no offset parameter, so the checkpoint compare
+# in files_to_upload carries resume instead of the store) ---
+
+
+class FakeAdlsFileSystem:
+    """Stateful ADLS Gen2 filesystem double over a flat key space:
+    get_paths(path, recursive=False) yields immediate children as
+    PathItems with directory flags and FULL paths (the DataLake wire
+    shape), by_page pages them with opaque continuation tokens, and a
+    missing path raises the 404/PathNotFound shape the SDK uses."""
+
+    def __init__(self, keys, page_size=2):
+        self.keys = dict(keys)  # full path -> (mtime, size)
+        self.page_size = page_size
+        self.get_paths_calls = []
+        self.by_page_tokens = []
+
+    def get_paths(self, path=None, recursive=False):
+        assert recursive is False
+        self.get_paths_calls.append(path)
+        prefix = (path + "/") if path else ""
+        if path is not None and not any(
+            k == path or k.startswith(prefix) for k in self.keys
+        ):
+            err = Exception("The specified path does not exist.")
+            err.status_code = 404
+            err.error_code = "PathNotFound"
+            raise err
+        children = {}
+        for k, (mt, size) in sorted(self.keys.items()):
+            if not k.startswith(prefix) or k == path:
+                continue
+            rest = k[len(prefix):]
+            if "/" in rest:
+                children.setdefault(prefix + rest.split("/", 1)[0], "dir")
+            else:
+                children.setdefault(k, (mt, size))
+        items = [
+            _FakePathItem(
+                name,
+                v == "dir",
+                None if v == "dir" else v[0],
+                0 if v == "dir" else v[1],
+            )
+            for name, v in sorted(children.items())
+        ]
+        fs = self
+
+        class _Paths:
+            def by_page(self, continuation_token=None):
+                fs.by_page_tokens.append(continuation_token)
+                start = int(continuation_token) if continuation_token else 0
+                page = items[start : start + fs.page_size]
+                nxt = start + fs.page_size
+
+                class _Pages:
+                    continuation_token = str(nxt) if nxt < len(items) else None
+
+                    def __next__(self_inner):
+                        return page
+
+                return _Pages()
+
+        return _Paths()
+
+
+def _adls_fixture_keys():
+    mt = datetime(2026, 3, 1, 12, 0, 0)
+    return {
+        "warehouse/db1/t1/.hoodie/hoodie.properties": (mt, 10),
+        "warehouse/db1/t1/.hoodie/100.commit.requested": (mt, 0),
+        "warehouse/db1/t1/.hoodie/100.inflight": (mt, 0),
+        "warehouse/db1/t1/.hoodie/100.commit": (mt, 5),
+        "warehouse/db1/t1/.hoodie/200.commit.requested": (mt, 0),
+        "warehouse/db1/t1/.hoodie/200.inflight": (mt, 0),
+        "warehouse/db1/t1/.hoodie/200.commit": (mt, 5),
+        "warehouse/db1/t1/part1/file.parquet": (mt, 100),
+        "warehouse/db1/t2/.hoodie/hoodie.properties": (mt, 10),
+        "warehouse/db1/nontable/sub/deeper/.gitkeep": (mt, 1),
+    }
+
+
+def test_azure_discovery_end_to_end(spark):
+    """discover_tables BFS through ObjectStoreLister + AzurePageClient:
+    directory PathItems steer descent, the .hoodie directory entry
+    stops it, pagination crosses directory listings mid-stream, and a
+    basePath whose path doesn't exist (ADLS 404 during listPaths) is
+    an empty database, not a failure."""
+    spark.sparkContext.addPyFile(__file__)
+    from lakeview_spark.sources.object_store import AzurePageClient
+
+    fs = FakeAdlsFileSystem(_adls_fixture_keys(), page_size=2)
+    client = AzurePageClient(lambda container: fs)
+    store = ObjectStoreLister(lambda: client)
+    base = "abfss://cont@acct.dfs.core.windows.net/warehouse/db1"
+    tables = discover_tables(
+        spark,
+        [
+            {
+                "lake": "l1",
+                "databases": [
+                    {"name": "db1", "basePaths": [base]},
+                    {"name": "ghost", "basePaths": [base + "/does-not-exist"]},
+                ],
+            }
+        ],
+        lister=store.as_lister(),
+    ).collect()
+    uris = sorted(r.table_uri for r in tables)
+    assert uris == [base + "/t1", base + "/t2"]
+    assert {r.database for r in tables} == {"db1"}
+
+
+def test_azure_timeline_paging_and_checkpoint_resume(spark):
+    """A timeline page through the Azure client: the 7-entry .hoodie
+    dir drains across 4 continuation-token pages (page_size=2, the
+    mid-timeline token case of AzureAsyncStorageClientTest.java);
+    startAfter is NOT pushed down (ADLS has no offset parameter), so
+    the resumed listing returns the full history and files_to_upload's
+    checkpoint compare — not the store — skips the already-uploaded
+    instants (the reference's documented no-startAfter resume path)."""
+    from lakeview_spark.operators.uploader import files_to_upload
+    from lakeview_spark.sources.object_store import (
+        AzurePageClient,
+        list_timeline_incremental,
+    )
+
+    fs = FakeAdlsFileSystem(_adls_fixture_keys(), page_size=2)
+    store = ObjectStoreLister(lambda: AzurePageClient(lambda container: fs))
+    t1 = "abfss://cont@acct.dfs.core.windows.net/warehouse/db1/t1"
+    ckpt = {
+        "last_uploaded_file": "100.commit",
+        "first_incomplete_commit_file": "",
+    }
+    entries = list_timeline_incremental(
+        store, t1, ckpt, "BLOCK_ON_INCOMPLETE_COMMIT"
+    )
+    # full 7-file dir came back: ADLS ignored the resume key...
+    assert sorted(e[0] for e in entries) == [
+        "100.commit",
+        "100.commit.requested",
+        "100.inflight",
+        "200.commit",
+        "200.commit.requested",
+        "200.inflight",
+        "hoodie.properties",
+    ]
+    # ...across 4 token-chained pages, the resume key never pushed
+    assert fs.by_page_tokens == [None, "2", "4", "6"]
+    assert fs.get_paths_calls == ["warehouse/db1/t1/.hoodie"] * 4
+
+    # the caller-side checkpoint compare carries resume instead
+    files = spark.createDataFrame(
+        [("t1", "active", name, mt, is_dir, size)
+         for name, mt, is_dir, size in entries],
+        "table_id string, timeline string, filename string, "
+        "last_modified timestamp, is_directory boolean, size long",
+    )
+    ckpts = spark.createDataFrame(
+        [("t1", 2, datetime(2026, 1, 1), "100.commit", "", False, 0)],
+        "table_id string, batch_id int, checkpoint_ts timestamp, "
+        "last_uploaded_file string, first_incomplete_commit_file string, "
+        "archived_commits_processed boolean, last_archived_manifest_version int",
+    )
+    got = {
+        r.filename
+        for r in files_to_upload(
+            files, ckpts, "active", "BLOCK_ON_INCOMPLETE_COMMIT"
+        ).collect()
+    }
+    assert got == {"200.commit", "200.commit.requested", "200.inflight"}
