@@ -4078,10 +4078,14 @@ _GANN_EDGES_SQL = f"""
 """
 
 
-def _gann_round_sql(r: int) -> str:
+def _gann_round_sql(
+    r: int, prefix: str = "gb", edges: str = "gedges", qtab: str = "q"
+) -> str:
     """One unrolled beam round (AS MATERIALIZED — referenced by the
-    next round twice, the eval_rq_recall lesson)."""
-    return f"""gb{r} AS MATERIALIZED (
+    next round twice, the eval_rq_recall lesson). Parameterized (r14)
+    so the upsert search replays over the augmented edge set and the
+    FULL-corpus vector table without duplicating the template."""
+    return f"""{prefix}{r} AS MATERIALIZED (
       SELECT probe_id, vec_id, dist,
              CAST(row_number() OVER (PARTITION BY probe_id
                                      ORDER BY dist, vec_id) AS BIGINT) AS rn
@@ -4090,31 +4094,37 @@ def _gann_round_sql(r: int) -> str:
                CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS dist
         FROM (
           SELECT DISTINCT probe_id, vec_id FROM (
-            SELECT probe_id, vec_id FROM gb{r - 1} WHERE rn <= (SELECT ef FROM efc)
+            SELECT probe_id, vec_id FROM {prefix}{r - 1} WHERE rn <= (SELECT ef FROM efc)
             UNION ALL
             SELECT b.probe_id, g.dst AS vec_id
-            FROM gb{r - 1} b JOIN gedges g ON g.src = b.vec_id
+            FROM {prefix}{r - 1} b JOIN {edges} g ON g.src = b.vec_id
             WHERE b.rn <= (SELECT ef FROM efc)
           ) WHERE vec_id <> probe_id
         ) c
-        JOIN q e ON e.vec_id = c.vec_id
+        JOIN {qtab} e ON e.vec_id = c.vec_id
         JOIN probes p ON p.probe_id = c.probe_id
       )
     )"""
 
 
-def _gann_rerank_sql() -> str:
+def _gann_rerank_sql(
+    prefix: str = "gb",
+    qtab: str = "q",
+    src: str = "gsrc",
+    out: str = "gfinal",
+) -> str:
     """The cluster-local exact rerank (section comment above): coarse
     clusters of every kept final-beam member (rn <= ef), all their
     members unioned with every beam candidate, exact-scored and
-    re-ranked — the refined-IVF-PQ device graph-side."""
+    re-ranked — the refined-IVF-PQ device graph-side. Parameterized
+    (r14) like the round template."""
     r = _GANN_ROUNDS
-    return f"""gsrc AS (
+    return f"""{src} AS (
       SELECT DISTINCT b.probe_id, c.cluster_id
-      FROM gb{r} b JOIN coarse c ON c.vec_id = b.vec_id
+      FROM {prefix}{r} b JOIN coarse c ON c.vec_id = b.vec_id
       WHERE b.rn <= (SELECT ef FROM efc)
     ),
-    gfinal AS MATERIALIZED (
+    {out} AS MATERIALIZED (
       SELECT probe_id, vec_id, dist,
              CAST(row_number() OVER (PARTITION BY probe_id
                                      ORDER BY dist, vec_id) AS BIGINT) AS rn
@@ -4123,13 +4133,13 @@ def _gann_rerank_sql() -> str:
                CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS dist
         FROM (
           SELECT DISTINCT probe_id, vec_id FROM (
-            SELECT probe_id, vec_id FROM gb{r}
+            SELECT probe_id, vec_id FROM {prefix}{r}
             UNION ALL
             SELECT s.probe_id, m.vec_id
-            FROM gsrc s JOIN coarse m USING (cluster_id)
+            FROM {src} s JOIN coarse m USING (cluster_id)
           ) WHERE vec_id <> probe_id
         ) c
-        JOIN q e ON e.vec_id = c.vec_id
+        JOIN {qtab} e ON e.vec_id = c.vec_id
         JOIN probes p ON p.probe_id = c.probe_id
       )
     )"""
@@ -4328,18 +4338,13 @@ def _gann_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized search result (probe_id, vec_id, dist, rn):
-    _GANN_ROUNDS greedy rounds then the cluster-local exact rerank;
-    the edge table, every round, and the rerank are their own scratch
-    tables (the graph_kcore device)."""
+def _gann_rank_score(emb: DataFrame, probes: DataFrame):
+    """(rank, score) closures shared by the full-graph search and the
+    r14 upsert search: exact integer distances against ``emb``,
+    (dist, vec_id) total-order ranks per probe."""
     from pyspark.sql import Window as _W
 
-    from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.pipeline.iterative import _kq_sqdist
-
-    emb = _pq_emb(spark, sf_dir)
-    probes = _gann_probes(spark, sf_dir)
 
     def _rank(scored):
         w = _W.partitionBy("probe_id").orderBy("dist", "vec_id")
@@ -4356,19 +4361,36 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def _b0_build(s_, d_):
-        cand = _gann_entries(s_, d_).select(
-            "probe_id", F.col("hub").alias("vec_id")
-        )
-        return _rank(_score(cand))
+    return _rank, _score
 
-    beam = materialized(spark, "gann_beam0", sf_dir, _b0_build)
-    edges = materialized(spark, "gann_edges", sf_dir, _gann_edges)
+
+def _beam_search(
+    spark: SparkSession,
+    sf_dir: str,
+    beam0_build,
+    edges: DataFrame,
+    emb: DataFrame,
+    probes: DataFrame,
+    coarse: DataFrame,
+    ef: int,
+    prefix: str,
+) -> DataFrame:
+    """The shared greedy-beam + cluster-local-rerank engine: _GANN_ROUNDS
+    expand-score-prune rounds over ``edges``, then the exact rerank over
+    the coarse clusters of every kept beam member. Every round and the
+    rerank materialize under ``prefix``-derived scratch names (the
+    graph_kcore device)."""
+    from lakeview_spark.operators.materialize import materialized
+
+    _rank, _score = _gann_rank_score(emb, probes)
+
+    def _b0(s_, d_):
+        return _rank(_score(beam0_build(s_, d_)))
+
+    beam = materialized(spark, f"{prefix}0", sf_dir, _b0)
     for r in range(1, _GANN_ROUNDS + 1):
 
-        ef = _gann_ef(spark, sf_dir)
-
-        def _round_build(s_, d_, beam=beam, ef=ef):
+        def _round_build(s_, d_, beam=beam):
             kept = beam.filter(F.col("rn") <= ef).select(
                 "probe_id", "vec_id"
             )
@@ -4382,7 +4404,7 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return _rank(_score(cand))
 
-        beam = materialized(spark, f"gann_beam{r}", sf_dir, _round_build)
+        beam = materialized(spark, f"{prefix}{r}", sf_dir, _round_build)
 
     # cluster-local exact rerank (section comment above): coarse
     # clusters of every kept beam member, all members exact-scored
@@ -4390,10 +4412,7 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes x <= ef rows — broadcast side of the member join; the
     # member pull is <= sources x occupancy point lookups, never a
     # corpus scan.
-    _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
-    ef = _gann_ef(spark, sf_dir)
-
-    def _rerank_build(s_, d_, beam=beam, coarse=coarse, ef=ef):
+    def _rerank_build(s_, d_, beam=beam):
         src = (
             beam.filter(F.col("rn") <= ef)
             .join(coarse, "vec_id")
@@ -4411,7 +4430,37 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _rank(_score(cand))
 
-    return materialized(spark, "gann_rerank", sf_dir, _rerank_build)
+    return materialized(spark, f"{prefix}_rerank", sf_dir, _rerank_build)
+
+
+def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized search result (probe_id, vec_id, dist, rn):
+    _GANN_ROUNDS greedy rounds then the cluster-local exact rerank;
+    the edge table, every round, and the rerank are their own scratch
+    tables (the graph_kcore device)."""
+    from lakeview_spark.operators.materialize import materialized
+
+    emb = _pq_emb(spark, sf_dir)
+    probes = _gann_probes(spark, sf_dir)
+    edges = materialized(spark, "gann_edges", sf_dir, _gann_edges)
+    _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
+
+    def _b0_cand(s_, d_):
+        return _gann_entries(s_, d_).select(
+            "probe_id", F.col("hub").alias("vec_id")
+        )
+
+    return _beam_search(
+        spark,
+        sf_dir,
+        _b0_cand,
+        edges,
+        emb,
+        probes,
+        coarse,
+        _gann_ef(spark, sf_dir),
+        "gann_beam",
+    )
 
 
 @register(
@@ -4607,3 +4656,431 @@ def eval_graph_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFra
     replays it from the same SQL template with the corpus reads
     rewritten — hash-exact, like the uniform audit."""
     return eval_graph_ann_recall(spark, _clustered_corpus_dir(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Incremental graph-index maintenance (r14 stretch, VERDICT r13 next-9)
+# ---------------------------------------------------------------------------
+#
+# What makes a graph index viable at 100 TB CONTINUOUS ingestion: new
+# vectors must ATTACH to the existing navigable graph in O(delta) work
+# — the dedup_incremental_lsh shape applied to the index itself — not
+# trigger a full rebuild. Split: vec_id % _GANN_UPSERT_MOD == 0 plays
+# the newly-arrived delta (the curation.py _DELTA_MOD convention); the
+# base graph is the full gann build over the REMAINING corpus, written
+# as a derived scratch dataset (the clustered-corpus device) so every
+# existing builder runs unchanged on it. The attach links each delta
+# vector by the SAME candidate device the base graph's local links use
+# (Hamming<=1 multiprobe against the base buckets, exact integer
+# distances):
+#
+#   fwd  — delta -> its top-_GANN_K nearest base members
+#   rev  — base -> delta, capped _GANN_REV per base node (the NSW
+#          undirected convention: without them later searches cannot
+#          flow INTO the new vectors)
+#   up   — delta -> its nearest base hub (upper-layer reachability)
+#
+# Cost per delta vector: (planes+1) x bucket-occupancy scored pairs +
+# k hub distances — never a corpus scan, never a rebuild. The audit
+# (`eval_graph_upsert_recall`) then searches the AUGMENTED graph for
+# delta probes and measures recall@k against the FULL-corpus exact
+# truth — directly comparable to `eval_graph_ann_recall` (same probe
+# density, same search machinery), so "upsert vs full rebuild" is a
+# pair of registered, hash-checked numbers. Both engines replay the
+# whole base-build + attach + search chain (the parameterized round /
+# rerank templates above), so the family stays hash-exact.
+_GANN_UPSERT_MOD = 10
+_GANN_UPSERT_PROBES = 10
+
+# derived base-corpus dataset dirs, keyed like the other driver caches
+_UPSERT_BASE_DIRS: dict[tuple[str, str, str], str] = {}
+
+
+def _gann_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus-minus-delta dataset written once per (session,
+    dataset) — the clustered-corpus scratch-dataset device, so the
+    whole existing gann build (planes, buckets, coarse, edges) runs on
+    the base corpus unchanged."""
+    import os
+    import uuid
+
+    from lakeview_spark.operators.materialize import _CREATED_PATHS, scratch_dir
+
+    key = _pq_cache_key(spark, sf_dir)
+    got = _UPSERT_BASE_DIRS.get(key)
+    if got is not None:
+        return got
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _GANN_UPSERT_MOD != 0)
+    )
+    path = os.path.join(scratch_dir(), f"lakeview_gann_base_{uuid.uuid4().hex}")
+    base.write.parquet(os.path.join(path, "embeddings.parquet"))
+    _CREATED_PATHS.append(path)
+    _UPSERT_BASE_DIRS[key] = path
+    return path
+
+
+def _upsert_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~_GANN_UPSERT_PROBES probes FROM THE DELTA (multiples of the
+    delta modulus at a corpus-derived stride — the _recall_mod_for_n
+    sizing device, so probe count stays constant as the corpus
+    grows)."""
+    n = corpus_n(spark, sf_dir)
+    stride = _GANN_UPSERT_MOD * max(
+        1, n // (_GANN_UPSERT_MOD * _GANN_UPSERT_PROBES)
+    )
+    return (
+        _pq_emb(spark, sf_dir)
+        .filter((F.col("vec_id") % stride) == 0)
+        .select(F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"))
+    )
+
+
+def _upsert_attach_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(delta) attach edge builder (section comment above):
+    (src, dst, kind) rows for fwd/rev/up links, exact integer
+    distances, Hamming<=1 multiprobe candidates against the BASE
+    buckets only."""
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    base_dir = _gann_base_dir(spark, sf_dir)
+    planes = _plane_vectors(spark, base_dir)
+    bk = _lsh_bucketed(spark, base_dir).select("vec_id", "bucket")
+    raw_delta = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _GANN_UPSERT_MOD == 0)
+        .select("vec_id", _bucket_expr(planes).alias("bucket"))
+    )
+    dmp = raw_delta.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(len(planes))
+                ],
+            )
+        ).alias("pb"),
+    )
+    dq = (
+        _pq_emb(spark, sf_dir)
+        .filter(F.col("vec_id") % _GANN_UPSERT_MOD == 0)
+        .select("vec_id", F.col("qv").alias("qa"))
+    )
+    bq = _pq_emb(spark, base_dir).select(
+        F.col("vec_id").alias("dst"), F.col("qv").alias("qb")
+    )
+    bke = bk.join(bq, bk.vec_id == F.col("dst")).select(
+        "dst", F.col("bucket").alias("db"), "qb"
+    )
+    dlp = (
+        dmp.join(dq, "vec_id")
+        .join(bke, F.col("pb") == F.col("db"))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            _kq_sqdist("qa", "qb").alias("ldist"),
+        )
+    )
+    wfwd = _W.partitionBy("src").orderBy("ldist", "dst")
+    afwd = (
+        dlp.withColumn("rn", F.row_number().over(wfwd))
+        .filter(F.col("rn") <= _GANN_K)
+        .select("src", "dst", F.lit("fwd").alias("kind"))
+    )
+    wrev = _W.partitionBy("dst").orderBy("ldist", "src")
+    arev = (
+        dlp.withColumn("rn", F.row_number().over(wrev))
+        .filter(F.col("rn") <= _GANN_REV)
+        .select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.lit("rev").alias("kind"),
+        )
+    )
+    emb_base = _pq_emb(spark, base_dir)
+    _cents, coarse = _ivfpq_coarse_parts(spark, base_dir, emb_base)
+    hubs = coarse.groupBy("cluster_id").agg(
+        F.min("vec_id").cast("bigint").alias("hub")
+    )
+    hubq = hubs.join(emb_base, hubs.hub == emb_base.vec_id).select(
+        "hub", F.col("qv").alias("hqv")
+    )
+    wup = _W.partitionBy("vec_id").orderBy("hdist", "hub")
+    aup = (
+        dq.crossJoin(F.broadcast(hubq))
+        .select("vec_id", "hub", _kq_sqdist("qa", "hqv").alias("hdist"))
+        .withColumn("rn", F.row_number().over(wup))
+        .filter(F.col("rn") <= 1)
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("hub").alias("dst"),
+            F.lit("up").alias("kind"),
+        )
+    )
+    return afwd.unionByName(arev).unionByName(aup)
+
+
+def _upsert_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "gann_upsert_edges", sf_dir, _upsert_attach_build)
+
+
+# ---- oracle assembly: the parameterized templates over a bemb-rewritten
+# base chain + full-corpus fq/probes/efc + the attach CTEs ----
+
+_UPSERT_DELTA_DIST_SQL = (
+    "list_sum(list_transform(range(1, len(dd.qv)+1), "
+    "i -> (dd.qv[i]-h.hqv[i])*(dd.qv[i]-h.hqv[i])))"
+)
+
+
+def _upsert_base_chain() -> str:
+    """planes/bits/bucketed/q/coarse/edges over the base corpus: the
+    shipped templates with corpus reads rewritten to the bemb CTE (the
+    clustered-audit string-rewrite device — the two variants ARE the
+    same template), bemb injected as the first CTE."""
+    chunk = f"""{_KNN_GRAPH_CTE},
+    q AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings)""".replace(
+        "FROM embeddings", "FROM bemb"
+    )
+    return chunk.replace(
+        "WITH planes",
+        f"WITH bemb AS (SELECT * FROM embeddings "
+        f"WHERE vec_id % {_GANN_UPSERT_MOD} <> 0),\n    planes",
+        1,
+    )
+
+
+def _upsert_shared_ctes() -> str:
+    """Everything both upsert oracles need: base chain, full-corpus
+    fq/efc, delta probes, base coarse + edges, delta buckets, scored
+    delta-base candidate pairs, and the three attach link sets."""
+    stride = (
+        f"({_GANN_UPSERT_MOD} * (SELECT GREATEST(1, count(*) // "
+        f"{_GANN_UPSERT_MOD * _GANN_UPSERT_PROBES}) FROM embeddings))"
+    )
+    coarse_edges = f"""{_IVFPQ_COARSE_CTES},
+    {_GANN_EDGES_SQL}""".replace("FROM embeddings", "FROM bemb")
+    return f"""{_upsert_base_chain()},
+    fq AS (SELECT vec_id, {_PQ_QUANT_SQL} AS qv FROM embeddings),
+    efc AS (
+      SELECT GREATEST({_GANN_EF_MIN},
+                      {_GANN_EF_LOG_MULT} *
+                      (length(printf('%b', CAST(count(*) AS BIGINT))) - 1)) AS ef
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, qv AS pqv FROM fq
+      WHERE vec_id % {stride} = 0
+    ),
+    {coarse_edges},
+    dbits AS (
+      SELECT e.vec_id, e.embedding, p.plane_id,
+             CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.pe")} > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+      WHERE e.vec_id % {_GANN_UPSERT_MOD} = 0
+    ),
+    dbucketed AS (
+      SELECT vec_id, CAST(sum(bit * (1 << (plane_id - 1))) AS BIGINT) AS bucket
+      FROM dbits GROUP BY vec_id
+    ),
+    dmp AS (
+      SELECT vec_id, bucket AS pb FROM dbucketed
+      UNION ALL
+      SELECT b.vec_id, xor(b.bucket, 1 << (p.plane_id - 1)) AS pb
+      FROM dbucketed b, planes p
+    ),
+    dlp AS MATERIALIZED (
+      SELECT m.vec_id AS src, b.vec_id AS dst,
+             CAST({_GANN_LPAIR_DIST_SQL} AS BIGINT) AS ldist
+      FROM dmp m
+      JOIN bucketed b ON b.bucket = m.pb
+      JOIN fq ea ON ea.vec_id = m.vec_id
+      JOIN q eb ON eb.vec_id = b.vec_id
+    ),
+    afwd AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY ldist, dst) AS rn
+        FROM dlp)
+      WHERE rn <= {_GANN_K}
+    ),
+    arev AS (
+      SELECT dst AS src, src AS dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY ldist, src) AS rn
+        FROM dlp)
+      WHERE rn <= {_GANN_REV}
+    ),
+    aup AS (
+      SELECT vec_id AS src, hub AS dst FROM (
+        SELECT dd.vec_id, h.hub,
+               row_number() OVER (PARTITION BY dd.vec_id
+                 ORDER BY {_UPSERT_DELTA_DIST_SQL} ASC, h.hub) AS rn
+        FROM (SELECT vec_id, qv FROM fq
+              WHERE vec_id % {_GANN_UPSERT_MOD} = 0) dd, hubq h)
+      WHERE rn <= 1
+    )"""
+
+
+def _upsert_recall_oracle() -> str:
+    rounds = ",\n    ".join(
+        _gann_round_sql(r, prefix="ub", edges="gplus", qtab="fq")
+        for r in range(1, _GANN_ROUNDS + 1)
+    )
+    return f"""
+    {_upsert_shared_ctes()},
+    gplus AS (
+      SELECT src, dst FROM gedges
+      UNION SELECT src, dst FROM afwd
+      UNION SELECT src, dst FROM arev
+      UNION SELECT src, dst FROM aup
+    ),
+    ub0 AS MATERIALIZED (
+      SELECT probe_id, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dist, vec_id) AS BIGINT) AS rn
+      FROM (
+        SELECT p.probe_id, e.vec_id,
+               CAST({_PQ_FULL_DIST_SQL} AS BIGINT) AS dist
+        FROM gentry g
+        JOIN probes p ON p.probe_id = g.probe_id
+        JOIN q e ON e.vec_id = g.hub
+      )
+    ),
+    {rounds},
+    {_gann_rerank_sql(prefix="ub", qtab="fq", src="usrc", out="ufinal")},
+    truth AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_PQ_FULL_DIST_SQL} ASC, e.vec_id) AS rn
+        FROM probes p, fq e WHERE e.vec_id <> p.probe_id)
+      WHERE rn <= {_GANN_BEAM}
+    ),
+    found AS (
+      SELECT probe_id, vec_id FROM ufinal WHERE rn <= {_GANN_BEAM}
+    )
+    SELECT t.probe_id,
+           CAST(count(f.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(f.vec_id) AS DOUBLE) / {_GANN_BEAM} AS recall
+    FROM truth t
+    LEFT JOIN found f ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+    GROUP BY t.probe_id
+    """
+
+
+@register(
+    "similarity_ann_graph_upsert",
+    oracle=f"""
+    {_upsert_shared_ctes()}
+    SELECT src, dst, kind FROM (
+      SELECT src, dst, 'fwd' AS kind FROM afwd
+      UNION ALL SELECT src, dst, 'rev' AS kind FROM arev
+      UNION ALL SELECT src, dst, 'up' AS kind FROM aup
+    )
+    """,
+)
+def similarity_ann_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(delta) attach edge set (section comment above): for each
+    newly-arrived vector, its fwd/rev/up links into the existing
+    navigable graph — Hamming<=1 multiprobe candidates against the
+    BASE buckets, exact integer distances, the same caps as the base
+    graph's own links. Hash-checked against the full DuckDB replay of
+    base-build + attach."""
+    return _upsert_attach(spark, sf_dir).select("src", "dst", "kind")
+
+
+@register("eval_graph_upsert_recall", oracle=_upsert_recall_oracle())
+def eval_graph_upsert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_GANN_BEAM} of the beam search over the UPSERTED graph
+    (base edges + attach links, no rebuild) for delta probes, against
+    the FULL-corpus exact truth — read next to `eval_graph_ann_recall`
+    (the full-rebuild number at the same probe density) to price
+    incremental maintenance. The search rides the shared beam engine:
+    entries from the base hubs, rounds over the augmented edge set,
+    scoring and rerank against the full corpus so re-attached delta
+    vectors can surface each other."""
+    from lakeview_spark.operators.materialize import materialized
+
+    base_dir = _gann_base_dir(spark, sf_dir)
+    emb_full = _pq_emb(spark, sf_dir)
+    probes = _upsert_probes(spark, sf_dir)
+    base_edges = materialized(spark, "gann_edges", base_dir, _gann_edges)
+    attach = _upsert_attach(spark, sf_dir)
+
+    def _gplus_build(s_, d_):
+        return (
+            base_edges.select("src", "dst")
+            .unionByName(attach.select("src", "dst"))
+            .distinct()
+        )
+
+    gplus = materialized(spark, "gann_upsert_graph", sf_dir, _gplus_build)
+    emb_base = _pq_emb(spark, base_dir)
+    _cents, coarse = _ivfpq_coarse_parts(spark, base_dir, emb_base)
+    hubs = coarse.groupBy("cluster_id").agg(
+        F.min("vec_id").cast("bigint").alias("hub")
+    )
+    hubq = hubs.join(emb_base, hubs.hub == emb_base.vec_id).select(
+        "hub", F.col("qv").alias("hqv")
+    )
+    ef = _gann_ef(spark, sf_dir)
+
+    def _entries_cand(s_, d_):
+        from pyspark.sql import Window as _W
+
+        from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+        w = _W.partitionBy("probe_id").orderBy("hdist", "hub")
+        return (
+            probes.crossJoin(F.broadcast(hubq))
+            .filter(F.col("hub") != F.col("probe_id"))
+            .select("probe_id", "hub", _kq_sqdist("pqv", "hqv").alias("hdist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ef)
+            .select("probe_id", F.col("hub").alias("vec_id"))
+        )
+
+    found_beam = _beam_search(
+        spark, sf_dir, _entries_cand, gplus, emb_full, probes, coarse, ef,
+        "gann_upsert_beam",
+    )
+    from pyspark.sql import Window as _W
+
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    wt = _W.partitionBy("probe_id").orderBy("dist", "vec_id")
+    truth = (
+        emb_full.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("dist"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _GANN_BEAM)
+        .select("probe_id", "vec_id")
+    )
+    found = found_beam.filter(F.col("rn") <= _GANN_BEAM).select(
+        "probe_id", F.col("vec_id").alias("f_vec")
+    )
+    return (
+        truth.join(
+            found,
+            (truth.probe_id == found.probe_id) & (truth.vec_id == found.f_vec),
+            "left",
+        )
+        .drop(found.probe_id)
+        .groupBy("probe_id")
+        .agg(
+            F.count("f_vec").cast("bigint").alias("n_hits"),
+            (F.count("f_vec").cast("double") / _GANN_BEAM).alias("recall"),
+        )
+    )

@@ -51,6 +51,13 @@ _DRIVER_WINDOW = [
     # retention ablation completing the paragraph family (displaces
     # `text_ngram_novelty`, the deepest r09 top-up; its r13 row stands)
     "eval_paragraph_retention",
+    # NEW in r14 (VERDICT r13 next-9 stretch): O(delta) incremental
+    # graph-index maintenance — the attach edge set and the
+    # upserted-graph recall audit (displace `stream_session_daily_rollup`
+    # and `sample_dsir_select`, the deepest remaining r09 top-ups;
+    # their r09 rows stand)
+    "similarity_ann_graph_upsert",
+    "eval_graph_upsert_recall",
     # the r09-green top-up, in CORRECTNESS_r09 order (COVERAGE.md
     # "Round-14 plan" list)
     "events_sliding_window_stats",
@@ -94,8 +101,6 @@ _DRIVER_WINDOW = [
     "text_surprisal_bits",
     "layout_zorder_stats",
     "stream_interval_join_outer",
-    "sample_dsir_select",
-    "stream_session_daily_rollup",
 ]
 
 

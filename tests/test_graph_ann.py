@@ -181,3 +181,52 @@ def test_clustered_recall_gate_and_derived_corpus_exactness(spark):
     assert rows
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.9, mean
+
+
+def test_upsert_attach_is_o_delta_and_capped(spark):
+    """The r14 incremental-maintenance invariants: every attach edge
+    touches the delta (fwd/up sources and rev targets are delta
+    vectors; fwd/rev counterparts are base vectors), per-vector caps
+    hold (fwd <= K per delta, rev <= REV per base source, exactly one
+    up-link per delta vector with any candidates), and the upserted
+    search holds a >= 0.9 recall bar at this SF."""
+    from lakeview_spark.pipeline.similarity import (
+        _GANN_K,
+        _GANN_REV,
+        _GANN_UPSERT_MOD,
+    )
+    from lakeview_spark.plans import QUERIES
+
+    edges = QUERIES["similarity_ann_graph_upsert"](spark, SF_DIR).collect()
+    assert edges
+    by_kind = {}
+    for e in edges:
+        by_kind.setdefault(e.kind, []).append(e)
+    assert set(by_kind) == {"fwd", "rev", "up"}
+
+    def is_delta(v):
+        return v % _GANN_UPSERT_MOD == 0
+
+    fwd_per_src, rev_per_src, up_per_src = {}, {}, {}
+    for e in by_kind["fwd"]:
+        assert is_delta(e.src) and not is_delta(e.dst), e
+        fwd_per_src[e.src] = fwd_per_src.get(e.src, 0) + 1
+    for e in by_kind["rev"]:
+        assert not is_delta(e.src) and is_delta(e.dst), e
+        rev_per_src[e.src] = rev_per_src.get(e.src, 0) + 1
+    for e in by_kind["up"]:
+        assert is_delta(e.src) and not is_delta(e.dst), e
+        up_per_src[e.src] = up_per_src.get(e.src, 0) + 1
+    assert max(fwd_per_src.values()) <= _GANN_K
+    assert max(rev_per_src.values()) <= _GANN_REV
+    assert set(up_per_src.values()) == {1}
+    # every delta vector with any multiprobe candidate got fwd links,
+    # and every fwd source also got its up-link
+    assert set(up_per_src) >= set(fwd_per_src)
+
+    audit = QUERIES["eval_graph_upsert_recall"](spark, SF_DIR).collect()
+    assert audit
+    for r in audit:
+        assert r.probe_id % _GANN_UPSERT_MOD == 0  # probes come from the delta
+    mean = sum(r.recall for r in audit) / len(audit)
+    assert mean >= 0.9, mean

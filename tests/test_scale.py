@@ -147,8 +147,11 @@ _TINY_BROADCAST_OK = {
     "eval_community_modularity",  # 1-row edge-count broadcast attaches m
     "text_paragraph_ppl",  # 1-row tercile-threshold broadcast (r13)
     "text_paragraph_apply",  # same 1-row threshold broadcast
+    "eval_paragraph_retention",  # same 1-row threshold broadcast (r14)
     "eval_graph_ann_recall",  # fixed-size probe-sample broadcast for the exact truth
     "eval_graph_ann_recall_clustered",  # same audit recursed onto the derived corpus
+    "similarity_ann_graph_upsert",  # k-row base-hub broadcast for the delta up-links
+    "eval_graph_upsert_recall",  # fixed-size probe + base-hub broadcasts (the gann shape)
     "events_gapfill_locf",  # 1-row min/max range broadcast builds the dense grid
     "corpus_source_overlap_theta",  # 20-row per-source sketch-stats pair join
     "similarity_ann_sq8",  # 1-row dim-stats + fixed-size probe broadcasts
