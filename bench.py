@@ -218,6 +218,25 @@ EXTENDED_R13 = [
 ]
 
 
+# FROZEN r14 cohort: the round's new/changed queries. dedup_ngram_jaccard
+# and corpus_source_similarity are shared with the r13 cohort and keep
+# their first reading (the cross-cohort convention). The two
+# derived-corpus audits run LAST: their first execution charges the
+# whole derived-dataset index build (clustered corpus / base graph +
+# attach) — the honest first-toucher number, same convention as the
+# other scratch-charging firsts.
+EXTENDED_R14 = [
+    "similarity_ann_graph",  # + cluster-local exact rerank (r14)
+    "eval_graph_ann_recall",  # recall@10 1.00 at sf1 post-rerank
+    "dedup_ngram_jaccard",  # window-count df cap (bounded agg state)
+    "corpus_source_similarity",  # one-pass basket-shape rewrite
+    "eval_paragraph_retention",  # CCNet per-(lang, bucket) ablation
+    "similarity_ann_graph_upsert",  # O(delta) attach edge set
+    "eval_graph_ann_recall_clustered",  # derived clustered corpus (heavy first)
+    "eval_graph_upsert_recall",  # upserted-graph recall (heavy first)
+]
+
+
 def _round_number() -> int:
     """Round N for the bench_details_r{N}.json sidecar: explicit
     SPARK_GRAFT_ROUND (required for intra-round re-runs after the
@@ -354,6 +373,7 @@ def main() -> None:
     else:
         for name in (
             EXTENDED_STEADY + EXTENDED_R9 + EXTENDED_LATE_R11 + EXTENDED_R12 + EXTENDED_R13
+            + EXTENDED_R14
         ):
             # names shared across cohorts (eval_classifier_calibration,
             # dedup_ngram_jaccard) keep their FIRST reading so the
@@ -390,6 +410,7 @@ def main() -> None:
         "extended_late_r11": EXTENDED_LATE_R11,
         "extended_r12": EXTENDED_R12,
         "extended_r13": EXTENDED_R13,
+        "extended_r14": EXTENDED_R14,
     }
     cohort_retries: dict[str, dict] = {}
     contended = False
@@ -454,6 +475,11 @@ def main() -> None:
             "what": "frozen r13 new/changed cohort, same prewarm (BASELINE.md bands)",
             "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R13), 3),
             "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R13},
+        },
+        "extended_r14": {
+            "what": "frozen r14 new/changed cohort, same prewarm; the two derived-corpus audits charge their index builds to their first reading",
+            "value": round(sum(v for k, v in ext_timings.items() if k in EXTENDED_R14), 3),
+            "queries": {k: v for k, v in ext_timings.items() if k in EXTENDED_R14},
         },
     }
     if cohort_retries:

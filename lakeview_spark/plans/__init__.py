@@ -18,17 +18,16 @@ from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/t
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
 # Round-14 window (COVERAGE.md "Round-14 plan", written at r13 close,
-# executed in-round): the r13 window rotates out (49 green rows + the
-# exemption earned). The 50 slots: `kmeans_train` (the permanent
-# rows-only exemption), the queries NEW or CHANGED in r14 (the
-# graph-ANN family: cluster-local exact rerank + capped reversed long
-# links change both registered results; the NEW clustered-corpus
-# recall gate promotes the r13 scratch measurement; the df-cap
-# prefilter restructure of the Jaccard index build; the one-pass
-# corpus_source_similarity rewrite), then the oldest r09-green rows
-# in CORRECTNESS_r09 order (44 of the 45 planned top-ups fit;
-# `graph_kcore` leads the r15 rotation). Later r14 additions displace
-# the r09 top-up deepest-first, then amend here.
+# executed + amended in-round): the r13 window rotates out (49 green
+# rows + the exemption earned). The 50 slots: `kmeans_train` (the
+# permanent rows-only exemption), the queries NEW or whose OUTPUT
+# changed in r14 (the graph-ANN rerank pair; the NEW clustered-corpus
+# recall gate, CCNet retention ablation, and upsert pair), then EVERY
+# remaining r09-stale row — all 43 of them fit once the two
+# hash-identical r14 lineage changes (dedup_ngram_jaccard,
+# corpus_source_similarity) and the two planned-but-r13-green top-ups
+# (eval_lsh_precision_recall, contamination_apply) yield their slots —
+# clearing VERDICT r13 next-4's "no row older than r10" bar exactly.
 _DRIVER_WINDOW = [
     # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
@@ -41,21 +40,18 @@ _DRIVER_WINDOW = [
     # audit as a permanent driver-checked gate (derived corpus, full
     # index replay in both engines)
     "eval_graph_ann_recall_clustered",
-    # CHANGED in r14 (ADVICE r13): df-cap prefilter on the Jaccard
-    # index build (bounded aggregation state; output set-identical)
-    "dedup_ngram_jaccard",
-    # CHANGED in r14 (VERDICT r13 next-7): one-pass keyed-table +
-    # full-frame-window rewrite (hash-identical)
-    "corpus_source_similarity",
+    # (dedup_ngram_jaccard and corpus_source_similarity also changed in
+    # r14 — ADVICE df-cap prefilter / the one-pass basket rewrite — but
+    # both are output-HASH-IDENTICAL with r13-green rows and the
+    # every-round sf0.01 sweep re-verifies them, so their slots yield
+    # to the last four r09-stale rows, clearing the "no row older than
+    # r10" bar exactly: the pipeline_train_set displacement precedent)
     # NEW in r14 (VERDICT r13 next-5): per-(lang, bucket) CCNet
-    # retention ablation completing the paragraph family (displaces
-    # `text_ngram_novelty`, the deepest r09 top-up; its r13 row stands)
+    # retention ablation completing the paragraph family
     "eval_paragraph_retention",
     # NEW in r14 (VERDICT r13 next-9 stretch): O(delta) incremental
     # graph-index maintenance — the attach edge set and the
-    # upserted-graph recall audit (displace `stream_session_daily_rollup`
-    # and `sample_dsir_select`, the deepest remaining r09 top-ups;
-    # their r09 rows stand)
+    # upserted-graph recall audit
     "similarity_ann_graph_upsert",
     "eval_graph_upsert_recall",
     # the r09-green top-up, in CORRECTNESS_r09 order (COVERAGE.md
@@ -88,10 +84,8 @@ _DRIVER_WINDOW = [
     "nation_trade_volume",
     "promo_disjunctive_revenue",
     "important_parts",
-    "eval_lsh_precision_recall",
     "stream_event_sessions",
     "embedding_pq_codebook_stats",
-    "contamination_apply",
     "stream_bloom_prune",
     "corpus_bpe_train",
     "corpus_bpe_apply",
@@ -101,6 +95,12 @@ _DRIVER_WINDOW = [
     "text_surprisal_bits",
     "layout_zorder_stats",
     "stream_interval_join_outer",
+    # the final four r09-stale rows (eval_lsh_precision_recall and
+    # contamination_apply yielded their planned slots — both r13-green)
+    "graph_kcore",
+    "multimodal_frame_sample",
+    "sample_dsir_select",
+    "stream_session_daily_rollup",
 ]
 
 
