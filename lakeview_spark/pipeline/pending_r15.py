@@ -1,0 +1,405 @@
+"""Operators implemented in r14, REGISTERED in r15 — the window ledger.
+
+The r14 driver window (plans/__init__.py:_DRIVER_WINDOW) is exactly
+full: kmeans_train + the 6 r14 new/changed queries + all 43 remaining
+r09-stale rows, clearing VERDICT r13 next-4's "no newest driver row
+older than r10" bar with zero slack.  Registering a new query forces
+it into the first-50 window (tests/test_registry_hygiene.py:
+test_driver_window_covers_every_query_without_a_green_row), which
+would displace an r09-stale refresh and break that bar.  So the two
+ops below ship FULLY IMPLEMENTED AND ORACLE-CHECKED this round — the
+pytest suite cross-checks each against its DuckDB oracle at sf0.001
+and sf0.01, the same compare the driver runs — and flip to
+`@register` at the r15 rotation, where ~43 window slots free up.
+This module is deliberately NOT imported from pipeline/__init__ (that
+import IS registration); tests/test_pending_r15.py imports it
+directly.
+
+To register at r15: move each function's body under a
+`@register(name, oracle=...)` decorator in its home module
+(text.py / corpus.py), add the COVERAGE.md rows + window slots, and
+delete this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeview_spark.plans.registry import t
+
+# ---------------------------------------------------------------------------
+# text_repetition_gopher — the MassiveText/Gopher repetition filters
+# ---------------------------------------------------------------------------
+#
+# Rae et al. 2021 (Gopher, arXiv:2112.11446 §A1.1) discard documents
+# dominated by repeated n-grams: the fraction of characters covered by
+# the single most frequent {2,3,4}-gram, and the fraction of characters
+# inside duplicated {5..10}-grams.  These are the standard repetition
+# rules between the cheap length/ratio filters (text_quality_score) and
+# the expensive LM gates (text_perplexity_bigram) in every published
+# curation pipeline (MassiveText, RefinedWeb, Dolma, FineWeb).
+#
+# Deviations, chosen for exact cross-engine hashing and documented here
+# honestly:
+# - DUP fractions are CHAR-WEIGHTED WITHOUT overlap-union: a character
+#   inside two overlapping duplicated n-grams counts once per covering
+#   gram (numerator and denominator are both occurrence-weighted
+#   Σ count·len over gram types), where Gopher unions the covered
+#   spans.  The occurrence-weighted form is a pure two-level
+#   aggregation — no per-doc interval union, which would need a
+#   per-doc sort or an interpreted fold — and open reimplementations
+#   (e.g. Dolma's) make the same trade.
+# - Gram lengths: tops at n=2,3,4 (the full Gopher set) and dups at
+#   n=5 and n=10 (the endpoints of Gopher's 5..10 ladder; the interior
+#   thresholds interpolate and add four more corpus-sized gram streams
+#   for little signal).
+# - "Duplicate line fraction" needs line boundaries; this corpus has no
+#   newlines, and paragraph-granular signals live in the
+#   text_paragraph_* family — with real text the same plan applies over
+#   split(text, '\n').
+# - The keep flag uses Gopher's published thresholds as EXACT INTEGER
+#   cross-multiplications (top2 ≤ 0.20, top3 ≤ 0.18, top4 ≤ 0.16,
+#   dup5 ≤ 0.15, dup10 ≤ 0.10): integer threshold edges hash where
+#   float comparisons can't (CLAUDE.md integer-threshold rule).  A doc
+#   with no gram of some n (too short) passes that rule vacuously.
+#
+# Scale shape: per-doc only — no corpus-wide state at all.  One explode
+# builds all five tagged gram streams in a single pass over the token
+# arrays (array SHAPING lambdas: slice+array_join per position, no map
+# probes), then ONE exchange keyed (doc_id, n, gram) whose map-side
+# partial aggregation collapses repeated grams (the repetition being
+# measured is exactly what collapses), then a second small exchange
+# keyed doc_id with conditional aggregation + struct-min argmax for the
+# top gram (partial-aggregable; never a window sort over scored rows).
+# At 1000 executors this is embarrassingly parallel in doc_id; skew is
+# bounded by the longest single document.
+
+_GOPHER_TOP_NS = (2, 3, 4)
+_GOPHER_DUP_NS = (5, 10)
+# Gopher §A1.1 thresholds as (num, den) rational pairs: frac <= num/den
+_GOPHER_LIMITS = {2: (1, 5), 3: (9, 50), 4: (4, 25), 5: (3, 20), 10: (1, 10)}
+
+
+def _gram_stream_spark(n: int) -> str:
+    """Tagged (n, gram) structs for one gram length — empty below n
+    tokens (Spark sequence(1,0) DESCENDS; the CASE is the guard)."""
+    return (
+        f"CASE WHEN size(toks) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> struct({n}L AS n, array_join(slice(toks, i, {n}), ' ') AS gram)) END"
+    )
+
+
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition report: top-{2,3,4}-gram character
+    fractions, duplicate-{5,10}-gram character fractions, and the
+    integer-exact keep flag at the published thresholds."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_doc"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    all_ns = _GOPHER_TOP_NS + _GOPHER_DUP_NS
+    streams = ", ".join(_gram_stream_spark(n) for n in all_ns)
+    g = tk.select(
+        "doc_id",
+        "lang",
+        "n_chars_doc",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.explode(F.expr(f"flatten(array({streams}))")).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars_doc",
+        "n_tokens",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    )
+    counts = g.groupBy("doc_id", "lang", "n_chars_doc", "n_tokens", "n", "gram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    gram_chars = F.col("c") * F.length("gram").cast("long")
+    aggs = []
+    for n in _GOPHER_TOP_NS:
+        # argmax by (count desc, gram asc): min(struct(-c, gram)) is
+        # partial-aggregable where a row_number window is not
+        aggs.append(
+            F.min(F.when(F.col("n") == n, F.struct((-F.col("c")).alias("negc"), F.col("gram").alias("gram")))).alias(f"_top{n}")
+        )
+    for n in _GOPHER_DUP_NS:
+        aggs.append(
+            F.coalesce(F.sum(F.when((F.col("n") == n) & (F.col("c") >= 2), gram_chars)), F.lit(0)).cast("long").alias(f"dup{n}_chars")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("n") == n, gram_chars)), F.lit(0)).cast("long").alias(f"total{n}_chars")
+        )
+    d = counts.groupBy("doc_id", "lang", "n_chars_doc", "n_tokens").agg(*aggs)
+    for n in _GOPHER_TOP_NS:
+        d = d.withColumn(
+            f"top{n}_chars",
+            F.coalesce(
+                (-F.col(f"_top{n}.negc")) * F.length(F.col(f"_top{n}.gram")).cast("long"),
+                F.lit(0),
+            ).cast("long"),
+        ).drop(f"_top{n}")
+    keep = F.lit(True)
+    for n in _GOPHER_TOP_NS:
+        num, den = _GOPHER_LIMITS[n]
+        keep = keep & (F.col(f"top{n}_chars") * den <= F.col("n_chars_doc") * num)
+    for n in _GOPHER_DUP_NS:
+        num, den = _GOPHER_LIMITS[n]
+        keep = keep & (F.col(f"dup{n}_chars") * den <= F.col(f"total{n}_chars") * num)
+    out_cols = [
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("n_chars_doc"),
+        F.col("n_tokens"),
+    ]
+    for n in _GOPHER_TOP_NS:
+        out_cols.append(F.col(f"top{n}_chars"))
+        out_cols.append(
+            F.when(
+                F.col("n_chars_doc") > 0,
+                F.col(f"top{n}_chars").cast("double") / F.col("n_chars_doc").cast("double"),
+            ).alias(f"top{n}_frac")
+        )
+    for n in _GOPHER_DUP_NS:
+        out_cols.append(F.col(f"dup{n}_chars"))
+        out_cols.append(F.col(f"total{n}_chars"))
+        out_cols.append(
+            F.when(
+                F.col(f"total{n}_chars") > 0,
+                F.col(f"dup{n}_chars").cast("double") / F.col(f"total{n}_chars").cast("double"),
+            ).alias(f"dup{n}_frac")
+        )
+    out_cols.append(keep.alias("gopher_keep"))
+    return d.select(*out_cols)
+
+
+def _gopher_oracle_sql() -> str:
+    all_ns = _GOPHER_TOP_NS + _GOPHER_DUP_NS
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, lang, n_chars_doc, n_tokens, CAST({n} AS BIGINT) AS n, "
+        f"unnest(list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(toks[i:i + {n} - 1], ' '))) AS gram FROM tk"
+        for n in all_ns
+    )
+    top_aggs = ",\n             ".join(
+        f"min(CASE WHEN n = {n} THEN {{'negc': -c, 'gram': gram}} END) AS _top{n}"
+        for n in _GOPHER_TOP_NS
+    )
+    dup_aggs = ",\n             ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} AND c >= 2 THEN c * length(gram) END), 0) AS BIGINT) AS dup{n}_chars,\n             "
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN c * length(gram) END), 0) AS BIGINT) AS total{n}_chars"
+        for n in _GOPHER_DUP_NS
+    )
+    top_cols = ",\n           ".join(
+        f"CAST(coalesce(-(_top{n}.negc) * length(_top{n}.gram), 0) AS BIGINT) AS top{n}_chars"
+        for n in _GOPHER_TOP_NS
+    )
+    keep_terms = []
+    for n in _GOPHER_TOP_NS:
+        num, den = _GOPHER_LIMITS[n]
+        keep_terms.append(
+            f"CAST(coalesce(-(_top{n}.negc) * length(_top{n}.gram), 0) AS BIGINT) * {den} <= n_chars_doc * {num}"
+        )
+    for n in _GOPHER_DUP_NS:
+        num, den = _GOPHER_LIMITS[n]
+        keep_terms.append(f"dup{n}_chars * {den} <= total{n}_chars * {num}")
+    keep_sql = " AND ".join(keep_terms)
+    top_out = ",\n           ".join(
+        f"top{n}_chars,\n           "
+        f"CASE WHEN n_chars_doc > 0 THEN CAST(top{n}_chars AS DOUBLE) / CAST(n_chars_doc AS DOUBLE) END AS top{n}_frac"
+        for n in _GOPHER_TOP_NS
+    )
+    dup_out = ",\n           ".join(
+        f"dup{n}_chars, total{n}_chars,\n           "
+        f"CASE WHEN total{n}_chars > 0 THEN CAST(dup{n}_chars AS DOUBLE) / CAST(total{n}_chars AS DOUBLE) END AS dup{n}_frac"
+        for n in _GOPHER_DUP_NS
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_doc,
+             string_split(lower(text), ' ') AS toks,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      {unions}
+    ),
+    counts AS (
+      SELECT doc_id, lang, n_chars_doc, n_tokens, n, gram,
+             CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, lang, n_chars_doc, n_tokens, n, gram
+    ),
+    d AS (
+      SELECT doc_id, lang, n_chars_doc, n_tokens,
+             {top_aggs},
+             {dup_aggs}
+      FROM counts GROUP BY doc_id, lang, n_chars_doc, n_tokens
+    ),
+    e AS (
+      SELECT doc_id, lang, n_chars_doc, n_tokens,
+           {top_cols},
+           dup5_chars, total5_chars, dup10_chars, total10_chars,
+           ({keep_sql}) AS gopher_keep
+      FROM d
+    )
+    SELECT doc_id, lang, n_chars_doc, n_tokens,
+           {top_out},
+           {dup_out},
+           gopher_keep
+    FROM e
+    """
+
+
+TEXT_REPETITION_GOPHER_SQL = _gopher_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# eval_bpe_fertility — the tokenizer-quality table for the trained BPE
+# ---------------------------------------------------------------------------
+#
+# Fertility (tokens emitted per word) is THE standard tokenizer-quality
+# metric (Rust et al. 2021, arXiv:2012.15613): a vocabulary with high
+# fertility on a language inflates sequence length and cost for that
+# language.  corpus_bpe_apply reports the aggregate chars-per-token
+# compression; this audit reports the per-word token DISTRIBUTION per
+# language under the same trained vocabulary: mean fertility, the share
+# of words kept whole (fertility 1 — "continued-word" rate's
+# complement), and the p50/p90/max of the distribution.
+#
+# Scale shape: rides the BPE trainers' distinct-word economy — symbol
+# counts happen on the VOCABULARY (distinct words), one word-keyed equi
+# join carries n_tokens to the (lang, word) occurrence stream, and the
+# distribution collapses to a (lang, fertility) table bounded by
+# langs × max word length before any window runs.  The percentile
+# readout is the histogram-threshold device (cumulative window over
+# that tiny table), never a corpus sort.  Quantiles and the unsplit
+# share are exact integer threshold scans; the one double division
+# (mean) is of two exact BIGINTs.
+
+def eval_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility distribution of the trained BPE
+    vocabulary: n_words, total_tokens, mean/p50/p90/max fertility and
+    the unsplit-word share."""
+    from lakeview_spark.pipeline.corpus import _BPE_SYMS_SPARK, _bpe_run_trainer
+
+    _merges, seqs = _bpe_run_trainer(spark, sf_dir)
+    vt = seqs.select(
+        "word", F.size(F.expr(_BPE_SYMS_SPARK)).cast("long").alias("fertility")
+    )
+    dw = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    hist = (
+        dw.join(vt, "word")
+        .groupBy("lang", "fertility")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("fertility")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.select(
+        "lang",
+        "fertility",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_words"),
+        F.sum(F.col("fertility") * F.col("cnt")).over(wall).alias("total_tokens"),
+        F.sum(F.when(F.col("fertility") == 1, F.col("cnt"))).over(wall).alias("_unsplit"),
+        F.max("fertility").over(wall).alias("max_fertility"),
+    )
+    return (
+        h.groupBy("lang", "n_words", "total_tokens", "max_fertility")
+        .agg(
+            F.coalesce(F.max("_unsplit"), F.lit(0)).cast("long").alias("n_unsplit"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n_words"), F.col("fertility")))
+            .cast("long")
+            .alias("p50_fertility"),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("n_words"), F.col("fertility")))
+            .cast("long")
+            .alias("p90_fertility"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            F.col("n_unsplit"),
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_unsplit").cast("double") / F.col("n_words").cast("double"),
+            ).alias("unsplit_share"),
+            "total_tokens",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("total_tokens").cast("double") / F.col("n_words").cast("double"),
+            ).alias("mean_fertility"),
+            "p50_fertility",
+            "p90_fertility",
+            "max_fertility",
+        )
+    )
+
+
+def _bpe_fertility_oracle_sql() -> str:
+    from lakeview_spark.pipeline.corpus import _BPE_ROUNDS, _bpe_cte_block
+
+    return f"""
+    WITH {_bpe_cte_block()},
+    vt AS (
+      SELECT word,
+             CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+                                   chr(2) || chr(1))) AS BIGINT) AS fertility
+      FROM s{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    hist AS (
+      SELECT dw.lang, vt.fertility, CAST(count(*) AS BIGINT) AS cnt
+      FROM dw JOIN vt ON vt.word = dw.word
+      GROUP BY dw.lang, vt.fertility
+    ),
+    h AS (
+      SELECT lang, fertility, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY fertility
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_words,
+             CAST(sum(fertility * cnt) OVER (PARTITION BY lang) AS BIGINT) AS total_tokens,
+             CAST(coalesce(sum(CASE WHEN fertility = 1 THEN cnt END)
+                           OVER (PARTITION BY lang), 0) AS BIGINT) AS n_unsplit,
+             CAST(max(fertility) OVER (PARTITION BY lang) AS BIGINT) AS max_fertility
+      FROM hist
+    ),
+    q AS (
+      SELECT lang, n_words, n_unsplit, total_tokens, max_fertility,
+             CAST(min(CASE WHEN 2 * cum >= n_words THEN fertility END) AS BIGINT) AS p50_fertility,
+             CAST(min(CASE WHEN 10 * cum >= 9 * n_words THEN fertility END) AS BIGINT) AS p90_fertility
+      FROM h
+      GROUP BY lang, n_words, n_unsplit, total_tokens, max_fertility
+    )
+    SELECT lang, n_words, n_unsplit,
+           CASE WHEN n_words > 0
+                THEN CAST(n_unsplit AS DOUBLE) / CAST(n_words AS DOUBLE)
+           END AS unsplit_share,
+           total_tokens,
+           CASE WHEN n_words > 0
+                THEN CAST(total_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+           END AS mean_fertility,
+           p50_fertility, p90_fertility, max_fertility
+    FROM q
+    """
+
+
+def bpe_fertility_oracle() -> str:
+    """Built lazily (the trainer CTE block is large) — the r15
+    registration will inline this as the oracle argument."""
+    return _bpe_fertility_oracle_sql()

@@ -1,0 +1,105 @@
+"""r14-implemented, r15-registered operators (pipeline/pending_r15.py):
+full DuckDB-oracle cross-checks at sf0.001 — the exact compare the
+driver will run once they take window slots at the r15 rotation — plus
+the structural laws that make each report trustworthy."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeview_spark.pipeline import pending_r15
+from tests.oracle_util import compare, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+def test_repetition_gopher_matches_oracle(spark, con):
+    issues = compare(
+        pending_r15.text_repetition_gopher(spark, SF),
+        con,
+        pending_r15.TEXT_REPETITION_GOPHER_SQL,
+    )
+    assert not issues, issues
+
+
+def test_bpe_fertility_matches_oracle(spark, con):
+    issues = compare(
+        pending_r15.eval_bpe_fertility(spark, SF),
+        con,
+        pending_r15.bpe_fertility_oracle(),
+    )
+    assert not issues, issues
+
+
+def test_repetition_fractions_are_bounded_and_consistent(spark):
+    """Structural laws: every fraction in [0, 1]; dup numerators never
+    exceed their denominators; the top-gram char coverage never exceeds
+    the document's characters; the keep flag equals the integer
+    cross-multiplied thresholds recomputed row-side."""
+    rows = pending_r15.text_repetition_gopher(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for n in pending_r15._GOPHER_TOP_NS:
+            chars = r[f"top{n}_chars"]
+            assert 0 <= chars <= r["n_chars_doc"]
+            frac = r[f"top{n}_frac"]
+            if frac is not None:
+                assert 0.0 <= frac <= 1.0
+        for n in pending_r15._GOPHER_DUP_NS:
+            assert 0 <= r[f"dup{n}_chars"] <= r[f"total{n}_chars"]
+        keep = True
+        for n in pending_r15._GOPHER_TOP_NS:
+            num, den = pending_r15._GOPHER_LIMITS[n]
+            keep = keep and r[f"top{n}_chars"] * den <= r["n_chars_doc"] * num
+        for n in pending_r15._GOPHER_DUP_NS:
+            num, den = pending_r15._GOPHER_LIMITS[n]
+            keep = keep and r[f"dup{n}_chars"] * den <= r[f"total{n}_chars"] * num
+        assert r["gopher_keep"] == keep
+
+
+def test_repetition_flags_a_degenerate_repeater(spark):
+    """A document that is one phrase repeated must fail the gate and a
+    normal-looking doc must pass — the filter does what Gopher built it
+    for. Built as a tiny in-memory documents table run through the same
+    plan (the function only reads the documents view via t(), so we
+    check the law on real corpus rows instead: any doc whose top-2-gram
+    covers >20% of its chars must be flagged)."""
+    rows = pending_r15.text_repetition_gopher(spark, SF).collect()
+    flagged = [r for r in rows if not r["gopher_keep"]]
+    passed = [r for r in rows if r["gopher_keep"]]
+    # the synthetic corpus is Zipf text: most docs must pass
+    assert len(passed) > len(flagged)
+    for r in rows:
+        if r["top2_chars"] * 5 > r["n_chars_doc"]:
+            assert not r["gopher_keep"]
+
+
+def test_fertility_distribution_laws(spark):
+    """p50 <= p90 <= max; unsplit share in [0,1]; mean fertility >= 1
+    (every vocab word emits at least one token); totals consistent."""
+    rows = pending_r15.eval_bpe_fertility(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["p50_fertility"] <= r["p90_fertility"] <= r["max_fertility"]
+        assert 0.0 <= r["unsplit_share"] <= 1.0
+        assert r["mean_fertility"] >= 1.0
+        assert r["n_unsplit"] <= r["n_words"]
+        assert r["total_tokens"] >= r["n_words"]
+
+
+def test_pending_module_is_not_registered(spark):
+    """The deferral contract: neither op may appear in the registry
+    until the r15 rotation frees window slots (registering now would
+    displace an r09-stale refresh and break VERDICT r13 next-4's bar).
+    `spark` fixture forces plans/__init__ import order first."""
+    from lakeview_spark.plans import QUERIES
+
+    assert "text_repetition_gopher" not in QUERIES
+    assert "eval_bpe_fertility" not in QUERIES
