@@ -348,6 +348,75 @@ def eval_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# eval_repetition_retention — the Gopher gate's ablation table
+# ---------------------------------------------------------------------------
+#
+# The readout that makes a filter auditable (the eval_paragraph_retention
+# convention, VERDICT r13 next-5): per (lang, gopher_keep) — document
+# count, character mass, token mass, and each side's within-language
+# share — so a mixture owner can see what the repetition gate costs
+# each language BEFORE applying it.  Pure rollup over the per-doc
+# report: one (lang, keep) aggregation bounded at langs × 2 groups at
+# any corpus size, language totals from full-frame windows over that
+# tiny grouped table (the classifier.py one-pass device), exact
+# integer shares at the output edge.
+
+
+def eval_repetition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, keep) retention ablation of the Gopher repetition
+    gate: doc/char/token masses and within-language shares."""
+    rep = text_repetition_gopher(spark, sf_dir)
+    g = rep.groupBy("lang", "gopher_keep").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars_doc").cast("long").alias("chars"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    wl = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "lang",
+        "gopher_keep",
+        "n_docs",
+        "chars",
+        "tokens",
+        F.sum("n_docs").over(wl).alias("lang_docs"),
+        F.when(
+            F.sum("n_docs").over(wl) > 0,
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wl).cast("double"),
+        ).alias("doc_share"),
+        F.when(
+            F.sum("chars").over(wl) > 0,
+            F.col("chars").cast("double") / F.sum("chars").over(wl).cast("double"),
+        ).alias("char_share"),
+    )
+
+
+def repetition_retention_oracle() -> str:
+    return f"""
+    WITH rep AS ({TEXT_REPETITION_GOPHER_SQL}),
+    g AS (
+      SELECT lang, gopher_keep,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars_doc) AS BIGINT) AS chars,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM rep GROUP BY lang, gopher_keep
+    )
+    SELECT lang, gopher_keep, n_docs, chars, tokens,
+           CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_docs,
+           CASE WHEN sum(n_docs) OVER (PARTITION BY lang) > 0
+                THEN CAST(n_docs AS DOUBLE)
+                     / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+           END AS doc_share,
+           CASE WHEN sum(chars) OVER (PARTITION BY lang) > 0
+                THEN CAST(chars AS DOUBLE)
+                     / CAST(sum(chars) OVER (PARTITION BY lang) AS DOUBLE)
+           END AS char_share
+    FROM g
+    """
+
+
 def _bpe_fertility_oracle_sql() -> str:
     from lakeview_spark.pipeline.corpus import _BPE_ROUNDS, _bpe_cte_block
 

@@ -81,6 +81,34 @@ def test_repetition_flags_a_degenerate_repeater(spark):
             assert not r["gopher_keep"]
 
 
+def test_repetition_retention_matches_oracle(spark, con):
+    issues = compare(
+        pending_r15.eval_repetition_retention(spark, SF),
+        con,
+        pending_r15.repetition_retention_oracle(),
+    )
+    assert not issues, issues
+
+
+def test_repetition_retention_composes_with_the_gate(spark):
+    """The ablation's masses must reconcile exactly with the per-doc
+    report it rolls up (the composed-check convention the paragraph
+    family uses): per language, kept + dropped doc counts equal the
+    report's doc count and shares sum to 1."""
+    per_doc = pending_r15.text_repetition_gopher(spark, SF).collect()
+    rows = pending_r15.eval_repetition_retention(spark, SF).collect()
+    from collections import Counter
+
+    want = Counter((r["lang"], r["gopher_keep"]) for r in per_doc)
+    got = {(r["lang"], r["gopher_keep"]): r["n_docs"] for r in rows}
+    assert got == dict(want)
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["doc_share"]
+    for lang, total in by_lang.items():
+        assert abs(total - 1.0) < 1e-12, (lang, total)
+
+
 def test_fertility_distribution_laws(spark):
     """p50 <= p90 <= max; unsplit share in [0,1]; mean fertility >= 1
     (every vocab word emits at least one token); totals consistent."""
@@ -103,3 +131,4 @@ def test_pending_module_is_not_registered(spark):
 
     assert "text_repetition_gopher" not in QUERIES
     assert "eval_bpe_fertility" not in QUERIES
+    assert "eval_repetition_retention" not in QUERIES
