@@ -6,7 +6,7 @@ r09-stale rows, clearing VERDICT r13 next-4's "no newest driver row
 older than r10" bar with zero slack.  Registering a new query forces
 it into the first-50 window (tests/test_registry_hygiene.py:
 test_driver_window_covers_every_query_without_a_green_row), which
-would displace an r09-stale refresh and break that bar.  So the two
+would displace an r09-stale refresh and break that bar.  So the three
 ops below ship FULLY IMPLEMENTED AND ORACLE-CHECKED this round — the
 pytest suite cross-checks each against its DuckDB oracle at sf0.001
 and sf0.01, the same compare the driver runs — and flip to
@@ -64,16 +64,22 @@ from lakeview_spark.plans.registry import t
 #   float comparisons can't (CLAUDE.md integer-threshold rule).  A doc
 #   with no gram of some n (too short) passes that rule vacuously.
 #
-# Scale shape: per-doc only — no corpus-wide state at all.  One explode
-# builds all five tagged gram streams in a single pass over the token
-# arrays (array SHAPING lambdas: slice+array_join per position, no map
-# probes), then ONE exchange keyed (doc_id, n, gram) whose map-side
+# Scale shape: per-doc only — no corpus-wide state at all.  The five
+# gram streams build INCREMENTALLY (t2 from toks, t3 = t2+tok,
+# t4 = t2+t2, t5 = t4+tok, t10 = t5+t5 — each level one zip_with with
+# a 3-arg concat; array SHAPING lambdas, no map probes; measured at
+# sf1 the ladder halves the kernel vs per-position slice+array_join,
+# 4.4 -> 2.5 s explode-side), flow through ONE explode and ONE
+# exchange keyed (doc_id, n, gram) carrying no doc metadata (lang,
+# chars, tokens join back AFTER the per-doc collapse), whose map-side
 # partial aggregation collapses repeated grams (the repetition being
 # measured is exactly what collapses), then a second small exchange
-# keyed doc_id with conditional aggregation + struct-min argmax for the
-# top gram (partial-aggregable; never a window sort over scored rows).
-# At 1000 executors this is embarrassingly parallel in doc_id; skew is
-# bounded by the longest single document.
+# keyed doc_id with conditional aggregation + struct-min argmax for
+# the top gram (partial-aggregable; never a window sort over scored
+# rows).  Honest collect() timings: ~2.0 s steady at sf0.1, ~4.0 s at
+# sf1 — 2.0x wall at 10x data with no index, the one-shot scan-bound
+# class.  At 1000 executors this is embarrassingly parallel in
+# doc_id; skew is bounded by the longest single document.
 
 _GOPHER_TOP_NS = (2, 3, 4)
 _GOPHER_DUP_NS = (5, 10)
@@ -81,13 +87,19 @@ _GOPHER_DUP_NS = (5, 10)
 _GOPHER_LIMITS = {2: (1, 5), 3: (9, 50), 4: (4, 25), 5: (3, 20), 10: (1, 10)}
 
 
-def _gram_stream_spark(n: int) -> str:
-    """Tagged (n, gram) structs for one gram length — empty below n
-    tokens (Spark sequence(1,0) DESCENDS; the CASE is the guard)."""
+def _gram_level_spark(left: str, right: str, shift: int, n: int) -> str:
+    """One incremental gram level: g[i] = left[i] || ' ' || right[i+shift],
+    valid for size(toks) - n + 1 positions — doubling/extending
+    composition instead of per-position slice+array_join (measured at
+    sf1: the slice form's explode read 4.4 s steady, this form 2.5 s —
+    each level is ONE zip_with with a 3-arg concat, no array slicing
+    inside the lambda). Empty below n tokens (Spark sequence/slice
+    guards: sequence(1,0) DESCENDS, so the CASE is the guard)."""
     return (
-        f"CASE WHEN size(toks) < {n} THEN array() ELSE "
-        f"transform(sequence(1, size(toks) - {n} + 1), "
-        f"i -> struct({n}L AS n, array_join(slice(toks, i, {n}), ' ') AS gram)) END"
+        f"CASE WHEN size(toks) < {n} THEN cast(array() as array<string>) ELSE "
+        f"zip_with(slice({left}, 1, size(toks) - {n} + 1), "
+        f"slice({right}, {shift + 1}, size(toks) - {n} + 1), "
+        f"(a, b) -> concat(a, ' ', b)) END"
     )
 
 
@@ -95,29 +107,51 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher repetition report: top-{2,3,4}-gram character
     fractions, duplicate-{5,10}-gram character fractions, and the
     integer-exact keep flag at the published thresholds."""
-    tk = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.length("text").cast("long").alias("n_chars_doc"),
-        F.split(F.lower("text"), " ").alias("toks"),
+    # single-row-group testdata parquet cannot split, so the gram
+    # ladder would run on ONE core locally — the shingle-builder
+    # exception (SCALE.md §6): one cheap (doc_id, text) shuffle buys a
+    # fully parallel build (measured sf1 steady 7.3 -> 4.8 s before
+    # the ladder rewrite took it to ~4.0).
+    tk = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("long").alias("n_chars_doc"),
+            F.split(F.lower("text"), " ").alias("toks"),
+        )
     )
-    all_ns = _GOPHER_TOP_NS + _GOPHER_DUP_NS
-    streams = ", ".join(_gram_stream_spark(n) for n in all_ns)
-    g = tk.select(
+    # the corpus-sized exchange carries ONLY (doc_id, n, gram): the doc
+    # metadata (lang, chars, token count) joins back AFTER the stream
+    # collapses to one row per doc; the replayed metadata branch
+    # reshuffles only the raw per-doc rows, 10x fewer bytes than grams
+    meta = tk.select(
+        "doc_id", "lang", "n_chars_doc", F.size("toks").cast("long").alias("n_tokens")
+    )
+    # incremental gram ladder: t2 from toks, t3 = t2 + 1 token,
+    # t4 = t2 + t2, t5 = t4 + 1 token, t10 = t5 + t5 — each level one
+    # zip_with concat over already-built grams
+    built = (
+        tk.withColumn("t2", F.expr(_gram_level_spark("toks", "toks", 1, 2)))
+        .withColumn("t3", F.expr(_gram_level_spark("t2", "toks", 2, 3)))
+        .withColumn("t4", F.expr(_gram_level_spark("t2", "t2", 2, 4)))
+        .withColumn("t5", F.expr(_gram_level_spark("t4", "toks", 4, 5)))
+        .withColumn("t10", F.expr(_gram_level_spark("t5", "t5", 5, 10)))
+    )
+    tagged = ", ".join(
+        f"transform(t{n}, x -> struct({n}L AS n, x AS gram))"
+        for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS
+    )
+    g = built.select(
         "doc_id",
-        "lang",
-        "n_chars_doc",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.explode(F.expr(f"flatten(array({streams}))")).alias("g"),
+        F.explode(F.expr(f"concat({tagged})")).alias("g"),
     ).select(
         "doc_id",
-        "lang",
-        "n_chars_doc",
-        "n_tokens",
         F.col("g.n").alias("n"),
         F.col("g.gram").alias("gram"),
     )
-    counts = g.groupBy("doc_id", "lang", "n_chars_doc", "n_tokens", "n", "gram").agg(
+    counts = g.groupBy("doc_id", "n", "gram").agg(
         F.count("*").cast("long").alias("c")
     )
     gram_chars = F.col("c") * F.length("gram").cast("long")
@@ -135,7 +169,7 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.coalesce(F.sum(F.when(F.col("n") == n, gram_chars)), F.lit(0)).cast("long").alias(f"total{n}_chars")
         )
-    d = counts.groupBy("doc_id", "lang", "n_chars_doc", "n_tokens").agg(*aggs)
+    d = counts.groupBy("doc_id").agg(*aggs).join(meta, "doc_id")
     for n in _GOPHER_TOP_NS:
         d = d.withColumn(
             f"top{n}_chars",
