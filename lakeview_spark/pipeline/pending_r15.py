@@ -451,6 +451,171 @@ def repetition_retention_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# stream_repetition_gate — the Gopher gate LIVE at ingestion
+# ---------------------------------------------------------------------------
+#
+# The streaming twin of text_repetition_gopher (the stream_paragraph_gate
+# convention): every arriving document is gated by the SAME integer
+# thresholds, and a windowed rollup reports kept/dropped doc and char
+# masses per (window, lang).  The design point is that the per-doc
+# metrics become fully ROW-LOCAL in the stream — a 100 TB ingestion
+# pipeline must not hold per-gram aggregation state for a per-document
+# verdict — so the batch plan's two corpus-sized groupBys are replaced
+# by per-row array folds over the SAME incremental gram ladder:
+#
+# - total{n}_chars: occurrence-weighted Σ count·len == Σ len over
+#   occurrences — one sum fold over the unsorted gram array;
+# - dup{n}_chars: sort the gram array once; an occurrence is duplicated
+#   iff it has an equal sorted neighbor — one indexed transform with
+#   O(1) element_at probes (array indexing, not the banned map probes);
+# - top{n}: the longest run in the sorted array via an explicit
+#   left fold (prev, run, bestc, bestlen) — scanning ascending keeps
+#   the FIRST maximal run, which IS the (count desc, gram asc)
+#   tie-break of the batch struct-min argmax.
+#
+# State: open windows only (update mode) — langs × windows rows of
+# four BIGINT counters; no stateful op before the rollup, so the gate
+# composes anywhere in a live funnel.  The oracle replays the BATCH
+# repetition report grouped on the twin window grid, so the live gate
+# and the batch query can never disagree on a verdict.
+
+
+def _run_fold_spark(arr: str) -> str:
+    """Longest-run (count, len) over a SORTED string array as one
+    explicit left fold; first maximal run wins == (c desc, gram asc)."""
+    newrun = f"CASE WHEN x = acc.prev THEN acc.run + 1L ELSE 1L END"
+    return (
+        f"aggregate({arr}, "
+        "struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS bestc, 0L AS bestlen), "
+        f"(acc, x) -> struct(x AS prev, {newrun} AS run, "
+        f"CASE WHEN {newrun} > acc.bestc THEN {newrun} ELSE acc.bestc END AS bestc, "
+        f"CASE WHEN {newrun} > acc.bestc THEN length(x) * 1L ELSE acc.bestlen END AS bestlen), "
+        "acc -> acc.bestc * acc.bestlen)"
+    )
+
+
+def _dup_chars_spark(sorted_arr: str) -> str:
+    """Occurrence-weighted duplicated-gram chars over a SORTED array:
+    an occurrence counts iff an equal sorted neighbor exists."""
+    return (
+        f"aggregate(transform({sorted_arr}, (x, i) -> "
+        f"CASE WHEN (i > 0 AND element_at({sorted_arr}, i) = x) "
+        f"OR (i < size({sorted_arr}) - 1 AND element_at({sorted_arr}, i + 2) = x) "
+        "THEN length(x) * 1L ELSE 0L END), 0L, (a, b) -> a + b)"
+    )
+
+
+def _sum_chars_spark(arr: str) -> str:
+    return f"aggregate({arr}, 0L, (a, x) -> a + length(x))"
+
+
+def stream_repetition_gate(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Live Gopher repetition gating: row-local integer metrics over
+    the incremental gram ladder, the published thresholds as exact
+    cross-multiplications, and a per-(window, lang) kept/dropped
+    rollup."""
+    d = stream.withColumn("toks", F.split(F.lower("text"), " "))
+    for n, (left, right, shift) in {
+        2: ("toks", "toks", 1),
+        3: ("t2", "toks", 2),
+        4: ("t2", "t2", 2),
+        5: ("t4", "toks", 4),
+        10: ("t5", "t5", 5),
+    }.items():
+        d = d.withColumn(f"t{n}", F.expr(_gram_level_spark(left, right, shift, n)))
+    metrics = [F.length("text").cast("long").alias("n_chars_doc")]
+    for n in _GOPHER_TOP_NS:
+        metrics.append(
+            F.expr(_run_fold_spark(f"array_sort(t{n})")).alias(f"top{n}_chars")
+        )
+    for n in _GOPHER_DUP_NS:
+        d = d.withColumn(f"s{n}", F.expr(f"array_sort(t{n})"))
+        metrics.append(F.expr(_dup_chars_spark(f"s{n}")).alias(f"dup{n}_chars"))
+        metrics.append(F.expr(_sum_chars_spark(f"s{n}")).alias(f"total{n}_chars"))
+    scored = d.select("lang", "ingest_ts", *metrics)
+    keep = F.lit(True)
+    for n in _GOPHER_TOP_NS:
+        num, den = _GOPHER_LIMITS[n]
+        keep = keep & (F.col(f"top{n}_chars") * den <= F.col("n_chars_doc") * num)
+    for n in _GOPHER_DUP_NS:
+        num, den = _GOPHER_LIMITS[n]
+        keep = keep & (F.col(f"dup{n}_chars") * den <= F.col(f"total{n}_chars") * num)
+    gated = scored.withColumn("kept", keep.cast("int"))
+    return (
+        gated.withWatermark("ingest_ts", watermark_delay)
+        .groupBy(F.window("ingest_ts", window_duration).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("kept").alias("kept_docs"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars_doc"))).alias("kept_chars"),
+            F.sum(F.when(F.col("kept") == 0, F.col("n_chars_doc"))).alias(
+                "dropped_chars"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("win.start").alias("window_start"),
+            "docs",
+            "kept_docs",
+            "kept_chars",
+            "dropped_chars",
+        )
+    )
+
+
+def stream_repetition_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate run to completion over the documents table (AvailableNow
+    into a memory sink, update mode — the stream_classifier_gate twin
+    shape), with the batch repetition report as its oracle."""
+    from lakeview_spark.plans import streaming_twins as st
+
+    gate = stream_repetition_gate(st._doc_stream(spark, sf_dir))
+    out = st._run_available_now(gate, "update")
+    return out.select(
+        "lang",
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.col("docs").cast("bigint").alias("docs"),
+        F.col("kept_docs").cast("bigint").alias("kept_docs"),
+        F.coalesce(F.col("kept_chars"), F.lit(0)).cast("bigint").alias("kept_chars"),
+        F.coalesce(F.col("dropped_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+    )
+
+
+def stream_repetition_gate_oracle() -> str:
+    """Batch repetition report grouped on the twin's window grid —
+    verdict parity with the live gate by construction."""
+    return f"""
+    WITH rep AS ({TEXT_REPETITION_GOPHER_SQL}),
+    base AS (
+      -- LEFT JOIN from documents: the batch report has no row for a
+      -- doc with fewer than 2 tokens (no grams), but the live gate
+      -- sees every arriving doc and passes gram-less ones vacuously
+      SELECT d.lang,
+             coalesce(r.gopher_keep, TRUE) AS gopher_keep,
+             CAST(length(d.text) AS BIGINT) AS n_chars_doc,
+             1772323200000000 + ((CAST(d.doc_id AS BIGINT) % 120)
+               * 60000000 // 600000000) * 600000000 AS window_start_us
+      FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+    )
+    SELECT lang, window_start_us,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(coalesce(sum(CASE WHEN gopher_keep THEN n_chars_doc END), 0)
+                AS BIGINT) AS kept_chars,
+           CAST(coalesce(sum(CASE WHEN NOT gopher_keep THEN n_chars_doc END), 0)
+                AS BIGINT) AS dropped_chars
+    FROM base
+    GROUP BY lang, window_start_us
+    """
+
+
 def _bpe_fertility_oracle_sql() -> str:
     from lakeview_spark.pipeline.corpus import _BPE_ROUNDS, _bpe_cte_block
 

@@ -109,6 +109,31 @@ def test_repetition_retention_composes_with_the_gate(spark):
         assert abs(total - 1.0) < 1e-12, (lang, total)
 
 
+def test_stream_repetition_gate_matches_oracle(spark, con):
+    issues = compare(
+        pending_r15.stream_repetition_gate_twin(spark, SF),
+        con,
+        pending_r15.stream_repetition_gate_oracle(),
+    )
+    assert not issues, issues
+
+
+def test_stream_gate_verdicts_match_the_batch_gate(spark):
+    """The zero-drift claim, checked directly: the live gate's total
+    kept/dropped doc counts equal the batch report's keep-flag census
+    (every doc at this SF has >= 2 tokens, so the vacuous-pass branch
+    is not load-bearing here — the oracle's LEFT JOIN covers it)."""
+    batch = pending_r15.text_repetition_gopher(spark, SF).collect()
+    live = pending_r15.stream_repetition_gate_twin(spark, SF).collect()
+    assert sum(r["docs"] for r in live) == len(batch)
+    assert sum(r["kept_docs"] for r in live) == sum(
+        1 for r in batch if r["gopher_keep"]
+    )
+    assert sum(r["dropped_chars"] for r in live) == sum(
+        r["n_chars_doc"] for r in batch if not r["gopher_keep"]
+    )
+
+
 def test_fertility_distribution_laws(spark):
     """p50 <= p90 <= max; unsplit share in [0,1]; mean fertility >= 1
     (every vocab word emits at least one token); totals consistent."""
@@ -132,3 +157,4 @@ def test_pending_module_is_not_registered(spark):
     assert "text_repetition_gopher" not in QUERIES
     assert "eval_bpe_fertility" not in QUERIES
     assert "eval_repetition_retention" not in QUERIES
+    assert "stream_repetition_gate" not in QUERIES
