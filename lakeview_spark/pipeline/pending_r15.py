@@ -6,7 +6,7 @@ r09-stale rows, clearing VERDICT r13 next-4's "no newest driver row
 older than r10" bar with zero slack.  Registering a new query forces
 it into the first-50 window (tests/test_registry_hygiene.py:
 test_driver_window_covers_every_query_without_a_green_row), which
-would displace an r09-stale refresh and break that bar.  So the three
+would displace an r09-stale refresh and break that bar.  So the four
 ops below ship FULLY IMPLEMENTED AND ORACLE-CHECKED this round — the
 pytest suite cross-checks each against its DuckDB oracle at sf0.001
 and sf0.01, the same compare the driver runs — and flip to
