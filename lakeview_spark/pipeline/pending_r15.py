@@ -452,6 +452,93 @@ def repetition_retention_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# eval_repetition_threshold_sweep — the rules' tuning curves
+# ---------------------------------------------------------------------------
+#
+# The eval_ivfpq_nprobe_sweep convention applied to the repetition
+# gate: Gopher's thresholds are published constants, but every corpus
+# recalibrates them — this emits, from ONE pass over the per-doc
+# report, each rule's fail rate across a whole percent grid, so a
+# threshold decision reads a curve instead of one operating point.
+# Each (rule, pct) verdict is an exact integer cross-multiplication
+# (chars * 100 > denom * pct); the per-doc grid is a 30-element
+# literal array exploded and collapsed by a (rule, pct)-keyed
+# partial-aggregable count — 5 rules x 6 grid points = 30 output rows
+# at any corpus size, and the corpus-sized stream it rides is the
+# already-collapsed per-doc report, not the gram stream.
+
+_SWEEP_PCTS = (5, 10, 15, 20, 25, 30)
+
+
+def eval_repetition_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fail-rate-vs-threshold curves for the five repetition rules
+    over a 5..30 percent grid — one pass over the per-doc report."""
+    rep = text_repetition_gopher(spark, sf_dir)
+    cells = []
+    for n in _GOPHER_TOP_NS:
+        for p in _SWEEP_PCTS:
+            cells.append(
+                f"struct('top{n}' AS rule, {p}L AS pct, "
+                f"CASE WHEN top{n}_chars * 100 > n_chars_doc * {p} THEN 1L ELSE 0L END AS failed)"
+            )
+    for n in _GOPHER_DUP_NS:
+        for p in _SWEEP_PCTS:
+            cells.append(
+                f"struct('dup{n}' AS rule, {p}L AS pct, "
+                f"CASE WHEN dup{n}_chars * 100 > total{n}_chars * {p} THEN 1L ELSE 0L END AS failed)"
+            )
+    g = rep.select(F.explode(F.expr(f"array({', '.join(cells)})")).alias("c"))
+    return (
+        g.groupBy(F.col("c.rule").alias("rule"), F.col("c.pct").alias("pct"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("c.failed").cast("long").alias("n_failing"),
+        )
+        .select(
+            "rule",
+            "pct",
+            "n_docs",
+            "n_failing",
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_failing").cast("double") / F.col("n_docs").cast("double"),
+            ).alias("fail_share"),
+        )
+    )
+
+
+def repetition_threshold_sweep_oracle() -> str:
+    cells = []
+    for n in _GOPHER_TOP_NS:
+        for p in _SWEEP_PCTS:
+            cells.append(
+                f"{{'rule': 'top{n}', 'pct': CAST({p} AS BIGINT), "
+                f"'failed': CASE WHEN top{n}_chars * 100 > n_chars_doc * {p} "
+                f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END}}"
+            )
+    for n in _GOPHER_DUP_NS:
+        for p in _SWEEP_PCTS:
+            cells.append(
+                f"{{'rule': 'dup{n}', 'pct': CAST({p} AS BIGINT), "
+                f"'failed': CASE WHEN dup{n}_chars * 100 > total{n}_chars * {p} "
+                f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END}}"
+            )
+    return f"""
+    WITH rep AS ({TEXT_REPETITION_GOPHER_SQL}),
+    g AS (
+      SELECT unnest([{', '.join(cells)}]) AS c FROM rep
+    )
+    SELECT c.rule AS rule, c.pct AS pct,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c.failed) AS BIGINT) AS n_failing,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(c.failed) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           END AS fail_share
+    FROM g GROUP BY c.rule, c.pct
+    """
+
+
+# ---------------------------------------------------------------------------
 # stream_repetition_gate — the Gopher gate LIVE at ingestion
 # ---------------------------------------------------------------------------
 #

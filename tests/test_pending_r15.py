@@ -109,6 +109,41 @@ def test_repetition_retention_composes_with_the_gate(spark):
         assert abs(total - 1.0) < 1e-12, (lang, total)
 
 
+def test_repetition_threshold_sweep_matches_oracle(spark, con):
+    issues = compare(
+        pending_r15.eval_repetition_threshold_sweep(spark, SF),
+        con,
+        pending_r15.repetition_threshold_sweep_oracle(),
+    )
+    assert not issues, issues
+
+
+def test_threshold_sweep_is_monotone_and_anchored(spark):
+    """Fail share must be non-increasing in the threshold (a looser
+    threshold can only pass more docs), and each rule's fail count at
+    its published Gopher threshold must reconcile with the per-doc
+    report's flags (the curve passes through the operating point)."""
+    rows = pending_r15.eval_repetition_threshold_sweep(spark, SF).collect()
+    by_rule: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_rule.setdefault(r["rule"], {})[r["pct"]] = r["n_failing"]
+    assert set(by_rule) == {"top2", "top3", "top4", "dup5", "dup10"}
+    for rule, curve in by_rule.items():
+        pcts = sorted(curve)
+        assert pcts == sorted(pending_r15._SWEEP_PCTS)
+        for a, b in zip(pcts, pcts[1:]):
+            assert curve[a] >= curve[b], (rule, a, b)
+    rep = pending_r15.text_repetition_gopher(spark, SF).collect()
+    # published thresholds expressed on the percent grid: top2 20,
+    # dup10 10 sit ON grid points — cross-check those two exactly
+    assert by_rule["top2"][20] == sum(
+        1 for r in rep if r["top2_chars"] * 100 > r["n_chars_doc"] * 20
+    )
+    assert by_rule["dup10"][10] == sum(
+        1 for r in rep if r["dup10_chars"] * 100 > r["total10_chars"] * 10
+    )
+
+
 def test_stream_repetition_gate_matches_oracle(spark, con):
     issues = compare(
         pending_r15.stream_repetition_gate_twin(spark, SF),
@@ -158,3 +193,4 @@ def test_pending_module_is_not_registered(spark):
     assert "eval_bpe_fertility" not in QUERIES
     assert "eval_repetition_retention" not in QUERIES
     assert "stream_repetition_gate" not in QUERIES
+    assert "eval_repetition_threshold_sweep" not in QUERIES
