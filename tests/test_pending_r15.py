@@ -12,6 +12,20 @@ from tests.oracle_util import compare, duck_connection
 
 SF = "/root/testdata/sf0.001"
 
+# the oracle compares run at BOTH driver SFs (the tables differ even
+# where row counts coincide); law/composition tests run at sf0.001
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+_CONS: dict = {}
+
+
+@pytest.fixture(params=SFS, ids=["sf0.001", "sf0.01"])
+def sf_con(request):
+    sf = request.param
+    if sf not in _CONS:
+        _CONS[sf] = duck_connection(sf)
+    return sf, _CONS[sf]
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -20,18 +34,20 @@ def con():
     con.close()
 
 
-def test_repetition_gopher_matches_oracle(spark, con):
+def test_repetition_gopher_matches_oracle(spark, sf_con):
+    sf, con = sf_con
     issues = compare(
-        pending_r15.text_repetition_gopher(spark, SF),
+        pending_r15.text_repetition_gopher(spark, sf),
         con,
         pending_r15.TEXT_REPETITION_GOPHER_SQL,
     )
     assert not issues, issues
 
 
-def test_bpe_fertility_matches_oracle(spark, con):
+def test_bpe_fertility_matches_oracle(spark, sf_con):
+    sf, con = sf_con
     issues = compare(
-        pending_r15.eval_bpe_fertility(spark, SF),
+        pending_r15.eval_bpe_fertility(spark, sf),
         con,
         pending_r15.bpe_fertility_oracle(),
     )
@@ -81,9 +97,10 @@ def test_repetition_flags_a_degenerate_repeater(spark):
             assert not r["gopher_keep"]
 
 
-def test_repetition_retention_matches_oracle(spark, con):
+def test_repetition_retention_matches_oracle(spark, sf_con):
+    sf, con = sf_con
     issues = compare(
-        pending_r15.eval_repetition_retention(spark, SF),
+        pending_r15.eval_repetition_retention(spark, sf),
         con,
         pending_r15.repetition_retention_oracle(),
     )
@@ -109,9 +126,10 @@ def test_repetition_retention_composes_with_the_gate(spark):
         assert abs(total - 1.0) < 1e-12, (lang, total)
 
 
-def test_repetition_threshold_sweep_matches_oracle(spark, con):
+def test_repetition_threshold_sweep_matches_oracle(spark, sf_con):
+    sf, con = sf_con
     issues = compare(
-        pending_r15.eval_repetition_threshold_sweep(spark, SF),
+        pending_r15.eval_repetition_threshold_sweep(spark, sf),
         con,
         pending_r15.repetition_threshold_sweep_oracle(),
     )
@@ -144,9 +162,10 @@ def test_threshold_sweep_is_monotone_and_anchored(spark):
     )
 
 
-def test_stream_repetition_gate_matches_oracle(spark, con):
+def test_stream_repetition_gate_matches_oracle(spark, sf_con):
+    sf, con = sf_con
     issues = compare(
-        pending_r15.stream_repetition_gate_twin(spark, SF),
+        pending_r15.stream_repetition_gate_twin(spark, sf),
         con,
         pending_r15.stream_repetition_gate_oracle(),
     )
