@@ -81,6 +81,11 @@ COHORT_BANDS_S = {
     "extended_late_r11": 24.1,
     "extended_r12": 17.4,
     "extended_r13": 20.4,  # r13 final close (11 queries incl. stream_paragraph_gate)
+    # quiet r14 reading; first-toucher-heavy BY DESIGN (the two derived-
+    # corpus audits + the upsert charge whole index builds to their
+    # first execution), so warm-host readings run 20-50% over — the
+    # 1.7x trigger leaves that headroom (post-suite close read 59-75)
+    "extended_r14": 49.4,
 }
 COHORT_CONTENTION_RATIO = 1.7
 

@@ -201,6 +201,93 @@ def test_fertility_distribution_laws(spark):
         assert r["total_tokens"] >= r["n_words"]
 
 
+def test_gram_ladder_equals_reference_ngrams(spark):
+    """The incremental ladder (t2 from toks, t3=t2+tok, t4=t2+t2,
+    t5=t4+tok, t10=t5+t5) must produce EXACTLY the per-position
+    n-grams of the direct definition, for adversarial token shapes:
+    below-n lengths (the CASE guards), exact-n lengths, repeated
+    tokens, empty-string tokens (split artifacts), multi-char
+    tokens."""
+    import itertools
+
+    docs = [
+        [],
+        ["a"],
+        ["a", "b"],
+        ["a", "a"],
+        ["x"] * 10,
+        ["x"] * 9,
+        ["x"] * 11,
+        ["a", "b", "c", "d", "e"],
+        ["ab", "", "cd", "", "ab", "", "cd", "", "ab", "", "cd", ""],
+        [f"t{i}" for i in range(25)],
+        ["lorem", "ipsum", "dolor"] * 7,
+    ]
+    from pyspark.sql import functions as SF_  # noqa: N812
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i int, toks array<string>"
+    )
+    built = (
+        df.withColumn("t2", SF_.expr(pending_r15._gram_level_spark("toks", "toks", 1, 2)))
+        .withColumn("t3", SF_.expr(pending_r15._gram_level_spark("t2", "toks", 2, 3)))
+        .withColumn("t4", SF_.expr(pending_r15._gram_level_spark("t2", "t2", 2, 4)))
+        .withColumn("t5", SF_.expr(pending_r15._gram_level_spark("t4", "toks", 4, 5)))
+        .withColumn("t10", SF_.expr(pending_r15._gram_level_spark("t5", "t5", 5, 10)))
+    )
+    got = {r["i"]: r for r in built.collect()}
+    for i, toks in enumerate(docs):
+        for n in (2, 3, 4, 5, 10):
+            want = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            assert list(got[i][f"t{n}"]) == want, (i, n)
+
+
+def test_run_fold_and_dup_marking_equal_counter_reference(spark):
+    """The stream gate's row-local devices vs a pure-Python Counter:
+    the longest-run fold over a sorted array must equal
+    max-count * len with the (count desc, gram asc) tie-break, and the
+    sorted-neighbor dup marking must equal the occurrence-weighted
+    duplicated-char mass."""
+    from collections import Counter
+
+    from pyspark.sql import functions as SF_  # noqa: N812
+
+    arrays = [
+        [],
+        ["a"],
+        ["a", "a"],
+        ["a", "b"],
+        ["b", "a", "b", "a", "b"],
+        ["aa", "b", "aa", "ccc", "ccc", "ccc", "b"],
+        ["x y", "x y", "y x", "y x"],  # count tie: smallest gram must win
+        ["zz"] * 6 + ["a"] * 6,  # tie between 'a' (len 1) and 'zz' (len 2)
+    ]
+    df = spark.createDataFrame(
+        [(i, sorted(a)) for i, a in enumerate(arrays)], "i int, s array<string>"
+    )
+    out = df.select(
+        "i",
+        SF_.expr(pending_r15._run_fold_spark("s")).alias("top_chars"),
+        SF_.expr(pending_r15._dup_chars_spark("s")).alias("dup_chars"),
+        SF_.expr(pending_r15._sum_chars_spark("s")).alias("total_chars"),
+    ).collect()
+    got = {r["i"]: r for r in out}
+    for i, arr in enumerate(arrays):
+        c = Counter(arr)
+        if c:
+            best = min((-cnt, g) for g, cnt in c.items())
+            want_top = (-best[0]) * len(best[1])
+        else:
+            want_top = 0
+        want_dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        want_total = sum(len(g) for g in arr)
+        assert got[i]["top_chars"] == want_top, (i, arr)
+        assert got[i]["dup_chars"] == want_dup, (i, arr)
+        assert got[i]["total_chars"] == want_total, (i, arr)
+
+
 def test_pending_module_is_not_registered(spark):
     """The deferral contract: neither op may appear in the registry
     until the r15 rotation frees window slots (registering now would

@@ -121,6 +121,8 @@ def test_bench_query_lists_are_registered():
     assert not missing, f"extended-r12 bench names not registered: {missing}"
     missing = [n for n in bench.EXTENDED_R13 if n not in QUERIES]
     assert not missing, f"extended-r13 bench names not registered: {missing}"
+    missing = [n for n in bench.EXTENDED_R14 if n not in QUERIES]
+    assert not missing, f"extended-r14 bench names not registered: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
     assert len(set(bench.EXTENDED_STEADY)) == len(bench.EXTENDED_STEADY)
     assert len(set(bench.EXTENDED_R9)) == len(bench.EXTENDED_R9)
@@ -133,6 +135,16 @@ def test_bench_query_lists_are_registered():
     )
     assert len(set(bench.EXTENDED_R12)) == len(bench.EXTENDED_R12)
     assert len(set(bench.EXTENDED_R13)) == len(bench.EXTENDED_R13)
+    assert len(set(bench.EXTENDED_R14)) == len(bench.EXTENDED_R14)
+    # every cohort with a contention band must actually be a timed cohort
+    assert set(bench.COHORT_BANDS_S) == {
+        "extended",
+        "extended_r9",
+        "extended_late_r11",
+        "extended_r12",
+        "extended_r13",
+        "extended_r14",
+    }
     # r13 deliberately shares two names with earlier cohorts; the timing
     # loop keeps the FIRST reading (bench.py comment), so only within-
     # list duplicates would double-count — pinned above
