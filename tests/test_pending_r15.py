@@ -81,12 +81,14 @@ def test_repetition_fractions_are_bounded_and_consistent(spark):
 
 
 def test_repetition_flags_a_degenerate_repeater(spark):
-    """A document that is one phrase repeated must fail the gate and a
-    normal-looking doc must pass — the filter does what Gopher built it
-    for. Built as a tiny in-memory documents table run through the same
-    plan (the function only reads the documents view via t(), so we
-    check the law on real corpus rows instead: any doc whose top-2-gram
-    covers >20% of its chars must be flagged)."""
+    """The filter does what Gopher built it for, checked on real
+    corpus rows (the query reads the documents table via t(), so a
+    synthetic repeater can't be injected without a scratch dataset
+    dir; constructed degenerate shapes are covered expression-level by
+    test_gram_ladder_equals_reference_ngrams and
+    test_run_fold_and_dup_marking_equal_counter_reference): most Zipf
+    docs must pass, and every doc whose top-2-gram covers more than
+    20% of its chars must be flagged."""
     rows = pending_r15.text_repetition_gopher(spark, SF).collect()
     flagged = [r for r in rows if not r["gopher_keep"]]
     passed = [r for r in rows if r["gopher_keep"]]
