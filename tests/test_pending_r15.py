@@ -290,6 +290,44 @@ def test_run_fold_and_dup_marking_equal_counter_reference(spark):
         assert got[i]["total_chars"] == want_total, (i, arr)
 
 
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """Schema-correct zero-row dataset dir (the test_empty_inputs
+    harness shape) — the ANSI empty-edge gate the registered queries
+    pass must hold for the pending ops BEFORE they register."""
+    import glob as _glob
+    import os
+    import shutil
+
+    work = str(tmp_path_factory.mktemp("empty_sf_pending"))
+    for f in os.listdir(SF):
+        if not f.endswith(".parquet"):
+            continue
+        stage = f"{work}/_stage_{f}"
+        spark.read.parquet(f"{SF}/{f}").limit(0).coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{work}/{f}")
+        shutil.rmtree(stage)
+    return work
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        "text_repetition_gopher",
+        "eval_repetition_retention",
+        "eval_repetition_threshold_sweep",
+        "eval_bpe_fertility",
+        "stream_repetition_gate_twin",
+    ],
+)
+def test_pending_ops_survive_empty_tables(spark, empty_sf, fn):
+    # collect(), never count() — the CLAUDE.md audit rule: count()
+    # would let Catalyst prune an unguarded ANSI division unevaluated
+    rows = getattr(pending_r15, fn)(spark, empty_sf).collect()
+    assert rows == []
+
+
 def test_pending_module_is_not_registered(spark):
     """The deferral contract: neither op may appear in the registry
     until the r15 rotation frees window slots (registering now would
