@@ -290,6 +290,107 @@ def test_run_fold_and_dup_marking_equal_counter_reference(spark):
         assert got[i]["total_chars"] == want_total, (i, arr)
 
 
+def test_stream_gate_accumulates_across_micro_batches(spark, tmp_path):
+    """Window counters must accumulate when one window's docs span
+    several micro-batches (the test_streaming_multibatch convention):
+    4 time-ordered files, one per trigger, update mode — the last
+    emission per (lang, window) (= max; counts are monotone) must
+    equal the single-batch twin, which the DuckDB oracle already
+    proves."""
+    import itertools
+    import os
+
+    from pyspark.sql import functions as SF_  # noqa: N812
+
+    from lakeview_spark.plans.registry import t as t_
+
+    docs = t_(spark, SF, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        SF_.timestamp_micros(
+            SF_.lit(1_772_323_200_000_000)
+            + (SF_.col("doc_id") % 120) * SF_.lit(60_000_000)
+        ).alias("ingest_ts"),
+    )
+    stream_dir = str(tmp_path / "docs_gate_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    pdf = docs.toPandas().sort_values("ingest_ts", kind="mergesort").reset_index(
+        drop=True
+    )
+    per = -(-len(pdf) // 4)
+    base = 1_000_000_000
+    for i in range(4):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        path = os.path.join(stream_dir, f"batch_{i:03d}.parquet")
+        spark.createDataFrame(chunk, schema=docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path + ".dir")
+        part = [
+            f
+            for f in os.listdir(path + ".dir")
+            if f.startswith("part-") and f.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(path + ".dir", part), path)
+        os.utime(path, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    gate = pending_r15.stream_repetition_gate(stream)
+    name = f"gate_multibatch_sink_{next(itertools.count())}_{os.getpid()}"
+    q = (
+        gate.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sum(1 for p in q.recentProgress if p["numInputRows"] > 0) >= 3
+    final = (
+        spark.table(name)
+        .groupBy("lang", "window_start")
+        .agg(
+            SF_.max("docs").alias("docs"),
+            SF_.max("kept_docs").alias("kept_docs"),
+            SF_.max("kept_chars").alias("kept_chars"),
+            SF_.max("dropped_chars").alias("dropped_chars"),
+        )
+        .collect()
+    )
+    single = pending_r15.stream_repetition_gate_twin(spark, SF).collect()
+
+    def key(r):
+        ws = r["window_start_us"] if "window_start_us" in r.__fields__ else None
+        return (
+            r["lang"],
+            ws,
+            r["docs"],
+            r["kept_docs"],
+            r["kept_chars"] or 0,
+            r["dropped_chars"] or 0,
+        )
+
+    import datetime as _dt
+
+    got = sorted(
+        (
+            r["lang"],
+            int(r["window_start"].replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6),
+            r["docs"],
+            r["kept_docs"],
+            r["kept_chars"] or 0,
+            r["dropped_chars"] or 0,
+        )
+        for r in final
+    )
+    want = sorted(key(r) for r in single)
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def empty_sf(spark, tmp_path_factory):
     """Schema-correct zero-row dataset dir (the test_empty_inputs
