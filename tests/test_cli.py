@@ -124,7 +124,12 @@ def test_cli_serves_prometheus_metrics_during_shutdown_wait(
     th = threading.Thread(target=run)
     th.start()
     body = None
-    for _ in range(200):  # poll until the run finishes and metrics land
+    # poll until the run finishes and metrics land: the server lives
+    # only until main() returns (run + shutdown wait), so the thread's
+    # lifetime IS the poll budget — a fixed iteration count raced the
+    # run on a loaded host (the run alone read 44-82 s there vs the
+    # 40 s the old 200x0.2 s loop allowed)
+    while th.is_alive() and body is None:
         try:
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/metrics", timeout=5
@@ -132,7 +137,6 @@ def test_cli_serves_prometheus_metrics_during_shutdown_wait(
                 candidate = r.read().decode()
             if TABLES_DISCOVERED_GAUGE in candidate:
                 body = candidate
-                break
         except OSError:
             pass
         th.join(0.2)
