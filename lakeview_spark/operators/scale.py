@@ -19,6 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_unsplittable(df: DataFrame, key: str) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    When the scan yields fewer than half the session's parallelism —
+    the single-row-group parquet layout Spark cannot split, or one
+    giant gzip in production — hash-repartition on ``key`` BEFORE the
+    heavy per-row kernel so the kernel runs on every core. ``key``
+    must be the downstream aggregation/join key: the exchange then
+    *replaces* the one the groupBy would have planned (same key, same
+    partition count — §2.4 exchange sharing), so the plan keeps ONE
+    exchange; only its position moves from after the kernel (where one
+    task pays the whole map) to before it.
+
+    When the scan already parallelizes (many files — the 100 TB
+    layout), this is a no-op: shuffling raw rows before a partial
+    aggregation would ship strictly more bytes than the aggregated
+    form (§2.3 "aggregate before you shuffle"). Key-hash partitioning
+    keeps results deterministic — rows group identically either way —
+    unlike a round-robin repartition, which would reorder float
+    accumulations.
+
+    The partition count is passed EXPLICITLY (defaultParallelism):
+    AQE is free to coalesce a count-less keyed repartition back down
+    to one task on small inputs — exactly the case the guard exists
+    for — while a user-specified count is left alone. Downstream
+    aggregations require only ClusteredDistribution on the key, which
+    any count satisfies, so the elision argument above is unchanged."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < p:
+        return df.repartition(p, key)
+    return df
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

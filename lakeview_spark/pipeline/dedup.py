@@ -372,10 +372,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit signature, bits = majority votes of md5-nibble
     bits over tokens (token multiplicity counts, as in classic
     simhash). Same signature the hamming-pair query banishes into 4 x
-    16-bit bands (curation.py)."""
-    e = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    16-bit bands (curation.py).
+
+    The scan goes through spread_unsplittable on doc_id (r14
+    optimization, guide §2.5): tokenize + md5 + the 64 vote-sums are
+    the engine's heaviest scan-side kernel, and on the single-file
+    layout the whole map ran in ONE task. Keyed on the groupBy key, the
+    guard's exchange replaces the aggregation's own (still exactly one
+    exchange in the plan — it moved below the kernel); on a splittable
+    layout the guard is a no-op. Integer vote sums are order-exact, so
+    the signature is bit-identical."""
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    docs = spread_unsplittable(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
+    e = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     return simhash_signature(e.select("doc_id", F.md5("tok").alias("th")))
 
 
