@@ -47,27 +47,48 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     to n best-so-far rows map-side instead of sorting the full pair set
     through a row_number window (same upgrade as _kq_assign; double
     negation is an exact sign flip, so the emitted cosine is
-    bit-identical)."""
+    bit-identical).
+
+    Norms are HOISTED out of the n*k pair expression (r14
+    optimization): the vector norm is computed once per row and the
+    centroid norm once per broadcast row instead of once per PAIR —
+    the interpreted zip_with/aggregate folds are the kernel's cost
+    (CLAUDE.md r13: higher-order lambdas run interpreted), and hoisting
+    cuts the per-pair fold count from 3 to 1. The cosine is
+    bit-identical: same _norm expression over the same doubles, and
+    en * cn keeps the operand order of _norm(e) * _norm(c). `label`
+    rides along (any_value over the single row per vec_id) so the
+    final report needs no second scan+join of the input."""
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
         [(cid, [float(v) for v in vec]) for cid, vec in centroids],
         "cluster_id int, ce array<double>",
-    )
-    scored = emb.crossJoin(F.broadcast(cdf)).select(
-        "vec_id",
-        "embedding",
-        F.struct(
-            (
-                -(_dot("embedding", "ce") / (_norm("embedding") * _norm("ce")))
-            ).alias("neg_cosine"),
-            "cluster_id",
-        ).alias("sc"),
+    ).withColumn("cn", _norm("ce"))
+    scored = (
+        emb.withColumn("en", _norm("embedding"))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.struct(
+                (
+                    -(_dot("embedding", "ce") / (F.col("en") * F.col("cn")))
+                ).alias("neg_cosine"),
+                "cluster_id",
+            ).alias("sc"),
+        )
     )
     return (
         scored.groupBy("vec_id")
-        .agg(F.min("sc").alias("best"), F.any_value("embedding").alias("embedding"))
+        .agg(
+            F.min("sc").alias("best"),
+            F.any_value("embedding").alias("embedding"),
+            F.any_value("label").alias("label"),
+        )
         .select(
             "vec_id",
+            "label",
             "embedding",
             F.col("best.cluster_id").alias("cluster_id"),
             (-F.col("best.neg_cosine")).alias("cosine"),
@@ -122,7 +143,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for cid, vec in centroids
         ]
-    final = _assign(emb, centroids).join(emb.select("vec_id", "label"), "vec_id")
+    final = _assign(emb, centroids)
     return final.groupBy("cluster_id").agg(
         F.count("*").alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
@@ -238,9 +259,33 @@ def _kq_quantize(col: str) -> Column:
     )
 
 
-def _kq_sqdist(a: str, b: str) -> Column:
+# quantized-vector width == the embedding width (one integer cell per
+# float coordinate) — the unrolled-kernel dim pin for qv-family columns
+_QV_DIM = 64
+
+
+def _kq_sqdist(a: str, b: str, dim: int | None = None) -> Column:
     """Exact integer squared-L2: zip_with difference products folded
-    into a long accumulator — commutative, so partition order is moot."""
+    into a long accumulator — commutative, so partition order is moot.
+
+    With ``dim`` (r14 optimization, guide §4.1): the fold unrolls to a
+    fixed-width codegen sum `(a[0]-b[0])*(a[0]-b[0]) + ...` — the
+    higher-order lambda runs INTERPRETED per element, and
+    scripts/kernel_probe.py measured the unrolled form ~1.3x faster on
+    the probes x corpus pair kernel with an identical checksum.
+    Integer addition is exact in any order, so the sum is identical;
+    quantized values are |v| <= 2^20, so 64 terms stay <= 2^46 — no
+    ANSI overflow in either order. Callers pass dim ONLY where the
+    array width is structurally pinned (qv-family = 64, sv/cv
+    subvectors = _PQ_SUB); under ANSI an over-large dim fails loudly
+    (invalid array index), an under-sized one would truncate — which
+    is why every consumer query stays oracle-checked after the dim
+    edits (this round's verification log)."""
+    if dim is not None:
+        terms = " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(dim)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
     prods = F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y))
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
@@ -267,7 +312,7 @@ def _kq_centroid_rounds(
                 "vec_id",
                 "qv",
                 F.struct(
-                    _kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id"
+                    _kq_sqdist("qv", "cv", dim=_QV_DIM).alias("sqdist"), "cluster_id"
                 ).alias("sc"),
             )
             .groupBy("vec_id")
@@ -319,7 +364,7 @@ def _kq_assign(emb: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFr
         "vec_id",
         "label",
         "qv",
-        F.struct(_kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id").alias("sc"),
+        F.struct(_kq_sqdist("qv", "cv", dim=_QV_DIM).alias("sqdist"), "cluster_id").alias("sc"),
     )
     return (
         scored.groupBy("vec_id")
@@ -516,7 +561,7 @@ def sample_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ASC) total order — partial-aggregable, no sort
         far = (
             emb.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "qv", _kq_sqdist("qv", "cv").alias("d"))
+            .select("vec_id", "qv", _kq_sqdist("qv", "cv", dim=_QV_DIM).alias("d"))
             .groupBy("vec_id")
             .agg(F.min("d").alias("d"), F.any_value("qv").alias("qv"))
             .select(
@@ -542,7 +587,7 @@ def sample_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.struct(
-                _kq_sqdist("qv", "cv").alias("d"), "center_order", "cid"
+                _kq_sqdist("qv", "cv", dim=_QV_DIM).alias("d"), "center_order", "cid"
             ).alias("sc"),
         )
         .groupBy("vec_id")
