@@ -143,12 +143,29 @@ def centroid_seed_predicate(spark: SparkSession, sf_dir: str) -> F.Column:
 _NEAR_DUP_COSINE = 0.35
 
 
+# Embedding width is fixed (testdata schema; every oracle's _DOT_SQL
+# hardcodes range(1, 65)), so the float kernels unroll to codegen
+# arithmetic (r14 optimization, guide §4.1: higher-order lambdas run
+# INTERPRETED — scripts/kernel_probe.py measured the unrolled form
+# ~1.3x the fold on the pair kernel). Bit-identical by construction:
+# `0.0 + t0 + t1 + ...` parses left-associative, which IS the fold's
+# evaluation order including the 0.0 seed (the seed matters only for
+# a leading -0.0 term, kept anyway), and Catalyst's
+# ReorderAssociativeOperator only touches integral types, never
+# doubles.
+_EMB_DIM = 64
+
+
 def _dot(a: str, b: str) -> F.Column:
-    """Left-fold dot product in double: deterministic across engines."""
-    prods = F.zip_with(
-        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    """Left-fold dot product in double: deterministic across engines.
+    Unrolled fixed-dim codegen form of
+    aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, +)
+    — same order, same seed, bit-identical."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
     )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return F.expr(f"CAST(0 AS DOUBLE) + {terms}")
 
 
 # (application id, dataset path, dataset fingerprint) -> plane list.
@@ -197,21 +214,41 @@ def _bucket_expr(planes: list[tuple[int, list[float]]], col: str = "embedding") 
     plane_id is sign(dot(v, plane)), weighted 2^(plane_id-1) — identical
     math to the exploded join + groupBy form, with zero shuffles. Built
     as ONE sql expression (a single parse) instead of hundreds of
-    per-literal py4j Column calls, which dominated plan-build latency."""
+    per-literal py4j Column calls, which dominated plan-build latency.
+    Each plane dot is UNROLLED (r14, the _dot device): the plane side
+    becomes per-term double literals instead of an array literal +
+    interpreted aggregate/zip_with fold — same left-assoc order and
+    0.0 seed, bit-identical, all codegen."""
     terms = []
     for pid, pv in planes:
-        arr = "array(" + ",".join(_sql_double(float(v)) for v in pv) + ")"
-        dot = (
-            f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        dot = "CAST(0 AS DOUBLE) + " + " + ".join(
+            f"CAST({col}[{i}] AS DOUBLE) * {_sql_double(float(v))}"
+            for i, v in enumerate(pv)
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << (pid - 1)} ELSE 0 END)")
     return F.expr("CAST(" + (" + ".join(terms) or "0") + " AS BIGINT)")
 
 
+def _l2sq(a: str, b: str) -> F.Column:
+    """Unrolled float squared-L2: same left-assoc order and 0.0 seed
+    as aggregate(zip_with(a, b, (x, y) -> (double(x) - double(y))^2),
+    0.0, +) — see the _dot comment for the bit-identity argument."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(_EMB_DIM)
+    )
+    return F.expr(f"CAST(0 AS DOUBLE) + {terms}")
+
+
 def _norm(a: str) -> F.Column:
-    sq = F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double"))
-    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    """Unrolled twin of sqrt(aggregate(transform(a, x -> double(x)^2),
+    0.0, +)) — see the _dot comment for the bit-identity argument."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    return F.sqrt(F.expr(f"CAST(0 AS DOUBLE) + {terms}"))
 
 
 _DOT_SQL = (
@@ -1894,12 +1931,12 @@ _PQ_RECALL_SQL = f"""
 
 
 def _pq_subvector_sqerr() -> Column:
-    """BIGINT squared-L2 between subvector columns sv and cv."""
-    return F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    """BIGINT squared-L2 between subvector columns sv and cv —
+    unrolled over the fixed _PQ_SUB width (r14, the _kq_sqdist
+    device): integer addition, so order cannot change the sum."""
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    return _kq_sqdist("sv", "cv", dim=_PQ_SUB)
 
 
 # trained-codebook driver cache: (app id, dataset path, fingerprint) ->
@@ -2330,7 +2367,7 @@ def eval_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
     truth = (
-        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
+        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("full_dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PQ_RECALL_TOP)
         .select("probe_id", "vec_id")
@@ -2349,7 +2386,7 @@ def eval_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes1.join(F.broadcast(cb1), ["m", "codeword"])
         .join(F.broadcast(psubs), "m")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv", dim=_PQ_SUB).alias("part"))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("part").alias("adc_dist"))
     )
@@ -2376,7 +2413,7 @@ def eval_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(psubs), "m")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv", dim=_PQ_SUB).alias("part"))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("part").alias("adc_dist"))
     )
@@ -2660,7 +2697,7 @@ def _ivfpq_coarse_parts(spark, sf_dir, emb):
             .select(
                 "vec_id",
                 F.struct(
-                    _kq_sqdist("qv", "cv").alias("sqdist"), "cluster_id"
+                    _kq_sqdist("qv", "cv", dim=_EMB_DIM).alias("sqdist"), "cluster_id"
                 ).alias("sc"),
             )
             .groupBy("vec_id")
@@ -2685,7 +2722,7 @@ def _ivfpq_pclusters(probes, cents, nprobe: int):
     w = _W.partitionBy("probe_id").orderBy("cdist", "cluster_id")
     return (
         probes.crossJoin(F.broadcast(cents))
-        .select("probe_id", "cluster_id", _kq_sqdist("pqv", "cv").alias("cdist"))
+        .select("probe_id", "cluster_id", _kq_sqdist("pqv", "cv", dim=_EMB_DIM).alias("cdist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .select(
@@ -2782,7 +2819,7 @@ def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str):
             (F.col("m") == F.col("pm")) & (F.col("cluster_id") == F.col("pcluster")),
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv", dim=_PQ_SUB).alias("part"))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("part").alias("adc_dist"))
     )
@@ -2828,7 +2865,7 @@ def similarity_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame
             F.broadcast(probes.select("probe_id", "pqv")),
             "probe_id",
         )
-        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("exact_dist"))
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("exact_dist"))
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _IVFPQ_TOP)
         .select(
@@ -2944,7 +2981,7 @@ def _mmr_cands(spark: SparkSession, sf_dir: str):
             sl.join(emb2, "vec_id")
             .join(F.broadcast(probes2.select("probe_id", "pqv")), "probe_id")
             .select(
-                "probe_id", "vec_id", "qv", _kq_sqdist("qv", "pqv").alias("pdist")
+                "probe_id", "vec_id", "qv", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("pdist")
             )
         )
 
@@ -3013,7 +3050,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "probe_id",
                     "vec_id",
                     "pdist",
-                    _kq_sqdist("qv", "sqv").alias("sdist"),
+                    _kq_sqdist("qv", "sqv", dim=_EMB_DIM).alias("sdist"),
                 )
                 .groupBy("probe_id", "vec_id")
                 .agg(
@@ -3167,7 +3204,7 @@ def eval_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("probe_id") == F.col("b_probe"))
                 & (F.col("a_vec") < F.col("b_vec")),
             )
-            .select("probe_id", _kq_sqdist("aqv", "bqv").alias("pd"))
+            .select("probe_id", _kq_sqdist("aqv", "bqv", dim=_EMB_DIM).alias("pd"))
             .groupBy("probe_id")
             .agg(
                 F.min("pd").cast("bigint").alias(f"{prefix}_min_pair"),
@@ -3250,7 +3287,7 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
     truth = (
-        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist"))
+        scored.select("probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("full_dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PQ_RECALL_TOP)
         .select("probe_id", "vec_id")
@@ -3270,71 +3307,77 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(codebook), ["m", "codeword"])
         .join(F.broadcast(psubs), "m")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv").alias("part"))
+        .select("probe_id", "vec_id", _kq_sqdist("sv", "cv", dim=_PQ_SUB).alias("part"))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("part").alias("adc_dist"))
     )
-    wa = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
-    pq_top = (
-        adc.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= _PQ_RECALL_TOP)
-        .select(F.col("probe_id").alias("pq_probe"), F.col("vec_id").alias("pq_vec"))
-    )
     # composed path: the flat ADC rows restricted to each probe's
     # nprobe visited clusters — identical distances, smaller candidate
-    # set, exactly what similarity_ann_ivf_pq ranks
+    # set, exactly what similarity_ann_ivf_pq ranks.
+    #
+    # ONE ADC pass serves both rankings (r14 optimization — the
+    # eval_classifier_roc one-pass device): the derived two-top form
+    # (pq_top and ctop as separate subtrees, then a pq_top-vs-ctop
+    # retention join) replayed the whole n x {_PQ_M} x probes ADC
+    # kernel once per reference. Instead every ADC row is tagged
+    # in-cluster (a no-fan-out coarse + visited-cluster left join) and
+    # ONE window sort yields both ranks: rn = the flat rank, rn_pc =
+    # the running count of in-cluster rows in the SAME (adc_dist,
+    # vec_id) order — for an in-cluster row that running count IS its
+    # row_number among in-cluster rows, so the composed top-K is
+    # exactly the old restricted-window top-K. The three per-probe
+    # counts then come from one tiny full-outer join of the truth and
+    # flag tables — hash-identical output, 3 ADC replays -> 1 (plan
+    # diff in plans/r14/, numbers in OPTIMIZATION_r14.md).
     cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
     pclusters = _ivfpq_pclusters(probes, cents, _nprobe_for(spark, sf_dir)).select(
         F.col("probe_id").alias("pc_probe"), "pcluster"
     )
-    ctop = (
+    wa = _W.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    run = wa.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    flags = (
         adc.join(coarse, "vec_id")
         .join(
             F.broadcast(pclusters),
             (F.col("probe_id") == F.col("pc_probe"))
             & (F.col("cluster_id") == F.col("pcluster")),
-        )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= _PQ_RECALL_TOP)
-        .select(F.col("probe_id").alias("ct_probe"), F.col("vec_id").alias("ct_vec"))
-    )
-    ret = (
-        pq_top.join(
-            ctop,
-            (F.col("pq_probe") == F.col("ct_probe"))
-            & (F.col("pq_vec") == F.col("ct_vec")),
             "left",
         )
-        .groupBy("pq_probe")
-        .agg(F.count("ct_vec").alias("retained"))
-        .select(F.col("pq_probe").alias("ret_probe"), "retained")
+        .withColumn("in_pc", F.col("pc_probe").isNotNull())
+        .withColumn("rn", F.row_number().over(wa))
+        .withColumn(
+            "rn_pc",
+            F.sum(F.when(F.col("in_pc"), 1).otherwise(0)).over(run),
+        )
+        .withColumn("is_pq", F.col("rn") <= _PQ_RECALL_TOP)
+        .withColumn(
+            "is_ct", F.col("in_pc") & (F.col("rn_pc") <= _PQ_RECALL_TOP)
+        )
+        .filter(F.col("is_pq") | F.col("is_ct"))
+        .select("probe_id", "vec_id", "is_pq", "is_ct")
     )
     return (
-        truth.join(
-            pq_top,
-            (F.col("probe_id") == F.col("pq_probe"))
-            & (F.col("vec_id") == F.col("pq_vec")),
-            "left",
-        )
-        .join(
-            ctop,
-            (F.col("probe_id") == F.col("ct_probe"))
-            & (F.col("vec_id") == F.col("ct_vec")),
-            "left",
-        )
-        .join(ret, F.col("probe_id") == F.col("ret_probe"))
+        truth.withColumn("in_truth", F.lit(True))
+        .join(flags, ["probe_id", "vec_id"], "full_outer")
         .groupBy("probe_id")
         .agg(
-            F.count("pq_vec").alias("n_hits"),
-            (F.count("pq_vec").cast("double") / _PQ_RECALL_TOP).alias("recall"),
-            F.count("ct_vec").alias("composed_hits"),
-            (F.count("ct_vec").cast("double") / _PQ_RECALL_TOP).alias(
-                "composed_recall"
+            F.count(F.when(F.col("in_truth") & F.col("is_pq"), 1)).alias("n_hits"),
+            (
+                F.count(F.when(F.col("in_truth") & F.col("is_pq"), 1)).cast("double")
+                / _PQ_RECALL_TOP
+            ).alias("recall"),
+            F.count(F.when(F.col("in_truth") & F.col("is_ct"), 1)).alias(
+                "composed_hits"
             ),
-            F.any_value("retained").alias("n_retained"),
-            (F.any_value("retained").cast("double") / _PQ_RECALL_TOP).alias(
-                "ivf_retention"
-            ),
+            (
+                F.count(F.when(F.col("in_truth") & F.col("is_ct"), 1)).cast("double")
+                / _PQ_RECALL_TOP
+            ).alias("composed_recall"),
+            F.count(F.when(F.col("is_pq") & F.col("is_ct"), 1)).alias("n_retained"),
+            (
+                F.count(F.when(F.col("is_pq") & F.col("is_ct"), 1)).cast("double")
+                / _PQ_RECALL_TOP
+            ).alias("ivf_retention"),
         )
     )
 
@@ -3473,18 +3516,12 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("pe"),
         F.col("code").alias("pc"),
     )
-    idist = F.aggregate(
-        F.zip_with("pc", "code", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    fd = F.zip_with(
-        "pe",
-        "embedding",
-        lambda a, b: (a.cast("double") - b.cast("double"))
-        * (a.cast("double") - b.cast("double")),
-    )
-    l2 = F.aggregate(fd, F.lit(0.0), lambda acc, v: acc + v)
+    # unrolled pair kernels (r14, the _dot/_kq_sqdist device): the
+    # interpreted folds ran once per (probe, vector) pair
+    from lakeview_spark.pipeline.iterative import _kq_sqdist
+
+    idist = _kq_sqdist("pc", "code", dim=_EMB_DIM)
+    l2 = _l2sq("pe", "embedding")
     scored = (
         coded.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -3758,7 +3795,7 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = _W.partitionBy("probe_id").orderBy("full_dist", "vec_id")
     truth = (
         scored.select(
-            "probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("full_dist")
+            "probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("full_dist")
         )
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= _PQ_RECALL_TOP)
@@ -3801,7 +3838,7 @@ def eval_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m") == F.col("pm")) & (F.col("cluster_id") == F.col("pcluster")),
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", "crank", _kq_sqdist("sv", "cv").alias("part"))
+        .select("probe_id", "vec_id", "crank", _kq_sqdist("sv", "cv", dim=_PQ_SUB).alias("part"))
         .groupBy("probe_id", "vec_id")
         .agg(
             F.min("crank").cast("bigint").alias("crank"),
@@ -3941,6 +3978,11 @@ _GANN_BEAM = 10  # output top-k (and the recall@k denominator)
 # recall-per-ef slope flattens).
 _GANN_EF_MIN = 16
 _GANN_EF_LOG_MULT = 8
+# (application id, dataset path, dataset fingerprint, search prefix)
+# -> the round at which the beam's kept set reached its fixed point
+# (the r14 early exit in _beam_search); bounded like the other driver
+# caches
+_BEAM_STOP_ROUND: dict[tuple[str, str, str, str], int] = {}
 _GANN_ROUNDS = 12
 _GANN_K = 6  # local links: top-K by exact integer distance, Hamming<=1 buckets
 _GANN_L1 = 16  # sparse-layer stride: long links among vec_id % 16 == 0 nodes
@@ -4209,7 +4251,7 @@ def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("src"),
             "dst",
-            _kq_sqdist("qa", "qb").alias("ldist"),
+            _kq_sqdist("qa", "qb", dim=_EMB_DIM).alias("ldist"),
         )
     )
     wloc = _W.partitionBy("src").orderBy("ldist", "dst")
@@ -4266,7 +4308,7 @@ def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("hub"))
         .join(emb.select(F.col("vec_id").alias("vec_id"), "qv"), "vec_id")
         .select(
-            "cluster_id", "hub", "vec_id", _kq_sqdist("qv", "hqv").alias("hdist")
+            "cluster_id", "hub", "vec_id", _kq_sqdist("qv", "hqv", dim=_EMB_DIM).alias("hdist")
         )
         .withColumn("rn", F.row_number().over(wdown))
         .filter(F.col("rn") <= _GANN_DOWN)
@@ -4277,7 +4319,7 @@ def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmesh = _W.partitionBy("ha").orderBy("mdist", "hb")
     mesh = (
         a.join(F.broadcast(b), F.col("ha") != F.col("hb"))
-        .select("ha", "hb", _kq_sqdist("qa", "qb").alias("mdist"))
+        .select("ha", "hb", _kq_sqdist("qa", "qb", dim=_EMB_DIM).alias("mdist"))
         .withColumn("rn", F.row_number().over(wmesh))
         .filter(F.col("rn") <= _GANN_MESH)
         .select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
@@ -4314,7 +4356,7 @@ def _gann_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probes.crossJoin(F.broadcast(hubq))
         .filter(F.col("hub") != F.col("probe_id"))
-        .select("probe_id", "hub", _kq_sqdist("pqv", "hqv").alias("hdist"))
+        .select("probe_id", "hub", _kq_sqdist("pqv", "hqv", dim=_EMB_DIM).alias("hdist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _gann_ef(spark, sf_dir))
         .select("probe_id", "hub")
@@ -4357,7 +4399,7 @@ def _gann_rank_score(emb: DataFrame, probes: DataFrame):
             cand.join(emb, "vec_id")
             .join(F.broadcast(probes), "probe_id")
             .select(
-                "probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("dist")
+                "probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("dist")
             )
         )
 
@@ -4374,12 +4416,28 @@ def _beam_search(
     coarse: DataFrame,
     ef: int,
     prefix: str,
+    early_exit: bool = True,
 ) -> DataFrame:
-    """The shared greedy-beam + cluster-local-rerank engine: _GANN_ROUNDS
-    expand-score-prune rounds over ``edges``, then the exact rerank over
-    the coarse clusters of every kept beam member. Every round and the
-    rerank materialize under ``prefix``-derived scratch names (the
-    graph_kcore device)."""
+    """The shared greedy-beam + cluster-local-rerank engine: up to
+    _GANN_ROUNDS expand-score-prune rounds over ``edges``, then the
+    exact rerank over the coarse clusters of every kept beam member.
+    Every round and the rerank materialize under ``prefix``-derived
+    scratch names (the graph_kcore device).
+
+    Fixed-point early exit (r14 optimization): the round map is a
+    deterministic function of the KEPT set (rn <= ef) alone —
+    cand_{{r+1}} = kept_r UNION nbrs(kept_r) — so kept_r == kept_{{r-1}}
+    implies beam_{{r+1}} == beam_r as a full table, and by induction
+    every later round equals beam_r. Per-round diagnostics (SCALE.md
+    §8a9) show convergence by round ~3 at every measured SF, so the
+    remaining rounds were pure replays of an identical table; skipping
+    them changes nothing downstream (the rerank consumes the converged
+    beam, which equals round _GANN_ROUNDS bit-for-bit — pinned by
+    test_graph_ann.py::test_beam_early_exit_matches_full_rounds).
+    The stop round is memoized per (session, dataset, prefix) so warm
+    re-invocations replay neither the rounds nor the equality checks.
+    ``early_exit=False`` forces the full unrolled schedule (the pin
+    test's reference path)."""
     from lakeview_spark.operators.materialize import materialized
 
     _rank, _score = _gann_rank_score(emb, probes)
@@ -4388,7 +4446,21 @@ def _beam_search(
         return _rank(_score(beam0_build(s_, d_)))
 
     beam = materialized(spark, f"{prefix}0", sf_dir, _b0)
+    from lakeview_spark.operators.materialize import _dataset_fingerprint
+
+    # keyed like the materialize cache (fingerprint included): a
+    # rewritten dataset re-materializes the rounds AND re-derives its
+    # own stop round instead of inheriting a stale one
+    stop_key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _dataset_fingerprint(sf_dir),
+        prefix,
+    )
+    stop_known = _BEAM_STOP_ROUND.get(stop_key) if early_exit else None
     for r in range(1, _GANN_ROUNDS + 1):
+        if stop_known is not None and r > stop_known:
+            break
 
         def _round_build(s_, d_, beam=beam):
             kept = beam.filter(F.col("rn") <= ef).select(
@@ -4404,7 +4476,26 @@ def _beam_search(
             )
             return _rank(_score(cand))
 
-        beam = materialized(spark, f"{prefix}{r}", sf_dir, _round_build)
+        new_beam = materialized(spark, f"{prefix}{r}", sf_dir, _round_build)
+        if early_exit and stop_known is None and r < _GANN_ROUNDS:
+            prev_kept = beam.filter(F.col("rn") <= ef).select(
+                "probe_id", "vec_id"
+            )
+            new_kept = new_beam.filter(F.col("rn") <= ef).select(
+                "probe_id", "vec_id"
+            )
+            # kept rows are unique per (probe_id, vec_id), so equal
+            # counts + an empty one-sided difference == set equality;
+            # both sides are materialized scratch, so the checks are
+            # two tiny scans, not lineage replays
+            if (
+                new_kept.count() == prev_kept.count()
+                and new_kept.exceptAll(prev_kept).isEmpty()
+            ):
+                _BEAM_STOP_ROUND[stop_key] = r
+                beam = new_beam
+                break
+        beam = new_beam
 
     # cluster-local exact rerank (section comment above): coarse
     # clusters of every kept beam member, all members exact-scored
@@ -4525,7 +4616,7 @@ def eval_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("dist"))
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _GANN_BEAM)
         .select("probe_id", "vec_id")
@@ -4783,7 +4874,7 @@ def _upsert_attach_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("src"),
             "dst",
-            _kq_sqdist("qa", "qb").alias("ldist"),
+            _kq_sqdist("qa", "qb", dim=_EMB_DIM).alias("ldist"),
         )
     )
     wfwd = _W.partitionBy("src").orderBy("ldist", "dst")
@@ -4813,7 +4904,7 @@ def _upsert_attach_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     wup = _W.partitionBy("vec_id").orderBy("hdist", "hub")
     aup = (
         dq.crossJoin(F.broadcast(hubq))
-        .select("vec_id", "hub", _kq_sqdist("qa", "hqv").alias("hdist"))
+        .select("vec_id", "hub", _kq_sqdist("qa", "hqv", dim=_EMB_DIM).alias("hdist"))
         .withColumn("rn", F.row_number().over(wup))
         .filter(F.col("rn") <= 1)
         .select(
@@ -5045,7 +5136,7 @@ def eval_graph_upsert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             probes.crossJoin(F.broadcast(hubq))
             .filter(F.col("hub") != F.col("probe_id"))
-            .select("probe_id", "hub", _kq_sqdist("pqv", "hqv").alias("hdist"))
+            .select("probe_id", "hub", _kq_sqdist("pqv", "hqv", dim=_EMB_DIM).alias("hdist"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= ef)
             .select("probe_id", F.col("hub").alias("vec_id"))
@@ -5063,7 +5154,7 @@ def eval_graph_upsert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         emb_full.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv").alias("dist"))
+        .select("probe_id", "vec_id", _kq_sqdist("qv", "pqv", dim=_EMB_DIM).alias("dist"))
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= _GANN_BEAM)
         .select("probe_id", "vec_id")

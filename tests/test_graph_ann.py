@@ -79,13 +79,20 @@ def test_graph_ann_recall_matches_brute_force_replay(spark, beam):
 
 def test_graph_ann_beam_is_monotone_across_rounds(spark):
     """The greedy rule re-enters its own beam, so the rank-1 distance
-    per probe never worsens round over round."""
+    per probe never worsens round over round; rounds materialize up to
+    the fixed-point early exit (r14), which must only fire once the
+    kept set has actually stopped changing."""
     from lakeview_spark.operators.materialize import _MATERIALIZED
-    from lakeview_spark.pipeline.similarity import _GANN_ROUNDS, _gann_final_beam
+    from lakeview_spark.pipeline.similarity import (
+        _GANN_ROUNDS,
+        _gann_ef,
+        _gann_final_beam,
+    )
 
     _gann_final_beam(spark, SF_DIR).count()
     best = None
     seen_rounds = 0
+    round_paths = []
     for r in range(_GANN_ROUNDS + 1):
         keys = [
             k
@@ -95,7 +102,8 @@ def test_graph_ann_beam_is_monotone_across_rounds(spark):
         if not keys:
             continue
         seen_rounds += 1
-        df = spark.read.parquet(_MATERIALIZED[keys[0]])
+        round_paths.append(_MATERIALIZED[keys[0]])
+        df = spark.read.parquet(round_paths[-1])
         cur = {
             row.probe_id: row.dist
             for row in df.filter("rn = 1").collect()
@@ -104,7 +112,72 @@ def test_graph_ann_beam_is_monotone_across_rounds(spark):
             for pid, d in cur.items():
                 assert d <= best.get(pid, d), (r, pid)
         best = cur
-    assert seen_rounds == _GANN_ROUNDS + 1
+    # entry beam + at least one round always materialize; an exit
+    # before round _GANN_ROUNDS is legal ONLY at a fixed point — the
+    # last two rounds' kept sets must be identical
+    assert seen_rounds >= 2
+    if seen_rounds < _GANN_ROUNDS + 1:
+        ef = _gann_ef(spark, SF_DIR)
+        last = spark.read.parquet(round_paths[-1])
+        prev = spark.read.parquet(round_paths[-2])
+        last_kept = {
+            (r.probe_id, r.vec_id)
+            for r in last.filter(f"rn <= {ef}").collect()
+        }
+        prev_kept = {
+            (r.probe_id, r.vec_id)
+            for r in prev.filter(f"rn <= {ef}").collect()
+        }
+        assert last_kept == prev_kept
+
+
+def test_beam_early_exit_matches_full_rounds(spark):
+    """The r14 fixed-point early exit is a pure execution-schedule
+    change: the full unrolled _GANN_ROUNDS schedule (early_exit=False,
+    the oracle's shape) must produce the exact same final rerank table
+    as the early-exited search."""
+    from pyspark.sql import functions as F
+
+    from lakeview_spark.operators.materialize import materialized
+    from lakeview_spark.pipeline.similarity import (
+        _beam_search,
+        _gann_edges,
+        _gann_ef,
+        _gann_entries,
+        _gann_final_beam,
+        _gann_probes,
+        _ivfpq_coarse_parts,
+        _pq_emb,
+    )
+
+    fast = _gann_final_beam(spark, SF_DIR)
+
+    emb = _pq_emb(spark, SF_DIR)
+    probes = _gann_probes(spark, SF_DIR)
+    edges = materialized(spark, "gann_edges", SF_DIR, _gann_edges)
+    _cents, coarse = _ivfpq_coarse_parts(spark, SF_DIR, emb)
+
+    def _b0_cand(s_, d_):
+        return _gann_entries(s_, d_).select(
+            "probe_id", F.col("hub").alias("vec_id")
+        )
+
+    full = _beam_search(
+        spark,
+        SF_DIR,
+        _b0_cand,
+        edges,
+        emb,
+        probes,
+        coarse,
+        _gann_ef(spark, SF_DIR),
+        "gann_pinfull",
+        early_exit=False,
+    )
+    key = ["probe_id", "vec_id", "dist", "rn"]
+    fast_rows = sorted(tuple(r) for r in fast.select(*key).collect())
+    full_rows = sorted(tuple(r) for r in full.select(*key).collect())
+    assert fast_rows == full_rows
 
 
 def test_gann_edge_out_degree_respects_documented_bound(spark):
