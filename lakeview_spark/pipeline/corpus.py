@@ -755,8 +755,25 @@ def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_run_trainer(spark: SparkSession, sf_dir: str):
     """Run the greedy merge loop; returns (merge rows, final seqs DF) —
     shared by the train query (which emits the merges) and the apply
-    query (which tokenizes with the final vocabulary)."""
-    seqs = _bpe_words(spark, sf_dir).withColumn("seq", F.expr(_BPE_ENC_SPARK))
+    query (which tokenizes with the final vocabulary).
+
+    The round-0 (word, wcount, seq) table is materialized (r14
+    optimization): round r's pair-count job executes the whole seqs
+    lineage, so the derived form re-ran the corpus tokenize +
+    word-count shuffle + encode once PER ROUND (8x, plus once more in
+    the apply query). The table is vocabulary-sized, so the one write
+    is small and every round's job starts at a parquet scan + (r-1)
+    cheap literal replaces — rounds become corpus-INDEPENDENT, the
+    scale-correct trainer shape (each merge is vocab-proportional, only
+    round 0 ever touches the corpus). Merges and final seqs are
+    byte-identical: the builder expression is unchanged and parquet
+    round-trips strings/longs exactly."""
+    from lakeview_spark.operators.materialize import materialized
+
+    def _seqs0_build(s: SparkSession, d: str) -> DataFrame:
+        return _bpe_words(s, d).withColumn("seq", F.expr(_BPE_ENC_SPARK))
+
+    seqs = materialized(spark, "bpe_seqs0", sf_dir, _seqs0_build)
     merges: list[tuple] = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         pairs = seqs.select("wcount", F.expr(_BPE_SYMS_SPARK).alias("s")).select(
