@@ -604,16 +604,29 @@ def corpus_source_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize once per run (the LPA-walk device); the exact audit
     # then joins bigints on the scratch instead of shingle strings.
     hashed = materialized(spark, "theta_hashed", sf_dir, _hashed_build)
-    # two-phase per-source K-min (see docstring)
-    w_salt = Window.partitionBy("source", F.col("hv") % 64).orderBy("hv")
-    w_src = Window.partitionBy("source").orderBy("hv")
-    sk = (
-        hashed.withColumn("rn", F.row_number().over(w_salt))
-        .filter(F.col("rn") <= _THETA_K)
-        .withColumn("rn2", F.row_number().over(w_src))
-        .filter(F.col("rn2") <= _THETA_K)
-        .select("source", "hv")
-    )
+
+    # two-phase per-source K-min (see docstring). The sketch table is
+    # itself materialized (r14 optimization): its lineage — two window
+    # ranks over the corpus-sized hashed scratch — is referenced by
+    # stats/pairs/inter/uni, and pairs is referenced again by every
+    # downstream subtree, so the derived form replayed the window chain
+    # ~12x per execution (the k-core replay rule). The sketch is
+    # sketch-SIZED (<= sources x K rows), so the write is trivial and
+    # every consumer becomes a tiny parquet scan; rows identical (the
+    # builder expression is unchanged). Before/after numbers:
+    # OPTIMIZATION_r14.md.
+    def _sk_build(s: SparkSession, d: str) -> DataFrame:
+        w_salt = Window.partitionBy("source", F.col("hv") % 64).orderBy("hv")
+        w_src = Window.partitionBy("source").orderBy("hv")
+        return (
+            hashed.withColumn("rn", F.row_number().over(w_salt))
+            .filter(F.col("rn") <= _THETA_K)
+            .withColumn("rn2", F.row_number().over(w_src))
+            .filter(F.col("rn2") <= _THETA_K)
+            .select("source", "hv")
+        )
+
+    sk = materialized(spark, "theta_sk", sf_dir, _sk_build)
     stats = sk.groupBy("source").agg(
         F.when(F.count("*") < _THETA_K, F.lit(_THETA_SPACE).cast("bigint"))
         .otherwise(F.max("hv"))
