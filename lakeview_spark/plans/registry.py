@@ -36,8 +36,41 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
+# (application id, dataset dir, table, stat fingerprint) -> source
+# DataFrame. Plan-node memoization, NOT data caching:
+# `spark.read.parquet` costs ~200 ms of driver work per call (py4j
+# round-trips + DataSource resolution + footer schema read), and a
+# 6-table star query paid it six times per BUILD — 1.3 s of the
+# bench's per-query wall before any task ran (r14 optimization;
+# cProfile evidence in OPTIMIZATION_r14.md). DataFrames are immutable,
+# so handing every caller the same scan node changes no plan semantics
+# and caches no rows; keying on application id drops the memo with the
+# session, the same bound as the materialize/codebook caches. The scan
+# captures its file listing at READ time, so the key also carries the
+# path's stat fingerprint (mtime_ns + size): a rewritten or appended
+# dataset misses the memo and re-lists instead of serving a stale
+# FileIndex (the cache-freshness tests rewrite datasets in place).
+_TABLES: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def _path_stat(path: str) -> str:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return "missing"
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, sf_dir, name, _path_stat(path))
+    df = _TABLES.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _TABLES[key] = df
+    return df
 
 
 def events_ts_us(df: DataFrame, col: str = "ts") -> Column:
