@@ -101,8 +101,22 @@ def timeline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def timeline_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: commit-completeness agg — groupBy ts, state-set coverage."""
-    inst = parse_instants(_timeline_files(spark, sf_dir))
+    """A1: commit-completeness agg — groupBy ts, state-set coverage.
+
+    The scan side goes through spread_unsplittable on the aggregation
+    key (r14, guide §2.5): the synthesized timeline is three branches
+    of one unsplittable file, so the whole filename parse ran on three
+    tasks. Only the cheap ts_str split is computed below the exchange
+    (it IS the partition key); the full parse and the state votes run
+    on every core above it, and the groupBy's own exchange is elided
+    (same key). bool_or/count are order-free, so rows are identical."""
+    from lakeview_spark.functions.instants import ts_str_col
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    tf = _timeline_files(spark, sf_dir).withColumn(
+        "ts_str", ts_str_col(F.col("filename"))
+    )
+    inst = parse_instants(spread_unsplittable(tf, "ts_str"))
     return inst.groupBy("ts_str").agg(
         (
             F.bool_or(F.col("state") == "requested")
@@ -377,14 +391,29 @@ def partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def file_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: file-size percentiles per partition (exact interpolated)."""
+    """A7: file-size percentiles per partition (exact interpolated).
+
+    ONE percentile(col, array(...)) call instead of three (r14, guide
+    §2.3): percentile is a buffering aggregate — its partial state is
+    the whole per-partition value multiset, so three separate calls
+    built and SHUFFLED three copies of every value (measured 4.9–5.7 s
+    under the noop sink vs ~1.7 s after; the count()-timed bench prunes
+    the aggregates either way). One call sorts one buffer and reads all
+    three ranks from it — same sorted multiset, same interpolation,
+    bit-identical values."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("partition_key")
-    ).agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.1)), 4).alias("p10"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)))
+    return (
+        li.groupBy(
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("partition_key")
+        )
+        .agg(pct.alias("_p"))
+        .select(
+            "partition_key",
+            F.round(F.col("_p")[0], 4).alias("p10"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p90"),
+        )
     )
 
 
@@ -588,6 +617,16 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    # spread the unsplittable fact scan on the aggregation key (r14,
+    # guide §2.5): the broadcast joins preserve the partitioning, so
+    # the groupBy's exchange is elided — still one exchange, moved
+    # below the join+revenue kernel, which then runs on every core.
+    # DECIMAL sums are exact in any order, so rows are identical.
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    li = spread_unsplittable(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey"
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
