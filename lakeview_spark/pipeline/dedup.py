@@ -347,24 +347,19 @@ def simhash_signature(hashed: DataFrame) -> DataFrame:
     """(doc_id, th=md5-hex) token stream -> (doc_id, simhash BIGINT):
     the 64-bit majority-vote aggregation, shared between the one-shot
     `dedup_simhash` query and the materialized builder in curation.py
-    (which repartitions its input first — SCALE.md §6)."""
+    (which repartitions its input first — SCALE.md §6).
 
-    def bit(i: int):
-        digit = i if i <= 32 else i - 32
-        hex_set = _ODD_HEX if i <= 32 else _BIT2_HEX
-        return F.when(
-            F.sum(
-                F.when(F.substring("th", digit, 1).isin(*hex_set), 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(_simhash_bit_weight(i)).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-
-    bits = [bit(i) for i in range(1, SIMHASH_BITS + 1)]
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return hashed.groupBy("doc_id").agg(simhash.alias("simhash"))
+    Built as ONE sql expression via the same `_simhash_bit_sql` pieces
+    the DuckDB oracle uses (r14, the _bucket_expr lesson): the Column
+    form issued hundreds of py4j calls — 64 bits x (when/sum/when/
+    substring/isin) plus 63 chained adds — and that DRIVER-side
+    expression construction cost 2.4-2.9 s per query build, more than
+    the query's whole execution. One string parse is ~ms. The SQL is
+    operator-for-operator the Column tree (substr == substring,
+    left-associative '+' chain, same CASE shape), so the signature is
+    bit-identical."""
+    expr = " + ".join(_simhash_bit_sql(i) for i in range(1, SIMHASH_BITS + 1))
+    return hashed.groupBy("doc_id").agg(F.expr(expr).alias("simhash"))
 
 
 @register("dedup_simhash", oracle=_SIMHASH_SQL)
