@@ -867,7 +867,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _norm("embedding").alias("norm")
     )
-    v = emb.join(assign, "vec_id")
+    # spread the single-file scan before the pair join (r14, guide
+    # §2.5): both join sides are broadcast-small locally, so the pair
+    # scoring ran as ONE task — the salt parallelism only exists under
+    # a shuffle join, and the BroadcastHashJoin's streamed side was the
+    # unsplittable scan (measured 5.6-6.1 s single-task vs ~1 s spread;
+    # the r10 salt fix measured the SMJ regime). Whichever side streams
+    # now carries 32 partitions; pair set and cosines are unchanged.
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    v = spread_unsplittable(emb.join(assign, "vec_id"), "vec_id")
     n_salts = max(
         spark.sparkContext.defaultParallelism // len(centroid_ids(spark, sf_dir)), 1
     )
