@@ -109,14 +109,20 @@ def timeline_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks. Only the cheap ts_str split is computed below the exchange
     (it IS the partition key); the full parse and the state votes run
     on every core above it, and the groupBy's own exchange is elided
-    (same key). bool_or/count are order-free, so rows are identical."""
-    from lakeview_spark.functions.instants import ts_str_col
+    (same key). bool_or/count are order-free, so rows are identical.
+    Only `state` is derived above the exchange — re-running the full
+    parse there would mint a NEW ts_str attribute and Spark would no
+    longer know the data is already partitioned by it (a second
+    exchange appeared in the first cut's plan; PLANS.md caught it)."""
+    from lakeview_spark.functions.instants import state_col, ts_str_col
     from lakeview_spark.operators.scale import spread_unsplittable
 
     tf = _timeline_files(spark, sf_dir).withColumn(
         "ts_str", ts_str_col(F.col("filename"))
     )
-    inst = parse_instants(spread_unsplittable(tf, "ts_str"))
+    inst = spread_unsplittable(tf, "ts_str").withColumn(
+        "state", state_col(F.col("filename"))
+    )
     return inst.groupBy("ts_str").agg(
         (
             F.bool_or(F.col("state") == "requested")
