@@ -520,6 +520,14 @@ def main() -> None:
         "metric": "lakeview_spark bench: headline query wall-clock",
         "value": total,
         "unit": "sec",
+        # Flat per-query map (r15, VERDICT r14 next-2a): the driver keeps
+        # only a short stdout tail and PERF_r14 had per_query: {} /
+        # n_common: 0 because the headline per-query seconds lived solely
+        # in the verbose payload line. The summary line now carries the
+        # flat {query: sec} map itself so the driver can compute
+        # per-query deltas and scaling ratios. Additions-only: every
+        # pre-existing summary key is unchanged.
+        "queries": timings,
         "sf": payload["sf"],
         "n_queries": len(timings),
         "canaries": {
