@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 import time
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +42,9 @@ from lakeview_spark.operators.uploader import (
 from lakeview_spark.sources.listing import Lister, discover_tables, list_dir_local
 from lakeview_spark.sources.properties import read_hoodie_properties
 
+# Output shape of compute_checkpoint_updates (kept as documentation of
+# the checkpoint-update contract; the columnar rewrite selects these
+# columns/types directly instead of declaring an applyInPandas schema)
 CHECKPOINT_UPDATE_SCHEMA = (
     "table_id string, batch_id int, checkpoint_ts timestamp, last_uploaded_file string, "
     "first_incomplete_commit_file string, archived_commits_processed boolean, "
@@ -97,57 +99,96 @@ def compute_checkpoint_updates(
     (Checkpoint.java:15); batch_id advances by the number of batches;
     CONTINUE mode's first_incomplete is carried from the batcher.
     """
-    joined = batches_df.join(
+    joined = batches_df.select(
+        "table_id", "batch_id", "seq_in_batch", "filename", "first_incomplete"
+    ).join(
         files_df.select("table_id", "filename", "last_modified"),
         ["table_id", "filename"],
         "left",
-    ).join(
-        F.broadcast(
-            checkpoints_df.select(
-                "table_id",
-                F.col("archived_commits_processed").alias("_arch_done"),
-                F.col("last_archived_manifest_version").alias("_manifest_v"),
-            )
-        ),
-        "table_id",
-        "left",
     )
 
-    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["batch_id", "seq_in_batch"])
-        table_id = pdf["table_id"].iloc[0]
-        last_batch = pdf[pdf["batch_id"] == pdf["batch_id"].max()]
-        batch = list(last_batch["filename"])
-        last_file = last_uploaded_file_from_batch(batch, timeline_type)
-        lm = last_batch.loc[last_batch["filename"] == last_file, "last_modified"]
-        ckpt_ts = lm.iloc[0] if len(lm) else pdf["last_modified"].max()
-        first_inc = pdf["first_incomplete"].iloc[0] or ""
-        arch_done = bool(pdf["_arch_done"].iloc[0]) if not pd.isna(pdf["_arch_done"].iloc[0]) else False
-        manifest_v = int(pdf["_manifest_v"].iloc[0]) if not pd.isna(pdf["_manifest_v"].iloc[0]) else 0
-        return pd.DataFrame(
-            [
-                (
-                    table_id,
-                    int(pdf["batch_id"].max()),
-                    ckpt_ts,
-                    last_file,
-                    first_inc,
-                    arch_done or timeline_type == ARCHIVED,
-                    manifest_v,
-                )
-            ],
-            columns=[
-                "table_id",
-                "batch_id",
-                "checkpoint_ts",
-                "last_uploaded_file",
-                "first_incomplete_commit_file",
-                "archived_commits_processed",
-                "last_archived_manifest_version",
-            ],
-        )
+    # Per-table scalars via partial-aggregable built-ins (guide §2.3:
+    # aggregate before you shuffle — the previous groupBy.applyInPandas
+    # shipped EVERY timeline row to a Python worker per table; only the
+    # ≤ batch-size tail is ever read by the lookback rule). Two-level
+    # shape: collapse to one row per (table, batch) first — the
+    # collect_list state is bounded by the batch size — then one tiny
+    # per-table aggregation keeps the LAST batch's rows (max_by), the
+    # global last_modified watermark, and the first row's
+    # first_incomplete (min over the (batch_id, seq) total order, the
+    # sort the pandas summarizer used to pay for every row).
+    per_batch = joined.groupBy("table_id", "batch_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("seq_in_batch", "filename", "last_modified"))
+        ).alias("rows"),
+        F.max("last_modified").alias("_lm_max"),
+        F.min(F.struct("seq_in_batch", "first_incomplete")).alias("_fi_min"),
+    )
+    per_table = per_batch.groupBy("table_id").agg(
+        F.max("batch_id").alias("batch_id"),
+        F.max_by("rows", "batch_id").alias("rows"),
+        F.max("_lm_max").alias("_lm_max"),
+        F.min(F.struct(F.col("batch_id").alias("b"), F.col("_fi_min").alias("m"))).alias(
+            "_fi_struct"
+        ),
+    )
 
-    return joined.groupBy("table_id").applyInPandas(summarize, CHECKPOINT_UPDATE_SCHEMA)
+    # The savepoint/rollback lookback itself stays the shared Python
+    # rule (last_uploaded_file_from_batch), but now sees one ordered
+    # filename array per TABLE (≤ batch size elements) instead of the
+    # whole timeline: the plan's only Python node runs on tables-many
+    # rows.
+    lookback = F.udf(
+        lambda names: last_uploaded_file_from_batch(list(names), timeline_type),
+        "string",
+    )
+    lastf = per_table.withColumn(
+        "last_uploaded_file", lookback(F.col("rows.filename"))
+    )
+    # checkpoint_ts = last_modified of the FIRST row (in seq order) of
+    # the last batch whose filename is the lookback result — exactly the
+    # pandas `.loc[filename == last_file].iloc[0]`; the fallback to the
+    # per-table watermark is kept for parity (the lookback result is by
+    # construction a member of the batch, so the match always exists).
+    first_match = F.element_at(
+        F.filter(
+            F.col("rows"), lambda r: r["filename"] == F.col("last_uploaded_file")
+        ),
+        1,
+    )
+    lastf = lastf.withColumn(
+        "checkpoint_ts",
+        F.when(first_match.isNotNull(), first_match["last_modified"]).otherwise(
+            F.col("_lm_max")
+        ),
+    )
+
+    ck = F.broadcast(
+        checkpoints_df.select(
+            "table_id",
+            F.col("archived_commits_processed").alias("_arch_done"),
+            F.col("last_archived_manifest_version").alias("_manifest_v"),
+        )
+    )
+    return (
+        lastf.join(ck, "table_id", "left")
+        .select(
+            "table_id",
+            F.col("batch_id").cast("int").alias("batch_id"),
+            F.col("checkpoint_ts").cast("timestamp").alias("checkpoint_ts"),
+            "last_uploaded_file",
+            F.coalesce(F.col("_fi_struct")["m"]["first_incomplete"], F.lit("")).alias(
+                "first_incomplete_commit_file"
+            ),
+            (
+                F.coalesce(F.col("_arch_done"), F.lit(False))
+                | F.lit(timeline_type == ARCHIVED)
+            ).alias("archived_commits_processed"),
+            F.coalesce(F.col("_manifest_v"), F.lit(0))
+            .cast("int")
+            .alias("last_archived_manifest_version"),
+        )
+    )
 
 
 def process_archived_v2(
