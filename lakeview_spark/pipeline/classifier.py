@@ -126,8 +126,12 @@ _CLF_BLOCK = f"""lab AS (
 def _clf_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, toks, y, holdout) — weak labels + the 75/25
     train/eval holdout."""
+    return _lab_project(t(spark, sf_dir, "documents"))
+
+
+def _lab_project(docs: DataFrame) -> DataFrame:
     ltoks = F.split(F.lower("text"), " ")
-    return t(spark, sf_dir, "documents").select(
+    return docs.select(
         "doc_id",
         "lang",
         ltoks.alias("toks"),
@@ -191,22 +195,49 @@ def _clf_weights(lab: DataFrame, feats: DataFrame) -> DataFrame:
     )
 
 
-def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The batch-published model table (fid, w) — what the streaming
-    classifier gate (streaming/pipeline_stream.py
-    stream_classifier_gate) joins against, so live and batch verdicts
-    cannot disagree."""
+def _classifier_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = _clf_lab(spark, sf_dir)
     return _clf_weights(lab, _clf_feats(lab))
 
 
+def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-published model table (fid, w) — what the streaming
+    classifier gate (streaming/pipeline_stream.py
+    stream_classifier_gate) joins against, so live and batch verdicts
+    cannot disagree.
+
+    MATERIALIZED (r15, guide §2.1 replay — the trained-artifact device
+    the PQ codebooks/BPE merges use): the table is <= CLF_BUCKETS rows
+    but its lazy lineage is the corpus-sized feats subtree (tokenize +
+    explode + md5 + per-doc distinct). Every scoring consumer
+    (_clf_scored) referenced it alongside its OWN feats subtree, so one
+    classifier query paid the heavy feature pass twice plus the train
+    label scan. One vocabulary-sized scratch write makes training run
+    once per (session, dataset); every consumer's plan keeps exactly
+    ONE corpus pass (its scoring feats scan). First execution still
+    trains; a new session or rewritten dataset retrains."""
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "clf_weights", sf_dir, _classifier_weights_build)
+
+
 def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, y, holdout, score) — the shared Spark half of
-    _CLF_BLOCK. Weights are a <= CLF_BUCKETS-row broadcast; the scoring
-    join is feature-keyed; score is an exact BIGINT."""
-    lab = _clf_lab(spark, sf_dir)
-    feats = _clf_feats(lab)
-    wts = _clf_weights(lab, feats)
+    _CLF_BLOCK. Weights are a <= CLF_BUCKETS-row broadcast scratch scan
+    (classifier_weights); the scoring join is feature-keyed; score is
+    an exact BIGINT. The single-file local scan is spread on doc_id
+    BEFORE the tokenize/explode/md5 kernel (guide §2.5, the
+    dedup_simhash device): doc_id partitioning satisfies every
+    downstream clustering ((doc_id, fid) dedup, doc_id scoring agg),
+    so the plan keeps ONE data exchange, moved below the kernel. The
+    spread sits on the RAW scan (text, not the token array) so the
+    exchange ships each document's bytes once and the whole
+    label/tokenize/hash kernel runs post-exchange on every core."""
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    docs = spread_unsplittable(t(spark, sf_dir, "documents"), "doc_id")
+    feats = _clf_feats(_lab_project(docs))
+    wts = classifier_weights(spark, sf_dir)
     return (
         feats.join(F.broadcast(wts), "fid", "left")
         .groupBy("doc_id")
