@@ -863,20 +863,29 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join keys on (cluster_id, salt): identical pair multiplicity,
     S x the parallelism. k grows with n (_k_for_n), so S shrinks
     toward 1 and the replication cost vanishes as the corpus grows."""
-    assign = embedding_centroid_assign(spark, sf_dir).select("vec_id", "cluster_id")
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _norm("embedding").alias("norm")
-    )
-    # spread the single-file scan before the pair join (r14, guide
-    # §2.5): both join sides are broadcast-small locally, so the pair
-    # scoring ran as ONE task — the salt parallelism only exists under
-    # a shuffle join, and the BroadcastHashJoin's streamed side was the
-    # unsplittable scan (measured 5.6-6.1 s single-task vs ~1 s spread;
-    # the r10 salt fix measured the SMJ regime). Whichever side streams
-    # now carries 32 partitions; pair set and cosines are unchanged.
+    # materialize the assigned-vector frame (r15, guide §2.1 replay —
+    # VERDICT r14 next-5): both salt-join sides referenced the lazy
+    # (emb ⋈ assign ⋈ norm) frame, so the embeddings scan, the
+    # assignment join and the norm fold all replayed twice per
+    # execution. One signature-table-sized scratch write leaves two
+    # parquet scans. The r14 spread (guide §2.5) moves into the
+    # BUILDER — the sanctioned repartition-before-heavy-kernel
+    # exception — so the scratch lands as 32 files and whichever side
+    # the pair join streams reads 32 parallel tasks with no extra
+    # exchange in the registered plan.
+    from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.operators.scale import spread_unsplittable
 
-    v = spread_unsplittable(emb.join(assign, "vec_id"), "vec_id")
+    def _semdedup_v_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        assign = embedding_centroid_assign(spark, sf_dir).select(
+            "vec_id", "cluster_id"
+        )
+        emb = t(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", _norm("embedding").alias("norm")
+        )
+        return spread_unsplittable(emb, "vec_id").join(assign, "vec_id")
+
+    v = materialized(spark, "semdedup_v", sf_dir, _semdedup_v_build)
     n_salts = max(
         spark.sparkContext.defaultParallelism // len(centroid_ids(spark, sf_dir)), 1
     )
