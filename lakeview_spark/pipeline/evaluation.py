@@ -101,7 +101,56 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash exchange + 1 single-partition, 0 sort-merge joins — the
     eval_ann_recall shape. Truth membership (inter > 0 AND jaccard >=
     0.1) is byte-identical to dedup_ngram_jaccard's output, so the
-    oracle is unchanged."""
+    oracle is unchanged.
+
+    r15 (guide §2.1, VERDICT r14 next-6): the whole pair table above is
+    now the SHARED materialized scratch `_lsh_pairs_materialized` —
+    built once per (session, dataset) and read by this audit and
+    eval_lsh_scurve alike; this plan is one parquet scan + one global
+    aggregation."""
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    flagged = _lsh_pairs_materialized(spark, sf_dir).select(
+        ((F.col("inter") > 0) & (jac >= _JACCARD_TRUTH)).cast("int").alias("in_truth"),
+        F.col("in_pred"),
+    )
+    counts = flagged.agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).alias("true_pairs"),
+        F.coalesce(F.sum("in_pred"), F.lit(0)).alias("predicted_pairs"),
+        F.coalesce(
+            F.sum(F.col("in_truth") * F.col("in_pred")), F.lit(0)
+        ).alias("true_positives"),
+    )
+    return counts.select(
+        "true_pairs",
+        "predicted_pairs",
+        "true_positives",
+        # zero-pair corpora (empty/one-row inputs) -> NULL, not an ANSI
+        # divide-by-zero; real data always has pairs on both sides, so
+        # the oracle's bare divisions see identical values
+        F.when(
+            F.col("predicted_pairs") > 0,
+            F.col("true_positives").cast("double") / F.col("predicted_pairs"),
+        ).alias("precision"),
+        F.when(
+            F.col("true_pairs") > 0,
+            F.col("true_positives").cast("double") / F.col("true_pairs"),
+        ).alias("recall"),
+    )
+
+
+# S-curve buckets: Jaccard deciles, assigned DIVISION-FREE
+_SCURVE_BUCKETS = 10
+
+
+def _lsh_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, inter, in_pred, na, nb) — every candidate pair that
+    collides on a shared shingle OR a signature band, with the exact
+    df-capped Jaccard intersection count, the band-collision marker,
+    and both per-doc set sizes. This is the COMMON subtree of both LSH
+    audits (the union of the two zero-exchange bucketed-scratch
+    self-joins into one pair-keyed aggregation, then the two broadcast
+    size joins); see eval_lsh_precision_recall's docstring for why this
+    shape is exchange-minimal."""
     from lakeview_spark.pipeline.dedup import (
         jaccard_index_materialized,
         shingle_set_sizes,
@@ -142,49 +191,26 @@ def eval_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_hits.unionByName(band_hits)
         .groupBy("doc1", "doc2")
         .agg(
-            F.sum("is_shingle").alias("inter"),
+            F.sum("is_shingle").cast("long").alias("inter"),
             F.max("is_band").alias("in_pred"),
         )
     )
     sizes = shingle_set_sizes(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    flagged = (
-        pairs.join(F.broadcast(sa), "doc1")
-        .join(F.broadcast(sb), "doc2")
-        .select(
-            ((F.col("inter") > 0) & (jac >= _JACCARD_TRUTH)).cast("int").alias("in_truth"),
-            F.col("in_pred"),
-        )
-    )
-    counts = flagged.agg(
-        F.coalesce(F.sum("in_truth"), F.lit(0)).alias("true_pairs"),
-        F.coalesce(F.sum("in_pred"), F.lit(0)).alias("predicted_pairs"),
-        F.coalesce(
-            F.sum(F.col("in_truth") * F.col("in_pred")), F.lit(0)
-        ).alias("true_positives"),
-    )
-    return counts.select(
-        "true_pairs",
-        "predicted_pairs",
-        "true_positives",
-        # zero-pair corpora (empty/one-row inputs) -> NULL, not an ANSI
-        # divide-by-zero; real data always has pairs on both sides, so
-        # the oracle's bare divisions see identical values
-        F.when(
-            F.col("predicted_pairs") > 0,
-            F.col("true_positives").cast("double") / F.col("predicted_pairs"),
-        ).alias("precision"),
-        F.when(
-            F.col("true_pairs") > 0,
-            F.col("true_positives").cast("double") / F.col("true_pairs"),
-        ).alias("recall"),
-    )
+    return pairs.join(F.broadcast(sa), "doc1").join(F.broadcast(sb), "doc2")
 
 
-# S-curve buckets: Jaccard deciles, assigned DIVISION-FREE
-_SCURVE_BUCKETS = 10
+def _lsh_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared truth-pair scratch (r15, guide §2.1 — VERDICT r14
+    next-6): eval_lsh_precision_recall and eval_lsh_scurve each rebuilt
+    the identical candidate-pair + exact-intersection table; one
+    scratch write (bounded by the df-capped collision count, the same
+    class as the signature tables it derives from) leaves each audit a
+    parquet scan + its own tiny aggregation."""
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "lsh_pairs", sf_dir, _lsh_pair_build)
 
 
 @register(
@@ -249,64 +275,18 @@ def eval_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the same two zero-exchange bucketed-scratch self-joins
     as the precision/recall audit (shingle index + signature bands)
     union into one pair-keyed aggregation; set sizes ride broadcast
-    joins; the final agg is <= 10 groups."""
-    from lakeview_spark.pipeline.dedup import (
-        jaccard_index_materialized,
-        shingle_set_sizes,
-    )
-
-    e = jaccard_index_materialized(spark, sf_dir)
-    sig = minhash_signatures_materialized(spark, sf_dir)
-    shingle_hits = (
-        e.alias("a")
-        .join(
-            e.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.lit(1).alias("is_shingle"),
-            F.lit(0).alias("is_band"),
-        )
-    )
-    band_hits = (
-        sig.alias("a")
-        .join(
-            sig.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.lit(0).alias("is_shingle"),
-            F.lit(1).alias("is_band"),
-        )
-    )
-    pairs = (
-        shingle_hits.unionByName(band_hits)
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.sum("is_shingle").cast("long").alias("inter"),
-            F.max("is_band").alias("in_pred"),
-        )
-    )
-    sizes = shingle_set_sizes(spark, sf_dir)
-    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
+    joins; the final agg is <= 10 groups. r15: the pair table is the
+    SHARED materialized scratch `_lsh_pairs_materialized` (built once,
+    also read by eval_lsh_precision_recall) — this plan is one parquet
+    scan + the decile aggregation."""
     bucket = F.least(
         F.expr(
             f"CAST({_SCURVE_BUCKETS} AS BIGINT) * inter div (na + nb - inter)"
         ),
         F.lit(_SCURVE_BUCKETS - 1).cast("bigint"),
     )
-    bucketed = (
-        pairs.join(F.broadcast(sa), "doc1")
-        .join(F.broadcast(sb), "doc2")
-        .select(bucket.alias("bucket"), "in_pred")
+    bucketed = _lsh_pairs_materialized(spark, sf_dir).select(
+        bucket.alias("bucket"), "in_pred"
     )
     return (
         bucketed.groupBy("bucket")
