@@ -92,5 +92,26 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         from lakeview_spark.plans.coverage import _continue_batches
 
         builders.append(_continue_batches)
+        # r15 scratch additions (each backs a steady-cohort query; the
+        # rq_codes precedent — building them here keeps the cohorts'
+        # frozen bands steady-comparable): the semdedup assigned-vector
+        # frame, the shared LSH truth-pair table, the trained
+        # classifier weights, the market-basket item/support tables,
+        # and the per-source token histogram
+        from lakeview_spark.pipeline.classifier import classifier_weights
+        from lakeview_spark.pipeline.evaluation import _lsh_pairs_materialized
+        from lakeview_spark.pipeline.mixing import source_hist_materialized
+        from lakeview_spark.pipeline.similarity import semdedup_v_materialized
+        from lakeview_spark.plans.tpch_extra import basket_sup_materialized
+
+        builders.extend(
+            [
+                semdedup_v_materialized,
+                _lsh_pairs_materialized,
+                classifier_weights,
+                basket_sup_materialized,  # builds basket_items first
+                source_hist_materialized,
+            ]
+        )
     for builder in builders:
         builder(spark, sf_dir).count()

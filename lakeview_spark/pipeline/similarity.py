@@ -824,6 +824,28 @@ def eval_embedding_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_v_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = embedding_centroid_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm("embedding").alias("norm")
+    )
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    return spread_unsplittable(emb, "vec_id").join(assign, "vec_id")
+
+
+def semdedup_v_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assigned-vector frame (vec_id, embedding, norm, cluster_id)
+    both sides of semdedup's pair join read (r15, guide §2.1 — VERDICT
+    r14 next-5): materialized once per (session, dataset) so the
+    embeddings scan + assignment join + norm fold run once, not twice;
+    the builder's spread (guide §2.5, the sanctioned
+    repartition-before-kernel exception) lands the scratch as 32 files
+    so whichever side the join streams parallelizes with no extra
+    exchange in the registered plan."""
+    return materialized(spark, "semdedup_v", sf_dir, _semdedup_v_build)
+
+
 @register(
     "dedup_semdedup",
     oracle=f"""
@@ -873,19 +895,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exception — so the scratch lands as 32 files and whichever side
     # the pair join streams reads 32 parallel tasks with no extra
     # exchange in the registered plan.
-    from lakeview_spark.operators.materialize import materialized
-    from lakeview_spark.operators.scale import spread_unsplittable
-
-    def _semdedup_v_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        assign = embedding_centroid_assign(spark, sf_dir).select(
-            "vec_id", "cluster_id"
-        )
-        emb = t(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", _norm("embedding").alias("norm")
-        )
-        return spread_unsplittable(emb, "vec_id").join(assign, "vec_id")
-
-    v = materialized(spark, "semdedup_v", sf_dir, _semdedup_v_build)
+    v = semdedup_v_materialized(spark, sf_dir)
     n_salts = max(
         spark.sparkContext.defaultParallelism // len(centroid_ids(spark, sf_dir)), 1
     )

@@ -2069,6 +2069,44 @@ BASKET_MIN_SUPPORT = 2
 BASKET_TOP = 32
 
 
+def _basket_items_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    raw = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    # okey partitioning satisfies the (okey, pkey) distinct's
+    # clustering, so the spread exchange REPLACES the distinct's
+    return spread_unsplittable(raw, "okey").distinct()
+
+
+def basket_items_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (okey, pkey) order-item table (r15, guide §2.1 — the
+    k-core replay rule, scalar edition): orders_market_basket
+    referenced it five times in one plan, putting five lineitem scans
+    in the plan. 2 bigints/row, built once per (session, dataset)."""
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "basket_items", sf_dir, _basket_items_build)
+
+
+def _basket_sup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        basket_items_materialized(spark, sf_dir)
+        .groupBy("pkey")
+        .agg(F.count("*").cast("bigint").alias("orders_with"))
+    )
+
+
+def basket_sup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part order supports derived from the item scratch (<= part
+    count rows) — read three times per plan (frequent filter + both
+    support join sides)."""
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "basket_sup", sf_dir, _basket_sup_build)
+
+
 @register(
     "orders_market_basket",
     oracle=f"""
@@ -2146,27 +2184,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= part count rows) a second scratch derived from it: the
     registered plan reads 1 corpus scan (in the first build) + tiny
     parquet scans everywhere else."""
-    from lakeview_spark.operators.materialize import materialized
-    from lakeview_spark.operators.scale import spread_unsplittable
-
-    def _basket_items_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        raw = t(spark, sf_dir, "lineitem").select(
-            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-        )
-        # okey partitioning satisfies the (okey, pkey) distinct's
-        # clustering, so the spread exchange REPLACES the distinct's
-        return spread_unsplittable(raw, "okey").distinct()
-
-    def _basket_sup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return (
-            materialized(spark, "basket_items", sf_dir, _basket_items_build)
-            .groupBy("pkey")
-            .agg(F.count("*").cast("bigint").alias("orders_with"))
-        )
-
-    items = materialized(spark, "basket_items", sf_dir, _basket_items_build)
+    items = basket_items_materialized(spark, sf_dir)
     nord = items.agg(F.countDistinct("okey").cast("bigint").alias("n_orders"))
-    sup = materialized(spark, "basket_sup", sf_dir, _basket_sup_build)
+    sup = basket_sup_materialized(spark, sf_dir)
     # Apriori level-1 prune: only frequent items can appear in a
     # frequent pair (identical distinct subtrees share one reused
     # exchange, so this adds a filter+join, not a rescan)
