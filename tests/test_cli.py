@@ -10,6 +10,14 @@ import pytest
 from lakeview_spark.__main__ import main
 from tests.test_dataflow import PARSER_CFG, lake  # noqa: F401 (fixture)
 
+# slow tier (deselected by the default "-m not slow" addopts; the
+# builder's close battery runs the full suite with -m "slow or not
+# slow"): end-to-end / property-simulation coverage that exceeds the
+# round driver's pytest budget — correctness gating lives in
+# test_oracle_parity + the hygiene/golden suites, which stay fast
+pytestmark = pytest.mark.slow
+
+
 
 def _yaml(lake_root: str, mode: str = "ONCE") -> str:
     return json.dumps(  # JSON is a YAML subset — no PyYAML quoting pitfalls

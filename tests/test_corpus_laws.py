@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 import pyarrow.parquet as pq
 
 from lakeview_spark.plans import QUERIES
@@ -529,6 +531,7 @@ def test_lsh_scurve_is_a_transfer_function(spark):
     assert hi.bucket >= 5 and hi.detection_rate >= 0.8
 
 
+@pytest.mark.slow
 def test_nprobe_sweep_is_monotone_and_pins_the_composed_search(spark):
     """The sweep's defining laws: recall and candidate cost are
     nondecreasing in nprobe, and the nprobe = max point's hit count
@@ -821,6 +824,7 @@ def test_attribution_walk_replays_from_the_registered_matrix(spark):
         assert abs(sum(r.attribution_share for r in rows.values()) - 1.0) < 1e-12
 
 
+@pytest.mark.slow
 def test_mmr_diversity_audit_reconciles_with_the_stage(spark):
     """The audit's sets reconcile with the registered rerank (mmr sums
     = sums over retrieval_mmr_rerank's exact distances), plain never

@@ -17,6 +17,14 @@ import pytest
 
 from lakeview_spark.plans import QUERIES
 
+# slow tier (deselected by the default "-m not slow" addopts; the
+# builder's close battery runs the full suite with -m "slow or not
+# slow"): end-to-end / property-simulation coverage that exceeds the
+# round driver's pytest budget — correctness gating lives in
+# test_oracle_parity + the hygiene/golden suites, which stay fast
+pytestmark = pytest.mark.slow
+
+
 SRC = "/root/testdata/sf0.001"
 
 # one or two queries per empty-input failure class

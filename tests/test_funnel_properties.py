@@ -9,6 +9,15 @@ from __future__ import annotations
 from hypothesis import given, settings, strategies as st
 
 from lakeview_spark.plans.tpch_extra import funnel_stages
+import pytest
+
+# slow tier (deselected by the default "-m not slow" addopts; the
+# builder's close battery runs the full suite with -m "slow or not
+# slow"): end-to-end / property-simulation coverage that exceeds the
+# round driver's pytest budget — correctness gating lives in
+# test_oracle_parity + the hygiene/golden suites, which stay fast
+pytestmark = pytest.mark.slow
+
 
 EVENT = st.tuples(
     st.integers(min_value=0, max_value=4),          # user_id

@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakeview_spark.streaming import (
@@ -633,6 +635,7 @@ def test_stream_session_rollup_chains_and_buckets_by_session_end(spark, tmp_path
     assert got == {"2026-03-01": (1, 2), "2026-03-02": (1, 2)}
 
 
+@pytest.mark.slow
 def test_stream_interval_join_equals_batch_join_property(spark, tmp_path):
     """Property check of the inner twin's oracle claim on randomized
     single-batch streams: the emitted pair set equals the batch

@@ -182,6 +182,7 @@ _TINY_BROADCAST_OK = {
 }
 
 
+@pytest.mark.slow
 def test_no_query_plans_a_cartesian_or_unbounded_nested_loop(spark):
     """Scale guard over the whole registry: no registered query may plan
     a CartesianProduct, and BroadcastNestedLoopJoin is allowed only for
