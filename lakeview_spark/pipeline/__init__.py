@@ -14,6 +14,7 @@ from lakeview_spark.pipeline import (  # noqa: F401
     labels,
     train_set,
     classifier,
+    repetition,
 )
 
 

@@ -1,24 +1,12 @@
-"""Operators implemented in r14, REGISTERED in r15 — the window ledger.
+"""Gopher/MassiveText repetition gating + BPE fertility audits.
 
-The r14 driver window (plans/__init__.py:_DRIVER_WINDOW) is exactly
-full: kmeans_train + the 6 r14 new/changed queries + all 43 remaining
-r09-stale rows, clearing VERDICT r13 next-4's "no newest driver row
-older than r10" bar with zero slack.  Registering a new query forces
-it into the first-50 window (tests/test_registry_hygiene.py:
-test_driver_window_covers_every_query_without_a_green_row), which
-would displace an r09-stale refresh and break that bar.  So the four
-ops below ship FULLY IMPLEMENTED AND ORACLE-CHECKED this round — the
-pytest suite cross-checks each against its DuckDB oracle at sf0.001
-and sf0.01, the same compare the driver runs — and flip to
-`@register` at the r15 rotation, where ~43 window slots free up.
-This module is deliberately NOT imported from pipeline/__init__ (that
-import IS registration); tests/test_pending_r15.py imports it
-directly.
-
-To register at r15: move each function's body under a
-`@register(name, oracle=...)` decorator in its home module
-(text.py / corpus.py), add the COVERAGE.md rows + window slots, and
-delete this module.
+Implemented in r14 as pipeline/pending_r15.py (the pending-module
+device: the r14 driver window was exactly full, and the hygiene test
+forces every newly registered query into the first-50 window, so these
+shipped fully implemented and DuckDB-oracle-verified in pytest but
+UNREGISTERED); registered at the r15 rotation, where the window slots
+freed up. tests/test_repetition.py carries the oracle compares at
+sf0.001 AND sf0.01 (the driver's own compare) plus the structural laws.
 """
 
 from __future__ import annotations
@@ -26,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakeview_spark.plans.registry import t
+from lakeview_spark.plans.registry import register, t
 
 # ---------------------------------------------------------------------------
 # text_repetition_gopher — the MassiveText/Gopher repetition filters
@@ -758,3 +746,22 @@ def bpe_fertility_oracle() -> str:
     """Built lazily (the trainer CTE block is large) — the r15
     registration will inline this as the oracle argument."""
     return _bpe_fertility_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Registration (r15 rotation — COVERAGE.md "Round-15 plan"): the five
+# ops take driver-window slots; oracles are the same SQL the pytest
+# compares ran against at both driver SFs while the ops were pending.
+register("text_repetition_gopher", oracle=TEXT_REPETITION_GOPHER_SQL)(
+    text_repetition_gopher
+)
+register("eval_repetition_retention", oracle=repetition_retention_oracle())(
+    eval_repetition_retention
+)
+register(
+    "eval_repetition_threshold_sweep", oracle=repetition_threshold_sweep_oracle()
+)(eval_repetition_threshold_sweep)
+register("eval_bpe_fertility", oracle=bpe_fertility_oracle())(eval_bpe_fertility)
+register("stream_repetition_gate", oracle=stream_repetition_gate_oracle())(
+    stream_repetition_gate_twin
+)

@@ -17,90 +17,80 @@ from lakeview_spark.plans import analytics, coverage, tpch_extra, product  # noq
 from lakeview_spark import pipeline  # noqa: F401  (registers dedup/similarity/text/multimodal)
 from lakeview_spark.plans import streaming_twins  # noqa: F401  (after pipeline: reuses similarity oracle SQL)
 
-# Round-14 window (COVERAGE.md "Round-14 plan", written at r13 close,
-# executed + amended in-round): the r13 window rotates out (49 green
-# rows + the exemption earned). The 50 slots: `kmeans_train` (the
-# permanent rows-only exemption), the queries NEW or whose OUTPUT
-# changed in r14 (the graph-ANN rerank pair; the NEW clustered-corpus
-# recall gate, CCNet retention ablation, and upsert pair), then EVERY
-# remaining r09-stale row — all 43 of them fit once the two
-# hash-identical r14 lineage changes (dedup_ngram_jaccard,
-# corpus_source_similarity) and the two planned-but-r13-green top-ups
-# (eval_lsh_precision_recall, contamination_apply) yield their slots —
-# clearing VERDICT r13 next-4's "no row older than r10" bar exactly.
+# Round-15 window (COVERAGE.md "Round-15 plan", written at r14 close,
+# amended in-round per VERDICT r14 next-9): the r14 window rotates out
+# (49 hash rows + the exemption earned). The 50 slots: `kmeans_train`
+# (the permanent rows-only exemption); the 5 r14-implemented ops
+# registering this round (pipeline/repetition.py — the pending-module
+# device flips to @register now that slots freed up); every query whose
+# LINEAGE changed in the r15 optimization round (all output-hash-
+# identical, oracle-checked at both SFs in-round — fresh driver rows
+# earn the independent gate); the six r14-optimizer-touched queries
+# VERDICT r14 next-9 ordered into the window; topped up with the oldest
+# r10-green rows in CORRECTNESS_r10 order (the remainder of that list
+# leads the r16 rotation).
 _DRIVER_WINDOW = [
     # the single permanent rows-only exemption (iterative float-mean)
     "kmeans_train",
-    # CHANGED in r14 (VERDICT r13 next-1): cluster-local exact rerank
-    # (kept-beam cluster sources) + the r13-advice reversed-long-link
-    # cap — recall@10 0.50 -> 1.00 at sf1, 0.46 -> 0.99 clustered
-    "similarity_ann_graph",
-    "eval_graph_ann_recall",
-    # NEW in r14 (VERDICT r13 next-3): the clustered-corpus recall
-    # audit as a permanent driver-checked gate (derived corpus, full
-    # index replay in both engines)
-    "eval_graph_ann_recall_clustered",
-    # (dedup_ngram_jaccard and corpus_source_similarity also changed in
-    # r14 — ADVICE df-cap prefilter / the one-pass basket rewrite — but
-    # both are output-HASH-IDENTICAL with r13-green rows and the
-    # every-round sf0.01 sweep re-verifies them, so their slots yield
-    # to the last four r09-stale rows, clearing the "no row older than
-    # r10" bar exactly: the pipeline_train_set displacement precedent)
-    # NEW in r14 (VERDICT r13 next-5): per-(lang, bucket) CCNet
-    # retention ablation completing the paragraph family
-    "eval_paragraph_retention",
-    # NEW in r14 (VERDICT r13 next-9 stretch): O(delta) incremental
-    # graph-index maintenance — the attach edge set and the
-    # upserted-graph recall audit
-    "similarity_ann_graph_upsert",
-    "eval_graph_upsert_recall",
-    # the r09-green top-up, in CORRECTNESS_r09 order (COVERAGE.md
-    # "Round-14 plan" list)
-    "events_sliding_window_stats",
-    "events_user_retention",
-    "events_rollup_cascade",
-    "stream_token_stats",
-    "multimodal_resize_bmp",
-    "events_props_json_stats",
-    "events_click_attribution",
-    "partition_histogram",
-    "stream_embedding_neardup",
-    "sample_temperature",
-    "duplicate_wins_join",
+    # NEW in r15 (registered at this rotation; implemented + oracle-
+    # verified in r14's pending module)
+    "text_repetition_gopher",
+    "eval_repetition_retention",
+    "eval_repetition_threshold_sweep",
+    "eval_bpe_fertility",
+    "stream_repetition_gate",
+    # lineage CHANGED in r15 (optimization round 2: checkpoint
+    # summarizer rewrite; classifier weights scratch + spread; semdedup
+    # assigned-vector scratch; shared LSH truth pairs; market-basket
+    # item/support scratches; per-source histogram scratch)
+    "checkpoint_lookback",
+    "eval_classifier_calibration",
+    "eval_classifier_roc",
+    "classifier_quality_apply",
     "dedup_semdedup",
-    "events_funnel_conversion",
-    "compaction_backlog",
-    "events_asof_click_value",
-    "file_size_percentiles",
-    "partition_size_distribution",
-    "top_revenue_supplier",
-    "table_stats_daily",
-    "corpus_distinct_hll",
-    "eval_simhash_band_quality",
-    "pricing_summary",
-    "forecast_revenue",
-    "brand_revenue_share",
-    "local_supplier_volume",
-    "nation_trade_volume",
-    "promo_disjunctive_revenue",
-    "important_parts",
-    "stream_event_sessions",
-    "embedding_pq_codebook_stats",
-    "stream_bloom_prune",
-    "corpus_bpe_train",
-    "corpus_bpe_apply",
-    "corpus_source_overlap_theta",
-    "stream_interval_join",
-    "similarity_ann_sq8",
-    "text_surprisal_bits",
-    "layout_zorder_stats",
-    "stream_interval_join_outer",
-    # the final four r09-stale rows (eval_lsh_precision_recall and
-    # contamination_apply yielded their planned slots — both r13-green)
-    "graph_kcore",
-    "multimodal_frame_sample",
-    "sample_dsir_select",
-    "stream_session_daily_rollup",
+    "eval_lsh_precision_recall",
+    "eval_lsh_scurve",
+    "orders_market_basket",
+    "corpus_source_similarity",
+    # r14-optimizer-touched (VERDICT r14 next-9): lineage changed last
+    # round, covered only by in-round sweeps until now
+    "dedup_simhash",
+    "eval_pq_recall",
+    "shipping_priority",
+    "timeline_completeness",
+    "similarity_ann_ivf_pq",
+    "sample_kcenter_select",
+    # oldest r10-green top-up, in CORRECTNESS_r10 order (COVERAGE.md
+    # "Round-15 plan" list; shipping_priority already has a slot above)
+    "flagged_suppliers",
+    "small_quantity_revenue",
+    "cold_customers",
+    "events_type_hour_pivot",
+    "events_hourly_ohlc",
+    "events_session_paths",
+    "events_error_proximity",
+    "events_gapfill_locf",
+    "large_order_customers",
+    "events_anomaly_zscore",
+    "brand_supplier_breadth",
+    "customer_order_distribution",
+    "priority_by_orderpriority",
+    "returned_items",
+    "similarity_knn_graph",
+    "multimodal_audio_energy",
+    "similarity_tfidf_pairs",
+    "text_boilerplate_lines",
+    "docs_chunk_overlap",
+    "dataset_split_assign",
+    "corpus_token_concentration",
+    "eval_split_leakage",
+    "dedup_shared_spans",
+    "embedding_quantize_error",
+    "pack_length_buckets",
+    "docs_cdc_chunks",
+    "embedding_label_purity",
+    "embedding_knn_label_accuracy",
+    "contrastive_pair_sample",
 ]
 
 

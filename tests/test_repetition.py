@@ -1,13 +1,13 @@
-"""r14-implemented, r15-registered operators (pipeline/pending_r15.py):
-full DuckDB-oracle cross-checks at sf0.001 — the exact compare the
-driver will run once they take window slots at the r15 rotation — plus
-the structural laws that make each report trustworthy."""
+"""Gopher repetition + BPE fertility operators (pipeline/repetition.py,
+registered at the r15 rotation): full DuckDB-oracle cross-checks at
+sf0.001 AND sf0.01 — the exact compare the driver runs — plus the
+structural laws that make each report trustworthy."""
 
 from __future__ import annotations
 
 import pytest
 
-from lakeview_spark.pipeline import pending_r15
+from lakeview_spark.pipeline import repetition as pending_r15
 from tests.oracle_util import compare, duck_connection
 
 SF = "/root/testdata/sf0.001"
@@ -429,15 +429,22 @@ def test_pending_ops_survive_empty_tables(spark, empty_sf, fn):
     assert rows == []
 
 
-def test_pending_module_is_not_registered(spark):
-    """The deferral contract: neither op may appear in the registry
-    until the r15 rotation frees window slots (registering now would
-    displace an r09-stale refresh and break VERDICT r13 next-4's bar).
-    `spark` fixture forces plans/__init__ import order first."""
-    from lakeview_spark.plans import QUERIES
+def test_repetition_ops_are_registered_in_the_r15_window(spark):
+    """The r15 rotation executed the deferral contract: all five ops
+    are registered with oracles and sit inside the first-50 driver
+    window (registration prefix)."""
+    from lakeview_spark.plans import ORACLES, QUERIES, ensure_driver_order
 
-    assert "text_repetition_gopher" not in QUERIES
-    assert "eval_bpe_fertility" not in QUERIES
-    assert "eval_repetition_retention" not in QUERIES
-    assert "stream_repetition_gate" not in QUERIES
-    assert "eval_repetition_threshold_sweep" not in QUERIES
+    ensure_driver_order()
+    names = [
+        "text_repetition_gopher",
+        "eval_repetition_retention",
+        "eval_repetition_threshold_sweep",
+        "eval_bpe_fertility",
+        "stream_repetition_gate",
+    ]
+    window = list(QUERIES)[:50]
+    for n in names:
+        assert n in ORACLES, n
+        assert n in window, n
+    assert QUERIES["stream_repetition_gate"] is pending_r15.stream_repetition_gate_twin
