@@ -103,7 +103,10 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
         from lakeview_spark.pipeline.evaluation import _lsh_pairs_materialized
         from lakeview_spark.pipeline.mixing import source_hist_materialized
         from lakeview_spark.pipeline.similarity import semdedup_v_materialized
-        from lakeview_spark.plans.tpch_extra import basket_sup_materialized
+        from lakeview_spark.plans.tpch_extra import (
+            basket_sup_materialized,
+            rfm_cust_materialized,
+        )
 
         builders.extend(
             [
@@ -112,6 +115,7 @@ def prewarm_scratch(spark, sf_dir: str, include_clusters: bool = False) -> None:
                 classifier_weights,
                 basket_sup_materialized,  # builds basket_items first
                 source_hist_materialized,
+                rfm_cust_materialized,
             ]
         )
     for builder in builders:

@@ -2249,6 +2249,36 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 RFM_BINS = 256
 
 
+def _rfm_cust_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeview_spark.operators.scale import spread_unsplittable
+
+    o = spread_unsplittable(t(spark, sf_dir, "orders"), "o_custkey")
+    scal = o.select("o_orderdate").agg(F.max("o_orderdate").alias("maxd"))
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count("*").cast("bigint").alias("freq"),
+            (F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("mon"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "custkey",
+            F.datediff("maxd", "last_date").cast("bigint").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+
+
+def rfm_cust_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (rec, freq, mon) — read by the RFM histogram build
+    AND the scoring pass (r15, guide §2.1; customer-count rows)."""
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "rfm_cust", sf_dir, _rfm_cust_build)
+
+
 @register(
     "customer_rfm_segments",
     oracle=f"""
@@ -2357,23 +2387,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (histogram build + scoring — the ROC collapse device bounds it at
     two) plus one narrow max-date scan; thresholds/ranges are 3-row
     broadcasts; the final agg is <= 64 groups."""
-    o = t(spark, sf_dir, "orders")
-    scal = o.select("o_orderdate").agg(F.max("o_orderdate").alias("maxd"))
-    cust = (
-        o.groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
-            F.max("o_orderdate").alias("last_date"),
-            F.count("*").cast("bigint").alias("freq"),
-            (F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("mon"),
-        )
-        .crossJoin(F.broadcast(scal))
-        .select(
-            "custkey",
-            F.datediff("maxd", "last_date").cast("bigint").alias("rec"),
-            "freq",
-            "mon",
-        )
-    )
+    # r15 (guide §2.1 replay): the per-customer RFM table fed BOTH the
+    # histogram build and the scoring pass, and its own lineage held
+    # two orders scans (the aggregate + the max-date scalar) — four
+    # single-task scans of the unsplittable local file per execution.
+    # One customer-count-sized scratch write (builder spread on
+    # o_custkey — the partitioning the groupBy needs) leaves both
+    # passes parquet scans.
+    cust = rfm_cust_materialized(spark, sf_dir)
     three = F.explode(
         F.array(
             F.struct(F.lit("r").alias("m"), F.col("rec").alias("v")),
