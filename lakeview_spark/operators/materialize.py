@@ -37,6 +37,16 @@ _MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
 # repeated runs don't accumulate stale parquet under the scratch root
 _CREATED_PATHS: list[str] = []
 
+# (materialize key) -> the read-back DataFrame. `spark.read.parquet`
+# costs a driver round-trip (file listing + footer schema read) PER
+# CALL; a build chain that references several scratch tables a dozen
+# times (the gANN family) pays ~1 s of pure driver latency per
+# execution re-opening tables this module just wrote. DataFrames are
+# immutable plan holders, so handing every consumer the same object is
+# safe — the t() source-table memo (plans/registry.py), scratch-side.
+# Entries die with their _MATERIALIZED key (same cleanup path).
+_READ_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
 
 def scratch_dir() -> str:
     return os.environ.get("LAKEVIEW_SCRATCH_DIR", tempfile.gettempdir())
@@ -75,6 +85,7 @@ def _cleanup_scratch(paths: list[str] | None = None) -> None:
         _CREATED_PATHS.remove(path)
         for key in [k for k, v in _MATERIALIZED.items() if v == path]:
             del _MATERIALIZED[key]
+            _READ_CACHE.pop(key, None)
 
 
 atexit.register(_cleanup_scratch)
@@ -107,7 +118,11 @@ def materialized(
         builder(spark, sf_dir).write.mode("overwrite").parquet(path)
         _MATERIALIZED[key] = path
         _CREATED_PATHS.append(path)
-    return spark.read.parquet(path)
+    got = _READ_CACHE.get(key)
+    if got is None:
+        got = spark.read.parquet(path)
+        _READ_CACHE[key] = got
+    return got
 
 
 # default bucket count for bucketed scratch tables: matches the local
@@ -165,4 +180,8 @@ def materialized_bucketed(
         )
         _MATERIALIZED[key] = path
         _CREATED_PATHS.append(path)
-    return spark.table(table)
+    got = _READ_CACHE.get(key)
+    if got is None:
+        got = spark.table(table)
+        _READ_CACHE[key] = got
+    return got

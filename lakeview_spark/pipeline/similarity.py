@@ -2103,6 +2103,22 @@ def _pq_emb(spark, sf_dir: str):
     )
 
 
+def _pq_emb_m(spark, sf_dir: str):
+    """`_pq_emb` persisted to scratch once per (session, dataset) — the
+    gANN index family references the quantized corpus ~a dozen times
+    per build chain (both edge-builder sides, entry hubs, per-round
+    beam scoring, the rerank, the recall audits' exact-truth scans, the
+    coarse trainer's Lloyd's rounds), and each lazy reference replayed
+    scan + quantize fold + exchange (the k-core replay rule, guide
+    §2.1). One spread scratch write turns every reference into a
+    split-capable parquet scan with no exchange and no re-quantize.
+    BIGINT arrays round-trip parquet exactly, so every downstream
+    integer distance is bit-identical (the minhash-signature device)."""
+    from lakeview_spark.operators.materialize import materialized
+
+    return materialized(spark, "pq_emb", sf_dir, _pq_emb)
+
+
 def pq_codes_materialized(spark, sf_dir: str):
     """THE PQ index artifact: per (vector, subspace) the trained
     codeword and its exact reconstruction error, written to scratch
@@ -2719,7 +2735,9 @@ def _ivfpq_coarse_parts(spark, sf_dir, emb):
     cents = spark.createDataFrame(trained, "cluster_id int, cv array<bigint>")
 
     def _build(spark, sf_dir):
-        e = _pq_emb(spark, sf_dir)
+        # the assignment build reads the quantized-corpus scratch (one
+        # pass at most per dataset; this build is itself materialized)
+        e = _pq_emb_m(spark, sf_dir)
         return (
             e.crossJoin(F.broadcast(cents))
             .select(
@@ -4252,36 +4270,45 @@ def _gann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped local + up/down/mesh hub links, union-distinct."""
     from pyspark.sql import Window as _W
 
+    from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.pipeline.iterative import _kq_sqdist
 
-    emb = _pq_emb(spark, sf_dir)
-    n_planes = len(_plane_vectors(spark, sf_dir))
-    bk = _lsh_bucketed(spark, sf_dir).select("vec_id", "bucket")
-    mp = bk.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(n_planes)
-                ],
-            )
-        ).alias("pb"),
-    )
-    a = mp.join(emb.select(F.col("vec_id"), F.col("qv").alias("qa")), "vec_id")
-    bqe = bk.join(
-        emb.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb")),
-        bk.vec_id == F.col("dst"),
-    ).select("dst", F.col("bucket").alias("db"), "qb")
-    glp = (
-        a.join(bqe, (F.col("pb") == F.col("db")) & (F.col("vec_id") != F.col("dst")))
-        .select(
+    emb = _pq_emb_m(spark, sf_dir)
+
+    def _glp_build(s_, d_):
+        # the multiprobe candidate-pair frame (Hamming<=1 bucket
+        # collisions, exact integer distances) — referenced by THREE
+        # link families below (local, long/sparse-layer, reversed);
+        # lazily it replayed the pair join + distance fold per
+        # reference (the k-core replay rule, guide §2.1)
+        n_planes = len(_plane_vectors(s_, d_))
+        bk_ = _lsh_bucketed(s_, d_).select("vec_id", "bucket")
+        mp = bk_.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("pb"),
+        )
+        a_ = mp.join(emb.select(F.col("vec_id"), F.col("qv").alias("qa")), "vec_id")
+        bqe = bk_.join(
+            emb.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb")),
+            bk_.vec_id == F.col("dst"),
+        ).select("dst", F.col("bucket").alias("db"), "qb")
+        return a_.join(
+            bqe, (F.col("pb") == F.col("db")) & (F.col("vec_id") != F.col("dst"))
+        ).select(
             F.col("vec_id").alias("src"),
             "dst",
             _kq_sqdist("qa", "qb", dim=_EMB_DIM).alias("ldist"),
         )
-    )
+
+    glp = materialized(spark, "gann_glp", sf_dir, _glp_build)
     wloc = _W.partitionBy("src").orderBy("ldist", "dst")
     glocal = (
         glp.withColumn("rn", F.row_number().over(wloc))
@@ -4371,7 +4398,7 @@ def _gann_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakeview_spark.pipeline.iterative import _kq_sqdist
 
-    emb = _pq_emb(spark, sf_dir)
+    emb = _pq_emb_m(spark, sf_dir)
     probes = _gann_probes(spark, sf_dir)
     _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
     hubs = coarse.groupBy("cluster_id").agg(
@@ -4402,7 +4429,7 @@ def _gann_ef(spark: SparkSession, sf_dir: str) -> int:
 def _gann_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride = max(1, corpus_n(spark, sf_dir) // _PQ_PROBE_TARGET)
     return (
-        _pq_emb(spark, sf_dir)
+        _pq_emb_m(spark, sf_dir)
         .filter((F.col("vec_id") % stride) == 0)
         .select(F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"))
     )
@@ -4512,13 +4539,19 @@ def _beam_search(
             new_kept = new_beam.filter(F.col("rn") <= ef).select(
                 "probe_id", "vec_id"
             )
-            # kept rows are unique per (probe_id, vec_id), so equal
-            # counts + an empty one-sided difference == set equality;
-            # both sides are materialized scratch, so the checks are
-            # two tiny scans, not lineage replays
+            # kept rows are unique per (probe_id, vec_id), so a union
+            # groups to count 2 exactly on rows present in BOTH sets —
+            # any group at count != 2 is a symmetric-difference member.
+            # ONE tiny-scratch job instead of the previous three
+            # (count + count + exceptAll.isEmpty): both sides are
+            # materialized scratch, so this is two small scans + one
+            # agg, not lineage replays
             if (
-                new_kept.count() == prev_kept.count()
-                and new_kept.exceptAll(prev_kept).isEmpty()
+                new_kept.unionByName(prev_kept)
+                .groupBy("probe_id", "vec_id")
+                .count()
+                .filter(F.col("count") != 2)
+                .isEmpty()
             ):
                 _BEAM_STOP_ROUND[stop_key] = r
                 beam = new_beam
@@ -4559,7 +4592,7 @@ def _gann_final_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (the graph_kcore device)."""
     from lakeview_spark.operators.materialize import materialized
 
-    emb = _pq_emb(spark, sf_dir)
+    emb = _pq_emb_m(spark, sf_dir)
     probes = _gann_probes(spark, sf_dir)
     edges = materialized(spark, "gann_edges", sf_dir, _gann_edges)
     _cents, coarse = _ivfpq_coarse_parts(spark, sf_dir, emb)
@@ -4638,7 +4671,7 @@ def eval_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakeview_spark.pipeline.iterative import _kq_sqdist
 
-    emb = _pq_emb(spark, sf_dir)
+    emb = _pq_emb_m(spark, sf_dir)
     probes = _gann_probes(spark, sf_dir)
     w = _W.partitionBy("probe_id").orderBy("dist", "vec_id")
     truth = (
@@ -4758,7 +4791,14 @@ def _clustered_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     path = os.path.join(scratch_dir(), f"lakeview_clustered_{uuid.uuid4().hex}")
-    derived.write.parquet(os.path.join(path, "embeddings.parquet"))
+    # write the derived dataset SPREAD (deterministic key-hash): the
+    # narrow derive lineage would otherwise land as ONE file — the
+    # unsplittable-scan trap (guide §2.5) — serializing every
+    # downstream index-build scan (lsh bucket fold, coarse training
+    # rounds, pq_emb build) on one core
+    derived.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).write.parquet(os.path.join(path, "embeddings.parquet"))
     _CREATED_PATHS.append(path)
     _CLUSTERED_DIRS[key] = path
     return path
@@ -4834,7 +4874,12 @@ def _gann_base_dir(spark: SparkSession, sf_dir: str) -> str:
         .filter(F.col("vec_id") % _GANN_UPSERT_MOD != 0)
     )
     path = os.path.join(scratch_dir(), f"lakeview_gann_base_{uuid.uuid4().hex}")
-    base.write.parquet(os.path.join(path, "embeddings.parquet"))
+    # spread like the clustered write above — the filter lineage is
+    # narrow, so an unspread write is one file and every base-corpus
+    # index scan runs single-task (guide §2.5)
+    base.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).write.parquet(os.path.join(path, "embeddings.parquet"))
     _CREATED_PATHS.append(path)
     _UPSERT_BASE_DIRS[key] = path
     return path
@@ -4850,7 +4895,7 @@ def _upsert_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         1, n // (_GANN_UPSERT_MOD * _GANN_UPSERT_PROBES)
     )
     return (
-        _pq_emb(spark, sf_dir)
+        _pq_emb_m(spark, sf_dir)
         .filter((F.col("vec_id") % stride) == 0)
         .select(F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv"))
     )
@@ -4863,48 +4908,57 @@ def _upsert_attach_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets only."""
     from pyspark.sql import Window as _W
 
+    from lakeview_spark.operators.materialize import materialized
     from lakeview_spark.pipeline.iterative import _kq_sqdist
 
     base_dir = _gann_base_dir(spark, sf_dir)
-    planes = _plane_vectors(spark, base_dir)
-    bk = _lsh_bucketed(spark, base_dir).select("vec_id", "bucket")
-    raw_delta = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") % _GANN_UPSERT_MOD == 0)
-        .select("vec_id", _bucket_expr(planes).alias("bucket"))
-    )
-    dmp = raw_delta.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(len(planes))
-                ],
-            )
-        ).alias("pb"),
-    )
     dq = (
-        _pq_emb(spark, sf_dir)
+        _pq_emb_m(spark, sf_dir)
         .filter(F.col("vec_id") % _GANN_UPSERT_MOD == 0)
         .select("vec_id", F.col("qv").alias("qa"))
     )
-    bq = _pq_emb(spark, base_dir).select(
-        F.col("vec_id").alias("dst"), F.col("qv").alias("qb")
-    )
-    bke = bk.join(bq, bk.vec_id == F.col("dst")).select(
-        "dst", F.col("bucket").alias("db"), "qb"
-    )
-    dlp = (
-        dmp.join(dq, "vec_id")
-        .join(bke, F.col("pb") == F.col("db"))
-        .select(
-            F.col("vec_id").alias("src"),
-            "dst",
-            _kq_sqdist("qa", "qb", dim=_EMB_DIM).alias("ldist"),
+
+    def _dlp_build(s_, d_):
+        # the delta->base multiprobe candidate-pair frame — referenced
+        # by BOTH link directions below (fwd, rev); lazily it replayed
+        # the pair join + distance fold per reference (the same §2.1
+        # replay the base edge builder's glp scratch fixes)
+        planes = _plane_vectors(s_, base_dir)
+        bk_ = _lsh_bucketed(s_, base_dir).select("vec_id", "bucket")
+        raw_delta = (
+            s_.read.parquet(f"{d_}/embeddings.parquet")
+            .filter(F.col("vec_id") % _GANN_UPSERT_MOD == 0)
+            .select("vec_id", _bucket_expr(planes).alias("bucket"))
         )
-    )
+        dmp = raw_delta.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(len(planes))
+                    ],
+                )
+            ).alias("pb"),
+        )
+        bq = _pq_emb_m(s_, base_dir).select(
+            F.col("vec_id").alias("dst"), F.col("qv").alias("qb")
+        )
+        bke = bk_.join(bq, bk_.vec_id == F.col("dst")).select(
+            "dst", F.col("bucket").alias("db"), "qb"
+        )
+        return (
+            dmp.join(dq, "vec_id")
+            .join(bke, F.col("pb") == F.col("db"))
+            .select(
+                F.col("vec_id").alias("src"),
+                "dst",
+                _kq_sqdist("qa", "qb", dim=_EMB_DIM).alias("ldist"),
+            )
+        )
+
+    dlp = materialized(spark, "gann_upsert_dlp", sf_dir, _dlp_build)
     wfwd = _W.partitionBy("src").orderBy("ldist", "dst")
     afwd = (
         dlp.withColumn("rn", F.row_number().over(wfwd))
@@ -4921,7 +4975,7 @@ def _upsert_attach_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("rev").alias("kind"),
         )
     )
-    emb_base = _pq_emb(spark, base_dir)
+    emb_base = _pq_emb_m(spark, base_dir)
     _cents, coarse = _ivfpq_coarse_parts(spark, base_dir, emb_base)
     hubs = coarse.groupBy("cluster_id").agg(
         F.min("vec_id").cast("bigint").alias("hub")
@@ -5132,7 +5186,7 @@ def eval_graph_upsert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeview_spark.operators.materialize import materialized
 
     base_dir = _gann_base_dir(spark, sf_dir)
-    emb_full = _pq_emb(spark, sf_dir)
+    emb_full = _pq_emb_m(spark, sf_dir)
     probes = _upsert_probes(spark, sf_dir)
     base_edges = materialized(spark, "gann_edges", base_dir, _gann_edges)
     attach = _upsert_attach(spark, sf_dir)
@@ -5145,7 +5199,7 @@ def eval_graph_upsert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     gplus = materialized(spark, "gann_upsert_graph", sf_dir, _gplus_build)
-    emb_base = _pq_emb(spark, base_dir)
+    emb_base = _pq_emb_m(spark, base_dir)
     _cents, coarse = _ivfpq_coarse_parts(spark, base_dir, emb_base)
     hubs = coarse.groupBy("cluster_id").agg(
         F.min("vec_id").cast("bigint").alias("hub")
