@@ -4492,15 +4492,53 @@ def _beam_search(
     The stop round is memoized per (session, dataset, prefix) so warm
     re-invocations replay neither the rounds nor the equality checks.
     ``early_exit=False`` forces the full unrolled schedule (the pin
-    test's reference path)."""
+    test's reference path).
+
+    Digest prefilter (r15, guide §1/§2.1): the r15 profile showed the
+    kept set does NOT reach a fixed point at sf0.1 — all _GANN_ROUNDS
+    rounds materialize — so the per-round equality check was ~one pure
+    overhead job per round. Each round's WRITE job now also computes an
+    order-independent kept-set digest (count + bit_xor of
+    xxhash64(probe_id, vec_id), via `observe` — zero extra jobs, the
+    written rows are untouched), and equal sets ALWAYS produce equal
+    digests, so digest inequality PROVES the sets differ and the exact
+    equality job is skipped with certainty. The exact union-groupBy
+    check still decides whenever digests match (a hash collision costs
+    one extra check job, never a wrong exit) or are unavailable (memo
+    hits), so the fixed-point semantics are bit-identical — pinned by
+    the same schedule-equality test."""
+    from pyspark.sql import Observation
+
     from lakeview_spark.operators.materialize import materialized
 
     _rank, _score = _gann_rank_score(emb, probes)
+    spread_n = spark.sparkContext.defaultParallelism
+
+    def _kept_digest_exprs():
+        return (
+            F.sum(F.when(F.col("rn") <= ef, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kc"),
+            F.expr(
+                f"bit_xor(CASE WHEN rn <= {ef} THEN xxhash64(probe_id, vec_id)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).alias("kx"),
+        )
+
+    b0_obs = Observation() if early_exit else None
+    b0_built: list[bool] = []
 
     def _b0(s_, d_):
-        return _rank(_score(beam0_build(s_, d_)))
+        b0_built.append(True)
+        out = _rank(_score(beam0_build(s_, d_)))
+        return out.observe(b0_obs, *_kept_digest_exprs()) if b0_obs is not None else out
 
     beam = materialized(spark, f"{prefix}0", sf_dir, _b0)
+    if b0_obs is not None and b0_built:
+        _d = b0_obs.get
+        prev_digest = (_d["kc"], _d["kx"])
+    else:
+        prev_digest = None
     from lakeview_spark.operators.materialize import _dataset_fingerprint
 
     # keyed like the materialize cache (fingerprint included): a
@@ -4517,7 +4555,11 @@ def _beam_search(
         if stop_known is not None and r > stop_known:
             break
 
-        def _round_build(s_, d_, beam=beam):
+        r_obs = Observation() if (early_exit and stop_known is None) else None
+        r_built: list[bool] = []
+
+        def _round_build(s_, d_, beam=beam, r_obs=r_obs, r_built=r_built):
+            r_built.append(True)
             kept = beam.filter(F.col("rn") <= ef).select(
                 "probe_id", "vec_id"
             )
@@ -4527,36 +4569,68 @@ def _beam_search(
             cand = (
                 kept.unionByName(nbrs)
                 .filter(F.col("vec_id") != F.col("probe_id"))
-                .distinct()
+                # one exchange instead of two: hash on probe_id alone
+                # satisfies BOTH the (probe_id, vec_id) dedup clustering
+                # and the rank window's probe_id distribution (guide
+                # §2.4 — same-keyed operations share one exchange; the
+                # market-basket okey device)
+                .repartition(spread_n, "probe_id")
+                .dropDuplicates(["probe_id", "vec_id"])
             )
-            return _rank(_score(cand))
+            out = _rank(_score(cand))
+            return (
+                out.observe(r_obs, *_kept_digest_exprs())
+                if r_obs is not None
+                else out
+            )
 
         new_beam = materialized(spark, f"{prefix}{r}", sf_dir, _round_build)
+        new_digest = None
+        if r_obs is not None and r_built:
+            _d = r_obs.get
+            new_digest = (_d["kc"], _d["kx"])
         if early_exit and stop_known is None and r < _GANN_ROUNDS:
-            prev_kept = beam.filter(F.col("rn") <= ef).select(
-                "probe_id", "vec_id"
-            )
-            new_kept = new_beam.filter(F.col("rn") <= ef).select(
-                "probe_id", "vec_id"
-            )
-            # kept rows are unique per (probe_id, vec_id), so a union
-            # groups to count 2 exactly on rows present in BOTH sets —
-            # any group at count != 2 is a symmetric-difference member.
-            # ONE tiny-scratch job instead of the previous three
-            # (count + count + exceptAll.isEmpty): both sides are
-            # materialized scratch, so this is two small scans + one
-            # agg, not lineage replays
+            # digest prefilter (docstring): unequal digests PROVE the
+            # kept sets differ — skip the exact check job outright
             if (
-                new_kept.unionByName(prev_kept)
-                .groupBy("probe_id", "vec_id")
-                .count()
-                .filter(F.col("count") != 2)
-                .isEmpty()
+                prev_digest is None
+                or new_digest is None
+                or prev_digest == new_digest
             ):
-                _BEAM_STOP_ROUND[stop_key] = r
-                beam = new_beam
-                break
+                prev_kept = beam.filter(F.col("rn") <= ef).select(
+                    "probe_id", "vec_id"
+                )
+                new_kept = new_beam.filter(F.col("rn") <= ef).select(
+                    "probe_id", "vec_id"
+                )
+                # kept rows are unique per (probe_id, vec_id), so a union
+                # groups to count 2 exactly on rows present in BOTH sets —
+                # any group at count != 2 is a symmetric-difference member.
+                # ONE tiny-scratch job instead of the previous three
+                # (count + count + exceptAll.isEmpty): both sides are
+                # materialized scratch, so this is two small scans + one
+                # agg, not lineage replays
+                if (
+                    new_kept.unionByName(prev_kept)
+                    .groupBy("probe_id", "vec_id")
+                    .count()
+                    .filter(F.col("count") != 2)
+                    .isEmpty()
+                ):
+                    _BEAM_STOP_ROUND[stop_key] = r
+                    beam = new_beam
+                    break
+        prev_digest = new_digest
         beam = new_beam
+    else:
+        if early_exit and stop_known is None:
+            # no fixed point in the full schedule (the sf0.1 reality —
+            # r15 profile): memoize "replay every round" so WARM
+            # re-invocations skip the per-round equality checks too.
+            # Checks are read-only (they only decide whether to stop
+            # early), so skipping them on replay changes nothing —
+            # the materialized rounds are already on disk.
+            _BEAM_STOP_ROUND[stop_key] = _GANN_ROUNDS
 
     # cluster-local exact rerank (section comment above): coarse
     # clusters of every kept beam member, all members exact-scored
@@ -4578,7 +4652,9 @@ def _beam_search(
             beam.select("probe_id", "vec_id")
             .unionByName(members)
             .filter(F.col("vec_id") != F.col("probe_id"))
-            .distinct()
+            # same one-exchange device as the round builds above
+            .repartition(spread_n, "probe_id")
+            .dropDuplicates(["probe_id", "vec_id"])
         )
         return _rank(_score(cand))
 

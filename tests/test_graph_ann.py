@@ -303,3 +303,34 @@ def test_upsert_attach_is_o_delta_and_capped(spark):
         assert r.probe_id % _GANN_UPSERT_MOD == 0  # probes come from the delta
     mean = sum(r.recall for r in audit) / len(audit)
     assert mean >= 0.9, mean
+
+
+def test_beam_stop_round_memoized_even_without_fixed_point(spark):
+    """r15: warm _beam_search replays must not re-run the per-round
+    kept-set equality jobs. A found fixed point memoizes its round
+    (r14); the r15 profile showed the no-fixed-point case (the sf0.1
+    reality) re-ran every check job per warm invocation — now the full
+    schedule memoizes stop == _GANN_ROUNDS, and a warm re-invocation
+    returns the bit-identical rerank table from scratch reads alone."""
+    from lakeview_spark.operators.materialize import _dataset_fingerprint
+    from lakeview_spark.pipeline.similarity import (
+        _BEAM_STOP_ROUND,
+        _GANN_ROUNDS,
+        _gann_final_beam,
+    )
+    import os
+
+    first = _gann_final_beam(spark, SF_DIR)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(SF_DIR),
+        _dataset_fingerprint(SF_DIR),
+        "gann_beam",
+    )
+    assert key in _BEAM_STOP_ROUND
+    assert 1 <= _BEAM_STOP_ROUND[key] <= _GANN_ROUNDS
+    again = _gann_final_beam(spark, SF_DIR)
+    cols = ["probe_id", "vec_id", "dist", "rn"]
+    assert sorted(map(tuple, first.select(*cols).collect())) == sorted(
+        map(tuple, again.select(*cols).collect())
+    )
