@@ -2110,13 +2110,30 @@ def _pq_emb_m(spark, sf_dir: str):
     beam scoring, the rerank, the recall audits' exact-truth scans, the
     coarse trainer's Lloyd's rounds), and each lazy reference replayed
     scan + quantize fold + exchange (the k-core replay rule, guide
-    §2.1). One spread scratch write turns every reference into a
-    split-capable parquet scan with no exchange and no re-quantize.
-    BIGINT arrays round-trip parquet exactly, so every downstream
-    integer distance is bit-identical (the minhash-signature device)."""
-    from lakeview_spark.operators.materialize import materialized
+    §2.1). One scratch write turns every reference into a parquet scan
+    with no exchange and no re-quantize. BIGINT arrays round-trip
+    parquet exactly, so every downstream integer distance is
+    bit-identical (the minhash-signature device).
 
-    return materialized(spark, "pq_emb", sf_dir, _pq_emb)
+    BUCKETED on vec_id (r15, guide §2.4/§6): the whole family keys on
+    vec_id — the Lloyd's rounds' and coarse assignment's per-vector
+    argmin (groupBy vec_id above a broadcast join that preserves the
+    scan's partitioning), and the beam rounds' scoring equi-join. A
+    bucketed scan reports its hash partitioning, so those aggregations
+    plan NO corpus exchange at all (3 Lloyd's rounds + the assignment
+    each shuffled the full corpus WITH the qv payload before), and at
+    100 TB the vec_id joins sort-merge over co-located, pre-sorted
+    buckets with only the probe side exchanged. No builder-side
+    repartition: materialized_bucketed exchanges on the bucket column
+    itself (the _lsh_bucketed convention)."""
+    from lakeview_spark.operators.materialize import materialized_bucketed
+
+    def _build(s_, d_):
+        return t(s_, d_, "embeddings").select(
+            "vec_id", _kq_quantize_col("embedding").alias("qv")
+        )
+
+    return materialized_bucketed(spark, "pq_emb", sf_dir, _build, ["vec_id"])
 
 
 def pq_codes_materialized(spark, sf_dir: str):
